@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.TpchLike
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TpchLike.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"    -> (TpchLike.q1PricingSummary(_, _)),
+    "q3_shipping_priority"  -> (TpchLike.q3ShippingPriority(_, _)),
+    "q5_local_supplier"     -> (TpchLike.q5LocalSupplier(_, _)),
+    "q_top_customers_window" -> (TpchLike.topCustomersWindow(_, _)),
+    "q_json_extract"        -> (TpchLike.jsonExtract(_, _)),
+    "q_skew_topk"           -> (TpchLike.skewTopk(_, _)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary"    -> TpchLike.q1OracleSql,
+    "q3_shipping_priority"  -> TpchLike.q3OracleSql,
+    "q5_local_supplier"     -> TpchLike.q5OracleSql,
+    "q_top_customers_window" -> TpchLike.topCustomersOracleSql,
+    "q_json_extract"        -> TpchLike.jsonExtractOracleSql,
+    "q_skew_topk"           -> TpchLike.skewTopkOracleSql,
+  )
 }
