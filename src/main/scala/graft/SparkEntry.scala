@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.TpchLike
+import graft.operators.{Scd2, SaltedCumSum, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -17,7 +18,11 @@ object SparkEntry {
     "q5_local_supplier"     -> (TpchLike.q5LocalSupplier(_, _)),
     "q_top_customers_window" -> (TpchLike.topCustomersWindow(_, _)),
     "q_json_extract"        -> (TpchLike.jsonExtract(_, _)),
-    "q_skew_topk"           -> (TpchLike.skewTopk(_, _)),
+    "q_skew_topk"           -> ((s, d) => TpchLike.skewTopk(s, d)),
+    "scd2_apply"            -> (Scd2.eventsScd2(_, _)),
+    "salted_cumsum"         -> (SaltedCumSum.eventsCumSum(_, _)),
+    "sessionize"            -> (Sessionize.eventsSessions(_, _)),
+    "evt_window_agg"        -> (Sessionize.hourlyAgg(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +34,9 @@ object SparkEntry {
     "q_top_customers_window" -> TpchLike.topCustomersOracleSql,
     "q_json_extract"        -> TpchLike.jsonExtractOracleSql,
     "q_skew_topk"           -> TpchLike.skewTopkOracleSql,
+    "scd2_apply"            -> Scd2.oracleSql,
+    "salted_cumsum"         -> SaltedCumSum.oracleSql,
+    "sessionize"            -> Sessionize.sessionsOracleSql,
+    "evt_window_agg"        -> Sessionize.hourlyAggOracleSql,
   )
 }

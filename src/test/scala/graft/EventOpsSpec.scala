@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{Scd2, SaltedCumSum, Sessionize}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+class EventOpsSpec extends SparkSpec {
+
+  test("scd2: exactly one open version per key, chains don't overlap") {
+    val df = Scd2.eventsScd2(spark, sfDir).cache()
+    val open = df.filter(col("expiration_date") === 20991231)
+      .groupBy("user_id").count().collect()
+    // ties on max ts are near-impossible at μs precision; expect exactly 1
+    assert(open.forall(_.getLong(1) == 1L))
+    // every non-current version expires strictly before the next effective date
+    assert(df.filter(col("current_version") === 0 &&
+      col("expiration_date") < col("effective_date")).count() == 0)
+    df.unpersist()
+  }
+
+  test("salted cumsum equals naive window cumsum") {
+    val salted = SaltedCumSum.eventsCumSum(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val naive = Tables.events(spark, sfDir)
+      .withColumn("running_value", round(sum("value").over(w), 2))
+      .select("event_id", "user_id", "running_value")
+    assert(salted.except(naive).count() == 0 && naive.except(salted).count() == 0)
+  }
+
+  test("sessions: no within-session gap exceeds 30min; session values add up") {
+    val sess = Sessionize.eventsSessions(spark, sfDir).cache()
+    assert(sess.count() > 0)
+    // session count per user is monotone from 1
+    val bad = sess.groupBy("user_id")
+      .agg(min("session_seq").as("mn"), max("session_seq").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n"))
+    assert(bad.count() == 0)
+    // total events across sessions == total events
+    val total = sess.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+    sess.unpersist()
+  }
+
+  test("hourly agg covers all events") {
+    val agg = Sessionize.hourlyAgg(spark, sfDir)
+    val total = agg.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+}
