@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.TpchLike
-import graft.operators.{Scd2, SaltedCumSum, Sessionize}
+import graft.operators.{FeatureEncoders, SaltedCumSum, Scaling, Scd2, SchemaTools, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -23,6 +23,14 @@ object SparkEntry {
     "salted_cumsum"         -> (SaltedCumSum.eventsCumSum(_, _)),
     "sessionize"            -> (Sessionize.eventsSessions(_, _)),
     "evt_window_agg"        -> (Sessionize.hourlyAgg(_, _)),
+    "count_encode"          -> (FeatureEncoders.countEncodeOrders(_, _)),
+    "target_encode"         -> (FeatureEncoders.targetEncodeCustomer(_, _)),
+    "onehot_encode"         -> (FeatureEncoders.oneHotCustomer(_, _)),
+    "scale_standard"        -> (Scaling.standardCustomer(_, _)),
+    "scale_minmax"          -> (Scaling.minMaxCustomer(_, _)),
+    "schema_shrink"         -> (SchemaTools.shrinkPlanLineitem(_, _)),
+    "column_classify"       -> (SchemaTools.classifyOrders(_, _)),
+    "class_weights"         -> (SchemaTools.classWeightsOrders(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +46,13 @@ object SparkEntry {
     "salted_cumsum"         -> SaltedCumSum.oracleSql,
     "sessionize"            -> Sessionize.sessionsOracleSql,
     "evt_window_agg"        -> Sessionize.hourlyAggOracleSql,
+    "count_encode"          -> FeatureEncoders.countEncodeOracleSql,
+    "target_encode"         -> FeatureEncoders.targetEncodeOracleSql,
+    "onehot_encode"         -> FeatureEncoders.oneHotOracleSql,
+    "scale_standard"        -> Scaling.standardOracleSql,
+    "scale_minmax"          -> Scaling.minMaxOracleSql,
+    "schema_shrink"         -> SchemaTools.shrinkPlanOracleSql,
+    "column_classify"       -> SchemaTools.classifyOracleSql,
+    "class_weights"         -> SchemaTools.classWeightsOracleSql,
   )
 }
