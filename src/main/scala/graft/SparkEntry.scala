@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.TpchLike
-import graft.operators.{FeatureEncoders, SaltedCumSum, Scaling, Scd2, SchemaTools, Sessionize}
+import graft.operators.{DimDate, FeatureEncoders, Hierarchy, SaltedCumSum, Scaling, Scd2, SchemaTools, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -31,6 +31,8 @@ object SparkEntry {
     "schema_shrink"         -> (SchemaTools.shrinkPlanLineitem(_, _)),
     "column_classify"       -> (SchemaTools.classifyOrders(_, _)),
     "class_weights"         -> (SchemaTools.classWeightsOrders(_, _)),
+    "dim_date"              -> (DimDate.dimDate(_, _)),
+    "hierarchy_flatten"     -> (Hierarchy.customerHierarchy(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +56,7 @@ object SparkEntry {
     "schema_shrink"         -> SchemaTools.shrinkPlanOracleSql,
     "column_classify"       -> SchemaTools.classifyOracleSql,
     "class_weights"         -> SchemaTools.classWeightsOracleSql,
+    "dim_date"              -> DimDate.oracleSql,
+    "hierarchy_flatten"     -> Hierarchy.oracleSql,
   )
 }

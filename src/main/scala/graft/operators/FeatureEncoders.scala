@@ -43,9 +43,15 @@ object FeatureEncoders {
   /** One-hot encoding via conditional projection — no pivot shuffle, no
     * StringIndexer fit: the category list is a tiny distinct() that is
     * collected once (dimension cardinality, not data size). */
-  def oneHot(df: DataFrame, key: String, cat: String, prefix: String): DataFrame = {
-    val cats = df.select(cat).distinct().collect()
-      .map(_.getString(0)).sorted.toSeq
+  def oneHot(df: DataFrame, key: String, cat: String, prefix: String,
+             maxCardinality: Int = 1000): DataFrame = {
+    // +1 probe row so a high-cardinality key fails fast instead of
+    // collecting an unbounded category list onto the driver
+    val rows = df.select(cat).filter(col(cat).isNotNull)
+      .distinct().limit(maxCardinality + 1).collect()
+    require(rows.length <= maxCardinality,
+      s"oneHot($cat): cardinality exceeds $maxCardinality — use count/target encoding instead")
+    val cats = rows.map(_.getString(0)).sorted.toSeq
     val cols: Seq[Column] = cats.map(v =>
       when(col(cat) === lit(v), 1).otherwise(0).cast("int")
         .as(s"${prefix}_${v.toLowerCase.replaceAll("[^a-z0-9]+", "_")}"))

@@ -22,26 +22,32 @@ object Hierarchy {
   def flatten(edges: DataFrame, childCol: String, parentCol: String,
               maxDepth: Int = 20): DataFrame = {
     val e = edges.select(col(childCol).as("__c"), col(parentCol).as("__p")).cache()
+    // Each level is localCheckpoint'ed: lineage is truncated so the plan
+    // tree stays O(1) per level (not O(depth)), the per-level isEmpty
+    // action reuses the materialized partitions instead of re-running the
+    // whole join chain, and the final union never recomputes a level.
     var frontier = e.filter(col("__p").isNull)
       .select(col("__c").as("node"),
               col("__c").as("root_key"),
               lit(0).as("depth"),
               col("__c").cast("string").as("path"))
-    var result = frontier
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
     var level = 0
-    var more = true
+    var more = !frontier.isEmpty
     while (more && level < maxDepth) {
       frontier = e.join(frontier.withColumnRenamed("node", "__pn"),
           col("__p") === col("__pn"))
         .select(col("__c").as("node"), col("root_key"),
                 (col("depth") + 1).as("depth"),
                 concat(col("path"), lit(">"), col("__c").cast("string")).as("path"))
+        .localCheckpoint()
       // one tiny action per level; level count == hierarchy depth
       if (frontier.isEmpty) more = false
-      else { result = result.unionAll(frontier); level += 1 }
+      else { levels += frontier; level += 1 }
     }
     e.unpersist()
-    result
+    levels.reduce(_ unionAll _)
   }
 
   /** Query-map entry: a deterministic multi-level hierarchy derived from

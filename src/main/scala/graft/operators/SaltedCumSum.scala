@@ -15,8 +15,11 @@ import graft.Tables
   * is #slices, tiny — window-scan THAT for per-slice offsets, (4) join the
   * offsets back and add. No task ever sees more than one slice of a key.
   *
-  * The slice rollup (step 3) is small enough to broadcast, so the join back
-  * is shuffle-free on the fact side beyond the original (key,salt) shuffle.
+  * The slice-offset join back is left to AQE: at small scale AQE picks a
+  * broadcast join; at 100 TB the offsets table is |keys|×|buckets| rows
+  * (billions for user×day) and an unconditional broadcast hint would OOM
+  * the driver — so no hint, the fact side is already shuffled on
+  * (key,salt) and a shuffle join reuses that partitioning.
   */
 object SaltedCumSum {
 
@@ -40,7 +43,7 @@ object SaltedCumSum {
       .drop("__sliceTotal")
 
     sliced
-      .join(broadcast(offsets), saltKeys)
+      .join(offsets, saltKeys)
       .withColumn(out, col("__sliceCum") + col("__offset"))
       .drop("__salt", "__sliceCum", "__offset")
   }

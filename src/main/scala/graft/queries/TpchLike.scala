@@ -54,8 +54,10 @@ object TpchLike {
 
   /** Q3-style shipping priority: orders⋈lineitem with selective filters on
     * both sides (pushed to the scans), grouped revenue, top 10.
-    * customer is a broadcast dim; orders⋈lineitem shuffles on orderkey —
-    * at scale both facts would be bucketed on orderkey to kill the shuffle. */
+    * customer scales linearly with the data, so it gets no broadcast hint —
+    * AQE broadcasts it while it fits and shuffle-joins beyond that;
+    * orders⋈lineitem shuffles on orderkey — at scale both facts would be
+    * bucketed on orderkey to kill the shuffle. */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
@@ -66,7 +68,7 @@ object TpchLike {
       .filter(col("l_shipdate") > lit("1995-03-15"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -86,9 +88,11 @@ object TpchLike {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
-  /** Q5-style local-supplier volume: 6-way star join. All dims broadcast;
-    * only the lineitem⋈orders edge shuffles. Validates join-order sanity
-    * and broadcast planning under AQE. */
+  /** Q5-style local-supplier volume: 6-way star join. Genuinely bounded
+    * dims (region/nation/supplier) broadcast; customer scales with the
+    * data (fact-sized at 100 TB) so it joins without a hint — AQE
+    * broadcasts it while small and shuffle-joins on o_custkey beyond
+    * that. Only lineitem⋈orders and orders⋈customer can ever shuffle. */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(spark, dir)
@@ -102,7 +106,7 @@ object TpchLike {
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
 
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
