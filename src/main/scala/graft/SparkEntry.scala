@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.TpchLike
 import graft.operators.{DimDate, FeatureEncoders, Hierarchy, SaltedCumSum, Scaling, Scd2, SchemaTools, Sessionize}
+import graft.functions.TextFunctions
+import graft.dedup.ExactDedup
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -33,6 +35,11 @@ object SparkEntry {
     "class_weights"         -> (SchemaTools.classWeightsOrders(_, _)),
     "dim_date"              -> (DimDate.dimDate(_, _)),
     "hierarchy_flatten"     -> (Hierarchy.customerHierarchy(_, _)),
+    "text_tokens"           -> (TextFunctions.textTokens(_, _)),
+    "text_quality"          -> (TextFunctions.textQuality(_, _)),
+    "text_langid"           -> (TextFunctions.textLangid(_, _)),
+    "doc_fingerprint"       -> (TextFunctions.docFingerprint(_, _)),
+    "dedup_exact"           -> (ExactDedup.dedupExact(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,5 +65,10 @@ object SparkEntry {
     "class_weights"         -> SchemaTools.classWeightsOracleSql,
     "dim_date"              -> DimDate.oracleSql,
     "hierarchy_flatten"     -> Hierarchy.oracleSql,
+    "text_tokens"           -> TextFunctions.textTokensOracleSql,
+    "text_quality"          -> TextFunctions.textQualityOracleSql,
+    "text_langid"           -> TextFunctions.textLangidOracleSql,
+    "doc_fingerprint"       -> TextFunctions.docFingerprintOracleSql,
+    "dedup_exact"           -> ExactDedup.oracleSql,
   )
 }

@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis column functions for LLM-training-data curation:
+  * token counting, quality scoring, language-ID heuristics, rolling-hash
+  * fingerprinting.
+  *
+  * Everything here is built from codegen'd `functions._` expressions
+  * (split / transform / aggregate / filter) — no UDFs — so the whole
+  * pipeline stays inside WholeStageCodegen and scales as a pure
+  * map-side projection: zero shuffles, zero driver traffic, linear in
+  * input bytes. That is the property that matters at 100 TB: these run
+  * at parquet-scan speed.
+  *
+  * Reference anchors: the reference repo curates LLM training text via
+  * driver-side Python (e.g. /root/reference/MachineLearning/Data/
+  * flan2022_submix/spark_data_generating.py); these operators give the
+  * same pipeline distributed, expression-level equivalents.
+  */
+object TextFunctions {
+
+  private val M = 1000000007L // rolling-hash modulus (fits BIGINT arithmetic)
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish lexer tokens: letter runs, digit runs, single punctuation. */
+  def reTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Estimated subword count: ceil(len/4) per word — the usual
+    * chars-per-token heuristic for BPE vocabularies. */
+  def estSubwords(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, w) => acc + floor((length(w) + lit(3)) / lit(4)))
+
+  /** Character-level polynomial rolling hash of one token, mod M. */
+  private def tokHash(w: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(w)), i => ascii(w.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * lit(131L) + c) % lit(M))
+
+  /** Token-level polynomial rolling hash of the whole document, mod M.
+    * Order-sensitive (unlike a bag-of-words hash): reordered text
+    * fingerprints differently, byte-identical text identically. */
+  def fingerprint(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, w) => (acc * lit(31L) + tokHash(w)) % lit(M))
+
+  private def hitCount(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => w.isin(markers.map(lit): _*))).cast("int")
+
+  // public, language-characteristic function words (locale marker lists)
+  private val enMarkers = Seq("the", "a", "of", "and", "is", "to")
+  private val frMarkers = Seq("le", "la", "les", "et", "des", "une")
+  private val deMarkers = Seq("der", "die", "und", "das", "ein", "ist")
+  private val esMarkers = Seq("el", "los", "las", "y", "una", "es")
+
+  // ---- query-map entries ----
+
+  /** #34 text_tokens: token counts per document. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(words(col("text"))).cast("int").as("n_ws_tokens"),
+      size(reTokens(col("text"))).cast("int").as("n_re_tokens"),
+      estSubwords(col("text")).as("est_subwords"),
+      length(col("text")).cast("int").as("n_chars"))
+
+  def textTokensOracleSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_re_tokens,
+      |  CAST(list_sum(list_transform(string_split_regex(text, '\s+'),
+      |       w -> (len(w)+3)//4)) AS BIGINT) AS est_subwords,
+      |  CAST(len(text) AS INT) AS n_chars
+      |FROM documents""".stripMargin
+
+  /** #35 text_quality: length / punctuation / stopword / uniqueness ratios
+    * and a composite score. Per-row arithmetic is deterministic, so the
+    * doubles hash-match the oracle bit-for-bit with no rounding. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val nTok = size(ws)
+    val nUnique = size(array_distinct(ws))
+    val nStop = hitCount(ws, enMarkers :+ "in")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val uniqR = nUnique.cast("double") / nTok
+    val stopR = nStop.cast("double") / nTok
+    val punctR = nPunct.cast("double") / length(col("text"))
+    val lenR = least(nTok.cast("double") / lit(100), lit(1.0))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTok.cast("int").as("n_tokens"),
+      nUnique.cast("int").as("n_unique"),
+      nStop.cast("int").as("n_stop"),
+      uniqR.as("uniq_ratio"),
+      stopR.as("stop_ratio"),
+      punctR.as("punct_ratio"),
+      (stopR * lit(0.3) + uniqR * lit(0.3) + (lit(1.0) - punctR) * lit(0.2)
+        + lenR * lit(0.2)).as("quality_score"))
+  }
+
+  def textQualityOracleSql: String =
+    """WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') ws FROM documents),
+      |q AS (SELECT doc_id,
+      |  CAST(len(ws) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(ws)) AS INT) AS n_unique,
+      |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in'))) AS INT) AS n_stop,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT) AS n_punct,
+      |  CAST(len(text) AS INT) AS n_chars
+      |FROM t)
+      |SELECT doc_id, n_tokens, n_unique, n_stop,
+      |  CAST(n_unique AS DOUBLE) / n_tokens AS uniq_ratio,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+      |  (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+      |    + (CAST(n_unique AS DOUBLE) / n_tokens) * 0.3
+      |    + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.2
+      |    + least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.2 AS quality_score
+      |FROM q""".stripMargin
+
+  /** #36 text_langid: marker-word language ID. Scores each document
+    * against per-language function-word lists; argmax with a fixed
+    * tie-break order (en > fr > de > es > und). */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val en = hitCount(ws, enMarkers)
+    val fr = hitCount(ws, frMarkers)
+    val de = hitCount(ws, deMarkers)
+    val es = hitCount(ws, esMarkers)
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      en.as("en_hits"), fr.as("fr_hits"), de.as("de_hits"), es.as("es_hits"),
+      when(en >= fr && en >= de && en >= es && en > 0, "en")
+        .when(fr >= de && fr >= es && fr > 0, "fr")
+        .when(de >= es && de > 0, "de")
+        .when(es > 0, "es")
+        .otherwise("und").as("pred_lang"),
+      (en.cast("double") / size(ws)).as("marker_density"))
+  }
+
+  def textLangidOracleSql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split_regex(text, '\s+') ws FROM documents),
+      |h AS (SELECT doc_id, lang, CAST(len(ws) AS INT) AS n,
+      |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','is','to'))) AS INT) AS en_hits,
+      |  CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','des','une'))) AS INT) AS fr_hits,
+      |  CAST(len(list_filter(ws, w -> w IN ('der','die','und','das','ein','ist'))) AS INT) AS de_hits,
+      |  CAST(len(list_filter(ws, w -> w IN ('el','los','las','y','una','es'))) AS INT) AS es_hits
+      |FROM t)
+      |SELECT doc_id, lang, en_hits, fr_hits, de_hits, es_hits,
+      |  CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+      |       WHEN fr_hits >= de_hits AND fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+      |       WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+      |       WHEN es_hits > 0 THEN 'es'
+      |       ELSE 'und' END AS pred_lang,
+      |  CAST(en_hits AS DOUBLE) / n AS marker_density
+      |FROM h""".stripMargin
+
+  /** #37 doc_fingerprint: order-sensitive rolling polynomial hash. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(words(col("text"))).cast("int").as("n_tokens"),
+      fingerprint(col("text")).as("fingerprint"))
+
+  def docFingerprintOracleSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split_regex(text, '\s+'),
+      |      w -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(generate_series(1, len(w)),
+      |               i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
+      |           (a, c) -> (a*131 + c) % 1000000007) AS BIGINT))),
+      |    (a, h) -> (a*31 + h) % 1000000007) AS BIGINT) AS fingerprint
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.dedup.ExactDedup
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "c b a")
+    ).toDF("doc_id", "text")
+    val fp = df.select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L), "identical text must fingerprint identically")
+    assert(fp(1L) != fp(3L), "reordered text must fingerprint differently")
+  }
+
+  test("token counts match on a known sentence") {
+    val df = Seq((1L, "the quick brown fox, version 2")).toDF("doc_id", "text")
+    val r = df.select(
+      size(TextFunctions.words($"text")).as("ws"),
+      size(TextFunctions.reTokens($"text")).as("re")).head()
+    assert(r.getInt(0) == 6)            // whitespace tokens
+    assert(r.getInt(1) == 7)            // the,quick,brown,fox,',',version,2
+  }
+
+  test("langid prefers the language with most marker hits") {
+    val df = Seq(
+      (1L, "the cat is on the mat and a dog", "x"),
+      (2L, "le chat et la porte des les une", "x")
+    ).toDF("doc_id", "text", "lang")
+    val tmp = "/tmp/graft_textspec"
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextFunctions.textLangid(spark, tmp)
+      .select($"doc_id", $"pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "fr")
+  }
+
+  test("exact dedup keeps min id per identical content") {
+    val docs = Seq(
+      (10L, "same text"), (3L, "same text"), (7L, "unique text")
+    ).toDF("doc_id", "text")
+    val g = ExactDedup.groups(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(g(3L) == 2L, "dup group keeps id 3 with count 2")
+    assert(g(7L) == 1L)
+    assert(ExactDedup.dedup(docs, "doc_id", "text").count() == 2)
+  }
+}
