@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.TpchLike
 import graft.operators.{DimDate, FeatureEncoders, Hierarchy, SaltedCumSum, Scaling, Scd2, SchemaTools, Sessionize}
 import graft.functions.TextFunctions
-import graft.dedup.ExactDedup
+import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -40,6 +40,10 @@ object SparkEntry {
     "text_langid"           -> (TextFunctions.textLangid(_, _)),
     "doc_fingerprint"       -> (TextFunctions.docFingerprint(_, _)),
     "dedup_exact"           -> (ExactDedup.dedupExact(_, _)),
+    "dedup_ngram_jaccard"   -> (NGramJaccard.dedupNgramJaccard(_, _)),
+    "dedup_minhash_lsh"     -> (MinHashLsh.dedupMinhashLsh(_, _)),
+    "dedup_simhash"         -> (SimHashDedup.dedupSimhash(_, _)),
+    "dedup_embedding"       -> (EmbeddingDedup.dedupEmbedding(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -70,5 +74,9 @@ object SparkEntry {
     "text_langid"           -> TextFunctions.textLangidOracleSql,
     "doc_fingerprint"       -> TextFunctions.docFingerprintOracleSql,
     "dedup_exact"           -> ExactDedup.oracleSql,
+    "dedup_ngram_jaccard"   -> NGramJaccard.oracleSql,
+    "dedup_embedding"       -> EmbeddingDedup.oracleSql,
+    // dedup_minhash_lsh / dedup_simhash: probabilistic candidate generation
+    // — rows-gated by the driver; semantics asserted in DedupSpec
   )
 }

@@ -1,0 +1,65 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding-cosine near-duplicate pairs above a similarity threshold.
+  *
+  * This is the exact ("flat index") verification baseline — the
+  * counterpart of the reference's FAISS flat index
+  * (/root/reference/MachineLearning/ML/performant_faiss.py:7-10); the
+  * linear-scale candidate path over the same vectors is the
+  * random-hyperplane bucketing in `graft.ann.LshAnn` (the IVF
+  * counterpart). Exact threshold joins over cosine have no
+  * recall-guaranteed bucketing, so the exhaustive pass stays the ground
+  * truth and the LSH path is the 100 TB route.
+  *
+  * Cross-engine determinism: vectors are quantized to integers
+  * (floor(x·1000)), so dot products and norms are exact integer
+  * arithmetic and the final cosine is bit-identical in any engine —
+  * float-sum association order can never flap the oracle hash.
+  */
+object EmbeddingDedup {
+
+  /** floor(x·1000) integer quantization of a float-array column. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine similarity from quantized vectors (deterministic doubles). */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
+  /** All pairs (a_id < b_id) with cosine ≥ threshold — exact. */
+  def similarPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val q = vecs.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+    q.as("a").join(q.as("b"), col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        cosineQ(col("a.__q"), col("b.__q")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  // ---- query-map entry (#31) ----
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    similarPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4)
+
+  def oracleSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) qe
+      |  FROM embeddings
+      |)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  list_inner_product(a.qe, b.qe)
+      |    / (sqrt(list_inner_product(a.qe, a.qe)) * sqrt(list_inner_product(b.qe, b.qe))) AS cos_sim
+      |FROM q a JOIN q b ON a.vec_id < b.vec_id
+      |WHERE list_inner_product(a.qe, b.qe)
+      |    / (sqrt(list_inner_product(a.qe, a.qe)) * sqrt(list_inner_product(b.qe, b.qe))) >= 0.4""".stripMargin
+}

@@ -1,0 +1,72 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** 64-bit SimHash fingerprinting + hamming-band near-dup detection.
+  *
+  * SimHash: each word token votes ±1 on each of 64 bit positions
+  * according to its xxhash64 bits; the fingerprint sets bit i when the
+  * aggregate vote is ≥ 0. Near-identical texts differ in a handful of
+  * bits, so candidates are found by exact match on any of four 16-bit
+  * bands (pigeonhole: hamming distance ≤ 3 guarantees at least one of 4
+  * bands identical), then verified with `bit_count(a ^ b) ≤ 3`.
+  *
+  * The vote aggregation is one single-pass `aggregate` over the token
+  * array holding a 64-slot counter array — one expression, no UDF, no
+  * shuffle; banding joins on 16-bit keys are uniform by construction.
+  */
+object SimHashDedup {
+
+  val HammingMax = 3
+  val BandCount = 4 // pigeonhole: > HammingMax bands of 16 bits
+
+  /** 64-bit SimHash of a whitespace-tokenized text column. */
+  def simhash(text: Column): Column = {
+    val tokens = split(text, "\\s+")
+    val votes = (h: Column) => array(Seq.tabulate(64)(i =>
+      (shiftright(h, i).bitwiseAND(lit(1L)).cast("int") * 2 - 1)): _*)
+    aggregate(
+      tokens,
+      array(Seq.fill(64)(lit(0)): _*),
+      (acc, w) => zip_with(acc, votes(xxhash64(w)), (a, b) => a + b),
+      acc => Seq.tabulate(64)(i =>
+        when(element_at(acc, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _))
+  }
+
+  /** Verified near-dup pairs: hamming(simhash_a, simhash_b) ≤ HammingMax. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol).as("__id"), simhash(col(textCol)).as("__fp")).cache()
+    // shiftright needs a literal amount, so the 4 bands unroll statically
+    val bandCols = Seq.tabulate(BandCount) { j =>
+      struct(lit(j).as("band_idx"),
+        shiftright(col("__fp"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("band_v"))
+    }
+    val exploded = fp.select(col("__id"), col("__fp"),
+      explode(array(bandCols: _*)).as("__b"))
+      .select(col("__id"), col("__fp"), col("__b.band_idx"), col("__b.band_v"))
+
+    exploded.as("a").join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_v") === col("b.band_v") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        col("a.__fp").as("__fpa"), col("b.__fp").as("__fpb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("__fpa").bitwiseXOR(col("__fpb"))).cast("int"))
+      .filter(col("hamming") <= HammingMax)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  // ---- query-map entry (#29, rows-gated; semantics asserted in ScalaTest) ----
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = nearDupPairs(docs, "doc_id", "text")
+    MinHashLsh.assignReps(docs, "doc_id", pairs.select("a_id", "b_id"))
+      .join(docs.select(col("doc_id"), simhash(col("text")).as("simhash")), "doc_id")
+      .select("doc_id", "simhash", "rep_id", "is_dup")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.dedup._
+
+/** Planted-ground-truth specs for the near-dup dedup family (#27–31).
+  *
+  * The probabilistic paths (MinHash LSH, SimHash) are rows-gated by the
+  * driver, so these specs carry their semantic guarantees: planted
+  * near-identical pairs MUST be found, unrelated docs MUST NOT pair.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches " +
+      "from the warm windowsill and the birds sing in the garden trees " +
+      "as morning light spreads slowly across the quiet village square"
+  // near-dup of base: one word changed
+  private val nearDup = base.replace("quiet village", "busy village")
+  private val unrelated =
+    "stock prices fell sharply on tuesday after the central bank raised " +
+      "interest rates again citing persistent inflation concerns among " +
+      "manufacturers and retailers across several key economic sectors"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base)
+  ).toDF("doc_id", "text")
+
+  test("minhash lsh finds planted near-dup and exact dup, skips unrelated") {
+    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "planted near-dup (1,2) not found")
+    assert(pairs.contains((1L, 4L)), "exact dup (1,4) not found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+  }
+
+  test("minhash rep assignment picks min neighbor, flags dups") {
+    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", 0.5)
+    val reps = MinHashLsh.assignReps(docs, "doc_id", pairs)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(reps(1L) == (1L, 0))
+    assert(reps(2L) == (1L, 1))
+    assert(reps(3L) == (3L, 0))
+    assert(reps(4L) == (1L, 1))
+  }
+
+  test("simhash hamming distance 0 for identical, <=3 for near-dup, large for unrelated") {
+    val fps = docs.select($"doc_id", SimHashDedup.simhash($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(4L), "identical texts must have identical simhash")
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) > SimHashDedup.HammingMax,
+      "unrelated docs within hamming band")
+    val pairs = SimHashDedup.nearDupPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact dup (1,4) not found by simhash")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+  }
+
+  test("ngram jaccard exact pairs match brute-force ground truth") {
+    val got = NGramJaccard.similarPairs(docs, "doc_id", "text", 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // brute-force ground truth over the 4 docs
+    def sh(t: String) = t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val all = Seq(1L -> base, 2L -> nearDup, 3L -> unrelated, 4L -> base)
+    val want = (for {
+      (ai, at) <- all; (bi, bt) <- all if ai < bi
+      j = sh(at).intersect(sh(bt)).size.toDouble / sh(at).union(sh(bt)).size
+      if j >= 0.5
+    } yield (ai, bi)).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("embedding cosine pairs: identical vectors ~1.0, orthogonal excluded") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(1L, Seq(1.0f, 2.0f, 3.0f, 0.5f)),
+      Row(2L, Seq(1.0f, 2.0f, 3.0f, 0.5f)),   // identical to 1
+      Row(3L, Seq(1.0f, 2.1f, 2.9f, 0.4f)),   // near 1
+      Row(4L, Seq(-3.0f, 1.0f, 0.0f, 2.0f)))  // far from all
+    val vecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val pairs = EmbeddingDedup.similarPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+  }
+
+  test("exact dedup keeps min id per content group") {
+    val g = ExactDedup.groups(docs, "doc_id", "text")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(g == Set((1L, 2L), (2L, 1L), (3L, 1L)))
+    val kept = ExactDedup.dedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+}
