@@ -5,6 +5,7 @@ import graft.queries.TpchLike
 import graft.operators.{DimDate, FeatureEncoders, Hierarchy, SaltedCumSum, Scaling, Scd2, SchemaTools, Sessionize}
 import graft.functions.TextFunctions
 import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
+import graft.ann.{BruteForceKnn, LshAnn}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -44,6 +45,8 @@ object SparkEntry {
     "dedup_minhash_lsh"     -> (MinHashLsh.dedupMinhashLsh(_, _)),
     "dedup_simhash"         -> (SimHashDedup.dedupSimhash(_, _)),
     "dedup_embedding"       -> (EmbeddingDedup.dedupEmbedding(_, _)),
+    "ann_bruteforce"        -> (BruteForceKnn.annBruteforce(_, _)),
+    "ann_lsh"               -> (LshAnn.annLsh(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,7 +79,9 @@ object SparkEntry {
     "dedup_exact"           -> ExactDedup.oracleSql,
     "dedup_ngram_jaccard"   -> NGramJaccard.oracleSql,
     "dedup_embedding"       -> EmbeddingDedup.oracleSql,
-    // dedup_minhash_lsh / dedup_simhash: probabilistic candidate generation
-    // — rows-gated by the driver; semantics asserted in DedupSpec
+    "ann_bruteforce"        -> BruteForceKnn.oracleSql,
+    // dedup_minhash_lsh / dedup_simhash / ann_lsh: probabilistic candidate
+    // generation — rows-gated by the driver; semantics asserted in
+    // DedupSpec / AnnSpec (planted pairs, measured recall floor)
   )
 }

@@ -1,0 +1,117 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Random-hyperplane LSH approximate nearest neighbors — the 100 TB scale
+  * path, the counterpart of the reference's IVF-partitioned FAISS index
+  * (/root/reference/MachineLearning/ML/performant_faiss.py:7 —
+  * "IVF65536,PQ8x8": search only a few inverted lists, never the flat
+  * corpus). Here the "inverted lists" are sign-pattern buckets: vector v
+  * lands in bucket b_t(v) = bits of sign(v·h_{t,j}) for table t's
+  * hyperplanes h. Near vectors (small angle) agree on each bit with
+  * probability 1 − θ/π, so they collide in some table with high
+  * probability while the corpus spreads uniformly over 2^bits buckets.
+  * Queries are multi-probed: each query also probes every hamming-1
+  * bucket (b extra probes/table), buying recall without more tables —
+  * probes cost query-side rows only, never corpus-side index size.
+  *
+  * Scale shape: signatures are a map-side constant-weight dot product
+  * (no shuffle); the candidate join is corpus-bucket ⋈ query-bucket on
+  * (table, bucket) — uniform hash-like keys, linear volume — never the
+  * all-pairs cross join. Exact (quantized) cosine runs only on
+  * candidates. Tuning mirrors IVF: more tables/probes = higher recall;
+  * more bits = smaller buckets — grow Bits with corpus size exactly like
+  * IVF's nlist (6 bits suits ~10³ vectors; ~20 bits at 10⁹).
+  */
+object LshAnn {
+
+  val Tables_ = 12
+  val Bits = 6
+  val Dim = 64
+
+  /** Deterministic hyperplanes: unit-free gaussian-ish weights from a
+    * fixed-seed linear congruential stream — stable across JVMs/runs. */
+  private[ann] def hyperplanes(tables: Int, bits: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    var state = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      // splitmix64 step → uniform in (-1, 1)
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(next())))
+  }
+
+  /** Bucket id of a vector in table t: `bits` sign bits packed to an int. */
+  private def bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (h, j) =>
+      when(dotConst(vec, h) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** (id, table_idx, bucket) postings for every vector — the "index". */
+  def postings(vecs: DataFrame, idCol: String, vecCol: String,
+               tables: Int = Tables_, bits: Int = Bits): DataFrame = {
+    val hp = hyperplanes(tables, bits, Dim)
+    val entries = hp.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("table_idx"), bucket(col(vecCol), planes).as("bucket"))
+    }
+    vecs.select(col(idCol), explode(array(entries: _*)).as("__e"))
+      .select(col(idCol), col("__e.table_idx"), col("__e.bucket"))
+  }
+
+  /** Query-side postings with hamming-1 multi-probe: the home bucket plus
+    * each single-bit flip — (bits+1) probes per table per query. */
+  def probePostings(queries: DataFrame, idCol: String, vecCol: String,
+                    tables: Int = Tables_, bits: Int = Bits): DataFrame = {
+    val home = postings(queries, idCol, vecCol, tables, bits)
+    val flips = array((0 until bits).map(j => col("bucket").bitwiseXOR(lit(1 << j))) :+
+      col("bucket"): _*)
+    home.select(col(idCol), col("table_idx"), explode(flips).as("bucket"))
+  }
+
+  /** Approximate top-k: candidates from bucket collisions, exact cosine
+    * verify, two-phase rank. Output: query_id, neighbor_id, cos_sim, rank. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+           vecCol: String, k: Int): DataFrame = {
+    val cPost = postings(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("table_idx"), col("bucket"))
+    val qPost = probePostings(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("table_idx"), col("bucket"))
+
+    val cand = cPost.join(broadcast(qPost), Seq("table_idx", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+
+    val cq = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__cq"))
+    val qq = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qq"))
+    val scored = cand
+      .join(cq, "neighbor_id")
+      .join(broadcast(qq), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineQ(col("__cq"), col("__qq")).as("cos_sim"))
+
+    val part = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val full = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("__pr", row_number().over(part)).filter(col("__pr") <= k)
+      .withColumn("rank", row_number().over(full)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  // ---- query-map entry (#33, rows-gated; recall asserted in AnnSpec) ----
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+    topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding", k = 5)
+  }
+}

@@ -21,19 +21,7 @@ import graft.Tables
   * float-sum association order can never flap the oracle hash.
   */
 object EmbeddingDedup {
-
-  /** floor(x·1000) integer quantization of a float-array column. */
-  def quantize(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
-
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-
-  /** Cosine similarity from quantized vectors (deterministic doubles). */
-  def cosineQ(a: Column, b: Column): Column =
-    dotQ(a, b).cast("double") /
-      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+  import graft.functions.VectorFunctions.{cosineQ, quantize}
 
   /** All pairs (a_id < b_id) with cosine ≥ threshold — exact. */
   def similarPairs(vecs: DataFrame, idCol: String, vecCol: String,

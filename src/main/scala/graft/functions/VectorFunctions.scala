@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built entirely from
+  * codegen'd `functions._` expressions (`transform`/`zip_with`/`aggregate`)
+  * — no UDFs, so the hot path stays inside WholeStageCodegen.
+  *
+  * Cross-engine determinism: similarity that must hash-match a DuckDB
+  * oracle goes through integer quantization (floor(x·1000)) so dot
+  * products and norms are exact integer arithmetic — float-sum
+  * association order can never flap a result hash.
+  */
+object VectorFunctions {
+
+  /** floor(x·1000) integer quantization of a float-array column. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine similarity from quantized vectors (deterministic doubles). */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
+  /** Plain double dot product of a vector column with a constant weight
+    * array (e.g. an LSH hyperplane); weights must be same length as vec. */
+  def dotConst(vec: Column, weights: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, typedlit(weights), (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, v) => acc + v)
+}

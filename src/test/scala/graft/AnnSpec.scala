@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.ann.{BruteForceKnn, LshAnn}
+
+/** ANN specs (#32–33): brute-force against hand-computed ground truth;
+  * LSH recall measured against brute-force on the real sf0.001 vectors
+  * (deterministic hyperplanes → the recall is a fixed number, not flaky). */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      Row(1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),  // closest to 0
+      Row(2L, Seq(0.5f, 0.5f, 0.0f, 0.0f)),  // second
+      Row(3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 0
+      Row(4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))) // opposite
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
+  test("brute-force knn ranks by cosine with deterministic tie-break") {
+    val got = BruteForceKnn.topK(vecs, vecs.filter($"vec_id" === 0L),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id", "rank")
+      .as[(Long, Int)].collect().toList
+    assert(got == List((1L, 1), (2L, 2), (3L, 3)), s"got $got")
+  }
+
+  test("lsh buckets: identical vectors always collide in every table") {
+    val dup = vecs.union(vecs.withColumn("vec_id", $"vec_id" + 100L))
+    val p = LshAnn.postings(dup.filter($"vec_id".isin(0L, 100L)), "vec_id", "embedding")
+      .as[(Long, Int, Int)].collect().groupBy(_._1)
+    val b0 = p(0L).map(r => (r._2, r._3)).toSet
+    val b100 = p(100L).map(r => (r._2, r._3)).toSet
+    assert(b0 == b100)
+  }
+
+  test("lsh recall vs brute force on sf0.001 embeddings >= 0.8") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = BruteForceKnn.querySubset(emb)
+    val exact = BruteForceKnn.topK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = LshAnn.topK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"lsh recall = $recall%.3f (${exact.size} exact pairs)")
+    assert(recall >= 0.8, f"recall $recall%.3f below floor")
+  }
+}
