@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.TpchLike
-import graft.operators.{DimDate, FeatureEncoders, Hierarchy, SaltedCumSum, Scaling, Scd2, SchemaTools, Sessionize}
+import graft.operators.{ColumnNames, DimDate, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Scaling, Scd2, SchemaTools, Sessionize}
 import graft.functions.TextFunctions
 import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
 import graft.ann.{BruteForceKnn, LshAnn}
@@ -23,6 +23,9 @@ object SparkEntry {
     "q_json_extract"        -> (TpchLike.jsonExtract(_, _)),
     "q_skew_topk"           -> ((s, d) => TpchLike.skewTopk(s, d)),
     "scd2_apply"            -> (Scd2.eventsScd2(_, _)),
+    "merge_upsert"          -> (MergeUpsert.mergeUpsertCustomer(_, _)),
+    "medallion_bronze"      -> (Medallion.medallionBronzeOrders(_, _)),
+    "colnames_camel"        -> (ColumnNames.colnamesCamelOrders(_, _)),
     "salted_cumsum"         -> (SaltedCumSum.eventsCumSum(_, _)),
     "sessionize"            -> (Sessionize.eventsSessions(_, _)),
     "evt_window_agg"        -> (Sessionize.hourlyAgg(_, _)),
@@ -59,6 +62,9 @@ object SparkEntry {
     "q_json_extract"        -> TpchLike.jsonExtractOracleSql,
     "q_skew_topk"           -> TpchLike.skewTopkOracleSql,
     "scd2_apply"            -> Scd2.oracleSql,
+    "merge_upsert"          -> MergeUpsert.oracleSql,
+    "medallion_bronze"      -> Medallion.oracleSql,
+    "colnames_camel"        -> ColumnNames.oracleSql,
     "salted_cumsum"         -> SaltedCumSum.oracleSql,
     "sessionize"            -> Sessionize.sessionsOracleSql,
     "evt_window_agg"        -> Sessionize.hourlyAggOracleSql,

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** MERGE/upsert changeset application — the DataFrame re-expression of the
+  * reference's MERGE INTO generator
+  * (/root/reference/DataEngineering/DataBricks/merge_generator.py:1-405):
+  * dedup the changeset to the latest row per natural key, classify each
+  * key as insert / changed / unchanged by comparing the tracked columns,
+  * then emit the post-merge table — changed current rows expired
+  * (current_version=0), their replacements and brand-new keys inserted as
+  * current_version=1, untouched rows passed through.
+  *
+  * Scale shape: one window over the changeset (keyed by natural key —
+  * changesets are incremental and small relative to the dim) and one
+  * shuffle join target ⋈ changeset on the natural key. No broadcast hint:
+  * dims range from tiny to fact-sized, so AQE picks broadcast only when
+  * the changeset actually fits (the reference's data-skipping predicate
+  * plays the same role of bounding the scanned side). Change detection is
+  * a null-safe column comparison — the generator's `WHERE NOT (c.x = cs.x
+  * AND ...)` block — built over the tracked columns only, mirroring its
+  * housekeeping/identity exclusions.
+  */
+object MergeUpsert {
+
+  /** Latest changeset row per natural key (merge_generator's dedup step). */
+  def latestPerKey(changeset: DataFrame, naturalKey: Seq[String],
+                   orderCol: String): DataFrame = {
+    val w = Window.partitionBy(naturalKey.map(col): _*).orderBy(col(orderCol).desc)
+    changeset.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", orderCol)
+  }
+
+  /** Apply a changeset to a current-versioned target.
+    *
+    * @param target      current table; must carry `current_version` (1=live)
+    * @param changeset   incoming rows (same business columns, no version col)
+    * @param naturalKey  business key column(s)
+    * @param orderCol    changeset sequencing column for latest-per-key dedup
+    * @param compareCols columns whose change triggers expire+insert
+    * @return post-merge rows: business cols + current_version + change_type
+    *         in ('insert','update_new','expired','unchanged')
+    */
+  def apply(target: DataFrame, changeset: DataFrame, naturalKey: Seq[String],
+            orderCol: String, compareCols: Seq[String]): DataFrame = {
+    val latest = latestPerKey(changeset, naturalKey, orderCol)
+    val dataCols = latest.columns.filterNot(naturalKey.contains).toSeq
+    val cs = latest.select(
+      naturalKey.map(col) ++
+        dataCols.map(c => col(c).as(s"__cs_$c")) :+ lit(1).as("__in_cs"): _*)
+
+    val live = target.filter(col("current_version") === 1)
+    val dead = target.filter(col("current_version") =!= 1)
+      .withColumn("change_type", lit("unchanged"))
+
+    val joined = live.join(cs, naturalKey, "full_outer")
+    val changed = compareCols
+      .map(c => !(col(c) <=> col(s"__cs_$c"))) // null-safe: NOT (c.x = cs.x AND …)
+      .reduce(_ || _)
+    val inTarget = col("current_version").isNotNull
+    val inCs = col("__in_cs").isNotNull
+
+    // surviving old rows: unchanged keep version 1; changed get expired
+    val oldRows = joined.filter(inTarget)
+      .select(
+        (naturalKey.map(col) ++ dataCols.map(col)) :+
+          when(inCs && changed, lit(0)).otherwise(lit(1)).as("current_version") :+
+          when(inCs && changed, lit("expired")).otherwise(lit("unchanged")).as("change_type"): _*)
+
+    // new versions: changed keys (update_new) and brand-new keys (insert)
+    val newRows = joined.filter(inCs && (!inTarget || changed))
+      .select(
+        (naturalKey.map(col) ++ dataCols.map(c => col(s"__cs_$c").as(c))) :+
+          lit(1).as("current_version") :+
+          when(inTarget, lit("update_new")).otherwise(lit("insert")).as("change_type"): _*)
+
+    dead.select(oldRows.columns.map(col): _*)
+      .unionByName(oldRows).unionByName(newRows)
+  }
+
+  // ---- query-map entry (#9) ----
+
+  /** Deterministic demo merge over customer: target = customer as a live
+    * dim; changeset derived from it — custkey%10==0 updated (twice, with a
+    * stale earlier row the dedup must drop), %10==1 no-op duplicates,
+    * %10==2 re-keyed as brand-new inserts. */
+  def mergeUpsertCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val target = c.withColumn("current_version", lit(1))
+    val updatesStale = c.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 50, 2))
+      .withColumn("change_seq", lit(1))
+    val updates = c.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2))
+      .withColumn("change_seq", lit(2))
+    val noops = c.filter(col("c_custkey") % 10 === 1)
+      .withColumn("change_seq", lit(1))
+    val inserts = c.filter(col("c_custkey") % 10 === 2)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+      .withColumn("change_seq", lit(1))
+    val changeset = updatesStale.unionByName(updates)
+      .unionByName(noops).unionByName(inserts)
+    apply(target, changeset, Seq("c_custkey"), "change_seq",
+      Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+  }
+
+  def oracleSql: String =
+    """WITH cs_all AS (
+      |  SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 50, 2) AS c_acctbal,
+      |         c_mktsegment, 1 AS change_seq FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 100, 2) AS c_acctbal,
+      |         c_mktsegment, 2 AS change_seq FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+      |         c_mktsegment, 1 AS change_seq FROM customer WHERE c_custkey % 10 = 1
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+      |         c_mktsegment, 1 AS change_seq FROM customer WHERE c_custkey % 10 = 2
+      |), cs AS (
+      |  SELECT * EXCLUDE (change_seq, rn) FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY change_seq DESC) rn
+      |    FROM cs_all) WHERE rn = 1
+      |), j AS (
+      |  SELECT t.c_custkey AS t_key, t.c_name AS t_name, t.c_nationkey AS t_nk,
+      |         t.c_acctbal AS t_bal, t.c_mktsegment AS t_seg,
+      |         cs.c_custkey AS cs_key, cs.c_name AS cs_name, cs.c_nationkey AS cs_nk,
+      |         cs.c_acctbal AS cs_bal, cs.c_mktsegment AS cs_seg,
+      |         (t.c_custkey IS NOT NULL AND cs.c_custkey IS NOT NULL AND NOT
+      |          (t.c_name IS NOT DISTINCT FROM cs.c_name AND
+      |           t.c_nationkey IS NOT DISTINCT FROM cs.c_nationkey AND
+      |           t.c_acctbal IS NOT DISTINCT FROM cs.c_acctbal AND
+      |           t.c_mktsegment IS NOT DISTINCT FROM cs.c_mktsegment)) AS changed
+      |  FROM customer t FULL OUTER JOIN cs ON t.c_custkey = cs.c_custkey
+      |)
+      |SELECT t_key AS c_custkey, t_name AS c_name, t_nk AS c_nationkey,
+      |       t_bal AS c_acctbal, t_seg AS c_mktsegment,
+      |       CASE WHEN changed THEN 0 ELSE 1 END AS current_version,
+      |       CASE WHEN changed THEN 'expired' ELSE 'unchanged' END AS change_type
+      |FROM j WHERE t_key IS NOT NULL
+      |UNION ALL
+      |SELECT cs_key, cs_name, cs_nk, cs_bal, cs_seg, 1,
+      |       CASE WHEN t_key IS NOT NULL THEN 'update_new' ELSE 'insert' END
+      |FROM j WHERE cs_key IS NOT NULL AND (t_key IS NULL OR changed)""".stripMargin
+}

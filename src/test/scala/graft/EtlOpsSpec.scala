@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{ColumnNames, Medallion, MergeUpsert}
+
+/** Specs for the changeset-merge and bronze-normalization operators. */
+class EtlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("toCamel handles snake, kebab, dots, spaces, already-camel") {
+    assert(ColumnNames.toCamel("o_orderkey") == "oOrderkey")
+    assert(ColumnNames.toCamel("precise-time.stamp") == "preciseTimeStamp")
+    assert(ColumnNames.toCamel("Source File") == "sourceFile")
+    assert(ColumnNames.toCamel("ALLCAPS") == "allcaps")
+    assert(ColumnNames.toCamel("x") == "x")
+  }
+
+  test("merge_upsert classifies insert/update/unchanged and dedups changeset") {
+    val target = Seq(
+      (1L, "a", 10.0, 1), (2L, "b", 20.0, 1), (3L, "c", 30.0, 1),
+      (9L, "old", 5.0, 0) // pre-existing expired row must pass through
+    ).toDF("id", "name", "bal", "current_version")
+    val changeset = Seq(
+      (1L, "a", 99.0, 1),   // stale update, must lose to seq=2
+      (1L, "a", 11.0, 2),   // latest update for id=1
+      (2L, "b", 20.0, 1),   // no-op
+      (4L, "d", 40.0, 1)    // brand-new key
+    ).toDF("id", "name", "bal", "change_seq")
+
+    val out = MergeUpsert(target, changeset, Seq("id"), "change_seq", Seq("name", "bal"))
+      .select("id", "bal", "current_version", "change_type")
+      .as[(Long, Double, Int, String)].collect()
+      .groupBy(r => (r._1, r._4)).view.mapValues(_.head).toMap
+
+    assert(out((1L, "expired")) == (1L, 10.0, 0, "expired"))
+    assert(out((1L, "update_new")) == (1L, 11.0, 1, "update_new"))
+    assert(out((2L, "unchanged")) == (2L, 20.0, 1, "unchanged"))
+    assert(out((3L, "unchanged")) == (3L, 30.0, 1, "unchanged"))
+    assert(out((4L, "insert")) == (4L, 40.0, 1, "insert"))
+    assert(out((9L, "unchanged")) == (9L, 5.0, 0, "unchanged"))
+    assert(out.size == 6)
+  }
+
+  test("bronze normalization: camel names, lineage, housekeeping, dedup") {
+    val b = Medallion.medallionBronzeOrders(spark, sfDir)
+    assert(b.columns.toSeq == Seq("oOrderkey", "oCustkey", "oOrderstatus",
+      "oTotalprice", "oOrderdate", "oOrderpriority", "sourceFile",
+      "currentVersion", "effectiveDate", "expirationDate"))
+    val row = b.limit(1).collect()(0)
+    assert(row.getAs[String]("sourceFile") == "orders.parquet")
+    assert(row.getAs[Int]("expirationDate") == Medallion.FarFuture)
+  }
+}
