@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.TpchLike
-import graft.operators.{ColumnNames, DimDate, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Scaling, Scd2, SchemaTools, Sessionize}
+import graft.operators.{ColumnNames, Compaction, DimDate, EmbedDocs, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize}
 import graft.functions.TextFunctions
 import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
 import graft.ann.{BruteForceKnn, LshAnn}
@@ -26,6 +26,9 @@ object SparkEntry {
     "merge_upsert"          -> (MergeUpsert.mergeUpsertCustomer(_, _)),
     "medallion_bronze"      -> (Medallion.medallionBronzeOrders(_, _)),
     "colnames_camel"        -> (ColumnNames.colnamesCamelOrders(_, _)),
+    "submix_sample"         -> (Sampling.submixDocuments(_, _)),
+    "compaction"            -> (Compaction.compactionOrders(_, _)),
+    "embed_docs"            -> (EmbedDocs.embedDocuments(_, _)),
     "salted_cumsum"         -> (SaltedCumSum.eventsCumSum(_, _)),
     "sessionize"            -> (Sessionize.eventsSessions(_, _)),
     "evt_window_agg"        -> (Sessionize.hourlyAgg(_, _)),
@@ -65,6 +68,10 @@ object SparkEntry {
     "merge_upsert"          -> MergeUpsert.oracleSql,
     "medallion_bronze"      -> Medallion.oracleSql,
     "colnames_camel"        -> ColumnNames.oracleSql,
+    "submix_sample"         -> Sampling.oracleSql,
+    "compaction"            -> Compaction.oracleSql,
+    // embed_docs: stub encoder output is engine-internal — rows-gated;
+    // determinism + batching semantics asserted in EmbedDocsSpec
     "salted_cumsum"         -> SaltedCumSum.oracleSql,
     "sessionize"            -> Sessionize.sessionsOracleSql,
     "evt_window_agg"        -> Sessionize.hourlyAggOracleSql,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Batch text→embedding generation plumbing — the counterpart of the
+  * reference's distributed sentence-embedding jobs
+  * (/root/reference/DataEngineering/DataBricks/parallel_sentence_embedding_databricks.py:
+  * broadcast model + pandas_udf batched encode;
+  * /root/reference/MachineLearning/NLP/ray_batch_embedding_generator.py:1-117:
+  * actor-per-partition batch encode).
+  *
+  * The Spark-side plumbing is the real thing: one encoder instantiation
+  * per partition (the broadcast-model pattern — model init is expensive,
+  * so never per-row), rows accumulated into fixed-size batches, one
+  * encode call per batch, results flattened back preserving order. The
+  * encoder itself is STUBBED deterministically (this container has no
+  * model runtime): component j of a text's vector is a unit-normalized
+  * hash of (text, j). Swapping in a real model changes only
+  * [[StubEncoder.encodeBatch]]'s body.
+  *
+  * Scale shape: embarrassingly parallel mapPartitions — no shuffle, no
+  * driver involvement, output column is `array<float>` ready for the
+  * ann/dedup operators; batch size bounds executor memory regardless of
+  * partition size.
+  */
+object EmbedDocs {
+
+  val Dim = 64
+  val BatchSize = 64
+
+  /** Deterministic stand-in for a sentence-transformer: one call per
+    * batch, mirroring `model.encode(list_of_texts)`. */
+  object StubEncoder {
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+      val seed = mix(t.hashCode.toLong)
+      val raw = Array.tabulate(Dim)(j =>
+        (mix(seed + j) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(x => (x / norm).toFloat)
+    }
+  }
+
+  /** Append an `embedding array<float>` column computed in batches. */
+  def embed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val inSchema = docs.select(idCol, textCol).schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("embedding", ArrayType(FloatType), nullable = false))
+    val rows = docs.select(idCol, textCol).rdd.mapPartitions { it =>
+      // per-partition "model init" happens here (stub has none)
+      it.grouped(BatchSize).flatMap { batch =>
+        val vecs = StubEncoder.encodeBatch(batch.map(_.getString(1)))
+        batch.lazyZip(vecs).map((r, v) => Row(r.get(0), r.get(1), v.toSeq))
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  // ---- query-map entry (#26, rows-gated; determinism asserted in spec) ----
+
+  def embedDocuments(spark: SparkSession, dir: String): DataFrame =
+    embed(Tables.documents(spark, dir), "doc_id", "text")
+}

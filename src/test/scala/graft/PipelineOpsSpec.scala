@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Compaction, EmbedDocs, Sampling}
+
+/** Specs for submix sampling (#22), compaction (#23), embed plumbing (#26). */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("submix keeps per-stratum fractions approximately and deterministically") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sampling.submix(docs, "source", "doc_id", Sampling.DemoFracs)
+    val kept = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // dropped strata: absent entirely
+    assert(!kept.contains("src7") && !kept.contains("src19"))
+    // determinism: same result on re-run (different partitioning)
+    val again = Sampling.submix(docs.repartition(13), "source", "doc_id", Sampling.DemoFracs)
+      .select("doc_id").as[Long].collect().toSet
+    val first = out.select("doc_id").as[Long].collect().toSet
+    assert(first == again)
+    // overall kept count within loose binomial bounds of the target
+    val total = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    Sampling.DemoFracs.foreach { case (s, f) =>
+      val n = total(s).toDouble
+      val k = kept.getOrElse(s, 0L).toDouble
+      assert(math.abs(k - f * n) <= math.max(5, 4 * math.sqrt(n * f * (1 - f)) + 2),
+        s"stratum $s kept $k of $n at frac $f")
+    }
+  }
+
+  test("compaction preserves content and reduces file count") {
+    val out = Compaction.compactionOrders(spark, sfDir)
+    val orig = Tables.orders(spark, sfDir)
+    assert(out.count() == orig.count())
+    assert(out.agg(sum(col("o_orderkey"))).as[Long].head() ==
+      orig.agg(sum(col("o_orderkey"))).as[Long].head())
+    val scratch = s"/tmp/graft_compaction/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    assert(Compaction.dataFileCount(spark, s"$scratch/small") == 64)
+    assert(Compaction.dataFileCount(spark, s"$scratch/compacted") == 1)
+  }
+
+  test("embed plumbing: dim, unit norm, determinism, batch-size independence") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val out = EmbedDocs.embed(docs, "doc_id", "text")
+      .select($"doc_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(out.size == 100)
+    assert(out.values.forall(_.length == EmbedDocs.Dim))
+    assert(out.values.forall(v =>
+      math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5), "not unit-norm")
+    // same text -> same vector regardless of partitioning/batch boundaries
+    val again = EmbedDocs.embed(docs.repartition(7), "doc_id", "text")
+      .select($"doc_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(out == again)
+  }
+}
