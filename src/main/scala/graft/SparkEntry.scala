@@ -6,6 +6,7 @@ import graft.operators.{ColumnNames, Compaction, DimDate, EmbedDocs, FeatureEnco
 import graft.functions.TextFunctions
 import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
 import graft.ann.{BruteForceKnn, LshAnn}
+import graft.multimodal.BinaryMedia
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -53,6 +54,8 @@ object SparkEntry {
     "dedup_embedding"       -> (EmbeddingDedup.dedupEmbedding(_, _)),
     "ann_bruteforce"        -> (BruteForceKnn.annBruteforce(_, _)),
     "ann_lsh"               -> (LshAnn.annLsh(_, _)),
+    "mm_meta"               -> (BinaryMedia.mmMeta(_, _)),
+    "mm_framesample"        -> (BinaryMedia.mmFramesample(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,6 +96,8 @@ object SparkEntry {
     "dedup_ngram_jaccard"   -> NGramJaccard.oracleSql,
     "dedup_embedding"       -> EmbeddingDedup.oracleSql,
     "ann_bruteforce"        -> BruteForceKnn.oracleSql,
+    "mm_meta"               -> BinaryMedia.mmMetaOracleSql,
+    "mm_framesample"        -> BinaryMedia.mmFramesampleOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh: probabilistic candidate
     // generation — rows-gated by the driver; semantics asserted in
     // DedupSpec / AnnSpec (planted pairs, measured recall floor)

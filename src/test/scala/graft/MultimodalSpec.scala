@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.BinaryMedia
+
+/** Specs for the multimodal binary-column plumbing (#38–39). */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = BinaryMedia.mediaFromDocs(
+    Tables.documents(spark, sfDir), "doc_id", "text")
+
+  test("payload is real binary and metadata is typed per media kind") {
+    val m = BinaryMedia.withMeta(media)
+    assert(m.schema("payload").dataType.typeName == "binary")
+    val byType = m.groupBy("media_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("width")).as("w"),
+        count(col("duration_ms")).as("d"),
+        count(col("frame_count")).as("f"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val (ni, wi, di, fi) = byType("image")
+    assert(wi == ni && di == 0 && fi == 0, "image meta shape wrong")
+    val (na, wa, da, fa) = byType("audio")
+    assert(wa == 0 && da == na && fa == 0, "audio meta shape wrong")
+    val (nv, wv, dv, fv) = byType("video")
+    assert(wv == 0 && dv == nv && fv == nv, "video meta shape wrong")
+  }
+
+  test("frame sampling: only videos, every k-th frame, correct offsets") {
+    val fs = BinaryMedia.frameSample(BinaryMedia.withMeta(media), every = 10)
+      .as[(Long, Int, Long)].collect()
+    assert(fs.nonEmpty)
+    assert(fs.forall(_._1 % 3 == 2), "non-video media sampled")
+    assert(fs.forall(r => r._2 % 10 == 0), "frame_idx not on the stride")
+    assert(fs.forall(r => r._3 == r._2 * 100L), "byte offset mismatch")
+    // each video contributes ceil(frame_count/10) frames
+    val counts = fs.groupBy(_._1).view.mapValues(_.length).toMap
+    val expected = BinaryMedia.withMeta(media).filter($"media_type" === "video")
+      .select($"media_id", ceil($"frame_count" / 10.0).cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(counts == expected)
+  }
+
+  test("batched stub decode is deterministic and partition-independent") {
+    val d1 = BinaryMedia.decodeBatch(media).as[(Long, Double)].collect().toMap
+    val d2 = BinaryMedia.decodeBatch(media.repartition(9), batchSize = 7)
+      .as[(Long, Double)].collect().toMap
+    assert(d1 == d2)
+    assert(d1.values.forall(l => l > 0 && l < 256))
+  }
+}
