@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.{FileIngest, SessionizeState, WindowedAgg}
+import graft.streaming.SessionizeState.Evt
+
+/** Structured Streaming specs (#40–42): file ingestion with lineage,
+  * watermarked windowed aggregation, stateful sessionization. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("file ingest: lineage columns + checkpointed sink, exactly-once drain") {
+    val root = Files.createTempDirectory("graft_ingest").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    Files.write(Paths.get(s"$src/20231101_siteA.csv"),
+      "user_id,value\n1,10.5\n2,20.0\n".getBytes)
+    Files.write(Paths.get(s"$src/20231102_siteB.csv"),
+      "user_id,value\n3,30.25\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+
+    val q = FileIngest.start(
+      FileIngest.ingest(spark, src, schema),
+      s"$root/out", s"$root/chk")
+    q.awaitTermination(60000)
+
+    val out = spark.read.parquet(s"$root/out")
+      .select("user_id", "value", "sourceFile", "partitionName")
+      .as[(Long, Double, String, String)].collect().sortBy(_._1)
+    assert(out.length == 3)
+    assert(out(0) == (1L, 10.5, "20231101_siteA.csv", "20231101"))
+    assert(out(2) == (3L, 30.25, "20231102_siteB.csv", "20231102"))
+
+    // restart on the same checkpoint: backlog already committed, no dupes
+    val q2 = FileIngest.start(
+      FileIngest.ingest(spark, src, schema), s"$root/out", s"$root/chk")
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(s"$root/out").count() == 3)
+  }
+
+  test("windowed agg finalizes windows once the watermark passes") {
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = WindowedAgg.hourlyAgg(
+      in.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("wagg")
+      .outputMode("append").start()
+
+    in.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+               (ts("2024-01-01 10:55:00"), "click", 2.0),
+               (ts("2024-01-01 11:10:00"), "view", 5.0))
+    q.processAllAvailable()
+    // watermark = 11:10 - 2h -> nothing finalized yet
+    assert(spark.table("wagg").count() == 0)
+
+    in.addData((ts("2024-01-01 13:30:00"), "view", 7.0))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 14:30:00"), "view", 9.0))
+    q.processAllAvailable()
+    // watermark = 12:30: both the 10:00 and 11:00 windows are closed
+    val rows = spark.table("wagg")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(rows == Set(
+      (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+      (ts("2024-01-01 11:00:00"), "view", 1L, 5.0)))
+    q.stop()
+  }
+
+  test("stateful sessionization: gap close in-batch and timeout close") {
+    val in = MemoryStream[Evt](spark)
+    val q = SessionizeState.sessions(in.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+
+    in.addData(
+      Evt(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Evt(1L, ts("2024-01-01 10:10:00"), 2.0),
+      Evt(1L, ts("2024-01-01 12:00:00"), 4.0), // >30min gap: closes session A
+      Evt(2L, ts("2024-01-01 10:05:00"), 9.0))
+    q.processAllAvailable()
+    // user1's first session closes by gap; user2's closes by timeout in the
+    // no-data batch that follows the watermark advance to 11:00
+    val afterB1 = spark.table("sess")
+      .as[SessionizeState.Session].collect().toSet
+    assert(afterB1.map(s => (s.user_id, s.session_start, s.n_events, s.total_value)) ==
+      Set((1L, ts("2024-01-01 10:00:00"), 2, 3.0),
+          (2L, ts("2024-01-01 10:05:00"), 1, 9.0)))
+
+    // push the watermark past user1's 12:00+30min timeout (wm = max - 1h)
+    in.addData(Evt(3L, ts("2024-01-01 14:00:00"), 1.0))
+    q.processAllAvailable()
+    in.addData(Evt(3L, ts("2024-01-01 14:01:00"), 1.0))
+    q.processAllAvailable()
+
+    val all = spark.table("sess").as[SessionizeState.Session].collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value)).toSet
+    assert(all.contains((1L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1, 4.0)),
+      s"timed-out open session not emitted: $all")
+    assert(all.contains((2L, ts("2024-01-01 10:05:00"), ts("2024-01-01 10:05:00"), 1, 9.0)),
+      s"user2 session not emitted: $all")
+    q.stop()
+  }
+}
