@@ -21,13 +21,33 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects. Read nanos as long and truncate to microseconds — exactly what
-    * DuckDB does when it narrows ns→us, so oracles stay value-identical. */
+    * DuckDB does when it narrows ns→us, so oracles stay value-identical
+    * (the generator writes µs-aligned nanos, so truncation is lossless).
+    *
+    * The legacy flag is session-wide by necessity: there is no reader
+    * option for it (ParquetOptions doesn't carry it) and the task-side
+    * footer converter resolves it from the propagated SQLConf, so a
+    * set-and-restore around this call would break the later action.
+    * Sessions built by [[Verify]]/[[Bench]] enable it up front; this
+    * defensive set covers ad-hoc sessions and only affects
+    * TIMESTAMP(NANOS) columns, which no other test table has. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** documents/embeddings feed CPU-heavy map stages (shingling, hashing,
+    * vector math). A single small parquet file scans as ONE partition
+    * (unsplittable single row group), which would serialize that compute
+    * onto one core — so spread the scan to the session's parallelism when
+    * (and only when) it arrives narrower. At real scale the scan is
+    * already ≥ parallelism partitions and this is a no-op: no shuffle. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+  def documents(s: SparkSession, d: String): DataFrame = spread(s, table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = spread(s, table(s, d, "embeddings"))
 }

@@ -23,13 +23,23 @@ import graft.Tables
 object EmbeddingDedup {
   import graft.functions.VectorFunctions.{cosineQ, quantize}
 
-  /** All pairs (a_id < b_id) with cosine ≥ threshold — exact. */
+  /** All pairs (a_id < b_id) with cosine ≥ threshold — exact.
+    *
+    * Each vector's norm is computed once up front (not per pair — that
+    * would triple the dominant cost), and the streamed side of the
+    * nested-loop pair join is spread across the session's shuffle
+    * parallelism so a single-file input can't serialize the O(n²/2)
+    * verification onto one task. */
   def similarPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
+    val parallelism = vecs.sparkSession.sessionState.conf.numShufflePartitions
     val q = vecs.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
-    q.as("a").join(q.as("b"), col("a.__id") < col("b.__id"))
+      .withColumn("__norm", sqrt(graft.functions.VectorFunctions.dotQ(col("__q"), col("__q")).cast("double")))
+    q.repartition(parallelism).as("a")
+      .join(q.as("b"), col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
-        cosineQ(col("a.__q"), col("b.__q")).as("cos_sim"))
+        (graft.functions.VectorFunctions.dotQ(col("a.__q"), col("b.__q")).cast("double")
+          / (col("a.__norm") * col("b.__norm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Exact n-gram (word-shingle) Jaccard similarity join with prefix-filter
@@ -11,42 +12,68 @@ import graft.Tables
   *
   * Why it scales: for Jaccard ≥ t, two shingle sets must share at least
   * one element among the first `|S| - ceil(t·|S|) + 1` elements of each
-  * set under ANY fixed total order. We order shingles by xxhash64 — no
-  * global frequency pass needed — take that prefix, explode it, and join
-  * docs on shared prefix shingles. Candidate volume is |docs|·prefix_len
-  * rows of (shingle, id) — linear, never the O(n²) all-pairs cross join —
-  * and the exploded rows carry only ids; shingle arrays re-join by id
-  * afterwards so shuffle bytes stay small. Exact Jaccard verification
-  * runs only on candidates, so output = ground truth at any scale.
+  * set under ANY fixed total order; and their sizes must satisfy
+  * t·|a| ≤ |b| ≤ |a|/t. We hash every shingle to a long ONCE, order by
+  * hash value — no global frequency pass needed — take that prefix,
+  * explode it, and join docs on shared prefix hashes with the size filter
+  * in the join condition. Candidate volume is |docs|·prefix_len rows of
+  * (8-byte hash, id) — linear, never the O(n²) all-pairs cross join.
+  * Exact Jaccard verification intersects the hashed-shingle arrays only
+  * for candidates, so output = ground truth at any scale (a cross-doc
+  * 64-bit hash collision would take ~10¹⁹ comparisons to matter).
+  *
+  * Everything after the one text→hashes pass operates on long arrays:
+  * natural-order sort (codegen'd), 8-byte shuffle keys, long-array
+  * intersects — no interpreted string lambdas in the hot path.
   */
 object NGramJaccard {
 
-  /** Distinct word-trigram shingles of a text column. */
+  /** Distinct word-trigram shingles of a text column (string form —
+    * shared with MinHashLsh, which signs the same shingle sets).
+    *
+    * Built with `zip_with` over three shifted slices rather than
+    * `element_at(ws, i)` inside a `transform` lambda: higher-order
+    * lambdas evaluate interpreted, and a non-bound child like the regex
+    * split would re-run PER ELEMENT (three full-text splits per shingle);
+    * zip_with's array arguments evaluate once per row. */
   def shingles(text: Column): Column = {
-    val ws = split(text, "\\s+")
+    def trigrams(t: Column): Column = {
+      val ws = split(t, "\\s+")
+      val n = size(ws) - 2
+      zip_with(
+        zip_with(slice(ws, lit(1), n), slice(ws, lit(2), n), (x, y) => concat_ws(" ", x, y)),
+        slice(ws, lit(3), n),
+        (xy, z) => concat_ws(" ", xy, z))
+    }
     array_distinct(
-      when(size(ws) >= 3,
-        transform(sequence(lit(1), size(ws) - 2),
-          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
-        .otherwise(array()))
+      when(size(split(text, "\\s+")) >= 3, trigrams(text))
+        .otherwise(array().cast("array<string>")))
   }
+
+  /** Distinct shingles hashed to longs, sorted ascending — the compact
+    * form every downstream step (prefix, join, verify) runs on. */
+  def hashedShingles(text: Column): Column =
+    array_sort(transform(shingles(text), s => xxhash64(s)))
 
   /** Verified similarity pairs (a_id < b_id) with Jaccard ≥ threshold. */
   def similarPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"), shingles(col(textCol)).as("__sh"))
+    // one pass computes the hashed shingle sets; persisted because the
+    // candidate step and the verify step both read it
+    val sh = docs.select(col(idCol).as("__id"), hashedShingles(col(textCol)).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    // any fixed total order works for prefix filtering; hash order avoids
-    // the global frequency-ranking pass entirely
-    val sorted = array_sort(col("__sh"),
-      (l, r) => when(xxhash64(l) < xxhash64(r), -1)
-        .when(xxhash64(l) > xxhash64(r), 1).otherwise(0))
-    val prefixLen = (size(col("__sh")) - ceil(lit(threshold) * size(col("__sh"))) + 1).cast("int")
-    val prefixes = sh
-      .select(col("__id"), explode(slice(sorted, lit(1), prefixLen)).as("__tok"))
+      .withColumn("__n", size(col("__sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
+    val prefixLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
+    val prefixes = sh.select(col("__id"), col("__n"),
+      explode(slice(col("__sh"), lit(1), prefixLen)).as("__tok"))
+
+    // size-compatibility prunes pairs the verify step would reject anyway
     val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
+        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id") &&
+          col("b.__n") * lit(threshold) <= col("a.__n") &&
+          col("a.__n") * lit(threshold) <= col("b.__n"))
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
       .distinct()
 

@@ -18,9 +18,17 @@ object VectorFunctions {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd [[LongArrayDot]], not an interpreted higher-order lambda.
+    * The expression is registered on the active session's function
+    * registry (idempotent) and invoked through the public
+    * `call_function` surface. */
+  def dotQ(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_long_array_dot",
+        exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
+    call_function("graft_long_array_dot", a, b)
+  }
 
   /** Cosine similarity from quantized vectors (deterministic doubles). */
   def cosineQ(a: Column, b: Column): Column =
