@@ -49,21 +49,33 @@ object LshAnn {
     Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(next())))
   }
 
-  /** Bucket id of a vector in table t: `bits` sign bits packed to an int. */
-  private def bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (h, j) =>
-      when(dotConst(vec, h) >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** All table buckets of a vector in one expression: `bits` sign bits
+    * packed to an int, per table.
+    *
+    * The vector is quantized ONCE through a single-element `transform`
+    * binding (a bare `quantize(vec)` child would re-evaluate per
+    * hyperplane under interpreted lambda eval), and each sign test is a
+    * native [[graft.functions.LongArrayDot]] against the long-quantized
+    * hyperplane — sign(vq·hq) is simply a slightly perturbed hyperplane
+    * family, equally valid for LSH and deterministic. */
+  private def allBuckets(vec: Column, hq: Seq[Seq[Seq[Long]]]): Column =
+    element_at(
+      transform(array(quantize(vec)), qv =>
+        array(hq.map { planes =>
+          planes.zipWithIndex.map { case (h, j) =>
+            when(dotQ(qv, typedlit(h)) >= 0, lit(1 << j)).otherwise(lit(0))
+          }.reduce(_ + _)
+        }: _*)),
+      1)
 
   /** (id, table_idx, bucket) postings for every vector — the "index". */
   def postings(vecs: DataFrame, idCol: String, vecCol: String,
                tables: Int = Tables_, bits: Int = Bits): DataFrame = {
-    val hp = hyperplanes(tables, bits, Dim)
-    val entries = hp.zipWithIndex.map { case (planes, t) =>
-      struct(lit(t).as("table_idx"), bucket(col(vecCol), planes).as("bucket"))
-    }
-    vecs.select(col(idCol), explode(array(entries: _*)).as("__e"))
-      .select(col(idCol), col("__e.table_idx"), col("__e.bucket"))
+    val hq = hyperplanes(tables, bits, Dim)
+      .map(_.map(_.map(x => math.floor(x * 1000).toLong)))
+    vecs.select(col(idCol), posexplode(allBuckets(col(vecCol), hq))
+        .as(Seq("table_idx", "bucket")))
+      .select(col(idCol), col("table_idx"), col("bucket"))
   }
 
   /** Query-side postings with hamming-1 multi-probe: the home bucket plus

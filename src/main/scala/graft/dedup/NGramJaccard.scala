@@ -13,14 +13,17 @@ import graft.Tables
   * Why it scales: for Jaccard ≥ t, two shingle sets must share at least
   * one element among the first `|S| - ceil(t·|S|) + 1` elements of each
   * set under ANY fixed total order; and their sizes must satisfy
-  * t·|a| ≤ |b| ≤ |a|/t. We hash every shingle to a long ONCE, order by
-  * hash value — no global frequency pass needed — take that prefix,
-  * explode it, and join docs on shared prefix hashes with the size filter
-  * in the join condition. Candidate volume is |docs|·prefix_len rows of
-  * (8-byte hash, id) — linear, never the O(n²) all-pairs cross join.
-  * Exact Jaccard verification intersects the hashed-shingle arrays only
-  * for candidates, so output = ground truth at any scale (a cross-doc
-  * 64-bit hash collision would take ~10¹⁹ comparisons to matter).
+  * t·|a| ≤ |b| ≤ |a|/t. We hash every shingle to a long ONCE and order
+  * prefixes by ASCENDING GLOBAL DOCUMENT FREQUENCY (the AllPairs/PPJoin
+  * discipline): candidate pairs form only on each document's RAREST
+  * shingles, so the candidate count per shingle is O(df²) on rare tokens
+  * instead of on stop-phrase shingles — the difference between linear
+  * and quadratic when a corpus shares boilerplate. The frequency table
+  * is one count aggregation over (shingle, doc) postings — a shuffle of
+  * 8-byte keys, linear in corpus size. Exact Jaccard verification
+  * intersects the hashed-shingle arrays only for candidates, so output =
+  * ground truth at any scale (a cross-doc 64-bit hash collision would
+  * take ~10¹⁹ comparisons to matter).
   *
   * Everything after the one text→hashes pass operates on long arrays:
   * natural-order sort (codegen'd), 8-byte shuffle keys, long-array
@@ -65,9 +68,18 @@ object NGramJaccard {
       .withColumn("__n", size(col("__sh")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // global shingle document frequencies; re-sort each doc's shingles
+    // rarest-first and take the prefix from that order
+    val ex = sh.select(col("__id"), col("__n"), explode(col("__sh")).as("__tok"))
+    val tokDf = ex.groupBy("__tok").agg(count(lit(1)).as("__df"))
     val prefixLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
-    val prefixes = sh.select(col("__id"), col("__n"),
-      explode(slice(col("__sh"), lit(1), prefixLen)).as("__tok"))
+    val prefixes = ex.join(tokDf, "__tok")
+      .groupBy("__id")
+      .agg(max("__n").as("__n"),
+        sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__ord"))
+      .select(col("__id"), col("__n"),
+        explode(slice(transform(col("__ord"), s => s.getField("__tok")),
+          lit(1), prefixLen)).as("__tok"))
 
     // size-compatibility prunes pairs the verify step would reject anyway
     val cand = prefixes.as("a").join(prefixes.as("b"),

@@ -46,8 +46,20 @@ object TextFunctions {
 
   /** Token-level polynomial rolling hash of the whole document, mod M.
     * Order-sensitive (unlike a bag-of-words hash): reordered text
-    * fingerprints differently, byte-identical text identically. */
-  def fingerprint(text: Column): Column =
+    * fingerprints differently, byte-identical text identically.
+    * Compiled via [[PolyFingerprint]] (registered on the active session,
+    * invoked through `call_function`) — the equivalent nested-aggregate
+    * expression form is [[fingerprintExpr]], kept as the executable
+    * specification the spec suite cross-checks against. */
+  def fingerprint(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_poly_fingerprint",
+        exprs => PolyFingerprint(exprs.head), "built-in")
+    call_function("graft_poly_fingerprint", text)
+  }
+
+  /** Expression-form fingerprint (interpreted; the semantic reference). */
+  def fingerprintExpr(text: Column): Column =
     aggregate(words(text), lit(0L),
       (acc, w) => (acc * lit(31L) + tokHash(w)) % lit(M))
 

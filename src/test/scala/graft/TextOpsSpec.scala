@@ -17,6 +17,19 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(1L) != fp(3L), "reordered text must fingerprint differently")
   }
 
+  test("compiled fingerprint equals the expression form, incl. edge cases") {
+    val edges = Seq((1000001L, ""), (1000002L, "  leading"), (1000003L, "trailing  "),
+      (1000004L, "   "), (1000005L, "one"), (1000006L, "tabs\tand\nnewlines"))
+      .toDF("doc_id", "text")
+    val df = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionByName(edges)
+    val diff = df.select(
+        TextFunctions.fingerprint($"text").as("fast"),
+        TextFunctions.fingerprintExpr($"text").as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(diff == 0, s"$diff rows disagree between compiled and expression fingerprint")
+  }
+
   test("token counts match on a known sentence") {
     val df = Seq((1L, "the quick brown fox, version 2")).toDF("doc_id", "text")
     val r = df.select(
