@@ -43,6 +43,34 @@ object EmbeddingDedup {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** The 100 TB route: candidate pairs from LSH bucket collisions
+    * ([[graft.ann.LshAnn.postings]] — linear index, uniform join keys),
+    * exact quantized-cosine verification only within buckets. Output ⊆
+    * the exact pairs; for true near-duplicates (cos ≥ 0.9) a bucket
+    * collision happens in some table with p ≈ 0.998 at the default
+    * 12-table/6-bit config, so dedup recall is effectively total while
+    * candidate volume stays linear in corpus size. */
+  def similarPairsApprox(vecs: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val post = graft.ann.LshAnn.postings(vecs, idCol, vecCol)
+    val cand = post.as("a").join(post.as("b"),
+        col("a.table_idx") === col("b.table_idx") &&
+          col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+    val q = vecs.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+      .withColumn("__norm",
+        sqrt(graft.functions.VectorFunctions.dotQ(col("__q"), col("__q")).cast("double")))
+    cand
+      .join(q.select(col("__id").as("a_id"), col("__q").as("__qa"), col("__norm").as("__na")), "a_id")
+      .join(q.select(col("__id").as("b_id"), col("__q").as("__qb"), col("__norm").as("__nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (graft.functions.VectorFunctions.dotQ(col("__qa"), col("__qb")).cast("double")
+          / (col("__na") * col("__nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   // ---- query-map entry (#31) ----
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =

@@ -88,6 +88,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
   }
 
+  test("bucketed embedding dedup finds all planted near-dups, subset of exact") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // 40 scattered vectors + 3 planted near-identical groups
+    val base = (0 until 40).map { i =>
+      Row(i.toLong, Seq.tabulate(64)(j =>
+        (math.sin(i * 64 + j) * 2).toFloat))
+    }
+    val planted = Seq(0, 1, 2).flatMap { g =>
+      val v = Seq.tabulate(64)(j => (math.cos(g * 64 + j) * 2).toFloat)
+      Seq(Row(100L + g, v), Row(200L + g, v.map(x => x * 1.001f))) // cos ~ 1
+    }
+    val vecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(base ++ planted), schema)
+    val approx = EmbeddingDedup.similarPairsApprox(vecs, "vec_id", "embedding", 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = EmbeddingDedup.similarPairs(vecs, "vec_id", "embedding", 0.99)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact), "approx produced a pair exact did not")
+    Seq(0L, 1L, 2L).foreach { g =>
+      assert(approx.contains((100L + g, 200L + g)), s"planted near-dup group $g missed")
+    }
+  }
+
   test("exact dedup keeps min id per content group") {
     val g = ExactDedup.groups(docs, "doc_id", "text")
       .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
