@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.{LongArrayDot, PolyFingerprint}
+
+/** SQL-surface registration for graft's native Catalyst expressions, so
+  * `spark.sql(...)` users get them alongside the Column API:
+  *
+  *   - `graft_long_array_dot(array<bigint>, array<bigint>) -> bigint`
+  *   - `graft_poly_fingerprint(string) -> bigint`
+  *
+  * The Column-API entry points ([[graft.functions.VectorFunctions.dotQ]],
+  * [[graft.functions.TextFunctions.fingerprint]]) self-register on the
+  * active session; call this once per session to make the names available
+  * to pure-SQL callers up front.
+  */
+object GraftFunctions {
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_long_array_dot",
+      exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_poly_fingerprint",
+      exprs => PolyFingerprint(exprs.head), "built-in")
+  }
+}

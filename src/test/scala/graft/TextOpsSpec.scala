@@ -30,6 +30,17 @@ class TextOpsSpec extends SparkSpec {
     assert(diff == 0, s"$diff rows disagree between compiled and expression fingerprint")
   }
 
+  test("registered SQL functions work from spark.sql") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT graft_poly_fingerprint('a b c') AS fp, " +
+        "graft_long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dot").head()
+    val ref = Seq(("a b c", 1)).toDF("text", "x")
+      .select(TextFunctions.fingerprintExpr($"text")).head().getLong(0)
+    assert(r.getLong(0) == ref)
+    assert(r.getLong(1) == 32L)
+  }
+
   test("token counts match on a known sentence") {
     val df = Seq((1L, "the quick brown fox, version 2")).toDF("doc_id", "text")
     val r = df.select(
