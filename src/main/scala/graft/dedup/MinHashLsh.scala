@@ -15,9 +15,11 @@ import graft.Tables
   * Detection probability at Jaccard j is 1-(1-j²)¹⁶: ≈0.99 at j=0.5,
   * ≈1 at j≥0.7, while unrelated docs (j≈0.05) almost never collide —
   * so candidate volume stays linear in corpus size. Everything through
-  * banding is a map-side expression pipeline (no UDFs); the only
-  * shuffles are the band-bucket join and the signature join-back, both
-  * on uniformly-distributed hash keys.
+  * banding is a map-side expression pipeline (no UDFs); the signature
+  * itself is the compiled [[graft.functions.MinHashSignature]] — one
+  * O(|shingles|·32) long loop per document, the pass that runs once per
+  * corpus row at 100 TB. The only shuffles are the band-bucket join and
+  * the signature join-back, both on uniformly-distributed hash keys.
   */
 object MinHashLsh {
 
@@ -25,11 +27,14 @@ object MinHashLsh {
   val Bands = 16
   val RowsPerBand = SigLen / Bands
 
-  /** MinHash signature: element i = min over shingles of xxhash64("i:" + s). */
-  def signature(shingleArr: Column): Column =
-    transform(sequence(lit(0), lit(SigLen - 1)),
-      i => aggregate(shingleArr, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(concat(i.cast("string"), lit(":"), s)))))
+  /** MinHash signature of a hashed-shingle array (compiled expression,
+    * registered on the active session). */
+  def signature(hashedShingleArr: Column): Column = {
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_minhash_signature",
+        exprs => graft.functions.MinHashSignature(exprs.head, SigLen), "built-in")
+    call_function("graft_minhash_signature", hashedShingleArr)
+  }
 
   /** Verified near-dup pairs (a_id < b_id, Jaccard ≥ threshold). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -37,7 +42,7 @@ object MinHashLsh {
     // signatures are materialized once (cache) — by design: at scale the
     // signature table is |docs| × 32 longs, tiny next to the corpus
     val sig = docs
-      .select(col(idCol).as("__id"), NGramJaccard.shingles(col(textCol)).as("__sh"))
+      .select(col(idCol).as("__id"), NGramJaccard.hashedShingles(col(textCol)).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .withColumn("__sig", signature(col("__sh")))
       .cache()
