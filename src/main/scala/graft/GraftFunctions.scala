@@ -1,13 +1,15 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{LongArrayDot, PolyFingerprint}
+import graft.functions.{LongArrayDot, MinHashSignature, PolyFingerprint, SimHash64}
 
 /** SQL-surface registration for graft's native Catalyst expressions, so
   * `spark.sql(...)` users get them alongside the Column API:
   *
   *   - `graft_long_array_dot(array<bigint>, array<bigint>) -> bigint`
   *   - `graft_poly_fingerprint(string) -> bigint`
+  *   - `graft_simhash64(array<bigint>) -> bigint`
+  *   - `graft_minhash_signature(array<bigint>) -> array<bigint>` (32 slots)
   *
   * The Column-API entry points ([[graft.functions.VectorFunctions.dotQ]],
   * [[graft.functions.TextFunctions.fingerprint]]) self-register on the
@@ -21,5 +23,9 @@ object GraftFunctions {
       exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_poly_fingerprint",
       exprs => PolyFingerprint(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_signature",
+      exprs => MinHashSignature(exprs.head, graft.dedup.MinHashLsh.SigLen), "built-in")
   }
 }

@@ -13,27 +13,24 @@ import graft.Tables
   * bands (pigeonhole: hamming distance ≤ 3 guarantees at least one of 4
   * bands identical), then verified with `bit_count(a ^ b) ≤ 3`.
   *
-  * The vote aggregation is one single-pass `aggregate` over the token
-  * array holding a 64-slot counter array — one expression, no UDF, no
-  * shuffle; banding joins on 16-bit keys are uniform by construction.
+  * The vote aggregation is the compiled [[graft.functions.SimHash64]] —
+  * one O(|tokens|·64) loop per row, the pass that runs once per corpus
+  * row at 100 TB; banding joins on 16-bit keys are uniform by
+  * construction.
   */
 object SimHashDedup {
 
   val HammingMax = 3
   val BandCount = 4 // pigeonhole: > HammingMax bands of 16 bits
 
-  /** 64-bit SimHash of a whitespace-tokenized text column. */
+  /** 64-bit SimHash of a whitespace-tokenized text column (compiled
+    * expression over per-token xxhash64 values, registered on the active
+    * session). */
   def simhash(text: Column): Column = {
-    val tokens = split(text, "\\s+")
-    val votes = (h: Column) => array(Seq.tabulate(64)(i =>
-      (shiftright(h, i).bitwiseAND(lit(1L)).cast("int") * 2 - 1)): _*)
-    aggregate(
-      tokens,
-      array(Seq.fill(64)(lit(0)): _*),
-      (acc, w) => zip_with(acc, votes(xxhash64(w)), (a, b) => a + b),
-      acc => Seq.tabulate(64)(i =>
-        when(element_at(acc, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _))
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_simhash64",
+        exprs => graft.functions.SimHash64(exprs.head), "built-in")
+    call_function("graft_simhash64", transform(split(text, "\\s+"), w => xxhash64(w)))
   }
 
   /** Verified near-dup pairs: hamming(simhash_a, simhash_b) ≤ HammingMax. */
