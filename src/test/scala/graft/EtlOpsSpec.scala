@@ -40,6 +40,38 @@ class EtlOpsSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("merge_upsert with composite natural key and null-valued columns") {
+    val target = Seq(
+      (1L, "us", Some(10.0), 1), (1L, "eu", Some(20.0), 1)
+    ).toDF("id", "region", "bal", "current_version")
+    val changeset = Seq(
+      (1L, "us", None: Option[Double], 1),  // value -> null: a real change
+      (1L, "eu", Some(20.0), 1)             // no-op
+    ).toDF("id", "region", "bal", "change_seq")
+    val out = MergeUpsert(target, changeset, Seq("id", "region"), "change_seq", Seq("bal"))
+      .select("id", "region", "current_version", "change_type")
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(out == Set(
+      (1L, "us", 0, "expired"), (1L, "us", 1, "update_new"),
+      (1L, "eu", 1, "unchanged")))
+  }
+
+  test("bronze normalization ingests JSON-shaped raw data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bronze_json")
+    java.nio.file.Files.write(dir.resolve("part_0.json"),
+      ("""{"Order Id": 1, "total.price": 10.5, "CreatedDate": "2020-01-01"}""" + "\n" +
+       """{"Order Id": 2, "total.price": 20.0, "CreatedDate": "2020-01-02"}""" + "\n" +
+       """{"Order Id": 2, "total.price": 20.0, "CreatedDate": "2020-01-02"}""").getBytes)
+    val raw = spark.read.json(dir.toString)
+    val b = Medallion.bronzeNormalize(raw, dropCols = Seq("CreatedDate"), asOfDateKey = 20240101)
+    assert(b.columns.toSeq == Seq("orderId", "totalPrice", "sourceFile",
+      "currentVersion", "effectiveDate", "expirationDate"))
+    val rows = b.select("orderId", "totalPrice", "sourceFile")
+      .as[(Long, Double, String)].collect().sortBy(_._1)
+    assert(rows.length == 2, "exact-dup raw row not deduped")
+    assert(rows(0) == (1L, 10.5, "part_0.json"))
+  }
+
   test("bronze normalization: camel names, lineage, housekeeping, dedup") {
     val b = Medallion.medallionBronzeOrders(spark, sfDir)
     assert(b.columns.toSeq == Seq("oOrderkey", "oCustkey", "oOrderstatus",
