@@ -24,6 +24,7 @@ object SparkEntry {
     "q_json_extract"        -> (TpchLike.jsonExtract(_, _)),
     "q_skew_topk"           -> ((s, d) => TpchLike.skewTopk(s, d)),
     "scd2_apply"            -> (Scd2.eventsScd2(_, _)),
+    "scd2_asof_lookup"      -> (Scd2.eventsAsOfLookup(_, _)),
     "merge_upsert"          -> (MergeUpsert.mergeUpsertCustomer(_, _)),
     "medallion_bronze"      -> (Medallion.medallionBronzeOrders(_, _)),
     "colnames_camel"        -> (ColumnNames.colnamesCamelOrders(_, _)),
@@ -68,6 +69,7 @@ object SparkEntry {
     "q_json_extract"        -> TpchLike.jsonExtractOracleSql,
     "q_skew_topk"           -> TpchLike.skewTopkOracleSql,
     "scd2_apply"            -> Scd2.oracleSql,
+    "scd2_asof_lookup"      -> Scd2.asOfOracleSql,
     "merge_upsert"          -> MergeUpsert.oracleSql,
     "medallion_bronze"      -> Medallion.oracleSql,
     "colnames_camel"        -> ColumnNames.oracleSql,

@@ -61,6 +61,58 @@ object Scd2 {
       .select("user_id", "event_id", "effective_date", "expiration_date", "current_version")
   }
 
+  /** Temporal (as-of) lookup against an SCD2 dimension: each fact row
+    * joins the version whose [effective_date, expiration_date] validity
+    * window contains the fact's date key. Composed from an equi-join on
+    * the natural key plus a range predicate — Spark shuffles both sides
+    * on the key once, and since version chains are short the per-key
+    * range scan is O(chain), so the operator behaves like a plain
+    * shuffle join at any scale (no custom physical operator needed). */
+  def asOfLookup(facts: DataFrame, dim: DataFrame, key: String,
+                 factDateKey: String): DataFrame =
+    facts.join(dim,
+      facts(key) === dim(key) &&
+        facts(factDateKey) >= dim("effective_date") &&
+        facts(factDateKey) <= dim("expiration_date"))
+      .drop(dim(key))
+
+  /** Query-map entry (extra beyond SURVEY §2): every event joined to the
+    * user's SCD2 version active on the event's day; proves each event
+    * resolves to exactly one version (the SCD2 invariant). */
+  def eventsAsOfLookup(spark: SparkSession, dir: String): DataFrame = {
+    val dim = eventsScd2(spark, dir)
+      .select(col("user_id"), col("event_id").as("version_event_id"),
+        col("effective_date"), col("expiration_date"), col("current_version"))
+    val facts = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts").cast("date"), "yyyyMMdd").cast("int").as("event_date"))
+    asOfLookup(facts, dim, "user_id", "event_date")
+      .select("user_id", "event_id", "event_date", "version_event_id",
+        "effective_date", "expiration_date", "current_version")
+  }
+
+  def asOfOracleSql: String =
+    """WITH changes AS (
+      |  SELECT user_id, event_id, ts FROM events
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                             ORDER BY ts DESC, event_id DESC) = 1
+      |), dim AS (
+      |  SELECT user_id, event_id AS version_event_id,
+      |    CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS INT) AS effective_date,
+      |    CASE WHEN ts = max(ts) OVER (PARTITION BY user_id) THEN 20991231
+      |         ELSE CAST(strftime(
+      |                lead(CAST(ts AS DATE)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                  - INTERVAL 1 DAY, '%Y%m%d') AS INT) END AS expiration_date,
+      |    CAST(ts = max(ts) OVER (PARTITION BY user_id) AS INT) AS current_version
+      |  FROM changes
+      |)
+      |SELECT f.user_id, f.event_id,
+      |  CAST(strftime(CAST(f.ts AS DATE), '%Y%m%d') AS INT) AS event_date,
+      |  d.version_event_id, d.effective_date, d.expiration_date, d.current_version
+      |FROM events f JOIN dim d
+      |  ON f.user_id = d.user_id
+      | AND CAST(strftime(CAST(f.ts AS DATE), '%Y%m%d') AS INT) BETWEEN d.effective_date AND d.expiration_date""".stripMargin
+
   def oracleSql: String =
     """WITH changes AS (
       |  SELECT user_id, event_id, ts FROM events

@@ -18,6 +18,16 @@ class EventOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("as-of lookup resolves every event to exactly one dim version") {
+    val facts = Tables.events(spark, sfDir).count()
+    val looked = Scd2.eventsAsOfLookup(spark, sfDir).cache()
+    assert(looked.count() == facts, "as-of join must be 1:1 with facts")
+    // the matched version's validity window contains the event date
+    assert(looked.filter(col("event_date") < col("effective_date") ||
+      col("event_date") > col("expiration_date")).count() == 0)
+    looked.unpersist()
+  }
+
   test("salted cumsum equals naive window cumsum") {
     val salted = SaltedCumSum.eventsCumSum(spark, sfDir)
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
