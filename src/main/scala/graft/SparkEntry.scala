@@ -48,6 +48,7 @@ object SparkEntry {
     "text_quality"          -> (TextFunctions.textQuality(_, _)),
     "text_langid"           -> (TextFunctions.textLangid(_, _)),
     "doc_fingerprint"       -> (TextFunctions.docFingerprint(_, _)),
+    "corpus_stats"          -> (TextFunctions.corpusStats(_, _)),
     "dedup_exact"           -> (ExactDedup.dedupExact(_, _)),
     "dedup_ngram_jaccard"   -> (NGramJaccard.dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh"     -> (MinHashLsh.dedupMinhashLsh(_, _)),
@@ -94,6 +95,7 @@ object SparkEntry {
     "text_quality"          -> TextFunctions.textQualityOracleSql,
     "text_langid"           -> TextFunctions.textLangidOracleSql,
     "doc_fingerprint"       -> TextFunctions.docFingerprintOracleSql,
+    "corpus_stats"          -> TextFunctions.corpusStatsOracleSql,
     "dedup_exact"           -> ExactDedup.oracleSql,
     "dedup_ngram_jaccard"   -> NGramJaccard.oracleSql,
     "dedup_embedding"       -> EmbeddingDedup.oracleSql,

@@ -173,6 +173,35 @@ object TextFunctions {
       |  CAST(en_hits AS DOUBLE) / n AS marker_density
       |FROM h""".stripMargin
 
+  /** Extra beyond SURVEY §2 — corpus-level curation stats: per
+    * (source, lang) document counts, token/char volume, and mean quality
+    * inputs. The aggregation layer a data-curation dashboard reads; one
+    * partial-aggregated shuffle on a low-cardinality key at any scale. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(words(col("text"))).cast("long").as("__tok"),
+        length(col("text")).cast("long").as("__chars"),
+        estSubwords(col("text")).as("__sub"))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__tok").as("total_tokens"),
+        sum("__chars").as("total_chars"),
+        sum("__sub").as("total_subwords"),
+        round(avg("__tok"), 4).as("avg_tokens"))
+
+  def corpusStatsOracleSql: String =
+    """SELECT source, lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
+      |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
+      |  CAST(sum(list_sum(list_transform(string_split_regex(text, '\s+'),
+      |       w -> (len(w)+3)//4))) AS BIGINT) AS total_subwords,
+      |  round(avg(len(string_split_regex(text, '\s+'))), 4) AS avg_tokens
+      |FROM documents
+      |GROUP BY source, lang""".stripMargin
+
   /** #37 doc_fingerprint: order-sensitive rolling polynomial hash. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
