@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.streaming.{FileIngest, SessionizeState, WindowedAgg}
+import graft.streaming.{DedupStream, FileIngest, SessionizeState, WindowedAgg}
 import graft.streaming.SessionizeState.Evt
 
 /** Structured Streaming specs (#40–42): file ingestion with lineage,
@@ -70,6 +70,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(
       (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
       (ts("2024-01-01 11:00:00"), "view", 1L, 5.0)))
+    q.stop()
+  }
+
+  test("streaming dedup drops re-deliveries within the watermark") {
+    val in = MemoryStream[(Long, Timestamp, Double)](spark)
+    val q = DedupStream.dedup(
+        in.toDF().toDF("event_id", "ts", "value"), "ts", "1 hour", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_s")
+      .outputMode("append").start()
+
+    in.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+               (2L, ts("2024-01-01 10:01:00"), 2.0),
+               (1L, ts("2024-01-01 10:05:00"), 1.0)) // retry re-stamped: dup
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-01 10:20:00"), 1.0), // still within horizon: dup
+               (3L, ts("2024-01-01 10:21:00"), 3.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_s").select("event_id")
+      .as[Long].collect().toList
+    assert(ids.sorted == List(1L, 2L, 3L), s"got $ids")
     q.stop()
   }
 
