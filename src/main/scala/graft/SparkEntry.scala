@@ -49,6 +49,7 @@ object SparkEntry {
     "text_langid"           -> (TextFunctions.textLangid(_, _)),
     "doc_fingerprint"       -> (TextFunctions.docFingerprint(_, _)),
     "corpus_stats"          -> (TextFunctions.corpusStats(_, _)),
+    "topk_per_group"        -> (graft.functions.TopKAgg.topkPerGroup(_, _)),
     "dedup_exact"           -> (ExactDedup.dedupExact(_, _)),
     "dedup_ngram_jaccard"   -> (NGramJaccard.dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh"     -> (MinHashLsh.dedupMinhashLsh(_, _)),
@@ -96,6 +97,7 @@ object SparkEntry {
     "text_langid"           -> TextFunctions.textLangidOracleSql,
     "doc_fingerprint"       -> TextFunctions.docFingerprintOracleSql,
     "corpus_stats"          -> TextFunctions.corpusStatsOracleSql,
+    "topk_per_group"        -> graft.functions.TopKAgg.oracleSql,
     "dedup_exact"           -> ExactDedup.oracleSql,
     "dedup_ngram_jaccard"   -> NGramJaccard.oracleSql,
     "dedup_embedding"       -> EmbeddingDedup.oracleSql,
