@@ -29,6 +29,7 @@ object SparkEntry {
     "medallion_bronze"      -> (Medallion.medallionBronzeOrders(_, _)),
     "colnames_camel"        -> (ColumnNames.colnamesCamelOrders(_, _)),
     "submix_sample"         -> (Sampling.submixDocuments(_, _)),
+    "hash_split"            -> (Sampling.hashSplitDocuments(_, _)),
     "compaction"            -> (Compaction.compactionOrders(_, _)),
     "embed_docs"            -> (EmbedDocs.embedDocuments(_, _)),
     "salted_cumsum"         -> (SaltedCumSum.eventsCumSum(_, _)),
@@ -76,6 +77,7 @@ object SparkEntry {
     "medallion_bronze"      -> Medallion.oracleSql,
     "colnames_camel"        -> ColumnNames.oracleSql,
     "submix_sample"         -> Sampling.oracleSql,
+    "hash_split"            -> Sampling.hashSplitOracleSql,
     "compaction"            -> Compaction.oracleSql,
     // embed_docs: stub encoder output is engine-internal — rows-gated;
     // determinism + batching semantics asserted in EmbedDocsSpec

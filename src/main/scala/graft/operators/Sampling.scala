@@ -37,6 +37,23 @@ object Sampling {
     df.filter(portableBucket(col(idCol)) < (frac * M).cast("long"))
   }
 
+  /** Deterministic train/val/test assignment: split s covers the bucket
+    * range [cum(s), cum(s)+frac(s))·M, so every row gets exactly one
+    * label, stable across runs/engines/partitionings, and growing the
+    * corpus never reassigns an existing row. Fractions must sum to ≤ 1;
+    * any remainder falls into the last split. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bucket = portableBucket(col(idCol))
+    val cuts = splits.scanLeft(0.0)(_ + _._2).map(f => (f * M).toLong)
+    val expr = splits.init.zipWithIndex.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), i), acc) => when(bucket < cuts(i + 1), name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   // ---- query-map entry (#22) ----
 
   /** The reference submix shape: heavy/medium/light strata + dropped rest. */
@@ -47,6 +64,20 @@ object Sampling {
   def submixDocuments(spark: SparkSession, dir: String): DataFrame =
     submix(Tables.documents(spark, dir), "source", "doc_id", DemoFracs)
       .select("doc_id", "source", "lang", "n_chars")
+
+  /** Query-map entry (extra beyond SURVEY §2): 80/10/10 split of the
+    * document corpus. */
+  def hashSplitDocuments(spark: SparkSession, dir: String): DataFrame =
+    hashSplit(Tables.documents(spark, dir), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "source", "split")
+
+  def hashSplitOracleSql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN ((doc_id % 100003) * 1103515245 + 12345) % 1000000 < 800000 THEN 'train'
+      |       WHEN ((doc_id % 100003) * 1103515245 + 12345) % 1000000 < 900000 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
 
   def oracleSql: String =
     """SELECT doc_id, source, lang, n_chars FROM documents

@@ -29,6 +29,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("hash split covers every row exactly once with stable assignment") {
+    val docs = Tables.documents(spark, sfDir)
+    val s = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s.count() == docs.count())
+    val bySplit = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // stability: same assignment under different partitioning
+    val again = Sampling.hashSplit(docs.repartition(11), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = s.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(first == again)
+  }
+
   test("compaction preserves content and reduces file count") {
     val out = Compaction.compactionOrders(spark, sfDir)
     val orig = Tables.orders(spark, sfDir)
