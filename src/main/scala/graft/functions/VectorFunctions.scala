@@ -35,10 +35,4 @@ object VectorFunctions {
     dotQ(a, b).cast("double") /
       (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
 
-  /** Plain double dot product of a vector column with a constant weight
-    * array (e.g. an LSH hyperplane); weights must be same length as vec. */
-  def dotConst(vec: Column, weights: Seq[Double]): Column =
-    aggregate(
-      zip_with(vec, typedlit(weights), (x, w) => x.cast("double") * w),
-      lit(0.0), (acc, v) => acc + v)
 }
