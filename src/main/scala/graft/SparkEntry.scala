@@ -5,7 +5,7 @@ import graft.queries.TpchLike
 import graft.operators.{ColumnNames, Compaction, DimDate, EmbedDocs, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize}
 import graft.functions.TextFunctions
 import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
-import graft.ann.{BruteForceKnn, LshAnn}
+import graft.ann.{BruteForceKnn, IvfAnn, LshAnn}
 import graft.multimodal.BinaryMedia
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_embedding"       -> (EmbeddingDedup.dedupEmbedding(_, _)),
     "ann_bruteforce"        -> (BruteForceKnn.annBruteforce(_, _)),
     "ann_lsh"               -> (LshAnn.annLsh(_, _)),
+    "ann_ivf"               -> (IvfAnn.annIvf(_, _)),
     "mm_meta"               -> (BinaryMedia.mmMeta(_, _)),
     "mm_framesample"        -> (BinaryMedia.mmFramesample(_, _)),
   )
@@ -106,8 +107,8 @@ object SparkEntry {
     "ann_bruteforce"        -> BruteForceKnn.oracleSql,
     "mm_meta"               -> BinaryMedia.mmMetaOracleSql,
     "mm_framesample"        -> BinaryMedia.mmFramesampleOracleSql,
-    // dedup_minhash_lsh / dedup_simhash / ann_lsh: probabilistic candidate
-    // generation — rows-gated by the driver; semantics asserted in
-    // DedupSpec / AnnSpec (planted pairs, measured recall floor)
+    // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
+    // candidate generation — rows-gated by the driver; semantics asserted
+    // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
   )
 }

@@ -1,0 +1,134 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** IVF (inverted-file) approximate nearest neighbors — the direct
+  * counterpart of the reference's coarse-quantized FAISS index
+  * (/root/reference/MachineLearning/ML/performant_faiss.py:7,
+  * `IVF65536,PQ8x8`): k-means centroids partition the corpus into
+  * inverted lists; a query probes only its `nprobe` nearest lists and
+  * scores exactly within them.
+  *
+  * Everything is deterministic: centroids are seeded from the vectors
+  * with the smallest xxhash64(id) (spread, reproducible), and k-means
+  * accumulates QUANTIZED INTEGER coordinates (order-independent sums, so
+  * centroids are bit-identical across partitionings — float averaging
+  * would let reduction order flip boundary assignments). Distance
+  * comparisons use −2·v·c + |c|² over integer dot products (|v|² is
+  * constant per row), computed by the codegen'd LongArrayDot.
+  *
+  * Scale shape, mirroring FAISS practice: train on a deterministic
+  * hash-sample (training cost is O(sample·k·iters), independent of
+  * corpus size), one broadcast of k×dim centroids assigns the corpus in
+  * a single map pass, lists shuffle on centroid id (k ≫ cores keeps them
+  * uniform — grow nlist with corpus size exactly like the reference's
+  * 65536), and the probe join touches nprobe/nlist of the corpus.
+  */
+object IvfAnn {
+
+  val NList = 16     // centroid count at test scale (65536-style at 100 TB)
+  val NProbe = 4
+  val Iters = 5
+  val TrainFrac = 0.5
+
+  /** Deterministic k-means over quantized vectors; returns (centroidId,
+    * centroid as Seq[Long]) — small enough to collect (k × dim longs). */
+  def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                     k: Int = NList, iters: Int = Iters): Seq[(Int, Seq[Long])] = {
+    val q = vecs.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+      .filter(graft.operators.Sampling.portableBucket(col(idCol)) <
+        (TrainFrac * graft.operators.Sampling.M).toLong)
+    // seed: the k sample vectors with smallest hashed id (deterministic)
+    var centroids: Seq[(Int, Seq[Long])] = q
+      .withColumn("__h", xxhash64(col("__id")))
+      .orderBy("__h").limit(k)
+      .select("__q").collect()
+      .map(_.getSeq[Long](0)).zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(q, "__q", centroids)
+      // integer sums per (centroid, dimension) — order-independent
+      val sums = assigned
+        .select(col("__cid"), posexplode(col("__q")).as(Seq("__d", "__x")))
+        .groupBy("__cid", "__d")
+        .agg(sum("__x").as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val byC = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, old) =>
+        byC.get(cid) match {
+          case Some(rows) =>
+            val dims = rows.map(r => (r.getInt(1), r.getLong(2) / r.getLong(3))).toMap
+            (cid, old.indices.map(d => dims.getOrElse(d, old(d))))
+          case None => (cid, old) // empty list keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: argmin over k of |v−c|², compared via
+    * −2·v·c + |c|² (|v|² constant per row). Adds `__cid`. */
+  private def assign(q: DataFrame, qCol: String,
+                     centroids: Seq[(Int, Seq[Long])]): DataFrame = {
+    val scored: Column = array(centroids.map { case (cid, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(-2L) * dotQ(col(qCol), typedlit(c)) + lit(c2)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*)
+    q.withColumn("__cid", array_min(scored).getField("cid"))
+  }
+
+  /** `nprobe` nearest centroid ids per query vector. */
+  private def probes(q: DataFrame, qCol: String,
+                     centroids: Seq[(Int, Seq[Long])], nprobe: Int): DataFrame = {
+    val scored: Column = array(centroids.map { case (cid, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(-2L) * dotQ(col(qCol), typedlit(c)) + lit(c2)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*)
+    q.withColumn("__probe",
+        slice(transform(array_sort(scored), s => s.getField("cid")), 1, nprobe))
+      .select(col("*"), explode(col("__probe")).as("__cid"))
+      .drop("__probe")
+  }
+
+  /** Approximate top-k: probe nprobe lists, exact cosine within them. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+           vecCol: String, k: Int, nlist: Int = NList,
+           nprobe: Int = NProbe): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist)
+    val cq = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__cq"))
+      .withColumn("__cnorm", sqrt(dotQ(col("__cq"), col("__cq")).cast("double")))
+    val lists = assign(cq, "__cq", centroids)
+    val qq = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qq"))
+      .withColumn("__qnorm", sqrt(dotQ(col("__qq"), col("__qq")).cast("double")))
+    val qProbes = probes(qq, "__qq", centroids, nprobe)
+
+    val scored = lists.join(broadcast(qProbes), Seq("__cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotQ(col("__cq"), col("__qq")).cast("double")
+          / (col("__cnorm") * col("__qnorm"))).as("cos_sim"))
+      .distinct() // a pair met via multiple probed lists counts once
+
+    val part = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val full = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("__pr", row_number().over(part)).filter(col("__pr") <= k)
+      .withColumn("rank", row_number().over(full)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  // ---- query-map entry (extra, rows-gated; recall asserted in AnnSpec) ----
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+    topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding", k = 5)
+  }
+}

@@ -40,6 +40,22 @@ class AnnSpec extends SparkSpec {
     assert(b0 == b100)
   }
 
+  test("ivf recall vs brute force on sf0.001 embeddings, deterministic across partitionings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = BruteForceKnn.querySubset(emb)
+    val exact = BruteForceKnn.topK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = graft.ann.IvfAnn.topK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"ivf recall = $recall%.3f (nprobe=${graft.ann.IvfAnn.NProbe}/${graft.ann.IvfAnn.NList} lists)")
+    assert(recall >= 0.5, f"recall $recall%.3f below floor")
+    // integer-arithmetic k-means must be partitioning-invariant
+    val again = graft.ann.IvfAnn.topK(emb.repartition(7), q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx == again)
+  }
+
   test("lsh recall vs brute force on sf0.001 embeddings >= 0.8") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = BruteForceKnn.querySubset(emb)
