@@ -39,9 +39,11 @@ object IvfAnn {
     * centroid as Seq[Long]) — small enough to collect (k × dim longs). */
   def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
                      k: Int = NList, iters: Int = Iters): Seq[(Int, Seq[Long])] = {
+    // persisted: every k-means iteration (an eager collect) re-reads it
     val q = vecs.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
       .filter(graft.operators.Sampling.portableBucket(col(idCol)) <
         (TrainFrac * graft.operators.Sampling.M).toLong)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed: the k sample vectors with smallest hashed id (deterministic)
     var centroids: Seq[(Int, Seq[Long])] = q
       .withColumn("__h", xxhash64(col("__id")))
@@ -67,6 +69,7 @@ object IvfAnn {
         }
       }
     }
+    q.unpersist() // safe: training is fully materialized by the collects
     centroids
   }
 
