@@ -35,16 +35,13 @@ object IvfAnn {
   val Iters = 5
   val TrainFrac = 0.5
 
-  /** Deterministic k-means over quantized vectors; returns (centroidId,
-    * centroid as Seq[Long]) — small enough to collect (k × dim longs). */
-  def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
-                     k: Int = NList, iters: Int = Iters): Seq[(Int, Seq[Long])] = {
-    // persisted: every k-means iteration (an eager collect) re-reads it
-    val q = vecs.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
-      .filter(graft.operators.Sampling.portableBucket(col(idCol)) <
-        (TrainFrac * graft.operators.Sampling.M).toLong)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seed: the k sample vectors with smallest hashed id (deterministic)
+  /** Deterministic k-means over a frame of (`__id`, `__q` array<bigint>):
+    * returns (centroidId, centroid). Seeds are the k rows with smallest
+    * xxhash64(id); updates accumulate integer sums per (centroid, dim) —
+    * order-independent, so the result is bit-identical across
+    * partitionings. Shared by the IVF coarse quantizer and the PQ
+    * per-subspace codebooks. */
+  def kmeansQ(q: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Long])] = {
     var centroids: Seq[(Int, Seq[Long])] = q
       .withColumn("__h", xxhash64(col("__id")))
       .orderBy("__h").limit(k)
@@ -69,14 +66,26 @@ object IvfAnn {
         }
       }
     }
-    q.unpersist() // safe: training is fully materialized by the collects
     centroids
+  }
+
+  /** Coarse centroids for the IVF index, trained on a hash-sample. */
+  def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                     k: Int = NList, iters: Int = Iters): Seq[(Int, Seq[Long])] = {
+    // persisted: every k-means iteration (an eager collect) re-reads it
+    val q = vecs.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+      .filter(graft.operators.Sampling.portableBucket(col(idCol)) <
+        (TrainFrac * graft.operators.Sampling.M).toLong)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = kmeansQ(q, k, iters)
+    q.unpersist() // safe: training is fully materialized by the collects
+    out
   }
 
   /** Nearest-centroid assignment: argmin over k of |v−c|², compared via
     * −2·v·c + |c|² (|v|² constant per row). Adds `__cid`. */
-  private def assign(q: DataFrame, qCol: String,
-                     centroids: Seq[(Int, Seq[Long])]): DataFrame = {
+  private[ann] def assign(q: DataFrame, qCol: String,
+                          centroids: Seq[(Int, Seq[Long])]): DataFrame = {
     val scored: Column = array(centroids.map { case (cid, c) =>
       val c2 = c.map(x => x * x).sum
       struct((lit(-2L) * dotQ(col(qCol), typedlit(c)) + lit(c2)).as("dist"),

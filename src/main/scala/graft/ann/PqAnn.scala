@@ -1,0 +1,131 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Product quantization ANN — the "PQ8x8" half of the reference's FAISS
+  * factory string (/root/reference/MachineLearning/ML/performant_faiss.py:7,
+  * `IVF65536,PQ8x8`): each vector splits into `SubSpaces` subvectors,
+  * each subvector is replaced by the id of its nearest per-subspace
+  * codebook centroid, and search scans the COMPRESSED codes with
+  * asymmetric distance computation (ADC): the query precomputes a
+  * (subspace × code) distance table, and a corpus row's approximate
+  * distance is just `SubSpaces` table lookups — no vector math against
+  * the corpus at all. The approximate top-`RerankFactor·k` then re-ranks
+  * exactly.
+  *
+  * Why it matters at 100 TB: codes are `SubSpaces` small ints
+  * (8 bytes/vector at PQ8x8) versus 256 bytes of floats — a ~30×
+  * smaller scan that usually fits in memory where the raw corpus cannot;
+  * the exact pass touches only the reranked sliver. Codebooks train on a
+  * hash-sample with the same integer k-means as [[IvfAnn]], so encoding
+  * and results are bit-identical across runs and partitionings.
+  */
+object PqAnn {
+
+  val Dim = 64
+  val SubSpaces = 8
+  val SubDim = Dim / SubSpaces
+  val Codes = 32        // 256 at real scale (PQ8x8 = 8 bits/code)
+  val Iters = 5
+  val RerankFactor = 12 // exact re-rank pool = RerankFactor · k
+
+  /** Per-subspace codebooks: Seq over subspace of Seq over code of
+    * centroid (SubDim longs). */
+  def trainCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
+                     codes: Int = Codes): Seq[Seq[Seq[Long]]] = {
+    val q = vecs.select(col(idCol).as("__id"), quantizeUnit(col(vecCol)).as("__qfull"))
+      .filter(graft.operators.Sampling.portableBucket(col(idCol)) <
+        (IvfAnn.TrainFrac * graft.operators.Sampling.M).toLong)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = (0 until SubSpaces).map { s =>
+      val sub = q.select(col("__id"),
+        slice(col("__qfull"), s * SubDim + 1, SubDim).as("__q"))
+      IvfAnn.kmeansQ(sub, codes, Iters).sortBy(_._1).map(_._2)
+    }
+    q.unpersist()
+    books
+  }
+
+  /** Encode vectors to PQ codes: array<int> of length SubSpaces. */
+  def encode(vecs: DataFrame, idCol: String, vecCol: String,
+             books: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val qv = quantizeUnit(col(vecCol))
+    val codeCols: Seq[Column] = books.zipWithIndex.map { case (book, s) =>
+      val sub = slice(qv, s * SubDim + 1, SubDim)
+      array_min(array(book.zipWithIndex.map { case (c, k) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(-2L) * dotQ(sub, typedlit(c)) + lit(c2)).as("dist"),
+          lit(k).as("code"))
+      }: _*)).getField("code")
+    }
+    vecs.select(col(idCol), array(codeCols: _*).as("pq_codes"))
+  }
+
+  /** ADC distance tables per query: array[subspace][code] of
+    * |q_s − c_sk|² (integer longs, exact). */
+  private def distTables(qCol: Column, books: Seq[Seq[Seq[Long]]]): Column =
+    array(books.zipWithIndex.map { case (book, s) =>
+      val sub = slice(qCol, s * SubDim + 1, SubDim)
+      val sub2 = dotQ(sub, sub)
+      array(book.map { c =>
+        val c2 = c.map(x => x * x).sum
+        sub2 - lit(2L) * dotQ(sub, typedlit(c)) + lit(c2)
+      }: _*)
+    }: _*)
+
+  /** Approximate top-k with exact re-rank. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+           vecCol: String, k: Int): DataFrame = {
+    val books = trainCodebooks(corpus, idCol, vecCol)
+    val codes = encode(corpus, idCol, vecCol, books)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val qt = queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("__qq"),
+        quantizeUnit(col(vecCol)).as("__qu"))
+      .withColumn("__tables", distTables(col("__qu"), books))
+      .withColumn("__qnorm", sqrt(dotQ(col("__qq"), col("__qq")).cast("double")))
+
+    // ADC scan: SubSpaces table lookups per (query, corpus code row)
+    val approx = codes.join(broadcast(qt.select("query_id", "__tables")), lit(true))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(
+          zip_with(col("__tables"), col("pq_codes"), (t, c) => element_at(t, c + 1)),
+          lit(0L), (acc, v) => acc + v).as("approx_dist"))
+
+    val pool = RerankFactor * k
+    val part = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    val full = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    val cand = approx
+      .withColumn("__pr", row_number().over(part)).filter(col("__pr") <= pool)
+      .withColumn("__r", row_number().over(full)).filter(col("__r") <= pool)
+      .select("query_id", "neighbor_id")
+
+    // exact re-rank of the pool only
+    val cq = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("__cq"))
+      .withColumn("__cnorm", sqrt(dotQ(col("__cq"), col("__cq")).cast("double")))
+    val rerank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand
+      .join(cq, "neighbor_id")
+      .join(broadcast(qt.select("query_id", "__qq", "__qnorm")), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dotQ(col("__cq"), col("__qq")).cast("double")
+          / (col("__cnorm") * col("__qnorm"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(rerank)).filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
+  // ---- query-map entry (extra, rows-gated; recall asserted in AnnSpec) ----
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+    topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding", k = 5)
+  }
+}

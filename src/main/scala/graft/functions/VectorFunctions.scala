@@ -18,6 +18,22 @@ object VectorFunctions {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000).cast("long"))
 
+  /** Quantization of the L2-NORMALIZED vector (milli-units of the unit
+    * vector): makes integer L2 distance a monotone proxy for cosine,
+    * which is what a distance-table scan (PQ/IVF) needs when the final
+    * metric is cosine. The norm is computed once per row via a
+    * single-element `transform` binding (a bare reference inside the
+    * per-element lambda would re-evaluate it per component). */
+  def quantizeUnit(vec: Column): Column =
+    element_at(
+      transform(
+        array(struct(vec.as("v"),
+          greatest(sqrt(aggregate(vec, lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), lit(1e-12)).as("n"))),
+        s => transform(s.getField("v"),
+          x => floor(x.cast("double") * 1000 / s.getField("n")).cast("long"))),
+      1)
+
   /** Exact integer dot product of two quantized vectors — a native
     * codegen'd [[LongArrayDot]], not an interpreted higher-order lambda.
     * The expression is registered on the active session's function

@@ -56,6 +56,32 @@ class AnnSpec extends SparkSpec {
     assert(approx == again)
   }
 
+  test("pq adc recall vs brute force on sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = BruteForceKnn.querySubset(emb)
+    val exact = BruteForceKnn.topK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = graft.ann.PqAnn.topK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"pq recall = $recall%.3f (rerank pool ${graft.ann.PqAnn.RerankFactor}x)")
+    assert(recall >= 0.5, f"recall $recall%.3f below floor")
+  }
+
+  test("pq codes are within range and encoding is deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val books = graft.ann.PqAnn.trainCodebooks(emb, "vec_id", "embedding")
+    assert(books.length == graft.ann.PqAnn.SubSpaces)
+    assert(books.forall(_.length == graft.ann.PqAnn.Codes))
+    val c1 = graft.ann.PqAnn.encode(emb, "vec_id", "embedding", books)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(c1.values.forall(cs => cs.length == graft.ann.PqAnn.SubSpaces &&
+      cs.forall(c => c >= 0 && c < graft.ann.PqAnn.Codes)))
+    val c2 = graft.ann.PqAnn.encode(emb.repartition(9), "vec_id", "embedding", books)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(c1 == c2)
+  }
+
   test("lsh recall vs brute force on sf0.001 embeddings >= 0.8") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = BruteForceKnn.querySubset(emb)
