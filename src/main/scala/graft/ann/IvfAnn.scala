@@ -82,16 +82,17 @@ object IvfAnn {
     out
   }
 
-  /** Nearest-centroid assignment: argmin over k of |v−c|², compared via
-    * −2·v·c + |c|² (|v|² constant per row). Adds `__cid`. */
+  /** Nearest-centroid assignment: argmin over k of |v−c|² via the
+    * compiled [[graft.functions.PqAssign]] with the whole vector as a
+    * single "subspace" (centroid index = list id; ties to the lower id,
+    * same as the expression form it replaces). Adds `__cid`. */
   private[ann] def assign(q: DataFrame, qCol: String,
                           centroids: Seq[(Int, Seq[Long])]): DataFrame = {
-    val scored: Column = array(centroids.map { case (cid, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(-2L) * dotQ(col(qCol), typedlit(c)) + lit(c2)).as("dist"),
-        lit(cid).as("cid"))
-    }: _*)
-    q.withColumn("__cid", array_min(scored).getField("cid"))
+    val ordered = centroids.sortBy(_._1).map(_._2)
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_pq_assign",
+        exprs => graft.functions.PqAssign(exprs.head, Seq(ordered)), "built-in")
+    q.withColumn("__cid", element_at(call_function("graft_pq_assign", col(qCol)), 1))
   }
 
   /** `nprobe` nearest centroid ids per query vector. */

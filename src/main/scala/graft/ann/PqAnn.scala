@@ -34,36 +34,70 @@ object PqAnn {
   val RerankFactor = 12 // exact re-rank pool = RerankFactor · k
 
   /** Per-subspace codebooks: Seq over subspace of Seq over code of
-    * centroid (SubDim longs). */
+    * centroid (SubDim longs).
+    *
+    * ALL subspaces train in the same pass: each k-means iteration is ONE
+    * job that assigns every subspace's code, explodes components tagged
+    * (subspace, code, dim), and aggregates integer sums — 1+Iters jobs
+    * total rather than one k-means per subspace (8× fewer corpus scans,
+    * which is the difference between one training sweep and eight at
+    * 100 TB). Integer accumulation keeps results partitioning-invariant. */
   def trainCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
                      codes: Int = Codes): Seq[Seq[Seq[Long]]] = {
     val q = vecs.select(col(idCol).as("__id"), quantizeUnit(col(vecCol)).as("__qfull"))
       .filter(graft.operators.Sampling.portableBucket(col(idCol)) <
         (IvfAnn.TrainFrac * graft.operators.Sampling.M).toLong)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val books = (0 until SubSpaces).map { s =>
-      val sub = q.select(col("__id"),
-        slice(col("__qfull"), s * SubDim + 1, SubDim).as("__q"))
-      IvfAnn.kmeansQ(sub, codes, Iters).sortBy(_._1).map(_._2)
+
+    // seed every subspace from the same `codes` lowest-hash sample rows
+    val seedRows = q.withColumn("__h", xxhash64(col("__id")))
+      .orderBy("__h").limit(codes)
+      .select("__qfull").collect().map(_.getSeq[Long](0))
+    var books: Seq[Seq[Seq[Long]]] = (0 until SubSpaces).map { s =>
+      seedRows.toSeq.map(full => full.slice(s * SubDim, (s + 1) * SubDim))
+    }
+
+    for (_ <- 1 to Iters) {
+      // codes project FIRST, explode in a separate select: a generator's
+      // sibling expressions land in a Project ABOVE the Generate and
+      // would re-evaluate all 8×k assignments once per exploded component
+      val sums = q.select(assignCodes(col("__qfull"), books).as("__codes"), col("__qfull"))
+        .select(col("__codes"), posexplode(col("__qfull")).as(Seq("__d", "__x")))
+        .select(
+          (col("__d") / SubDim).cast("int").as("__s"),
+          element_at(col("__codes"), (col("__d") / SubDim).cast("int") + 1).as("__code"),
+          (col("__d") % SubDim).as("__dim"), col("__x"))
+        .groupBy("__s", "__code", "__dim")
+        .agg(sum("__x").as("__sum"), count(lit(1)).as("__n"))
+        .collect()
+      val byKey = sums.map(r =>
+        ((r.getInt(0), r.getInt(1), r.getInt(2)), (r.getLong(3), r.getLong(4)))).toMap
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.map { case (old, k) =>
+          old.indices.map { d =>
+            byKey.get((s, k, d)).map { case (sm, n) => sm / n }.getOrElse(old(d))
+          }
+        }
+      }
     }
     q.unpersist()
     books
   }
 
+  /** All-subspace code assignment via the compiled [[graft.functions.PqAssign]]
+    * (registered on the active session; the codebook rides the builder
+    * closure and is re-registered before each analysis). */
+  private def assignCodes(qCol: Column, books: Seq[Seq[Seq[Long]]]): Column = {
+    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_pq_assign",
+        exprs => graft.functions.PqAssign(exprs.head, books), "built-in")
+    call_function("graft_pq_assign", qCol)
+  }
+
   /** Encode vectors to PQ codes: array<int> of length SubSpaces. */
   def encode(vecs: DataFrame, idCol: String, vecCol: String,
-             books: Seq[Seq[Seq[Long]]]): DataFrame = {
-    val qv = quantizeUnit(col(vecCol))
-    val codeCols: Seq[Column] = books.zipWithIndex.map { case (book, s) =>
-      val sub = slice(qv, s * SubDim + 1, SubDim)
-      array_min(array(book.zipWithIndex.map { case (c, k) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(-2L) * dotQ(sub, typedlit(c)) + lit(c2)).as("dist"),
-          lit(k).as("code"))
-      }: _*)).getField("code")
-    }
-    vecs.select(col(idCol), array(codeCols: _*).as("pq_codes"))
-  }
+             books: Seq[Seq[Seq[Long]]]): DataFrame =
+    vecs.select(col(idCol), assignCodes(quantizeUnit(col(vecCol)), books).as("pq_codes"))
 
   /** ADC distance tables per query: array[subspace][code] of
     * |q_s − c_sk|² (integer longs, exact). */
