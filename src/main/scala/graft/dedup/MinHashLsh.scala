@@ -72,14 +72,44 @@ object MinHashLsh {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** Per-doc keeper assignment: rep_id = min verified neighbor (or self). */
-  def assignReps(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val best = pairs.groupBy(col("b_id").as(idCol))
-      .agg(min("a_id").as("__minNeighbor"))
-    docs.select(col(idCol))
-      .join(best, Seq(idCol), "left")
-      .select(col(idCol),
-        least(col(idCol), coalesce(col("__minNeighbor"), col(idCol))).as("rep_id"))
+  /** Per-doc keeper assignment: rep_id = the minimum id of the document's
+    * CONNECTED COMPONENT in the near-dup pair graph — so a transitive
+    * chain a~b~c collapses to one keeper even when (a,c) was never a
+    * direct pair (min-direct-neighbor would keep both a and c's docs).
+    *
+    * Min-label propagation: each round every node takes the least label
+    * among itself and its neighbors; a component of diameter D converges
+    * in ≤ D rounds, and near-dup clusters are small by construction (the
+    * corpus-wide pair graph is sparse — LSH only pairs near-dups), so the
+    * default bound is generous. Each round is one shuffle join on node id
+    * with localCheckpoint'ed labels (O(1) lineage), the
+    * [[graft.operators.Hierarchy]] discipline; one tiny convergence count
+    * per round. */
+  def assignReps(docs: DataFrame, idCol: String, pairs: DataFrame,
+                 maxRounds: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id").as("__src"), col("b_id").as("__dst"))
+      .union(pairs.select(col("b_id").as("__src"), col("a_id").as("__dst")))
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).as("__node"))
+      .withColumn("rep_id", col("__node"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("__node", "__dst"), "__dst")
+        .groupBy(col("__src").as("__node"))
+        .agg(min("rep_id").as("__nbr"))
+      val next = labels.join(neighborMin, Seq("__node"), "left")
+        .select(col("__node"),
+          least(col("rep_id"), coalesce(col("__nbr"), col("rep_id"))).as("rep_id"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("rep_id", "__old"), "__node")
+        .filter(col("rep_id") =!= col("__old")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels.select(col("__node").as(idCol), col("rep_id"))
       .withColumn("is_dup", (col("rep_id") =!= col(idCol)).cast("int"))
   }
 

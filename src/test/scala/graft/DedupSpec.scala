@@ -36,6 +36,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
   }
 
+  test("rep assignment collapses transitive chains to one component keeper") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val reps = MinHashLsh.assignReps(nodes, "doc_id", pairs)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(reps == Map(
+      1L -> ((1L, 0)), 2L -> ((1L, 1)), 3L -> ((1L, 1)), // chain 1-2-3: all -> 1
+      4L -> ((4L, 0)),                                   // isolated
+      5L -> ((5L, 0)), 6L -> ((5L, 1))))
+  }
+
   test("minhash rep assignment picks min neighbor, flags dups") {
     val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", 0.5)
     val reps = MinHashLsh.assignReps(docs, "doc_id", pairs)
