@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{ExactDedup, MinHashLsh}
+import graft.operators.{EmbedDocs, Sampling}
+import graft.functions.TextFunctions
+
+/** End-to-end integration: the operators compose into the canonical
+  * LLM-training-data curation pipeline on the real documents table —
+  * quality filter → exact dedup → near-dup dedup → deterministic split →
+  * batched embedding. Asserts the invariants a pipeline owner relies on:
+  * monotone shrinkage, no surviving duplicates, schema fitness for the
+  * downstream ANN stage, end-to-end determinism. */
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality->dedup->split->embed composes and preserves invariants") {
+    val docs = Tables.documents(spark, sfDir)
+    val n0 = docs.count()
+
+    // 1. quality gate: drop the lowest-quality tail
+    val quality = TextFunctions.textQuality(spark, sfDir)
+      .filter($"quality_score" >= 0.3).select("doc_id")
+    val gated = docs.join(quality, "doc_id")
+    val n1 = gated.count()
+    assert(n1 > 0 && n1 <= n0)
+
+    // 2. exact dedup: keep min doc_id per content hash
+    val exact = ExactDedup.dedup(gated, "doc_id", "text")
+    val n2 = exact.count()
+    assert(n2 <= n1)
+    assert(exact.groupBy(sha2($"text", 256)).count().filter($"count" > 1).isEmpty,
+      "exact duplicates survived")
+
+    // 3. near-dup dedup: keep component representatives only
+    val pairs = MinHashLsh.nearDupPairs(exact, "doc_id", "text", 0.5)
+    val reps = MinHashLsh.assignReps(exact, "doc_id", pairs)
+    val kept = exact.join(reps.filter($"is_dup" === 0).select("doc_id"), "doc_id")
+    val n3 = kept.count()
+    assert(n3 <= n2 && n3 > 0)
+
+    // 4. deterministic split + submix compose on the curated corpus
+    val split = Sampling.hashSplit(kept, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.1))
+    assert(split.count() == n3)
+
+    // 5. batched embedding over the training split feeds the ANN schema
+    val train = split.filter($"split" === "train")
+    val embedded = EmbedDocs.embed(train, "doc_id", "text")
+    val row = embedded.select($"embedding").head()
+    assert(row.getSeq[Float](0).length == EmbedDocs.Dim)
+    assert(embedded.count() == train.count())
+
+    // end-to-end determinism: rerun from a different partitioning
+    val rerun = {
+      val g2 = docs.repartition(13).join(quality, "doc_id")
+      val e2 = ExactDedup.dedup(g2, "doc_id", "text")
+      val p2 = MinHashLsh.nearDupPairs(e2, "doc_id", "text", 0.5)
+      val k2 = e2.join(MinHashLsh.assignReps(e2, "doc_id", p2)
+        .filter($"is_dup" === 0).select("doc_id"), "doc_id")
+      Sampling.hashSplit(k2, "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+        .select("doc_id", "split").as[(Long, String)].collect().toSet
+    }
+    val first = split.select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(first == rerun, "pipeline is not partitioning-deterministic")
+  }
+}
