@@ -62,6 +62,7 @@ object SparkEntry {
     "ann_pq"                -> (PqAnn.annPq(_, _)),
     "mm_meta"               -> (BinaryMedia.mmMeta(_, _)),
     "mm_framesample"        -> (BinaryMedia.mmFramesample(_, _)),
+    "mm_resize"             -> (BinaryMedia.mmResize(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,6 +109,7 @@ object SparkEntry {
     "ann_bruteforce"        -> BruteForceKnn.oracleSql,
     "mm_meta"               -> BinaryMedia.mmMetaOracleSql,
     "mm_framesample"        -> BinaryMedia.mmFramesampleOracleSql,
+    "mm_resize"             -> BinaryMedia.mmResizeOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

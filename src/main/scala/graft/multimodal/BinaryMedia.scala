@@ -61,6 +61,24 @@ object BinaryMedia {
       .withColumn("byte_offset", col("frame_idx").cast("long") * 100L)
       .select("media_id", "frame_idx", "byte_offset")
 
+  /** STUB resize planning for image rows: target box, preserved aspect
+    * ratio (scale to fit, never upscale), and output byte budget — the
+    * metadata layer of a resize stage; the pixel work itself would run in
+    * [[decodeBatch]]'s batched seam. Pure expressions: at 100 TB this is
+    * a map-side projection planning the expensive decode, letting a
+    * pipeline budget/filter BEFORE touching payload bytes. */
+  def resizePlan(meta: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val scale = least(
+      lit(targetW).cast("double") / col("width"),
+      lit(targetH).cast("double") / col("height"),
+      lit(1.0))
+    meta.filter(col("media_type") === "image")
+      .withColumn("out_w", floor(col("width") * scale).cast("int"))
+      .withColumn("out_h", floor(col("height") * scale).cast("int"))
+      .withColumn("out_bytes", (col("out_w").cast("long") * col("out_h") * 3L))
+      .select("media_id", "width", "height", "out_w", "out_h", "out_bytes")
+  }
+
   /** Batched stub decode — the mapPartitions seam where a real codec
     * (per-partition init, batch decode call) plugs in; returns a fake
     * per-item "luma" = mean payload byte. */
@@ -99,6 +117,26 @@ object BinaryMedia {
       |  CASE WHEN doc_id % 3 <> 0 THEN CAST(octet_length(encode(text)) * 8 AS BIGINT) END AS duration_ms,
       |  CASE WHEN doc_id % 3 = 2 THEN CAST(octet_length(encode(text)) // 100 + 1 AS INT) END AS frame_count
       |FROM documents""".stripMargin
+
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    resizePlan(
+      withMeta(mediaFromDocs(Tables.documents(spark, dir), "doc_id", "text")),
+      targetW = 224, targetH = 224)
+
+  def mmResizeOracleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(octet_length(encode(text)) % 512 + 64 AS INT) AS width,
+      |    CAST(octet_length(encode(text)) % 384 + 64 AS INT) AS height
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), s AS (
+      |  SELECT *, least(224.0 / width, 224.0 / height, 1.0) AS sc FROM m
+      |)
+      |SELECT media_id, width, height,
+      |  CAST(floor(width * sc) AS INT) AS out_w,
+      |  CAST(floor(height * sc) AS INT) AS out_h,
+      |  CAST(floor(width * sc) AS BIGINT) * CAST(floor(height * sc) AS BIGINT) * 3 AS out_bytes
+      |FROM s""".stripMargin
 
   def mmFramesample(spark: SparkSession, dir: String): DataFrame =
     frameSample(

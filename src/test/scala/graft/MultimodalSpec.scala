@@ -43,6 +43,21 @@ class MultimodalSpec extends SparkSpec {
     assert(counts == expected)
   }
 
+  test("resize plan: images only, aspect preserved, never upscales") {
+    val r = BinaryMedia.resizePlan(BinaryMedia.withMeta(media), 224, 224)
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_._1 % 3 == 0), "non-image media in resize plan")
+    r.foreach { case (_, w, h, ow, oh, ob) =>
+      assert(ow <= 224 && oh <= 224)
+      assert(ow <= w && oh <= h, "upscaled")
+      // same scale factor on both axes (aspect preserved up to floor)
+      val s = math.min(math.min(224.0 / w, 224.0 / h), 1.0)
+      assert(ow == math.floor(w * s).toInt && oh == math.floor(h * s).toInt)
+      assert(ob == ow.toLong * oh * 3)
+    }
+  }
+
   test("batched stub decode is deterministic and partition-independent") {
     val d1 = BinaryMedia.decodeBatch(media).as[(Long, Double)].collect().toMap
     val d2 = BinaryMedia.decodeBatch(media.repartition(9), batchSize = 7)
