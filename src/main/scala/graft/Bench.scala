@@ -18,7 +18,9 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // noop sink, not count(): count() lets Catalyst prune computed
+      // projection columns, so map-heavy queries would bench a near-noop
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           System.err.println(s"[bench] $name FAILED: ${errors(name)}")
