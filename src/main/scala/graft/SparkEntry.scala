@@ -42,6 +42,7 @@ object SparkEntry {
     "scale_minmax"          -> (Scaling.minMaxCustomer(_, _)),
     "schema_shrink"         -> (SchemaTools.shrinkPlanLineitem(_, _)),
     "column_classify"       -> (SchemaTools.classifyOrders(_, _)),
+    "numeric_profile"       -> (SchemaTools.numericProfileLineitem(_, _)),
     "class_weights"         -> (SchemaTools.classWeightsOrders(_, _)),
     "dim_date"              -> (DimDate.dimDate(_, _)),
     "hierarchy_flatten"     -> (Hierarchy.customerHierarchy(_, _)),
@@ -94,6 +95,7 @@ object SparkEntry {
     "scale_minmax"          -> Scaling.minMaxOracleSql,
     "schema_shrink"         -> SchemaTools.shrinkPlanOracleSql,
     "column_classify"       -> SchemaTools.classifyOracleSql,
+    "numeric_profile"       -> SchemaTools.numericProfileOracleSql,
     "class_weights"         -> SchemaTools.classWeightsOracleSql,
     "dim_date"              -> DimDate.oracleSql,
     "hierarchy_flatten"     -> Hierarchy.oracleSql,

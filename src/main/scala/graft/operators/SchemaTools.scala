@@ -125,6 +125,50 @@ object SchemaTools {
       |       ELSE 'other' END AS col_class
       |FROM d""".stripMargin
 
+  /** Numeric column profiling — the statistics layer of schema discovery
+    * (min/max/mean/stddev/median/p95 + null counts per column), one row
+    * per profiled column. All statistics come from ONE pass over the
+    * table (a single multi-aggregate job, partial-aggregated map-side);
+    * the exact interpolated percentiles hold per-group value multisets in
+    * memory, which is fine for profiling single columns of a table slice
+    * — at full 100 TB use approx_percentile for those two columns. */
+  def numericProfile(df: org.apache.spark.sql.DataFrame,
+                     cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c"),
+      round(avg(col(c)), 4).as(s"__avg_$c"),
+      round(stddev(col(c)), 4).as(s"__std_$c"),
+      round(percentile(col(c), lit(0.5)), 4).as(s"__p50_$c"),
+      round(percentile(col(c), lit(0.95)), 4).as(s"__p95_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column_name"), col(s"__n_$c").as("n"),
+        col(s"__min_$c").as("min_val"), col(s"__max_$c").as("max_val"),
+        col(s"__avg_$c").as("avg_val"), col(s"__std_$c").as("stddev_val"),
+        col(s"__p50_$c").as("p50"), col(s"__p95_$c").as("p95"))
+    }
+    wide.select(explode(array(rows: _*)).as("__r")).select("__r.*")
+  }
+
+  /** Query-map entry (extra beyond SURVEY §2). */
+  def numericProfileLineitem(spark: SparkSession, dir: String): DataFrame =
+    numericProfile(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+
+  def numericProfileOracleSql: String =
+    """SELECT unnest(['l_quantity','l_extendedprice','l_discount']) AS column_name,
+      |  unnest([count(l_quantity), count(l_extendedprice), count(l_discount)]) AS n,
+      |  unnest([CAST(min(l_quantity) AS DOUBLE), min(l_extendedprice), min(l_discount)]) AS min_val,
+      |  unnest([CAST(max(l_quantity) AS DOUBLE), max(l_extendedprice), max(l_discount)]) AS max_val,
+      |  unnest([round(avg(l_quantity), 4), round(avg(l_extendedprice), 4), round(avg(l_discount), 4)]) AS avg_val,
+      |  unnest([round(stddev(l_quantity), 4), round(stddev(l_extendedprice), 4), round(stddev(l_discount), 4)]) AS stddev_val,
+      |  unnest([round(quantile_cont(l_quantity, 0.5), 4), round(quantile_cont(l_extendedprice, 0.5), 4), round(quantile_cont(l_discount, 0.5), 4)]) AS p50,
+      |  unnest([round(quantile_cont(l_quantity, 0.95), 4), round(quantile_cont(l_extendedprice, 0.95), 4), round(quantile_cont(l_discount, 0.95), 4)]) AS p95
+      |FROM lineitem""".stripMargin
+
   def classWeightsOrders(spark: SparkSession, dir: String): DataFrame =
     classWeights(Tables.orders(spark, dir), "o_orderstatus")
 
