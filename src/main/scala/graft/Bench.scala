@@ -35,8 +35,9 @@ object Bench {
     val qs = results.map { case (k, v) =>
       s"\"" + k + "\":" + (if (errors.contains(k)) "-1" else v.toString)
     }.mkString("{", ",", "}")
-    def jstr(s: String) = "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\""
-    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    // full escaping (Json.str): an exception message with an exotic
+    // control char must not make the one metrics line unparseable
+    val es = errors.map { case (k, v) => Json.str(k) + ":" + Json.str(v) }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()

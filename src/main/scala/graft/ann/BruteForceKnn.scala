@@ -33,15 +33,7 @@ object BruteForceKnn {
       .select(col("query_id"), col("neighbor_id"),
         cosineQ(col("__cq"), col("__qq")).as("cos_sim"))
 
-    // phase 1: partial top-k per (query, shuffle partition) — bounded memory
-    val part = Window.partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    // phase 2: final rank over the shrunken survivor set
-    val full = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("__pr", row_number().over(part)).filter(col("__pr") <= k)
-      .withColumn("rank", row_number().over(full)).filter(col("rank") <= k)
+    Ranking.partialTopK(scored, k, Seq(col("cos_sim").desc, col("neighbor_id")))
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 

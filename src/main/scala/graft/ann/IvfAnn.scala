@@ -89,10 +89,8 @@ object IvfAnn {
   private[ann] def assign(q: DataFrame, qCol: String,
                           centroids: Seq[(Int, Seq[Long])]): DataFrame = {
     val ordered = centroids.sortBy(_._1).map(_._2)
-    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_pq_assign",
-        exprs => graft.functions.PqAssign(exprs.head, Seq(ordered)), "built-in")
-    q.withColumn("__cid", element_at(call_function("graft_pq_assign", col(qCol)), 1))
+    q.withColumn("__cid",
+      element_at(PqAnn.assignCodes(col(qCol), Seq(ordered)), 1))
   }
 
   /** `nprobe` nearest centroid ids per query vector. */
@@ -121,20 +119,15 @@ object IvfAnn {
       .withColumn("__qnorm", sqrt(dotQ(col("__qq"), col("__qq")).cast("double")))
     val qProbes = probes(qq, "__qq", centroids, nprobe)
 
+    // no distinct needed: each corpus vector lives in exactly one list and
+    // a query probes distinct lists, so a pair can match at most once
     val scored = lists.join(broadcast(qProbes), Seq("__cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotQ(col("__cq"), col("__qq")).cast("double")
           / (col("__cnorm") * col("__qnorm"))).as("cos_sim"))
-      .distinct() // a pair met via multiple probed lists counts once
 
-    val part = Window.partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val full = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("__pr", row_number().over(part)).filter(col("__pr") <= k)
-      .withColumn("rank", row_number().over(full)).filter(col("rank") <= k)
+    Ranking.partialTopK(scored, k, Seq(col("cos_sim").desc, col("neighbor_id")))
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 

@@ -33,17 +33,14 @@ object LshAnn {
   val Bits = 6
   val Dim = 64
 
-  /** Deterministic hyperplanes: unit-free gaussian-ish weights from a
-    * fixed-seed linear congruential stream — stable across JVMs/runs. */
+  /** Deterministic hyperplanes: unit-free weights from a fixed-seed
+    * splitmix64 stream (shared [[graft.functions.Mix64]] finalizer) —
+    * stable across JVMs/runs. */
   private[ann] def hyperplanes(tables: Int, bits: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
-    var state = 0x9E3779B97F4A7C15L
+    var state = graft.functions.Mix64.Golden
     def next(): Double = {
-      // splitmix64 step → uniform in (-1, 1)
-      state += 0x9E3779B97F4A7C15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
+      state += graft.functions.Mix64.Golden
+      val z = graft.functions.Mix64.mix(state)
       (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
     Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(next())))
@@ -110,13 +107,7 @@ object LshAnn {
       .select(col("query_id"), col("neighbor_id"),
         cosineQ(col("__cq"), col("__qq")).as("cos_sim"))
 
-    val part = Window.partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val full = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("__pr", row_number().over(part)).filter(col("__pr") <= k)
-      .withColumn("rank", row_number().over(full)).filter(col("rank") <= k)
+    Ranking.partialTopK(scored, k, Seq(col("cos_sim").desc, col("neighbor_id")))
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 

@@ -85,13 +85,15 @@ object PqAnn {
   }
 
   /** All-subspace code assignment via the compiled [[graft.functions.PqAssign]]
-    * (registered on the active session; the codebook rides the builder
-    * closure and is re-registered before each analysis). */
-  private def assignCodes(qCol: Column, books: Seq[Seq[Seq[Long]]]): Column = {
+    * (registered on the active session under a codebook-unique name, so
+    * concurrent plan construction with different codebooks on one session
+    * can never resolve against the wrong builder). */
+  private[ann] def assignCodes(qCol: Column, books: Seq[Seq[Seq[Long]]]): Column = {
+    val fname = f"graft_pq_assign_${books.hashCode}%08x"
     org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_pq_assign",
+      .createOrReplaceTempFunction(fname,
         exprs => graft.functions.PqAssign(exprs.head, books), "built-in")
-    call_function("graft_pq_assign", qCol)
+    call_function(fname, qCol)
   }
 
   /** Encode vectors to PQ codes: array<int> of length SubSpaces. */
@@ -132,13 +134,8 @@ object PqAnn {
           lit(0L), (acc, v) => acc + v).as("approx_dist"))
 
     val pool = RerankFactor * k
-    val part = Window.partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("approx_dist"), col("neighbor_id"))
-    val full = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_dist"), col("neighbor_id"))
-    val cand = approx
-      .withColumn("__pr", row_number().over(part)).filter(col("__pr") <= pool)
-      .withColumn("__r", row_number().over(full)).filter(col("__r") <= pool)
+    val cand = Ranking.partialTopK(approx, pool,
+        Seq(col("approx_dist"), col("neighbor_id")), rankCol = "__r")
       .select("query_id", "neighbor_id")
 
     // exact re-rank of the pool only

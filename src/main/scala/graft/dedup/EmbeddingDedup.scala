@@ -35,7 +35,10 @@ object EmbeddingDedup {
     val parallelism = vecs.sparkSession.sessionState.conf.numShufflePartitions
     val q = vecs.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
       .withColumn("__norm", sqrt(graft.functions.VectorFunctions.dotQ(col("__q"), col("__q")).cast("double")))
-    q.repartition(parallelism).as("a")
+    // conditional, like Tables.spread — avoids a second full exchange when
+    // the input already arrives wide
+    val streamed = if (q.rdd.getNumPartitions < parallelism) q.repartition(parallelism) else q
+    streamed.as("a")
       .join(q.as("b"), col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
         (graft.functions.VectorFunctions.dotQ(col("a.__q"), col("b.__q")).cast("double")

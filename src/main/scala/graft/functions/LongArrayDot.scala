@@ -21,10 +21,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class LongArrayDot(left: Expression, right: Expression)
   extends BinaryExpression {
 
-  // inputs are produced by VectorFunctions.quantize (array<bigint> by
-  // construction), so no ExpectsInputTypes contract is declared — the
-  // trait's type members are private[sql] and this is an internal node
-  // reached only through VectorFunctions.dotQ
+  // ExpectsInputTypes' members are private[sql]; validate directly so a
+  // wrong-typed SQL call (the expression is registry-exposed) fails
+  // analysis instead of reading garbage through getLong
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = ExprChecks.requireLongArray(left.dataType, prettyName)
+    if (l.isFailure) l else ExprChecks.requireLongArray(right.dataType, prettyName)
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "long_array_dot"
 

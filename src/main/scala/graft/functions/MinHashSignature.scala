@@ -17,6 +17,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class MinHashSignature(child: Expression, sigLen: Int) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.requireLongArray(child.dataType, prettyName)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
@@ -32,15 +34,6 @@ case class MinHashSignature(child: Expression, sigLen: Int) extends UnaryExpress
 }
 
 object MinHashSignature {
-  private final val Golden = 0x9E3779B97F4A7C15L
-
-  /** splitmix64 finalizer — a high-quality 64-bit mixer. */
-  @inline private def mix64(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
 
   def compute(hashes: ArrayData, sigLen: Int): ArrayData = {
     val out = Array.fill(sigLen)(Long.MaxValue)
@@ -50,7 +43,7 @@ object MinHashSignature {
       val h = hashes.getLong(j)
       var i = 0
       while (i < sigLen) {
-        val v = mix64(h + Golden * (i + 1))
+        val v = Mix64.mix(h + Mix64.Golden * (i + 1))
         if (v < out(i)) out(i) = v
         i += 1
       }

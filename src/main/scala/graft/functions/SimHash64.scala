@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.requireLongArray(child.dataType, prettyName)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 

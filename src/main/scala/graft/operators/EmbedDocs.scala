@@ -33,12 +33,8 @@ object EmbedDocs {
   /** Deterministic stand-in for a sentence-transformer: one call per
     * batch, mirroring `model.encode(list_of_texts)`. */
   object StubEncoder {
-    private def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
+    import graft.functions.Mix64
+    private def mix(z0: Long): Long = Mix64.mix(z0 + Mix64.Golden)
     def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
       val seed = mix(t.hashCode.toLong)
       val raw = Array.tabulate(Dim)(j =>

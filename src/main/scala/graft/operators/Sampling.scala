@@ -40,8 +40,9 @@ object Sampling {
   /** Deterministic train/val/test assignment: split s covers the bucket
     * range [cum(s), cum(s)+frac(s))·M, so every row gets exactly one
     * label, stable across runs/engines/partitionings, and growing the
-    * corpus never reassigns an existing row. Fractions must sum to ≤ 1;
-    * any remainder falls into the last split. */
+    * corpus never reassigns an existing row. Fractions must sum to
+    * exactly 1 (enforced) — an unnamed remainder bucket would silently
+    * mislabel rows as the last split. */
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
