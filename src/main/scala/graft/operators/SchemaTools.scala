@@ -129,9 +129,11 @@ object SchemaTools {
     * (min/max/mean/stddev/median/p95 + null counts per column), one row
     * per profiled column. All statistics come from ONE pass over the
     * table (a single multi-aggregate job, partial-aggregated map-side);
-    * the exact interpolated percentiles hold per-group value multisets in
-    * memory, which is fine for profiling single columns of a table slice
-    * — at full 100 TB use approx_percentile for those two columns. */
+    * the exact interpolated percentiles hold a value→count map per
+    * partial aggregate, so they are only appropriate for BOUNDED-DOMAIN
+    * columns (quantities, rates, small ints) — profile high-cardinality
+    * measures with approx_percentile instead, or the final merge
+    * concentrates every distinct value on one reducer. */
   def numericProfile(df: org.apache.spark.sql.DataFrame,
                      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
     val aggs = cols.flatMap { c => Seq(
@@ -153,20 +155,21 @@ object SchemaTools {
     wide.select(explode(array(rows: _*)).as("__r")).select("__r.*")
   }
 
-  /** Query-map entry (extra beyond SURVEY §2). */
+  /** Query-map entry (extra beyond SURVEY §2) — bounded-domain columns
+    * only, per the exact-percentile caveat above. */
   def numericProfileLineitem(spark: SparkSession, dir: String): DataFrame =
     numericProfile(Tables.lineitem(spark, dir),
-      Seq("l_quantity", "l_extendedprice", "l_discount"))
+      Seq("l_quantity", "l_discount", "l_linenumber"))
 
   def numericProfileOracleSql: String =
-    """SELECT unnest(['l_quantity','l_extendedprice','l_discount']) AS column_name,
-      |  unnest([count(l_quantity), count(l_extendedprice), count(l_discount)]) AS n,
-      |  unnest([CAST(min(l_quantity) AS DOUBLE), min(l_extendedprice), min(l_discount)]) AS min_val,
-      |  unnest([CAST(max(l_quantity) AS DOUBLE), max(l_extendedprice), max(l_discount)]) AS max_val,
-      |  unnest([round(avg(l_quantity), 4), round(avg(l_extendedprice), 4), round(avg(l_discount), 4)]) AS avg_val,
-      |  unnest([round(stddev(l_quantity), 4), round(stddev(l_extendedprice), 4), round(stddev(l_discount), 4)]) AS stddev_val,
-      |  unnest([round(quantile_cont(l_quantity, 0.5), 4), round(quantile_cont(l_extendedprice, 0.5), 4), round(quantile_cont(l_discount, 0.5), 4)]) AS p50,
-      |  unnest([round(quantile_cont(l_quantity, 0.95), 4), round(quantile_cont(l_extendedprice, 0.95), 4), round(quantile_cont(l_discount, 0.95), 4)]) AS p95
+    """SELECT unnest(['l_quantity','l_discount','l_linenumber']) AS column_name,
+      |  unnest([count(l_quantity), count(l_discount), count(l_linenumber)]) AS n,
+      |  unnest([CAST(min(l_quantity) AS DOUBLE), min(l_discount), CAST(min(l_linenumber) AS DOUBLE)]) AS min_val,
+      |  unnest([CAST(max(l_quantity) AS DOUBLE), max(l_discount), CAST(max(l_linenumber) AS DOUBLE)]) AS max_val,
+      |  unnest([round(avg(l_quantity), 4), round(avg(l_discount), 4), round(avg(l_linenumber), 4)]) AS avg_val,
+      |  unnest([round(stddev(l_quantity), 4), round(stddev(l_discount), 4), round(stddev(l_linenumber), 4)]) AS stddev_val,
+      |  unnest([round(quantile_cont(l_quantity, 0.5), 4), round(quantile_cont(l_discount, 0.5), 4), round(quantile_cont(l_linenumber, 0.5), 4)]) AS p50,
+      |  unnest([round(quantile_cont(l_quantity, 0.95), 4), round(quantile_cont(l_discount, 0.95), 4), round(quantile_cont(l_linenumber, 0.95), 4)]) AS p95
       |FROM lineitem""".stripMargin
 
   def classWeightsOrders(spark: SparkSession, dir: String): DataFrame =
