@@ -96,7 +96,8 @@ object MinHashLsh {
       .withColumn("rep_id", col("__node"))
       .localCheckpoint()
     var round = 0
-    var converged = false
+    // a fully-deduplicated corpus (no pairs) needs no propagation rounds
+    var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("__node", "__dst"), "__dst")
