@@ -15,12 +15,21 @@ import graft.Tables
 object ColumnNames {
 
   /** snake/kebab/space/dotted name → camelCase: split on non-alphanumeric
-    * boundaries, first token lowercased, rest capitalized. */
+    * boundaries, first token lowercased, rest capitalized. A single token
+    * that already mixes case (i.e. is already camelCase) only lowers its
+    * first character — so the renamer is idempotent and re-running bronze
+    * normalization on bronze output never mangles names; all-uppercase
+    * tokens (acronym style) still lowercase fully. */
   def toCamel(name: String): String = {
     val parts = name.split("[^A-Za-z0-9]+").filter(_.nonEmpty)
-    if (parts.isEmpty) name
-    else (parts.head.toLowerCase +: parts.tail.map(p =>
-      p.head.toUpper.toString + p.tail.toLowerCase)).mkString
+    parts match {
+      case Array() => name
+      case Array(only) if only.exists(_.isLower) =>
+        only.head.toLower.toString + only.tail
+      case _ =>
+        (parts.head.toLowerCase +: parts.tail.map(p =>
+          p.head.toUpper.toString + p.tail.toLowerCase)).mkString
+    }
   }
 
   /** Rename every column of `df` to camelCase. */
