@@ -34,11 +34,19 @@ class TextOpsSpec extends SparkSpec {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
       "SELECT graft_poly_fingerprint('a b c') AS fp, " +
-        "graft_long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dot").head()
+        "graft_long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dot, " +
+        "graft_simhash64(array(7L)) AS sh, " +
+        "size(graft_minhash_signature(array(7L, 8L))) AS sig_len").head()
     val ref = Seq(("a b c", 1)).toDF("text", "x")
       .select(TextFunctions.fingerprintExpr($"text")).head().getLong(0)
     assert(r.getLong(0) == ref)
     assert(r.getLong(1) == 32L)
+    assert(r.getLong(2) == 7L) // single token: fingerprint = its own bits
+    assert(r.getInt(3) == graft.dedup.MinHashLsh.SigLen)
+    // wrong-typed SQL args must fail analysis, not read garbage
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_long_array_dot(array(1, 2), array(3, 4))").collect())
+    assert(err.getMessage.contains("array<bigint>"), err.getMessage)
   }
 
   test("token counts match on a known sentence") {
