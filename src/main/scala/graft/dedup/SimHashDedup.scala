@@ -33,9 +33,17 @@ object SimHashDedup {
     call_function("graft_simhash64", transform(split(text, "\\s+"), w => xxhash64(w)))
   }
 
+  /** (id, fingerprint) table — cached because the banding join and the
+    * final output projection both read it. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"), simhash(col(textCol)).as("__fp")).cache()
+
   /** Verified near-dup pairs: hamming(simhash_a, simhash_b) ≤ HammingMax. */
-  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = docs.select(col(idCol).as("__id"), simhash(col(textCol)).as("__fp")).cache()
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    nearDupPairsFromFp(fingerprints(docs, idCol, textCol))
+
+  /** Pair generation over a precomputed (\_\_id, \_\_fp) table. */
+  def nearDupPairsFromFp(fp: DataFrame): DataFrame = {
     // shiftright needs a literal amount, so the 4 bands unroll statically
     val bandCols = Seq.tabulate(BandCount) { j =>
       struct(lit(j).as("band_idx"),
@@ -61,9 +69,10 @@ object SimHashDedup {
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = nearDupPairs(docs, "doc_id", "text")
+    val fp = fingerprints(docs, "doc_id", "text")
+    val pairs = nearDupPairsFromFp(fp)
     MinHashLsh.assignReps(docs, "doc_id", pairs.select("a_id", "b_id"))
-      .join(docs.select(col("doc_id"), simhash(col("text")).as("simhash")), "doc_id")
+      .join(fp.select(col("__id").as("doc_id"), col("__fp").as("simhash")), "doc_id")
       .select("doc_id", "simhash", "rep_id", "is_dup")
   }
 }
