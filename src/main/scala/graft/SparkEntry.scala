@@ -5,7 +5,7 @@ import graft.queries.TpchLike
 import graft.operators.{ColumnNames, Compaction, DimDate, EmbedDocs, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize}
 import graft.functions.TextFunctions
 import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
-import graft.ann.{BruteForceKnn, IvfAnn, LshAnn, PqAnn}
+import graft.ann.{BruteForceKnn, IvfAnn, IvfPqAnn, LshAnn, PqAnn}
 import graft.multimodal.BinaryMedia
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -61,6 +61,7 @@ object SparkEntry {
     "ann_lsh"               -> (LshAnn.annLsh(_, _)),
     "ann_ivf"               -> (IvfAnn.annIvf(_, _)),
     "ann_pq"                -> (PqAnn.annPq(_, _)),
+    "ann_ivfpq"             -> (IvfPqAnn.annIvfPq(_, _)),
     "mm_meta"               -> (BinaryMedia.mmMeta(_, _)),
     "mm_framesample"        -> (BinaryMedia.mmFramesample(_, _)),
     "mm_resize"             -> (BinaryMedia.mmResize(_, _)),

@@ -43,11 +43,18 @@ object PqAnn {
     * which is the difference between one training sweep and eight at
     * 100 TB). Integer accumulation keeps results partitioning-invariant. */
   def trainCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
-                     codes: Int = Codes): Seq[Seq[Seq[Long]]] = {
-    val q = vecs.select(col(idCol).as("__id"), quantizeUnit(col(vecCol)).as("__qfull"))
-      .filter(graft.operators.Sampling.portableBucket(col(idCol)) <
-        (IvfAnn.TrainFrac * graft.operators.Sampling.M).toLong)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                     codes: Int = Codes): Seq[Seq[Seq[Long]]] =
+    trainCodebooksFromQ(
+      vecs.select(col(idCol).as("__id"), quantizeUnit(col(vecCol)).as("__qfull"))
+        .filter(graft.operators.Sampling.portableBucket(col(idCol)) <
+          (IvfAnn.TrainFrac * graft.operators.Sampling.M).toLong),
+      codes)
+
+  /** Codebook training over a prepared (`__id`, `__qfull` array<bigint>)
+    * frame — the entry the IVF+PQ composition feeds with RESIDUALS. */
+  private[ann] def trainCodebooksFromQ(qIn: DataFrame,
+                                       codes: Int): Seq[Seq[Seq[Long]]] = {
+    val q = qIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // seed every subspace from the same `codes` lowest-hash sample rows
     val seedRows = q.withColumn("__h", xxhash64(col("__id")))
@@ -103,7 +110,7 @@ object PqAnn {
 
   /** ADC distance tables per query: array[subspace][code] of
     * |q_s − c_sk|² (integer longs, exact). */
-  private def distTables(qCol: Column, books: Seq[Seq[Seq[Long]]]): Column =
+  private[ann] def distTables(qCol: Column, books: Seq[Seq[Seq[Long]]]): Column =
     array(books.zipWithIndex.map { case (book, s) =>
       val sub = slice(qCol, s * SubDim + 1, SubDim)
       val sub2 = dotQ(sub, sub)

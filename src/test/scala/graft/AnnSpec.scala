@@ -68,6 +68,19 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.3f below floor")
   }
 
+  test("ivfpq (residual coding) recall vs brute force on sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = BruteForceKnn.querySubset(emb)
+    val exact = BruteForceKnn.topK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = graft.ann.IvfPqAnn.topK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"ivfpq recall = $recall%.3f (nprobe=${graft.ann.IvfPqAnn.NProbe}/${graft.ann.IvfAnn.NList})")
+    // bounded by the IVF probe recall; near-random vectors are the hard case
+    assert(recall >= 0.4, f"recall $recall%.3f below floor")
+  }
+
   test("pq codes are within range and encoding is deterministic") {
     val emb = Tables.embeddings(spark, sfDir)
     val books = graft.ann.PqAnn.trainCodebooks(emb, "vec_id", "embedding")
