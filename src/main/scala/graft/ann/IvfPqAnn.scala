@@ -25,6 +25,9 @@ import graft.functions.VectorFunctions._
 object IvfPqAnn {
 
   val NProbe = 4
+  // index build is one-time at real scale; fewer k-means rounds than the
+  // standalone variants keeps the per-run build cost proportionate
+  val TrainIters = 3
 
   /** Approximate top-k via probed-list ADC + exact re-rank. */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -36,7 +39,7 @@ object IvfPqAnn {
       .filter(graft.operators.Sampling.portableBucket(col("__id")) <
         (IvfAnn.TrainFrac * graft.operators.Sampling.M).toLong)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = IvfAnn.kmeansQ(sample, IvfAnn.NList, IvfAnn.Iters)
+    val centroids = IvfAnn.kmeansQ(sample, IvfAnn.NList, TrainIters)
     val centArr = centroids.sortBy(_._1).map(_._2)
     val centLit = typedlit(centArr)
     def residual(vec: Column, cid: Column): Column =
@@ -45,7 +48,7 @@ object IvfPqAnn {
     val books = PqAnn.trainCodebooksFromQ(
       IvfAnn.assign(sample, "__q", centroids)
         .select(col("__id"), residual(col("__q"), col("__cid")).as("__qfull")),
-      PqAnn.Codes)
+      PqAnn.Codes, TrainIters)
     sample.unpersist()
 
     // the stored index: (neighbor_id, list id, residual PQ codes)

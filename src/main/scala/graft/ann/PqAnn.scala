@@ -52,8 +52,8 @@ object PqAnn {
 
   /** Codebook training over a prepared (`__id`, `__qfull` array<bigint>)
     * frame — the entry the IVF+PQ composition feeds with RESIDUALS. */
-  private[ann] def trainCodebooksFromQ(qIn: DataFrame,
-                                       codes: Int): Seq[Seq[Seq[Long]]] = {
+  private[ann] def trainCodebooksFromQ(qIn: DataFrame, codes: Int,
+                                       iters: Int = Iters): Seq[Seq[Seq[Long]]] = {
     val q = qIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // seed every subspace from the same `codes` lowest-hash sample rows
@@ -64,7 +64,7 @@ object PqAnn {
       seedRows.toSeq.map(full => full.slice(s * SubDim, (s + 1) * SubDim))
     }
 
-    for (_ <- 1 to Iters) {
+    for (_ <- 1 to iters) {
       // codes project FIRST, explode in a separate select: a generator's
       // sibling expressions land in a Project ABOVE the Generate and
       // would re-evaluate all 8×k assignments once per exploded component
