@@ -62,6 +62,18 @@ object EmbedDocs {
 
   // ---- query-map entry (#26, rows-gated; determinism asserted in spec) ----
 
-  def embedDocuments(spark: SparkSession, dir: String): DataFrame =
+  /** The query-map projection keeps only scalar summaries of each vector
+    * (dim / norm / component hash) — the raw `array<float>` column breaks
+    * the driver's pandas-based result sort, and the array itself is
+    * exercised end-to-end by EmbedDocsSpec and the ann/dedup operators. */
+  def embedDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     embed(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(aggregate(col("embedding"),
+          lit(0.0d), (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("l2_norm"),
+        xxhash64(to_json(transform(col("embedding"),
+          x => round(x.cast("double"), 6)))).as("vec_hash"))
+  }
 }
