@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.functions.{LongArrayDot, MinHashSignature, PolyFingerprint, SimHash64}
+import graft.functions.{AdcSum, LongArrayDot, MinHashSignature, PolyFingerprint, QuantizeVec, SimHash64}
 
 /** SQL-surface registration for graft's native Catalyst expressions, so
   * `spark.sql(...)` users get them alongside the Column API:
@@ -27,5 +27,11 @@ object GraftFunctions {
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_signature",
       exprs => MinHashSignature(exprs.head, graft.dedup.MinHashLsh.SigLen), "built-in")
+    reg.createOrReplaceTempFunction("graft_quantize",
+      exprs => QuantizeVec(exprs.head, unit = false), "built-in")
+    reg.createOrReplaceTempFunction("graft_quantize_unit",
+      exprs => QuantizeVec(exprs.head, unit = true), "built-in")
+    reg.createOrReplaceTempFunction("graft_adc_sum",
+      exprs => AdcSum(exprs(0), exprs(1)), "built-in")
   }
 }

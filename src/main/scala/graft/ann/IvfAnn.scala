@@ -93,19 +93,21 @@ object IvfAnn {
       element_at(PqAnn.assignCodes(col(qCol), Seq(ordered)), 1))
   }
 
-  /** `nprobe` nearest centroid ids per query vector. */
-  private def probes(q: DataFrame, qCol: String,
-                     centroids: Seq[(Int, Seq[Long])], nprobe: Int): DataFrame = {
-    val scored: Column = array(centroids.map { case (cid, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(-2L) * dotQ(col(qCol), typedlit(c)) + lit(c2)).as("dist"),
-        lit(cid).as("cid"))
-    }: _*)
-    q.withColumn("__probe",
-        slice(transform(array_sort(scored), s => s.getField("cid")), 1, nprobe))
-      .select(col("*"), explode(col("__probe")).as("__cid"))
-      .drop("__probe")
+  /** `nprobe` nearest centroid ids per query vector, via the compiled
+    * [[graft.functions.NearestCentroids]] — plan size is O(1) in nlist
+    * (the per-centroid struct-array form could never reach the
+    * reference's nlist=65536). Centroid index = list id. */
+  private[ann] def probeIds(qCol: Column, centroids: Seq[(Int, Seq[Long])],
+                            nprobe: Int): Column = {
+    val ordered = centroids.sortBy(_._1).map(_._2)
+    graft.functions.Native.call(
+      f"graft_nearest_centroids_${(ordered, nprobe).hashCode}%08x",
+      exprs => graft.functions.NearestCentroids(exprs.head, ordered, nprobe), qCol)
   }
+
+  private def probes(q: DataFrame, qCol: String,
+                     centroids: Seq[(Int, Seq[Long])], nprobe: Int): DataFrame =
+    q.select(col("*"), explode(probeIds(col(qCol), centroids, nprobe)).as("__cid"))
 
   /** Approximate top-k: probe nprobe lists, exact cosine within them. */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -41,9 +41,11 @@ object IvfPqAnn {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = IvfAnn.kmeansQ(sample, IvfAnn.NList, TrainIters)
     val centArr = centroids.sortBy(_._1).map(_._2)
-    val centLit = typedlit(centArr)
+    // compiled v − centroids[cid] (ResidualQ): runs per corpus row in the
+    // index build, so it must not be an interpreted zip_with lambda
     def residual(vec: Column, cid: Column): Column =
-      zip_with(vec, element_at(centLit, cid + 1), (a, b) => a - b)
+      graft.functions.Native.call(f"graft_residual_q_${centArr.hashCode}%08x",
+        exprs => graft.functions.ResidualQ(exprs(0), exprs(1), centArr), vec, cid)
 
     val books = PqAnn.trainCodebooksFromQ(
       IvfAnn.assign(sample, "__q", centroids)
@@ -57,17 +59,12 @@ object IvfPqAnn {
       .select(col("neighbor_id"), col("__cid"),
         PqAnn.assignCodes(residual(col("__q"), col("__cid")), books).as("pq_codes"))
 
-    // query side: nprobe nearest lists, one residual table per probed list
+    // query side: nprobe nearest lists (compiled top-nprobe — plan size
+    // O(1) in nlist), one residual distance table per probed list
     val qu = queries.select(col(idCol).as("query_id"), quantizeUnit(col(vecCol)).as("__qu"))
-    val probeScores: Column = array(centroids.sortBy(_._1).map { case (cid, c) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(-2L) * dotQ(col("__qu"), typedlit(c)) + lit(c2)).as("dist"),
-        lit(cid).as("cid"))
-    }: _*)
     val qProbes = qu
-      .withColumn("__probe",
-        slice(transform(array_sort(probeScores), s => s.getField("cid")), 1, NProbe))
-      .select(col("query_id"), col("__qu"), explode(col("__probe")).as("__cid"))
+      .select(col("query_id"), col("__qu"),
+        explode(IvfAnn.probeIds(col("__qu"), centroids, NProbe)).as("__cid"))
       .withColumn("__tables",
         PqAnn.distTables(residual(col("__qu"), col("__cid")), books))
       .select("query_id", "__cid", "__tables")
@@ -75,9 +72,7 @@ object IvfPqAnn {
     val approx = index.join(broadcast(qProbes), Seq("__cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(
-          zip_with(col("__tables"), col("pq_codes"), (t, c) => element_at(t, c + 1)),
-          lit(0L), (acc, v) => acc + v).as("approx_dist"))
+        PqAnn.adcSum(col("__tables"), col("pq_codes")).as("approx_dist"))
 
     val pool = PqAnn.RerankFactor * k
     val cand = Ranking.partialTopK(approx, pool,

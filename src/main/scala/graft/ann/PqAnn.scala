@@ -92,16 +92,12 @@ object PqAnn {
   }
 
   /** All-subspace code assignment via the compiled [[graft.functions.PqAssign]]
-    * (registered on the active session under a codebook-unique name, so
+    * (registered once per codebook under a content-hashed name, so
     * concurrent plan construction with different codebooks on one session
     * can never resolve against the wrong builder). */
-  private[ann] def assignCodes(qCol: Column, books: Seq[Seq[Seq[Long]]]): Column = {
-    val fname = f"graft_pq_assign_${books.hashCode}%08x"
-    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction(fname,
-        exprs => graft.functions.PqAssign(exprs.head, books), "built-in")
-    call_function(fname, qCol)
-  }
+  private[ann] def assignCodes(qCol: Column, books: Seq[Seq[Seq[Long]]]): Column =
+    graft.functions.Native.call(f"graft_pq_assign_${books.hashCode}%08x",
+      exprs => graft.functions.PqAssign(exprs.head, books), qCol)
 
   /** Encode vectors to PQ codes: array<int> of length SubSpaces. */
   def encode(vecs: DataFrame, idCol: String, vecCol: String,
@@ -109,16 +105,20 @@ object PqAnn {
     vecs.select(col(idCol), assignCodes(quantizeUnit(col(vecCol)), books).as("pq_codes"))
 
   /** ADC distance tables per query: array[subspace][code] of
-    * |q_s − c_sk|² (integer longs, exact). */
+    * |q_s − c_sk|² (integer longs, exact) — one codegen'd loop via the
+    * compiled [[graft.functions.PqDistTables]]; plan size is O(1) in
+    * Codes (the inline expression-tree form was 8×Codes subexpressions,
+    * past Janino's 64 KB method limit at the real PQ8x8 config). */
   private[ann] def distTables(qCol: Column, books: Seq[Seq[Seq[Long]]]): Column =
-    array(books.zipWithIndex.map { case (book, s) =>
-      val sub = slice(qCol, s * SubDim + 1, SubDim)
-      val sub2 = dotQ(sub, sub)
-      array(book.map { c =>
-        val c2 = c.map(x => x * x).sum
-        sub2 - lit(2L) * dotQ(sub, typedlit(c)) + lit(c2)
-      }: _*)
-    }: _*)
+    graft.functions.Native.call(f"graft_pq_dist_tables_${books.hashCode}%08x",
+      exprs => graft.functions.PqDistTables(exprs.head, books), qCol)
+
+  /** Per-pair ADC sum `Σ_s tables[s][codes[s]]` via the compiled
+    * [[graft.functions.AdcSum]] (the zip_with/aggregate lambda form ran
+    * interpreted in the hottest loop of the scan). */
+  private[ann] def adcSum(tables: Column, codes: Column): Column =
+    graft.functions.Native.call("graft_adc_sum",
+      exprs => graft.functions.AdcSum(exprs(0), exprs(1)), tables, codes)
 
   /** Approximate top-k with exact re-rank. */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -136,9 +136,7 @@ object PqAnn {
     val approx = codes.join(broadcast(qt.select("query_id", "__tables")), lit(true))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(
-          zip_with(col("__tables"), col("pq_codes"), (t, c) => element_at(t, c + 1)),
-          lit(0L), (acc, v) => acc + v).as("approx_dist"))
+        adcSum(col("__tables"), col("pq_codes")).as("approx_dist"))
 
     val pool = RerankFactor * k
     val cand = Ranking.partialTopK(approx, pool,

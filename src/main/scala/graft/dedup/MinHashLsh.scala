@@ -29,12 +29,9 @@ object MinHashLsh {
 
   /** MinHash signature of a hashed-shingle array (compiled expression,
     * registered on the active session). */
-  def signature(hashedShingleArr: Column): Column = {
-    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_minhash_signature",
-        exprs => graft.functions.MinHashSignature(exprs.head, SigLen), "built-in")
-    call_function("graft_minhash_signature", hashedShingleArr)
-  }
+  def signature(hashedShingleArr: Column): Column =
+    graft.functions.Native.call("graft_minhash_signature",
+      exprs => graft.functions.MinHashSignature(exprs.head, SigLen), hashedShingleArr)
 
   /** Verified near-dup pairs (a_id < b_id, Jaccard ≥ threshold). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,

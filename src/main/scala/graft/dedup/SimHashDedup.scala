@@ -26,12 +26,10 @@ object SimHashDedup {
   /** 64-bit SimHash of a whitespace-tokenized text column (compiled
     * expression over per-token xxhash64 values, registered on the active
     * session). */
-  def simhash(text: Column): Column = {
-    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_simhash64",
-        exprs => graft.functions.SimHash64(exprs.head), "built-in")
-    call_function("graft_simhash64", transform(split(text, "\\s+"), w => xxhash64(w)))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.Native.call("graft_simhash64",
+      exprs => graft.functions.SimHash64(exprs.head),
+      transform(split(text, "\\s+"), w => xxhash64(w)))
 
   /** (id, fingerprint) table — cached because the banding join and the
     * final output projection both read it. */

@@ -24,6 +24,10 @@ case class PqAssign(child: Expression, books: Seq[Seq[Seq[Long]]])
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_assign"
+  // codebooks stay out of plan text (case-class default rendered the
+  // whole subspaces x codes x subdim table into every explain string)
+  override def toString: String =
+    s"$prettyName($child, books=<${books.length}x${books.head.length}>)"
 
   override protected def nullSafeEval(input: Any): Any =
     PqAssign.compute(input.asInstanceOf[ArrayData], booksArr)

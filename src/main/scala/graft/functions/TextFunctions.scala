@@ -51,12 +51,9 @@ object TextFunctions {
     * invoked through `call_function`) — the equivalent nested-aggregate
     * expression form is [[fingerprintExpr]], kept as the executable
     * specification the spec suite cross-checks against. */
-  def fingerprint(text: Column): Column = {
-    org.apache.spark.sql.SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_poly_fingerprint",
-        exprs => PolyFingerprint(exprs.head), "built-in")
-    call_function("graft_poly_fingerprint", text)
-  }
+  def fingerprint(text: Column): Column =
+    Native.call("graft_poly_fingerprint",
+      exprs => PolyFingerprint(exprs.head), text)
 
   /** Expression-form fingerprint (interpreted; the semantic reference). */
   def fingerprintExpr(text: Column): Column =

@@ -65,15 +65,36 @@ object EmbedDocs {
   /** The query-map projection keeps only scalar summaries of each vector
     * (dim / norm / component hash) — the raw `array<float>` column breaks
     * the driver's pandas-based result sort, and the array itself is
-    * exercised end-to-end by EmbedDocsSpec and the ann/dedup operators. */
+    * exercised end-to-end by EmbedDocsSpec and the ann/dedup operators.
+    *
+    * dim and l2_norm are computed inside the same mapPartitions pass as
+    * the encoder (plain JVM loops), and vec_hash is `xxhash64` directly
+    * on the float array (codegen'd, hashes the numeric values — no
+    * dependence on JVM Double.toString formatting). The round-4 form
+    * (interpreted aggregate fold + transform + to_json per row) benched
+    * 8× slower and its hash was JDK-version-sensitive. */
   def embedDocuments(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    embed(Tables.documents(spark, dir), "doc_id", "text")
-      .select(col("doc_id"),
-        size(col("embedding")).as("dim"),
-        round(sqrt(aggregate(col("embedding"),
-          lit(0.0d), (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("l2_norm"),
-        xxhash64(to_json(transform(col("embedding"),
-          x => round(x.cast("double"), 6)))).as("vec_hash"))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val outSchema = StructType(Seq(
+      docs.schema("doc_id"),
+      StructField("dim", IntegerType, nullable = false),
+      StructField("l2_norm", DoubleType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    val rows = docs.rdd.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        val vecs = StubEncoder.encodeBatch(batch.map(_.getString(1)))
+        batch.lazyZip(vecs).map { (r, v) =>
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+          Row(r.get(0), v.length, math.sqrt(acc), v.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+      .select(col("doc_id"), col("dim"),
+        round(col("l2_norm"), 6).as("l2_norm"),
+        xxhash64(col("embedding")).as("vec_hash"))
   }
 }

@@ -95,6 +95,41 @@ class AnnSpec extends SparkSpec {
     assert(c1 == c2)
   }
 
+  test("nearest-centroids kernel: ordered by distance, ties to lower id") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cents = Seq(
+      Seq(10L, 0L),   // id 0: dist 100 to q=(0,0)
+      Seq(0L, 3L),    // id 1: dist 9
+      Seq(3L, 0L),    // id 2: dist 9 (tie with 1 -> 1 wins)
+      Seq(1L, 1L),    // id 3: dist 2
+      Seq(100L, 100L))
+    val q = new GenericArrayData(Array(0L, 0L))
+    val got = graft.functions.NearestCentroids
+      .compute(q, cents.map(_.toArray).toArray, 3).toIntArray().toList
+    assert(got == List(3, 1, 2), s"got $got")
+    // nprobe > nlist degrades to all centroids, still ordered
+    val all = graft.functions.NearestCentroids
+      .compute(q, cents.map(_.toArray).toArray, 10).toIntArray().toList
+    assert(all == List(3, 1, 2, 0, 4), s"got $all")
+  }
+
+  test("ivf plan size stays flat as nlist grows 16 -> 256 (compiled probe/assign)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = BruteForceKnn.querySubset(emb)
+    def planLen(nlist: Int): Int =
+      graft.ann.IvfAnn.topK(emb, q, "vec_id", "embedding", 5, nlist = nlist,
+        nprobe = 4).queryExecution.executedPlan.toString.length
+    val p16 = planLen(16)
+    val p256 = planLen(256)
+    // centroids ride as expression constructor data, not plan nodes: 16x
+    // the centroid count must not show up in the physical plan text (the
+    // old struct-array formulation grew it linearly)
+    assert(p256 < p16 * 1.5, s"plan grew with nlist: $p16 -> $p256")
+    val rows = graft.ann.IvfAnn.topK(emb, q, "vec_id", "embedding", 5,
+      nlist = 64, nprobe = 8).count()
+    assert(rows > 0)
+  }
+
   test("lsh recall vs brute force on sf0.001 embeddings >= 0.8") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = BruteForceKnn.querySubset(emb)
