@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.TpchLike
-import graft.operators.{ColumnNames, Compaction, DimDate, EmbedDocs, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize}
+import graft.operators.{ColumnNames, Compaction, DimDate, EmbedDocs, FeatureAssembly, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize}
 import graft.functions.TextFunctions
 import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
 import graft.ann.{BruteForceKnn, IvfAnn, IvfPqAnn, LshAnn, PqAnn}
@@ -27,6 +27,9 @@ object SparkEntry {
     "scd2_asof_lookup"      -> (Scd2.eventsAsOfLookup(_, _)),
     "merge_upsert"          -> (MergeUpsert.mergeUpsertCustomer(_, _)),
     "medallion_bronze"      -> (Medallion.medallionBronzeOrders(_, _)),
+    "medallion_silver"      -> (Medallion.medallionSilverOrders(_, _)),
+    "medallion_gold"        -> (Medallion.medallionGoldOrders(_, _)),
+    "feature_assembly"      -> (FeatureAssembly.featureAssemblyCustomer(_, _)),
     "colnames_camel"        -> (ColumnNames.colnamesCamelOrders(_, _)),
     "submix_sample"         -> (Sampling.submixDocuments(_, _)),
     "hash_split"            -> (Sampling.hashSplitDocuments(_, _)),
@@ -57,6 +60,7 @@ object SparkEntry {
     "dedup_minhash_lsh"     -> (MinHashLsh.dedupMinhashLsh(_, _)),
     "dedup_simhash"         -> (SimHashDedup.dedupSimhash(_, _)),
     "dedup_embedding"       -> (EmbeddingDedup.dedupEmbedding(_, _)),
+    "dedup_embedding_approx" -> (EmbeddingDedup.dedupEmbeddingApprox(_, _)),
     "ann_bruteforce"        -> (BruteForceKnn.annBruteforce(_, _)),
     "ann_lsh"               -> (LshAnn.annLsh(_, _)),
     "ann_ivf"               -> (IvfAnn.annIvf(_, _)),
@@ -80,6 +84,9 @@ object SparkEntry {
     "scd2_asof_lookup"      -> Scd2.asOfOracleSql,
     "merge_upsert"          -> MergeUpsert.oracleSql,
     "medallion_bronze"      -> Medallion.oracleSql,
+    "medallion_silver"      -> Medallion.silverOracleSql,
+    "medallion_gold"        -> Medallion.goldOracleSql,
+    "feature_assembly"      -> FeatureAssembly.oracleSql,
     "colnames_camel"        -> ColumnNames.oracleSql,
     "submix_sample"         -> Sampling.oracleSql,
     "hash_split"            -> Sampling.hashSplitOracleSql,

@@ -79,6 +79,12 @@ object EmbeddingDedup {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     similarPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4)
 
+  /** The 100 TB route as its own driver-gated key (rows-gated: LSH
+    * candidate generation is probabilistic; output ⊆ exact is asserted in
+    * DedupSpec together with total recall on planted near-dups). */
+  def dedupEmbeddingApprox(spark: SparkSession, dir: String): DataFrame =
+    similarPairsApprox(Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4)
+
   def oracleSql: String =
     """WITH q AS (
       |  SELECT vec_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -43,6 +44,59 @@ object Medallion {
       .withColumn("expirationDate", lit(FarFuture))
   }
 
+  /** Silver tier: one current row per natural key + a surrogate primary
+    * key — the counterpart of the reference's silver table shape
+    * (AIO_delta_table_generator.py:72-93: source columns + sourceFile +
+    * `{pk} bigint GENERATED ALWAYS AS IDENTITY` + currentVersion /
+    * effectiveDate / expirationDate envelope; column mapping is a Delta
+    * storage property with no parquet counterpart).
+    *
+    * Where Delta's IDENTITY column hands out cluster-nondeterministic
+    * ids, the surrogate key here is the GLOBAL row number in natural-key
+    * order, computed scale-safely in two phases (the SaltedCumSum
+    * pattern): in-bucket row_number over a RANGE-monotone bucket of the
+    * key (no single-partition window ever sees the full table), plus
+    * per-bucket offsets from a frame with one row per bucket — tiny, and
+    * the join back is AQE-broadcast. Deterministic and replayable:
+    * re-running silver yields identical keys.
+    *
+    * @param rangeBucket integer expression MONOTONE in natural-key order
+    *                    (e.g. `floor(key/1000)`) — bucket order must equal
+    *                    key order for the offsets to linearize correctly */
+  def silverApply(bronze: DataFrame, naturalKeys: Seq[String], skCol: String,
+                  rangeBucket: Column): DataFrame = {
+    val keyCols = naturalKeys.map(col)
+    // latest envelope wins per natural key (bronze may hold re-arrivals)
+    val wLatest = Window.partitionBy(keyCols: _*)
+      .orderBy(col("effectiveDate").desc, col("currentVersion").desc)
+    val current = bronze.withColumn("__v", row_number().over(wLatest))
+      .filter(col("__v") === 1).drop("__v")
+
+    val bucketed = current.withColumn("__bucket", rangeBucket)
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(keyCols: _*)
+    // one row per bucket: the single-partition rollup window scans only
+    // #buckets rows, never fact rows
+    val wRoll = Window.orderBy(col("__bucket"))
+    val offsets = bucketed.groupBy("__bucket").agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(lag("__n", 1).over(wRoll)).over(wRoll), lit(0L)))
+      .drop("__n")
+    bucketed
+      .withColumn("__rn", row_number().over(wIn))
+      .join(offsets, "__bucket")
+      .withColumn(skCol, (col("__offset") + col("__rn")).cast("long"))
+      .drop("__bucket", "__rn", "__offset")
+  }
+
+  /** Gold tier: the consumption projection of silver — current rows only
+    * (version predicate pushes down to the scan), lineage dropped, same
+    * business schema + plain bigint surrogate key
+    * (AIO_delta_table_generator.py:100-122, `min_gold`). */
+  def goldProject(silver: DataFrame): DataFrame =
+    silver
+      .filter(col("currentVersion") === 1 && col("expirationDate") === FarFuture)
+      .drop("sourceFile")
+
   // ---- query-map entry (#10) ----
 
   def medallionBronzeOrders(spark: SparkSession, dir: String): DataFrame =
@@ -61,4 +115,30 @@ object Medallion {
       |  20240101 AS effectiveDate,
       |  99991231 AS expirationDate
       |FROM orders""".stripMargin
+
+  // ---- query-map entries: silver + gold tiers ----
+
+  def medallionSilverOrders(spark: SparkSession, dir: String): DataFrame =
+    silverApply(medallionBronzeOrders(spark, dir),
+      naturalKeys = Seq("oOrderkey"), skCol = "orderSk",
+      rangeBucket = floor(col("oOrderkey") / 1000).cast("long"))
+
+  def medallionGoldOrders(spark: SparkSession, dir: String): DataFrame =
+    goldProject(medallionSilverOrders(spark, dir))
+
+  /** Orders natural keys are unique in the test data, so the latest-wins
+    * dedup keeps every row and the surrogate key is the row number in
+    * o_orderkey order — exactly expressible in ANSI SQL. */
+  def silverOracleSql: String =
+    s"""WITH bronze AS ($oracleSql)
+       |SELECT *, row_number() OVER (ORDER BY oOrderkey) AS orderSk
+       |FROM bronze""".stripMargin
+
+  def goldOracleSql: String =
+    s"""WITH silver AS (${silverOracleSql})
+       |SELECT oOrderkey, oCustkey, oOrderstatus, oTotalprice, oOrderdate,
+       |  oOrderpriority, currentVersion, effectiveDate, expirationDate,
+       |  orderSk
+       |FROM silver
+       |WHERE currentVersion = 1 AND expirationDate = 99991231""".stripMargin
 }
