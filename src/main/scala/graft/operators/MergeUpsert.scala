@@ -56,7 +56,28 @@ object MergeUpsert {
     val dead = target.filter(col("current_version") =!= 1)
       .withColumn("change_type", lit("unchanged"))
 
-    val joined = live.join(cs, naturalKey, "full_outer")
+    // data-skipping predicate (merge_generator.py's explicit min/max
+    // bounds clause): target rows whose natural key falls outside the
+    // changeset's key range can never match — route them around the join
+    // entirely. Both range filters reach the parquet scan as
+    // PushedFilters, so at 100 TB an incremental changeset touches only
+    // the target files whose key stats overlap it. The bounds collect is
+    // two scalars off the (small, already-windowed) changeset.
+    val skipBounds: Option[(Any, Any)] =
+      if (naturalKey.size == 1) {
+        val k = naturalKey.head
+        val r = latest.agg(min(col(k)), max(col(k))).head()
+        if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
+      } else None
+    val (inScope, outOfScope) = skipBounds match {
+      case Some((lo, hi)) =>
+        val k = col(naturalKey.head)
+        (live.filter(k >= lit(lo) && k <= lit(hi)),
+         live.filter(k < lit(lo) || k > lit(hi) || k.isNull))
+      case None => (live, live.filter(lit(false)))
+    }
+
+    val joined = inScope.join(cs, naturalKey, "full_outer")
     val changed = compareCols
       .map(c => !(col(c) <=> col(s"__cs_$c"))) // null-safe: NOT (c.x = cs.x AND …)
       .reduce(_ || _)
@@ -77,8 +98,13 @@ object MergeUpsert {
           lit(1).as("current_version") :+
           when(inTarget, lit("update_new")).otherwise(lit("insert")).as("change_type"): _*)
 
+    // out-of-bounds live rows pass through untouched, never joined
+    val skipped = outOfScope.select(
+      (naturalKey.map(col) ++ dataCols.map(col)) :+
+        col("current_version") :+ lit("unchanged").as("change_type"): _*)
+
     dead.select(oldRows.columns.map(col): _*)
-      .unionByName(oldRows).unionByName(newRows)
+      .unionByName(oldRows).unionByName(newRows).unionByName(skipped)
   }
 
   // ---- query-map entry (#9) ----

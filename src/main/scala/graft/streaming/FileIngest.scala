@@ -47,4 +47,69 @@ object FileIngest {
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .start(outPath)
+
+  // ---- schema evolution (the reference's addNewColumns story) ----
+
+  /** Column names currently present across the source's CSV headers, in
+    * first-appearance order (files scanned in name order — deterministic).
+    * One header line is read per file: the same driver-side work the
+    * stream source's own file listing does each trigger, done once per
+    * restart, not per batch. */
+  private def discoverColumns(spark: SparkSession, srcDir: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".csv"))
+      .sortBy(_.getPath.getName)
+    files.toSeq.flatMap { f =>
+      val in = fs.open(f.getPath)
+      try {
+        val first = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8")).readLine()
+        Option(first).toSeq.flatMap(_.split(",").map(_.trim))
+      } finally in.close()
+    }.distinct
+  }
+
+  /** The tracked schema, evolved `addNewColumns`-style
+    * (spark_stream.py:13-17: `cloudFiles.schemaEvolutionMode=addNewColumns`
+    * + `cloudFiles.schemaLocation`): the stored schema's fields keep
+    * their order and types; columns newly present in the source are
+    * APPENDED as strings (autoloader's default — no type inference for
+    * evolved columns) and the merged schema is committed back to
+    * `schemaLocation` for the next restart. CSV parsing is positional,
+    * so evolution is append-only — exactly the contract autoloader
+    * enforces by failing the stream until a restart picks up the new
+    * schema. */
+  def evolvedSchema(spark: SparkSession, srcDir: String,
+                    schemaLocation: String): StructType = {
+    val loc = new org.apache.hadoop.fs.Path(schemaLocation, "schema.json")
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val stored: Option[StructType] =
+      if (fs.exists(loc)) {
+        val in = fs.open(loc)
+        try Some(org.apache.spark.sql.types.DataType
+          .fromJson(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          .asInstanceOf[StructType])
+        finally in.close()
+      } else None
+    val known = stored.map(_.fieldNames.toSet).getOrElse(Set.empty)
+    val fresh = discoverColumns(spark, srcDir).filterNot(known)
+      .map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val merged = StructType(stored.map(_.fields.toSeq).getOrElse(Nil) ++ fresh)
+    val out = fs.create(loc, true)
+    try out.write(merged.json.getBytes("UTF-8")) finally out.close()
+    merged
+  }
+
+  /** Restartable evolving ingest: call again after new-column files
+    * arrive — the checkpoint resumes at the unprocessed files, now read
+    * under the evolved schema; rows from pre-evolution files carry null
+    * in the appended columns (positional CSV, missing trailing fields).
+    * Read the mixed-schema sink back with `mergeSchema=true`. */
+  def ingestEvolving(spark: SparkSession, srcDir: String, schemaLocation: String,
+                     maxFilesPerTrigger: Int = 100): DataFrame =
+    ingest(spark, srcDir, evolvedSchema(spark, srcDir, schemaLocation),
+      maxFilesPerTrigger)
 }

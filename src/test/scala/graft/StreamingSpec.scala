@@ -44,6 +44,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/out").count() == 3)
   }
 
+  test("evolving ingest: new source column lands after restart, old rows null-backfilled") {
+    val root = Files.createTempDirectory("graft_evolve").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    Files.write(Paths.get(s"$src/20231101_siteA.csv"),
+      "user_id,value\n1,10\n2,20\n".getBytes)
+
+    // first run: two columns tracked at the schema location
+    val q1 = FileIngest.start(
+      FileIngest.ingestEvolving(spark, src, s"$root/schema"),
+      s"$root/out", s"$root/chk")
+    q1.awaitTermination(60000)
+
+    // a new column appears (append-only, the autoloader contract);
+    // restart evolves the tracked schema and resumes from the checkpoint
+    Files.write(Paths.get(s"$src/20231102_siteB.csv"),
+      "user_id,value,country\n3,30,DE\n".getBytes)
+    val q2 = FileIngest.start(
+      FileIngest.ingestEvolving(spark, src, s"$root/schema"),
+      s"$root/out", s"$root/chk")
+    q2.awaitTermination(60000)
+
+    val out = spark.read.option("mergeSchema", "true").parquet(s"$root/out")
+      .select("user_id", "value", "country", "sourceFile")
+      .as[(String, String, Option[String], String)].collect().sortBy(_._1)
+    assert(out.length == 3)
+    assert(out(0) == ("1", "10", None, "20231101_siteA.csv"))   // pre-evolution
+    assert(out(2) == ("3", "30", Some("DE"), "20231102_siteB.csv"))
+    // exactly-once held across the schema change
+    assert(spark.read.option("mergeSchema", "true").parquet(s"$root/out").count() == 3)
+  }
+
   test("windowed agg finalizes windows once the watermark passes") {
     val in = MemoryStream[(Timestamp, String, Double)](spark)
     val agg = WindowedAgg.hourlyAgg(
