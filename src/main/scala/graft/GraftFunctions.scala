@@ -10,11 +10,19 @@ import graft.functions.{AdcSum, LongArrayDot, MinHashSignature, PolyFingerprint,
   *   - `graft_poly_fingerprint(string) -> bigint`
   *   - `graft_simhash64(array<bigint>) -> bigint`
   *   - `graft_minhash_signature(array<bigint>) -> array<bigint>` (32 slots)
+  *   - `graft_quantize(array<float|double>) -> array<bigint>`
+  *   - `graft_quantize_unit(array<float|double>) -> array<bigint>`
+  *   - `graft_adc_sum(array<array<bigint>>, array<int>) -> bigint`
+  *
+  * (The codebook/centroid-carrying expressions — PqAssign, PqDistTables,
+  * NearestCentroids, ResidualQ — register per codebook under
+  * content-hashed names via [[graft.functions.Native]] and have no
+  * data-free SQL form.)
   *
   * The Column-API entry points ([[graft.functions.VectorFunctions.dotQ]],
-  * [[graft.functions.TextFunctions.fingerprint]]) self-register on the
-  * active session; call this once per session to make the names available
-  * to pure-SQL callers up front.
+  * [[graft.functions.TextFunctions.fingerprint]]) self-register
+  * idempotently on the active session; call this once per session to make
+  * the names available to pure-SQL callers up front.
   */
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {

@@ -44,10 +44,19 @@ object Tables {
     * onto one core — so spread the scan to the session's parallelism when
     * (and only when) it arrives narrower. At real scale the scan is
     * already ≥ parallelism partitions and this is a no-op: no shuffle. */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+  private def spread(s: SparkSession, d: String, name: String): DataFrame = {
+    val df = table(s, d, name)
+    // static file-size heuristic, not df.rdd.getNumPartitions: the rdd
+    // call instantiates the physical plan a second time per query; one
+    // filesystem metadata read answers the same question
+    val path = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
+    val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(path).getLength
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+    val estParts = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (estParts < target) df.repartition(target) else df
   }
-  def documents(s: SparkSession, d: String): DataFrame = spread(s, table(s, d, "documents"))
-  def embeddings(s: SparkSession, d: String): DataFrame = spread(s, table(s, d, "embeddings"))
+  def documents(s: SparkSession, d: String): DataFrame = spread(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = spread(s, d, "embeddings")
 }

@@ -109,14 +109,14 @@ object PqAnn {
     * compiled [[graft.functions.PqDistTables]]; plan size is O(1) in
     * Codes (the inline expression-tree form was 8×Codes subexpressions,
     * past Janino's 64 KB method limit at the real PQ8x8 config). */
-  private[ann] def distTables(qCol: Column, books: Seq[Seq[Seq[Long]]]): Column =
+  private[graft] def distTables(qCol: Column, books: Seq[Seq[Seq[Long]]]): Column =
     graft.functions.Native.call(f"graft_pq_dist_tables_${books.hashCode}%08x",
       exprs => graft.functions.PqDistTables(exprs.head, books), qCol)
 
   /** Per-pair ADC sum `Σ_s tables[s][codes[s]]` via the compiled
     * [[graft.functions.AdcSum]] (the zip_with/aggregate lambda form ran
     * interpreted in the hottest loop of the scan). */
-  private[ann] def adcSum(tables: Column, codes: Column): Column =
+  private[graft] def adcSum(tables: Column, codes: Column): Column =
     graft.functions.Native.call("graft_adc_sum",
       exprs => graft.functions.AdcSum(exprs(0), exprs(1)), tables, codes)
 

@@ -35,9 +35,11 @@ object EmbeddingDedup {
     val parallelism = vecs.sparkSession.sessionState.conf.numShufflePartitions
     val q = vecs.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
       .withColumn("__norm", sqrt(graft.functions.VectorFunctions.dotQ(col("__q"), col("__q")).cast("double")))
-    // conditional, like Tables.spread — avoids a second full exchange when
-    // the input already arrives wide
-    val streamed = if (q.rdd.getNumPartitions < parallelism) q.repartition(parallelism) else q
+    // unconditional: shuffling n quantized vectors is noise next to the
+    // O(n²) verification the spread enables, and a conditional
+    // rdd.getNumPartitions check would instantiate the physical plan a
+    // second time per query
+    val streamed = q.repartition(parallelism)
     streamed.as("a")
       .join(q.as("b"), col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),

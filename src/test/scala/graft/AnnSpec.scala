@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.ann.{BruteForceKnn, LshAnn}
 
@@ -128,6 +129,31 @@ class AnnSpec extends SparkSpec {
     val rows = graft.ann.IvfAnn.topK(emb, q, "vec_id", "embedding", 5,
       nlist = 64, nprobe = 8).count()
     assert(rows > 0)
+  }
+
+  test("pq trains and scans at the reference's 8-bit code count (Codes=256)") {
+    // the round-4 expression-tree ADC shape could not reach PQ8x8
+    // (8x256 = 2,048 subexpressions, past the codegen method limit);
+    // the compiled PqDistTables/AdcSum path must handle it outright.
+    // 2,000 synthetic vectors: the sf0.001 table's 50% training sample
+    // is smaller than 256 and can't seed a full 8-bit codebook
+    val emb = (0 until 2000).map { i =>
+      (i.toLong, graft.operators.EmbedDocs.StubEncoder
+        .encodeBatch(Seq(s"pq8x8 doc $i")).head.toSeq)
+    }.toDF("vec_id", "embedding")
+    val books = graft.ann.PqAnn.trainCodebooks(emb, "vec_id", "embedding", codes = 256)
+    assert(books.forall(_.length == 256))
+    val codes = graft.ann.PqAnn.encode(emb, "vec_id", "embedding", books)
+    val got = codes.as[(Long, Seq[Int])].collect()
+    assert(got.nonEmpty && got.forall(_._2.forall(c => c >= 0 && c < 256)))
+    // distance-table scan evaluates and its plan stays code-count-flat
+    import graft.functions.VectorFunctions.quantizeUnit
+    val q = emb.limit(3).select(col("vec_id"),
+      graft.ann.PqAnn.distTables(quantizeUnit(col("embedding")), books).as("t"))
+    assert(q.queryExecution.executedPlan.toString.length < 20000)
+    val tables = q.select("t").as[Seq[Seq[Long]]].collect()
+    assert(tables.forall(t => t.length == graft.ann.PqAnn.SubSpaces &&
+      t.forall(_.length == 256)))
   }
 
   test("lsh recall vs brute force on sf0.001 embeddings >= 0.8") {
