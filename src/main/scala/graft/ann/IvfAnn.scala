@@ -33,54 +33,27 @@ object IvfAnn {
   val NList = 16     // centroid count at test scale (65536-style at 100 TB)
   val NProbe = 4
   val Iters = 5
-  val TrainFrac = 0.5
 
   /** Deterministic k-means over a frame of (`__id`, `__q` array<bigint>):
-    * returns (centroidId, centroid). Seeds are the k rows with smallest
-    * xxhash64(id); updates accumulate integer sums per (centroid, dim) —
-    * order-independent, so the result is bit-identical across
-    * partitionings. Shared by the IVF coarse quantizer and the PQ
-    * per-subspace codebooks. */
+    * returns (centroidId, centroid). One bounded TakeOrdered job collects
+    * the [[Kmeans]] sample (smallest (xxhash64(id), id) rows); iterations
+    * run in the driver on that fixed-size sample — training cost is
+    * independent of corpus size, the FAISS shape (the old distributed
+    * form re-scanned a corpus FRACTION per iteration: 50 TB × 5 at the
+    * target scale). Exact integer arithmetic keeps centroids
+    * bit-identical across runs and partitionings. */
   def kmeansQ(q: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Long])] = {
-    var centroids: Seq[(Int, Seq[Long])] = q
-      .withColumn("__h", xxhash64(col("__id")))
-      .orderBy("__h").limit(k)
-      .select("__q").collect()
-      .map(_.getSeq[Long](0)).zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-
-    for (_ <- 1 to iters) {
-      val assigned = assign(q, "__q", centroids)
-      // integer sums per (centroid, dimension) — order-independent
-      val sums = assigned
-        .select(col("__cid"), posexplode(col("__q")).as(Seq("__d", "__x")))
-        .groupBy("__cid", "__d")
-        .agg(sum("__x").as("__s"), count(lit(1)).as("__n"))
-        .collect()
-      val byC = sums.groupBy(_.getInt(0))
-      centroids = centroids.map { case (cid, old) =>
-        byC.get(cid) match {
-          case Some(rows) =>
-            val dims = rows.map(r => (r.getInt(1), r.getLong(2) / r.getLong(3))).toMap
-            (cid, old.indices.map(d => dims.getOrElse(d, old(d))))
-          case None => (cid, old) // empty list keeps its centroid
-        }
-      }
-    }
-    centroids
+    val pts = Kmeans.sampleQ(q, "__id", "__q", Kmeans.trainPoints(k))
+    Kmeans.fit(pts, k, iters).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
   }
 
-  /** Coarse centroids for the IVF index, trained on a hash-sample. */
+  /** Coarse centroids for the IVF index. */
   def trainCentroids(vecs: DataFrame, idCol: String, vecCol: String,
-                     k: Int = NList, iters: Int = Iters): Seq[(Int, Seq[Long])] = {
-    // persisted: every k-means iteration (an eager collect) re-reads it
-    val q = vecs.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
-      .filter(graft.operators.Sampling.portableBucket(col(idCol)) <
-        (TrainFrac * graft.operators.Sampling.M).toLong)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = kmeansQ(q, k, iters)
-    q.unpersist() // safe: training is fully materialized by the collects
-    out
-  }
+                     k: Int = NList, iters: Int = Iters): Seq[(Int, Seq[Long])] =
+    kmeansQ(
+      vecs.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q")),
+      k, iters)
 
   /** Nearest-centroid assignment: argmin over k of |v−c|² via the
     * compiled [[graft.functions.PqAssign]] with the whole vector as a

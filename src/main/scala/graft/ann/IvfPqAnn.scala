@@ -33,13 +33,19 @@ object IvfPqAnn {
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
            vecCol: String, k: Int): DataFrame = {
     // coarse quantizer + codebooks over residuals, all in unit space
-    // (integer L2 there is a monotone proxy for cosine)
-    val sample = corpus
-      .select(col(idCol).as("__id"), quantizeUnit(col(vecCol)).as("__q"))
-      .filter(graft.operators.Sampling.portableBucket(col("__id")) <
-        (IvfAnn.TrainFrac * graft.operators.Sampling.M).toLong)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = IvfAnn.kmeansQ(sample, IvfAnn.NList, TrainIters)
+    // (integer L2 there is a monotone proxy for cosine). ONE bounded
+    // TakeOrdered job collects the shared training sample; coarse
+    // k-means, per-point residuals, and the per-subspace codebooks all
+    // run in the driver over it — the whole index TRAINING costs one
+    // bounded job regardless of corpus size (the FAISS shape), and only
+    // the corpus ENCODING below is distributed.
+    val pts = Kmeans.sampleQ(
+      corpus.select(col(idCol).as("__id"), quantizeUnit(col(vecCol)).as("__q")),
+      "__id", "__q",
+      Kmeans.trainPoints(math.max(IvfAnn.NList, PqAnn.Codes)))
+    val centsArr = Kmeans.fit(pts, IvfAnn.NList, TrainIters)
+    val centroids: Seq[(Int, Seq[Long])] =
+      centsArr.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
     val centArr = centroids.sortBy(_._1).map(_._2)
     // compiled v − centroids[cid] (ResidualQ): runs per corpus row in the
     // index build, so it must not be an interpreted zip_with lambda
@@ -47,11 +53,14 @@ object IvfPqAnn {
       graft.functions.Native.call(f"graft_residual_q_${centArr.hashCode}%08x",
         exprs => graft.functions.ResidualQ(exprs(0), exprs(1), centArr), vec, cid)
 
-    val books = PqAnn.trainCodebooksFromQ(
-      IvfAnn.assign(sample, "__q", centroids)
-        .select(col("__id"), residual(col("__q"), col("__cid")).as("__qfull")),
-      PqAnn.Codes, TrainIters)
-    sample.unpersist()
+    val resPts = pts.map { p =>
+      val c = centsArr(Kmeans.nearest(p, centsArr))
+      val out = new Array[Long](p.length)
+      var i = 0
+      while (i < p.length) { out(i) = p(i) - c(i); i += 1 }
+      out
+    }
+    val books = PqAnn.trainCodebooksFromPoints(resPts, PqAnn.Codes, TrainIters)
 
     // the stored index: (neighbor_id, list id, residual PQ codes)
     val cq = corpus.select(col(idCol).as("neighbor_id"), quantizeUnit(col(vecCol)).as("__q"))

@@ -34,62 +34,34 @@ object PqAnn {
   val RerankFactor = 12 // exact re-rank pool = RerankFactor · k
 
   /** Per-subspace codebooks: Seq over subspace of Seq over code of
-    * centroid (SubDim longs).
-    *
-    * ALL subspaces train in the same pass: each k-means iteration is ONE
-    * job that assigns every subspace's code, explodes components tagged
-    * (subspace, code, dim), and aggregates integer sums — 1+Iters jobs
-    * total rather than one k-means per subspace (8× fewer corpus scans,
-    * which is the difference between one training sweep and eight at
-    * 100 TB). Integer accumulation keeps results partitioning-invariant. */
+    * centroid (SubDim longs). ONE bounded TakeOrdered job collects the
+    * [[Kmeans]] training sample; every subspace's k-means then runs in
+    * the driver over its column slice of that same sample — training
+    * cost is independent of corpus size (the FAISS shape; the old
+    * distributed form re-scanned a corpus fraction per iteration). */
   def trainCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
                      codes: Int = Codes): Seq[Seq[Seq[Long]]] =
     trainCodebooksFromQ(
-      vecs.select(col(idCol).as("__id"), quantizeUnit(col(vecCol)).as("__qfull"))
-        .filter(graft.operators.Sampling.portableBucket(col(idCol)) <
-          (IvfAnn.TrainFrac * graft.operators.Sampling.M).toLong),
+      vecs.select(col(idCol).as("__id"), quantizeUnit(col(vecCol)).as("__qfull")),
       codes)
 
   /** Codebook training over a prepared (`__id`, `__qfull` array<bigint>)
-    * frame — the entry the IVF+PQ composition feeds with RESIDUALS. */
+    * frame. */
   private[ann] def trainCodebooksFromQ(qIn: DataFrame, codes: Int,
-                                       iters: Int = Iters): Seq[Seq[Seq[Long]]] = {
-    val q = qIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                                       iters: Int = Iters): Seq[Seq[Seq[Long]]] =
+    trainCodebooksFromPoints(
+      Kmeans.sampleQ(qIn, "__id", "__qfull", Kmeans.trainPoints(codes)),
+      codes, iters)
 
-    // seed every subspace from the same `codes` lowest-hash sample rows
-    val seedRows = q.withColumn("__h", xxhash64(col("__id")))
-      .orderBy("__h").limit(codes)
-      .select("__qfull").collect().map(_.getSeq[Long](0))
-    var books: Seq[Seq[Seq[Long]]] = (0 until SubSpaces).map { s =>
-      seedRows.toSeq.map(full => full.slice(s * SubDim, (s + 1) * SubDim))
+  /** Driver-side per-subspace training over an already-collected sample —
+    * the entry the IVF+PQ composition feeds with RESIDUAL points. */
+  private[ann] def trainCodebooksFromPoints(pts: Array[Array[Long]], codes: Int,
+                                            iters: Int = Iters): Seq[Seq[Seq[Long]]] =
+    (0 until SubSpaces).map { s =>
+      val sub = pts.map(p =>
+        java.util.Arrays.copyOfRange(p, s * SubDim, (s + 1) * SubDim))
+      Kmeans.fit(sub, codes, iters).toSeq.map(_.toSeq)
     }
-
-    for (_ <- 1 to iters) {
-      // codes project FIRST, explode in a separate select: a generator's
-      // sibling expressions land in a Project ABOVE the Generate and
-      // would re-evaluate all 8×k assignments once per exploded component
-      val sums = q.select(assignCodes(col("__qfull"), books).as("__codes"), col("__qfull"))
-        .select(col("__codes"), posexplode(col("__qfull")).as(Seq("__d", "__x")))
-        .select(
-          (col("__d") / SubDim).cast("int").as("__s"),
-          element_at(col("__codes"), (col("__d") / SubDim).cast("int") + 1).as("__code"),
-          (col("__d") % SubDim).as("__dim"), col("__x"))
-        .groupBy("__s", "__code", "__dim")
-        .agg(sum("__x").as("__sum"), count(lit(1)).as("__n"))
-        .collect()
-      val byKey = sums.map(r =>
-        ((r.getInt(0), r.getInt(1), r.getInt(2)), (r.getLong(3), r.getLong(4)))).toMap
-      books = books.zipWithIndex.map { case (book, s) =>
-        book.zipWithIndex.map { case (old, k) =>
-          old.indices.map { d =>
-            byKey.get((s, k, d)).map { case (sm, n) => sm / n }.getOrElse(old(d))
-          }
-        }
-      }
-    }
-    q.unpersist()
-    books
-  }
 
   /** All-subspace code assignment via the compiled [[graft.functions.PqAssign]]
     * (registered once per codebook under a content-hashed name, so
