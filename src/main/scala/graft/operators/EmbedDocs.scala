@@ -30,9 +30,27 @@ object EmbedDocs {
   val Dim = 64
   val BatchSize = 64
 
-  /** Deterministic stand-in for a sentence-transformer: one call per
-    * batch, mirroring `model.encode(list_of_texts)`. */
-  object StubEncoder {
+  /** The model contract: one call per fixed-size batch, mirroring
+    * `model.encode(list_of_texts)` (sentence-transformers) /
+    * `EmbeddingGenerator.__call__(batch)` (the reference's Ray actor).
+    * Must return one vector per input text, in input order. */
+  trait BatchEncoder extends Serializable {
+    def encodeBatch(texts: Seq[String]): Seq[Array[Float]]
+  }
+
+  /** Per-partition model construction — the broadcast-model /
+    * actor-init pattern: `create()` runs ONCE per partition on the
+    * executor (model load is expensive; never per row or per batch). A
+    * real implementation loads the model here; the factory itself is
+    * what ships in the closure, not the model. */
+  trait EncoderFactory extends Serializable {
+    def create(): BatchEncoder
+  }
+
+  /** Deterministic stand-in for a sentence-transformer (this container
+    * has no model runtime): component j of a text's vector is a
+    * unit-normalized hash of (text, j). */
+  object StubEncoder extends BatchEncoder {
     import graft.functions.Mix64
     private def mix(z0: Long): Long = Mix64.mix(z0 + Mix64.Golden)
     def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
@@ -44,16 +62,21 @@ object EmbedDocs {
     }
   }
 
+  object StubEncoderFactory extends EncoderFactory {
+    def create(): BatchEncoder = StubEncoder
+  }
+
   /** Append an `embedding array<float>` column computed in batches. */
-  def embed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def embed(docs: DataFrame, idCol: String, textCol: String,
+            factory: EncoderFactory = StubEncoderFactory): DataFrame = {
     val spark = docs.sparkSession
     val inSchema = docs.select(idCol, textCol).schema
     val outSchema = StructType(inSchema.fields :+
       StructField("embedding", ArrayType(FloatType), nullable = false))
     val rows = docs.select(idCol, textCol).rdd.mapPartitions { it =>
-      // per-partition "model init" happens here (stub has none)
+      val encoder = factory.create() // per-partition model init
       it.grouped(BatchSize).flatMap { batch =>
-        val vecs = StubEncoder.encodeBatch(batch.map(_.getString(1)))
+        val vecs = encoder.encodeBatch(batch.map(_.getString(1)))
         batch.lazyZip(vecs).map((r, v) => Row(r.get(0), r.get(1), v.toSeq))
       }
     }

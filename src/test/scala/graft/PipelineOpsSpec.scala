@@ -69,4 +69,42 @@ class PipelineOpsSpec extends SparkSpec {
       .select($"doc_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
     assert(out == again)
   }
+
+  test("encoder interface: one model init per partition, fixed-size batch dispatch") {
+    CountingEncoderFactory.reset()
+    val docs = Tables.documents(spark, sfDir).limit(150).repartition(4)
+    val n = EmbedDocs.embed(docs, "doc_id", "text", CountingEncoderFactory).count()
+    assert(n == 150)
+    // the broadcast-model / actor-init contract: create() once per
+    // partition, never per row or per batch
+    assert(CountingEncoderFactory.creates.get() == 4,
+      s"inits = ${CountingEncoderFactory.creates.get()}")
+    val sizes = CountingEncoderFactory.sizes()
+    assert(sizes.sum == 150)
+    assert(sizes.forall(_ <= EmbedDocs.BatchSize), s"oversize batch in $sizes")
+    // at most one ragged tail batch per partition; the rest are full
+    assert(sizes.count(_ < EmbedDocs.BatchSize) <= 4, s"under-full batches: $sizes")
+  }
+}
+
+/** Test double for [[EmbedDocs.EncoderFactory]]: counts model inits and
+  * records dispatched batch sizes (statics are visible because local-mode
+  * executors share the driver JVM). */
+object CountingEncoderFactory extends EmbedDocs.EncoderFactory {
+  val creates = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val batches = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+  def reset(): Unit = { creates.set(0); batches.clear() }
+  def sizes(): List[Int] = {
+    import scala.jdk.CollectionConverters._
+    batches.asScala.map(_.toInt).toList
+  }
+  def create(): EmbedDocs.BatchEncoder = {
+    creates.incrementAndGet()
+    new EmbedDocs.BatchEncoder {
+      def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = {
+        batches.add(texts.length)
+        EmbedDocs.StubEncoder.encodeBatch(texts)
+      }
+    }
+  }
 }
