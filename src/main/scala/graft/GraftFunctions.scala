@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{AdcSum, LongArrayDot, MinHashSignature, PolyFingerprint, QuantizeVec, SimHash64}
 
 /** SQL-surface registration for graft's native Catalyst expressions, so
@@ -19,27 +21,44 @@ import graft.functions.{AdcSum, LongArrayDot, MinHashSignature, PolyFingerprint,
   * content-hashed names via [[graft.functions.Native]] and have no
   * data-free SQL form.)
   *
+  * Two deployment routes, one builder list:
+  *   - [[GraftFunctions.registerAll]] — imperative, once per session.
+  *   - [[GraftExtensions]] via `spark.sql.extensions=graft.GraftExtensions`
+  *     — the cluster-config route; every session on the cluster gets the
+  *     functions with no code change.
   * The Column-API entry points ([[graft.functions.VectorFunctions.dotQ]],
-  * [[graft.functions.TextFunctions.fingerprint]]) self-register
-  * idempotently on the active session; call this once per session to make
-  * the names available to pure-SQL callers up front.
+  * [[graft.functions.TextFunctions.fingerprint]]) additionally
+  * self-register idempotently on the active session.
   */
 object GraftFunctions {
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_long_array_dot" -> (exprs => LongArrayDot(exprs(0), exprs(1))),
+    "graft_poly_fingerprint" -> (exprs => PolyFingerprint(exprs.head)),
+    "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
+    "graft_minhash_signature" ->
+      (exprs => MinHashSignature(exprs.head, graft.dedup.MinHashLsh.SigLen)),
+    "graft_quantize" -> (exprs => QuantizeVec(exprs.head, unit = false)),
+    "graft_quantize_unit" -> (exprs => QuantizeVec(exprs.head, unit = true)),
+    "graft_adc_sum" -> (exprs => AdcSum(exprs(0), exprs(1))),
+  )
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_long_array_dot",
-      exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_poly_fingerprint",
-      exprs => PolyFingerprint(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_signature",
-      exprs => MinHashSignature(exprs.head, graft.dedup.MinHashLsh.SigLen), "built-in")
-    reg.createOrReplaceTempFunction("graft_quantize",
-      exprs => QuantizeVec(exprs.head, unit = false), "built-in")
-    reg.createOrReplaceTempFunction("graft_quantize_unit",
-      exprs => QuantizeVec(exprs.head, unit = true), "built-in")
-    reg.createOrReplaceTempFunction("graft_adc_sum",
-      exprs => AdcSum(exprs(0), exprs(1)), "built-in")
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
+}
+
+/** `spark.sql.extensions` entry point (`--conf
+  * spark.sql.extensions=graft.GraftExtensions`): injects every
+  * [[GraftFunctions.builders]] function into sessions at build time. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft.GraftFunctions", name), builder))
+    }
 }
