@@ -48,12 +48,30 @@ object Tables {
     val df = table(s, d, name)
     // static file-size heuristic, not df.rdd.getNumPartitions: the rdd
     // call instantiates the physical plan a second time per query; one
-    // filesystem metadata read answers the same question
+    // filesystem metadata listing answers the same question. The estimate
+    // mirrors FilePartition.maxSplitBytes — min(maxPartitionBytes,
+    // max(openCostInBytes, (bytes + openCost·files)/minPartitionNum)) —
+    // with splits rounded up per file, so it tracks the scan's real
+    // partition count instead of the old bytes/maxPartitionBytes guess
+    // (which could skip a needed repartition on multi-file tables).
     val path = new org.apache.hadoop.fs.Path(s"$d/$name.parquet")
     val fs = path.getFileSystem(s.sessionState.newHadoopConf())
-    val bytes = fs.getContentSummary(path).getLength
-    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
-    val estParts = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    val root = fs.getFileStatus(path)
+    val fileSizes: Seq[Long] =
+      if (root.isDirectory)
+        fs.listStatus(path).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(_.getLen)
+      else Seq(root.getLen)
+    val conf = s.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minParts = conf.filesMinPartitionNum
+      .getOrElse(s.sparkContext.defaultParallelism).max(1)
+    val totalBytes = fileSizes.map(_ + openCost).sum
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, totalBytes / minParts))
+    val estParts = fileSizes.map(sz => math.max(1L, (sz + maxSplit - 1) / maxSplit)).sum
     val target = s.sparkContext.defaultParallelism
     if (estParts < target) df.repartition(target) else df
   }

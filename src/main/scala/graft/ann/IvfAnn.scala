@@ -74,7 +74,7 @@ object IvfAnn {
                             nprobe: Int): Column = {
     val ordered = centroids.sortBy(_._1).map(_._2)
     graft.functions.Native.call(
-      f"graft_nearest_centroids_${(ordered, nprobe).hashCode}%08x",
+      s"graft_nearest_centroids_${graft.functions.Native.contentHash(ordered, nprobe)}",
       exprs => graft.functions.NearestCentroids(exprs.head, ordered, nprobe), qCol)
   }
 

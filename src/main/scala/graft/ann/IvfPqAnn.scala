@@ -50,7 +50,7 @@ object IvfPqAnn {
     // compiled v − centroids[cid] (ResidualQ): runs per corpus row in the
     // index build, so it must not be an interpreted zip_with lambda
     def residual(vec: Column, cid: Column): Column =
-      graft.functions.Native.call(f"graft_residual_q_${centArr.hashCode}%08x",
+      graft.functions.Native.call(s"graft_residual_q_${graft.functions.Native.contentHash(centArr)}",
         exprs => graft.functions.ResidualQ(exprs(0), exprs(1), centArr), vec, cid)
 
     val resPts = pts.map { p =>

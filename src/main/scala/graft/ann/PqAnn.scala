@@ -68,7 +68,7 @@ object PqAnn {
     * concurrent plan construction with different codebooks on one session
     * can never resolve against the wrong builder). */
   private[ann] def assignCodes(qCol: Column, books: Seq[Seq[Seq[Long]]]): Column =
-    graft.functions.Native.call(f"graft_pq_assign_${books.hashCode}%08x",
+    graft.functions.Native.call(s"graft_pq_assign_${graft.functions.Native.contentHash(books)}",
       exprs => graft.functions.PqAssign(exprs.head, books), qCol)
 
   /** Encode vectors to PQ codes: array<int> of length SubSpaces. */
@@ -82,7 +82,7 @@ object PqAnn {
     * Codes (the inline expression-tree form was 8×Codes subexpressions,
     * past Janino's 64 KB method limit at the real PQ8x8 config). */
   private[graft] def distTables(qCol: Column, books: Seq[Seq[Seq[Long]]]): Column =
-    graft.functions.Native.call(f"graft_pq_dist_tables_${books.hashCode}%08x",
+    graft.functions.Native.call(s"graft_pq_dist_tables_${graft.functions.Native.contentHash(books)}",
       exprs => graft.functions.PqDistTables(exprs.head, books), qCol)
 
   /** Per-pair ADC sum `Σ_s tables[s][codes[s]]` via the compiled

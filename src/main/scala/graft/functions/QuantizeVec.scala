@@ -35,22 +35,42 @@ case class QuantizeVec(child: Expression, unit: Boolean)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = if (unit) "quantize_unit" else "quantize"
 
+  /** Parquet-read arrays carry containsNull=true even when no element is
+    * null, so element nullability can't be rejected at analysis time.
+    * A vector that DOES hold a null component has no meaningful
+    * quantization — the HOF form this replaces propagated the null
+    * through the norm aggregate and nulled every component — so here the
+    * whole result is null, which downstream joins/aggregates drop. */
+  @transient private lazy val elementsNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+  override def nullable: Boolean = child.nullable || elementsNullable
+
   override protected def nullSafeEval(input: Any): Any =
     QuantizeVec.compute(input.asInstanceOf[ArrayData], isFloat, unit)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.QuantizeVec.compute($c, $isFloat, $unit)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("quantized")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.QuantizeVec.compute($c, $isFloat, $unit);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object QuantizeVec {
+  /** Returns null (row-level) when any element is null — see the
+    * nullability note on the expression. */
   def compute(v: ArrayData, isFloat: Boolean, unit: Boolean): ArrayData = {
     val n = v.numElements()
     val xs = new Array[Double](n)
     var i = 0
     while (i < n) {
+      if (v.isNullAt(i)) return null
       xs(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       i += 1
     }

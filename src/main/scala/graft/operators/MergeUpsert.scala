@@ -41,11 +41,19 @@ object MergeUpsert {
     * @param naturalKey  business key column(s)
     * @param orderCol    changeset sequencing column for latest-per-key dedup
     * @param compareCols columns whose change triggers expire+insert
+    * @param dataSkipping when true (default), EAGERLY runs one bounded
+    *                     Spark job during construction — a min/max agg
+    *                     over the changeset key — to push the key range
+    *                     into the target scan as literal PushedFilters
+    *                     (merge_generator.py's explicit skipping clause).
+    *                     Pass false to keep construction fully lazy (no
+    *                     job, no data-dependent failure until an action).
     * @return post-merge rows: business cols + current_version + change_type
     *         in ('insert','update_new','expired','unchanged')
     */
   def apply(target: DataFrame, changeset: DataFrame, naturalKey: Seq[String],
-            orderCol: String, compareCols: Seq[String]): DataFrame = {
+            orderCol: String, compareCols: Seq[String],
+            dataSkipping: Boolean = true): DataFrame = {
     val latest = latestPerKey(changeset, naturalKey, orderCol)
     val dataCols = latest.columns.filterNot(naturalKey.contains).toSeq
     val cs = latest.select(
@@ -61,12 +69,14 @@ object MergeUpsert {
     // changeset's key range can never match — route them around the join
     // entirely. Both range filters reach the parquet scan as
     // PushedFilters, so at 100 TB an incremental changeset touches only
-    // the target files whose key stats overlap it. The bounds collect is
-    // two scalars off the (small, already-windowed) changeset.
+    // the target files whose key stats overlap it. The bounds are taken
+    // on the RAW changeset — latest-per-key dedup never changes the key
+    // set, so this is a pushed-down scan-level min/max agg with no
+    // window shuffle in front of it.
     val skipBounds: Option[(Any, Any)] =
-      if (naturalKey.size == 1) {
+      if (dataSkipping && naturalKey.size == 1) {
         val k = naturalKey.head
-        val r = latest.agg(min(col(k)), max(col(k))).head()
+        val r = changeset.agg(min(col(k)), max(col(k))).head()
         if (r.isNullAt(0)) None else Some((r.get(0), r.get(1)))
       } else None
     val (inScope, outOfScope) = skipBounds match {

@@ -50,25 +50,26 @@ object FileIngest {
 
   // ---- schema evolution (the reference's addNewColumns story) ----
 
-  /** Column names currently present across the source's CSV headers, in
-    * first-appearance order (files scanned in name order — deterministic).
+  /** Per-file CSV header columns, files in name order (deterministic).
     * One header line is read per file: the same driver-side work the
     * stream source's own file listing does each trigger, done once per
     * restart, not per batch. */
-  private def discoverColumns(spark: SparkSession, srcDir: String): Seq[String] = {
+  private def headersByFile(spark: SparkSession,
+                            srcDir: String): Seq[(String, Seq[String])] = {
     val dir = new org.apache.hadoop.fs.Path(srcDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val files = fs.listStatus(dir)
       .filter(f => f.isFile && f.getPath.getName.endsWith(".csv"))
       .sortBy(_.getPath.getName)
-    files.toSeq.flatMap { f =>
+    files.toSeq.map { f =>
       val in = fs.open(f.getPath)
       try {
         val first = new java.io.BufferedReader(
           new java.io.InputStreamReader(in, "UTF-8")).readLine()
-        Option(first).toSeq.flatMap(_.split(",").map(_.trim))
+        (f.getPath.getName,
+          Option(first).toSeq.flatMap(_.split(",").map(_.trim)))
       } finally in.close()
-    }.distinct
+    }
   }
 
   /** The tracked schema, evolved `addNewColumns`-style
@@ -94,10 +95,26 @@ object FileIngest {
         finally in.close()
       } else None
     val known = stored.map(_.fieldNames.toSet).getOrElse(Set.empty)
-    val fresh = discoverColumns(spark, srcDir).filterNot(known)
+    val headers = headersByFile(spark, srcDir)
+    val fresh = headers.flatMap(_._2).distinct.filterNot(known)
       .map(org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.StringType, nullable = true))
     val merged = StructType(stored.map(_.fields.toSeq).getOrElse(Nil) ++ fresh)
+    // CSV parsing is positional, so append-only evolution is only sound
+    // when every file's header is a PREFIX of the merged schema. A file
+    // that reorders or inserts a column mid-row would silently mis-assign
+    // values to existing fields — fail the stream instead (autoloader's
+    // addNewColumns behavior on non-additive change), before committing
+    // the merged schema.
+    val mergedNames = merged.fieldNames.toSeq
+    headers.foreach { case (fname, h) =>
+      h.zip(mergedNames).zipWithIndex.foreach { case ((got, want), i) =>
+        if (got != want) throw new IllegalStateException(
+          s"FileIngest schema evolution: $fname column $i is '$got' but the " +
+            s"evolved schema has '$want' there; only appended new trailing " +
+            "columns are supported (positional CSV parse)")
+      }
+    }
     val out = fs.create(loc, true)
     try out.write(merged.json.getBytes("UTF-8")) finally out.close()
     merged

@@ -40,6 +40,23 @@ class EtlOpsSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("merge_upsert dataSkipping=false is lazy and value-identical") {
+    val target = Seq(
+      (1L, "a", 10.0, 1), (5L, "e", 50.0, 1), (9L, "z", 90.0, 1)
+    ).toDF("id", "name", "bal", "current_version")
+    val changeset = Seq((5L, "e", 55.0, 1)).toDF("id", "name", "bal", "change_seq")
+    val lazyOut = MergeUpsert(target, changeset, Seq("id"), "change_seq",
+      Seq("name", "bal"), dataSkipping = false)
+    val eagerOut = MergeUpsert(target, changeset, Seq("id"), "change_seq",
+      Seq("name", "bal"))
+    val key = (r: (Long, Double, Int, String)) => (r._1, r._4)
+    assert(
+      lazyOut.select("id", "bal", "current_version", "change_type")
+        .as[(Long, Double, Int, String)].collect().sortBy(key).toSeq ==
+      eagerOut.select("id", "bal", "current_version", "change_type")
+        .as[(Long, Double, Int, String)].collect().sortBy(key).toSeq)
+  }
+
   test("merge_upsert with composite natural key and null-valued columns") {
     val target = Seq(
       (1L, "us", Some(10.0), 1), (1L, "eu", Some(20.0), 1)

@@ -19,6 +19,26 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(got.getLong(2) == 16L)
   }
 
+  test("quantize of a vector holding a null element is null, not garbage") {
+    val s = spark.newSession()
+    GraftFunctions.registerAll(s)
+    val got = s.sql(
+      """SELECT graft_quantize(array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT))) AS q,
+        |       graft_quantize_unit(array(CAST(NULL AS DOUBLE))) AS qu
+        |""".stripMargin).head()
+    assert(got.isNullAt(0))
+    assert(got.isNullAt(1))
+  }
+
+  test("contentHash separates nearby payloads and is deterministic") {
+    import graft.functions.Native.contentHash
+    val a = Seq(Seq(1L, 2L), Seq(3L, 4L))
+    assert(contentHash(a) == contentHash(Seq(Seq(1L, 2L), Seq(3L, 4L))))
+    assert(contentHash(a) != contentHash(Seq(Seq(1L, 2L, 3L), Seq(4L))))   // same flat values
+    assert(contentHash(a, 2) != contentHash(a, 3))                          // nprobe matters
+    assert(contentHash(a).matches("[0-9a-f]{40}"))
+  }
+
   test("GraftExtensions injects functions via the spark.sql.extensions route") {
     val prev = SparkSession.getDefaultSession
     // getOrCreate reuses the default session and would ignore extensions;

@@ -75,6 +75,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.option("mergeSchema", "true").parquet(s"$root/out").count() == 3)
   }
 
+  test("evolving ingest fails on a non-additive header instead of mis-assigning") {
+    val root = Files.createTempDirectory("graft_evolve_bad").toString
+    val src = s"$root/src"; Files.createDirectories(Paths.get(src))
+    Files.write(Paths.get(s"$src/20231101_siteA.csv"),
+      "user_id,value\n1,10\n".getBytes)
+    FileIngest.ingestEvolving(spark, src, s"$root/schema")   // commits [user_id, value]
+
+    // a column INSERTED mid-row: positional parse would put country values
+    // into `value` — the stream must fail like autoloader, not mis-assign
+    Files.write(Paths.get(s"$src/20231102_siteB.csv"),
+      "user_id,country,value\n2,DE,20\n".getBytes)
+    val ex = intercept[IllegalStateException] {
+      FileIngest.ingestEvolving(spark, src, s"$root/schema")
+    }
+    assert(ex.getMessage.contains("20231102_siteB.csv"))
+  }
+
   test("windowed agg finalizes windows once the watermark passes") {
     val in = MemoryStream[(Timestamp, String, Double)](spark)
     val agg = WindowedAgg.hourlyAgg(
