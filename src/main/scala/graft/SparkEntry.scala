@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.TpchLike
+import graft.queries.{TpchLike, TpchMore}
 import graft.operators.{ColumnNames, Compaction, DimDate, EmbedDocs, FeatureAssembly, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize}
 import graft.functions.TextFunctions
 import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
@@ -23,6 +23,13 @@ object SparkEntry {
     "q_top_customers_window" -> (TpchLike.topCustomersWindow(_, _)),
     "q_json_extract"        -> (TpchLike.jsonExtract(_, _)),
     "q_skew_topk"           -> ((s, d) => TpchLike.skewTopk(s, d)),
+    "q4_order_priority"     -> (TpchMore.q4OrderPriority(_, _)),
+    "q7_volume_shipping"    -> (TpchMore.q7VolumeShipping(_, _)),
+    "q9_product_profit"     -> (TpchMore.q9ProductProfit(_, _)),
+    "q14_promo_revenue"     -> (TpchMore.q14PromoRevenue(_, _)),
+    "q17_small_qty_revenue" -> (TpchMore.q17SmallQtyRevenue(_, _)),
+    "q18_large_orders"      -> ((s, d) => TpchMore.q18LargeOrders(s, d)),
+    "q22_dormant_customers" -> (TpchMore.q22DormantCustomers(_, _)),
     "scd2_apply"            -> (Scd2.eventsScd2(_, _)),
     "scd2_asof_lookup"      -> (Scd2.eventsAsOfLookup(_, _)),
     "merge_upsert"          -> (MergeUpsert.mergeUpsertCustomer(_, _)),
@@ -80,6 +87,13 @@ object SparkEntry {
     "q_top_customers_window" -> TpchLike.topCustomersOracleSql,
     "q_json_extract"        -> TpchLike.jsonExtractOracleSql,
     "q_skew_topk"           -> TpchLike.skewTopkOracleSql,
+    "q4_order_priority"     -> TpchMore.q4OracleSql,
+    "q7_volume_shipping"    -> TpchMore.q7OracleSql,
+    "q9_product_profit"     -> TpchMore.q9OracleSql,
+    "q14_promo_revenue"     -> TpchMore.q14OracleSql,
+    "q17_small_qty_revenue" -> TpchMore.q17OracleSql,
+    "q18_large_orders"      -> TpchMore.q18OracleSql,
+    "q22_dormant_customers" -> TpchMore.q22OracleSql,
     "scd2_apply"            -> Scd2.oracleSql,
     "scd2_asof_lookup"      -> Scd2.asOfOracleSql,
     "merge_upsert"          -> MergeUpsert.oracleSql,
