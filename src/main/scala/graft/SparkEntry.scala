@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{TpchLike, TpchMore}
-import graft.operators.{ColumnNames, Compaction, DimDate, EmbedDocs, FeatureAssembly, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize}
+import graft.operators.{ColumnNames, Compaction, DimDate, EmbedDocs, FeatureAssembly, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize, Sketches}
 import graft.functions.TextFunctions
 import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
 import graft.ann.{BruteForceKnn, IvfAnn, IvfPqAnn, LshAnn, PqAnn}
@@ -73,6 +73,10 @@ object SparkEntry {
     "ann_ivf"               -> (IvfAnn.annIvf(_, _)),
     "ann_pq"                -> (PqAnn.annPq(_, _)),
     "ann_ivfpq"             -> (IvfPqAnn.annIvfPq(_, _)),
+    // sketch_*: rows-gated (DuckDB's sketch internals differ, so no hash
+    // oracle exists); tolerance vs exact answers asserted in SketchSpec
+    "sketch_distinct_events"   -> (Sketches.sketchDistinctEvents(_, _)),
+    "sketch_quantiles_lineitem" -> (Sketches.sketchQuantilesLineitem(_, _)),
     "mm_meta"               -> (BinaryMedia.mmMeta(_, _)),
     "mm_framesample"        -> (BinaryMedia.mmFramesample(_, _)),
     "mm_resize"             -> (BinaryMedia.mmResize(_, _)),

@@ -17,9 +17,10 @@ import graft.Tables
   *     trades memory for rank error (err ≤ 1/accuracy · n).
   *
   * Both sketches are deterministic for a given dataset + parameters, so
-  * results are stable across runs (gated rows-only by the driver — the
-  * DuckDB twin computes different sketch internals; the tolerance against
-  * exact answers is asserted in SketchSpec).
+  * results are stable across runs. Driver-gated rows-only (the DuckDB
+  * twin computes different sketch internals, so there is no hash oracle);
+  * the tolerance against exact answers — HLL within a multiple of rsd,
+  * GK within the guaranteed rank error — is asserted in SketchSpec.
   */
 object Sketches {
 
@@ -41,11 +42,22 @@ object Sketches {
       .agg(percentile_approx(col(valCol),
         array(qs.map(lit): _*), lit(accuracy)).as("quantiles"))
 
-  // ---- query-map entries ----
+  /** [[approxQuantiles]] exploded to one scalar row per (group, q) — the
+    * driver-gated shape (its result compare handles scalar columns, not
+    * arrays), and the friendlier downstream shape anyway. */
+  def approxQuantilesLong(df: DataFrame, keyCol: String, valCol: String,
+                          qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                          accuracy: Int = 10000): DataFrame =
+    approxQuantiles(df, keyCol, valCol, qs, accuracy)
+      .select(col(keyCol), posexplode(col("quantiles")).as(Seq("__pos", "quantile_value")))
+      .withColumn("q", element_at(array(qs.map(lit): _*), col("__pos") + 1))
+      .select(col(keyCol), col("q"), col("quantile_value"))
+
+  // ---- query-map entries (rows-gated; tolerance vs exact in SketchSpec) ----
 
   def sketchDistinctEvents(spark: SparkSession, dir: String): DataFrame =
     approxDistinct(Tables.events(spark, dir), "event_type", "user_id")
 
   def sketchQuantilesLineitem(spark: SparkSession, dir: String): DataFrame =
-    approxQuantiles(Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice")
+    approxQuantilesLong(Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice")
 }

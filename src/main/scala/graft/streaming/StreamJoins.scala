@@ -30,7 +30,7 @@ object StreamJoins {
       if (c == dimKey) d else d.withColumnRenamed(c, s"$dimPrefix$c")
     }
     stream.join(broadcast(prefixed),
-      col(streamKey) === prefixed(dimKey), "left")
+      stream(streamKey) === prefixed(dimKey), "left")
       .drop(prefixed(dimKey))
   }
 

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Tolerance-vs-exact gates for the sketch operators (driver checks rows
+  * only — these assertions are the accuracy contract the scaladoc
+  * promises: HLL++ estimates within a few rsd of exact distinct counts,
+  * GK quantiles within the guaranteed rank error). */
+class SketchSpec extends SparkSpec {
+
+  test("approx_count_distinct within tolerance of exact per group") {
+    val events = Tables.events(spark, sfDir)
+    val approx = Sketches.approxDistinct(events, "event_type", "user_id", rsd = 0.02)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("d"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (d, n)) =>
+      val (est, nRows) = approx(k)
+      assert(nRows == n, s"exact row count disagrees for $k")
+      // rsd is one sigma; 5 sigma (and never tighter than ±2 absolute for
+      // tiny groups) is a deterministic bound HLL++ meets comfortably —
+      // at small cardinalities its sparse mode is exact anyway
+      val tol = math.max(2.0, 5 * 0.02 * d)
+      assert(math.abs(est - d) <= tol,
+        s"HLL estimate $est vs exact $d for $k exceeds tolerance $tol")
+    }
+  }
+
+  test("percentile_approx within GK rank-error bound of exact per group") {
+    val li = Tables.lineitem(spark, sfDir)
+    val qs = Seq(0.5, 0.9, 0.99)
+    val accuracy = 10000
+    val approx = Sketches
+      .approxQuantilesLong(li, "l_returnflag", "l_extendedprice", qs, accuracy)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+
+    val byGroup = li.select("l_returnflag", "l_extendedprice")
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+
+    assert(approx.keys.map(_._1).toSet == byGroup.keySet)
+    for ((flag, vals) <- byGroup; q <- qs) {
+      val est = approx((flag, q))
+      val n = vals.length
+      // GK guarantee: the returned value's rank is within n/accuracy of
+      // the target rank (+1 slack for discrete-rank rounding)
+      val rank = vals.count(_ <= est)
+      val target = q * n
+      val tol = n.toDouble / accuracy + 1
+      assert(math.abs(rank - target) <= tol,
+        s"quantile $q for $flag: est $est has rank $rank, target $target ± $tol (n=$n)")
+      // and the value itself is one the data contains (GK returns a sample)
+      assert(vals.contains(est), s"quantile $q for $flag returned non-sample value $est")
+    }
+  }
+}
