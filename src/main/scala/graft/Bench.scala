@@ -28,38 +28,44 @@ object Bench {
       case Some(keys) => SparkEntry.queries.filter { case (n, _) => keys(n) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        if (errors.contains(name)) None
-        else {
-          val t0 = System.nanoTime()
-          // noop sink, not count(): count() lets Catalyst prune computed
-          // projection columns, so map-heavy queries would bench a near-noop
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
-            case e: Throwable =>
-              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-              System.err.println(s"[bench] $name FAILED: ${errors(name)}")
-          }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // operators persist intermediates (LSH signatures, shingle sets)
-          // for the duration of their action; drop them between runs
-          spark.catalog.clearCache()
-          Some(dt)
-        }
+    // reps are interleaved ROUND-ROBIN across queries, not run
+    // back-to-back: a sustained sandbox load spike then lands on one rep
+    // of many queries instead of all reps of a few, so the per-query
+    // median stays comparable across rounds. Per-rep times are emitted in
+    // the JSON so any residual noise is diagnosable post hoc.
+    val timesByQ = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+      selected.keys.toSeq.map(_ -> Vector.empty[Double]): _*)
+    for (_ <- 1 to reps; (name, fn) <- selected if !errors.contains(name)) {
+      val t0 = System.nanoTime()
+      // noop sink, not count(): count() lets Catalyst prune computed
+      // projection columns, so map-heavy queries would bench a near-noop
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
       }
-      val median =
-        if (times.isEmpty) -1.0 else times.sorted.apply(times.length / 2)
-      name -> median
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators persist intermediates (LSH signatures, shingle sets)
+      // for the duration of their action; drop them between runs
+      spark.catalog.clearCache()
+      if (!errors.contains(name)) timesByQ(name) = timesByQ(name) :+ dt
+    }
+    val results = timesByQ.map { case (name, times) =>
+      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.length / 2))
     }
     // a failed query reports -1, never a fast success
     val qs = results.map { case (k, v) =>
       s"\"" + k + "\":" + (if (errors.contains(k)) "-1" else v.toString)
     }.mkString("{", ",", "}")
+    val repJson = timesByQ.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(t => (math.rint(t * 1000) / 1000).toString)
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // full escaping (Json.str): an exception message with an exotic
     // control char must not make the one metrics line unparseable
     val es = errors.map { case (k, v) => Json.str(k) + ":" + Json.str(v) }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

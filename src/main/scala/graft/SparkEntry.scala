@@ -30,6 +30,8 @@ object SparkEntry {
     "q17_small_qty_revenue" -> (TpchMore.q17SmallQtyRevenue(_, _)),
     "q18_large_orders"      -> ((s, d) => TpchMore.q18LargeOrders(s, d)),
     "q22_dormant_customers" -> (TpchMore.q22DormantCustomers(_, _)),
+    "q13_order_distribution" -> (TpchMore.q13OrderDistribution(_, _)),
+    "q21_waiting_supplier"  -> (TpchMore.q21WaitingSupplier(_, _)),
     "scd2_apply"            -> (Scd2.eventsScd2(_, _)),
     "scd2_asof_lookup"      -> (Scd2.eventsAsOfLookup(_, _)),
     "merge_upsert"          -> (MergeUpsert.mergeUpsertCustomer(_, _)),
@@ -71,6 +73,9 @@ object SparkEntry {
     "ann_bruteforce"        -> (BruteForceKnn.annBruteforce(_, _)),
     "ann_lsh"               -> (LshAnn.annLsh(_, _)),
     "ann_ivf"               -> (IvfAnn.annIvf(_, _)),
+    // full-probe IVF == exhaustive search: shares the bruteforce oracle,
+    // hash-gating the whole IVF pipeline (train/assign/probe/score/rank)
+    "ann_ivf_exhaustive"    -> (IvfAnn.annIvfExhaustive(_, _)),
     "ann_pq"                -> (PqAnn.annPq(_, _)),
     "ann_ivfpq"             -> (IvfPqAnn.annIvfPq(_, _)),
     // sketch_*: rows-gated (DuckDB's sketch internals differ, so no hash
@@ -98,6 +103,8 @@ object SparkEntry {
     "q17_small_qty_revenue" -> TpchMore.q17OracleSql,
     "q18_large_orders"      -> TpchMore.q18OracleSql,
     "q22_dormant_customers" -> TpchMore.q22OracleSql,
+    "q13_order_distribution" -> TpchMore.q13OracleSql,
+    "q21_waiting_supplier"  -> TpchMore.q21OracleSql,
     "scd2_apply"            -> Scd2.oracleSql,
     "scd2_asof_lookup"      -> Scd2.asOfOracleSql,
     "merge_upsert"          -> MergeUpsert.oracleSql,
@@ -135,6 +142,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"   -> NGramJaccard.oracleSql,
     "dedup_embedding"       -> EmbeddingDedup.oracleSql,
     "ann_bruteforce"        -> BruteForceKnn.oracleSql,
+    "ann_ivf_exhaustive"    -> BruteForceKnn.oracleSql,
     "mm_meta"               -> BinaryMedia.mmMetaOracleSql,
     "mm_framesample"        -> BinaryMedia.mmFramesampleOracleSql,
     "mm_resize"             -> BinaryMedia.mmResizeOracleSql,

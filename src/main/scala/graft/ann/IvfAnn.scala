@@ -112,4 +112,20 @@ object IvfAnn {
     val vecs = Tables.embeddings(spark, dir)
     topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding", k = 5)
   }
+
+  // ---- query-map entry (hash-gated via degeneracy) ----
+
+  /** nprobe = nlist probes EVERY inverted list, so IVF degenerates to
+    * exhaustive search: each (query, corpus) pair is scored exactly once
+    * (one list per corpus vector, distinct probed lists) with the same
+    * quantized-cosine arithmetic as [[BruteForceKnn]] — the result is
+    * bit-identical to the flat baseline and shares its DuckDB oracle.
+    * This turns the recall spec's "probing loses nothing at full probe"
+    * claim into a driver-checked hash identity over the whole IVF
+    * pipeline (train → assign → probe → score → rank). */
+  def annIvfExhaustive(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+    topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding",
+      k = 5, nlist = NList, nprobe = NList)
+  }
 }

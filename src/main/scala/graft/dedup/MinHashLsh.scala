@@ -36,13 +36,19 @@ object MinHashLsh {
   /** Verified near-dup pairs (a_id < b_id, Jaccard ≥ threshold). */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
-    // signatures are materialized once (cache) — by design: at scale the
-    // signature table is |docs| × 32 longs, tiny next to the corpus
+    // signatures are materialized once — by design: at scale the table is
+    // |docs| × (32 longs + hashed shingles), tiny next to the corpus, and
+    // both the banding join and the verification join-back read it.
+    // localCheckpoint (EAGER — one job at construction) rather than
+    // cache(): checkpoint blocks are released by the ContextCleaner when
+    // the plan is garbage collected, so a library caller looping over
+    // corpora doesn't accumulate pinned signature tables the way
+    // un-unpersisted cache() entries did
     val sig = docs
       .select(col(idCol).as("__id"), NGramJaccard.hashedShingles(col(textCol)).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .withColumn("__sig", signature(col("__sh")))
-      .cache()
+      .localCheckpoint()
 
     val bands = sig.select(col("__id"), explode(
       transform(sequence(lit(0), lit(Bands - 1)),
@@ -80,8 +86,9 @@ object MinHashLsh {
     * of diameter D converges in O(log D) rounds and the default bound of
     * 10 covers diameters up to ~2¹⁰, far beyond any near-dup cluster.
     * Each round is two shuffle joins on node id with localCheckpoint'ed
-    * labels (O(1) lineage, the [[graft.operators.Hierarchy]] discipline)
-    * and one tiny convergence check. A non-converged exit (pathological
+    * labels (O(1) lineage, the [[graft.operators.Hierarchy]] discipline);
+    * the tiny convergence check runs every SECOND round to halve the
+    * driver-action count. A non-converged exit (pathological
     * graph) logs a warning rather than silently returning — a dangling
     * rep_id would point at a doc that is itself flagged duplicate. */
   def assignReps(docs: DataFrame, idCol: String, pairs: DataFrame,
@@ -110,10 +117,15 @@ object MinHashLsh {
         .select(col("__node"),
           least(col("rep_id"), coalesce(col("__rr"), col("rep_id"))).as("rep_id"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("rep_id", "__old"), "__node")
-        .filter(col("rep_id") =!= col("__old")).isEmpty
-      labels = next
       round += 1
+      // the convergence test is its own driver action, and rounds are
+      // already O(log D) — so pay for it only every SECOND round (and at
+      // the bound). Worst case one extra cheap no-op round; halves the
+      // per-call job count that dominated the local bench
+      if (round % 2 == 0 || round >= maxRounds)
+        converged = next.join(labels.withColumnRenamed("rep_id", "__old"), "__node")
+          .filter(col("rep_id") =!= col("__old")).isEmpty
+      labels = next
     }
     if (!converged)
       System.err.println(

@@ -31,10 +31,14 @@ object SimHashDedup {
       exprs => graft.functions.SimHash64(exprs.head),
       transform(split(text, "\\s+"), w => xxhash64(w)))
 
-  /** (id, fingerprint) table — cached because the banding join and the
-    * final output projection both read it. */
+  /** (id, fingerprint) table — materialized once (EAGER localCheckpoint,
+    * one job at construction) because the banding join and the final
+    * output projection both read it. Checkpoint blocks are released by
+    * the ContextCleaner when the plan is garbage collected — unlike the
+    * old cache(), which pinned a fingerprint table per call until an
+    * explicit unpersist no caller ever issued. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("__id"), simhash(col(textCol)).as("__fp")).cache()
+    docs.select(col(idCol).as("__id"), simhash(col(textCol)).as("__fp")).localCheckpoint()
 
   /** Verified near-dup pairs: hamming(simhash_a, simhash_b) ≤ HammingMax. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -255,4 +255,84 @@ object TpchMore {
       |    WHERE o_custkey = c_custkey
       |      AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
       |GROUP BY c_nationkey""".stripMargin
+
+  /** Q13 shape — orders-per-customer distribution INCLUDING zero-order
+    * customers: the filter (priority, standing in for the classic
+    * o_comment NOT LIKE) lives in the LEFT OUTER join's ON clause, so a
+    * customer whose every order is filtered away still survives with
+    * c_count = 0 — a WHERE would silently drop them, the classic outer-
+    * join-distribution bug. count(o_orderkey) (not count(*)) counts only
+    * matched rows. Scale: both aggs shuffle on uniform keys (c_custkey,
+    * then the tiny c_count domain); the join itself is customer⋈orders on
+    * custkey, AQE's call on side/strategy. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  def q13OracleSql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count""".stripMargin
+
+  /** Q21 shape — EXISTS and NOT EXISTS against the same fact: suppliers
+    * who were the SOLE returning supplier in a finished multi-supplier
+    * order ("returned" = l_returnflag 'R', standing in for the classic
+    * receipt-past-commit lateness the test schema lacks). The EXISTS
+    * (another supplier shipped in the order) is a LEFT SEMI join, the
+    * NOT EXISTS (another supplier also returned) a LEFT ANTI — both on
+    * the order key with a supplier-inequality residual, exactly
+    * merge_generator.py's matched / never-matched classification run
+    * against one fact. Scale: three shuffles on l_orderkey (uniform);
+    * supplier broadcast; no dedup or row explosion — semi/anti probes
+    * stream. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    val returned = li.filter(col("l_returnflag") === "R")
+    val finished = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    // l1: returned lines of finished orders (the candidate "waiters")
+    val l1 = returned.join(finished,
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val l2 = li.select(col("l_orderkey").as("l2_ok"), col("l_suppkey").as("l2_sk"))
+    val l3 = returned.select(col("l_orderkey").as("l3_ok"), col("l_suppkey").as("l3_sk"))
+    val sole = l1
+      .join(l2, col("l2_ok") === col("l_orderkey") &&
+        col("l2_sk") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l3_ok") === col("l_orderkey") &&
+        col("l3_sk") =!= col("l_suppkey"), "left_anti")
+    sole.join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  def q21OracleSql: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM lineitem l1
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name""".stripMargin
 }

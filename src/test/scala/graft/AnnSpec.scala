@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
-import graft.ann.{BruteForceKnn, LshAnn}
+import graft.ann.{BruteForceKnn, IvfAnn, LshAnn}
 
 /** ANN specs (#32–33): brute-force against hand-computed ground truth;
   * LSH recall measured against brute-force on the real sf0.001 vectors
@@ -166,5 +166,13 @@ class AnnSpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     info(f"lsh recall = $recall%.3f (${exact.size} exact pairs)")
     assert(recall >= 0.8, f"recall $recall%.3f below floor")
+  }
+
+  test("ivf at nprobe = nlist is bit-identical to brute force") {
+    val exact = IvfAnn.annIvfExhaustive(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val bf = BruteForceKnn.annBruteforce(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(exact == bf && bf.nonEmpty)
   }
 }

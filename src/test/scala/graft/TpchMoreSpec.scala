@@ -86,4 +86,43 @@ class TpchMoreSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1).toInt)).toMap
     assert(got == naive && got.nonEmpty)
   }
+
+  test("q13: outer join preserves every customer (zero-order bucket included)") {
+    val got = TpchMore.q13OrderDistribution(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent formulation: pre-agg the filtered orders, LEFT join back,
+    // coalesce the miss to zero
+    val ordCounts = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val naive = Tables.customer(spark, sfDir).select("c_custkey")
+      .join(ordCounts, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == naive && got.nonEmpty)
+    // the outer-join property: the distribution accounts for ALL customers
+    assert(got.values.sum == Tables.customer(spark, sfDir).count())
+  }
+
+  test("q21: sole-returner equals naive per-order cardinality formulation") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+    val perOrder = li.groupBy("l_orderkey").agg(
+      countDistinct("l_suppkey").as("nsupp"),
+      countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("nret"))
+    val fin = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val naive = li.filter(col("l_returnflag") === "R")
+      .join(fin, col("l_orderkey") === col("o_orderkey"))
+      .join(perOrder, Seq("l_orderkey"))
+      .filter(col("nsupp") > 1 && col("nret") === 1)
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = TpchMore.q21WaitingSupplier(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == naive && got.nonEmpty)
+  }
 }
