@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{TpchLike, TpchMore}
-import graft.operators.{ColumnNames, Compaction, DimDate, EmbedDocs, FeatureAssembly, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize, Sketches}
+import graft.operators.{ColumnNames, Compaction, Concurrent, DimDate, EmbedDocs, FeatureAssembly, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize, Sketches}
 import graft.functions.TextFunctions
 import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
 import graft.ann.{BruteForceKnn, IvfAnn, IvfPqAnn, LshAnn, PqAnn}
-import graft.multimodal.BinaryMedia
+import graft.multimodal.{ArchiveIngest, BinaryMedia}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -44,6 +44,8 @@ object SparkEntry {
     "hash_split"            -> (Sampling.hashSplitDocuments(_, _)),
     "compaction"            -> (Compaction.compactionOrders(_, _)),
     "embed_docs"            -> (EmbedDocs.embedDocuments(_, _)),
+    // rows-gated like embed_docs: same plumbing, real hashed-BoW encoder
+    "embed_docs_bow"        -> (EmbedDocs.embedDocumentsBow(_, _)),
     "salted_cumsum"         -> (SaltedCumSum.eventsCumSum(_, _)),
     "sessionize"            -> (Sessionize.eventsSessions(_, _)),
     "evt_window_agg"        -> (Sessionize.hourlyAgg(_, _)),
@@ -78,6 +80,9 @@ object SparkEntry {
     "ann_ivf_exhaustive"    -> (IvfAnn.annIvfExhaustive(_, _)),
     "ann_pq"                -> (PqAnn.annPq(_, _)),
     "ann_ivfpq"             -> (IvfPqAnn.annIvfPq(_, _)),
+    // FAIR-pool concurrent orchestration: four independent stats run on
+    // parallel driver threads; deterministic values -> full hash gate
+    "concurrent_table_stats" -> (Concurrent.concurrentTableStats(_, _)),
     // sketch_*: rows-gated (DuckDB's sketch internals differ, so no hash
     // oracle exists); tolerance vs exact answers asserted in SketchSpec
     "sketch_distinct_events"   -> (Sketches.sketchDistinctEvents(_, _)),
@@ -85,6 +90,9 @@ object SparkEntry {
     "mm_meta"               -> (BinaryMedia.mmMeta(_, _)),
     "mm_framesample"        -> (BinaryMedia.mmFramesample(_, _)),
     "mm_resize"             -> (BinaryMedia.mmResize(_, _)),
+    // zip pack->expand roundtrip: member walk + CRC-verified read + UTF-8
+    // decode all land inside the hash gate (oracle = documents itself)
+    "mm_zip_expand"         -> (ArchiveIngest.mmZipExpand(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,6 +139,7 @@ object SparkEntry {
     "numeric_profile"       -> SchemaTools.numericProfileOracleSql,
     "class_weights"         -> SchemaTools.classWeightsOracleSql,
     "dim_date"              -> DimDate.oracleSql,
+    "concurrent_table_stats" -> Concurrent.oracleSql,
     "hierarchy_flatten"     -> Hierarchy.oracleSql,
     "text_tokens"           -> TextFunctions.textTokensOracleSql,
     "text_quality"          -> TextFunctions.textQualityOracleSql,
@@ -146,6 +155,7 @@ object SparkEntry {
     "mm_meta"               -> BinaryMedia.mmMetaOracleSql,
     "mm_framesample"        -> BinaryMedia.mmFramesampleOracleSql,
     "mm_resize"             -> BinaryMedia.mmResizeOracleSql,
+    "mm_zip_expand"         -> ArchiveIngest.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -66,6 +66,42 @@ object EmbedDocs {
     def create(): BatchEncoder = StubEncoder
   }
 
+  /** A REAL (non-stub) deterministic encoder: signed feature hashing of
+    * the token bag ("hashing trick") — each lowercase whitespace token
+    * hashes to one of Dim buckets with a ±1 sign, counts accumulate, the
+    * result is L2-normalized. Texts sharing vocabulary get high cosine;
+    * disjoint vocabularies decorrelate. Zero model state, so `create()`
+    * is free — but the factory path is identical to what a
+    * sentence-transformer would use. String.hashCode is specified by the
+    * JLS, so vectors are stable across JVMs and runs. */
+  object HashedBowEncoder extends BatchEncoder {
+    import graft.functions.Mix64
+    /** (bucket, sign) of a token — public: the pair IS the encoder's
+      * deterministic contract, asserted independently in the spec. */
+    def bucketAndSign(token: String): (Int, Double) = {
+      val h = Mix64.mix(token.hashCode.toLong + Mix64.Golden)
+      ((((h >>> 1) % Dim).toInt), if ((h & 1L) == 0L) 1.0 else -1.0)
+    }
+    def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+      val v = new Array[Double](Dim)
+      var i = 0
+      val toks = t.toLowerCase.split("\\s+")
+      while (i < toks.length) {
+        if (toks(i).nonEmpty) {
+          val (idx, sign) = bucketAndSign(toks(i))
+          v(idx) += sign
+        }
+        i += 1
+      }
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm == 0.0) new Array[Float](Dim) else v.map(x => (x / norm).toFloat)
+    }
+  }
+
+  object HashedBowEncoderFactory extends EncoderFactory {
+    def create(): BatchEncoder = HashedBowEncoder
+  }
+
   /** Append an `embedding array<float>` column computed in batches. */
   def embed(docs: DataFrame, idCol: String, textCol: String,
             factory: EncoderFactory = StubEncoderFactory): DataFrame = {
@@ -96,7 +132,17 @@ object EmbedDocs {
     * dependence on JVM Double.toString formatting). The round-4 form
     * (interpreted aggregate fold + transform + to_json per row) benched
     * 8× slower and its hash was JDK-version-sensitive. */
-  def embedDocuments(spark: SparkSession, dir: String): DataFrame = {
+  def embedDocuments(spark: SparkSession, dir: String): DataFrame =
+    embedSummary(spark, dir, StubEncoderFactory)
+
+  /** Same summary projection over the REAL hashed-BoW encoder — the
+    * driver-gated proof that the factory plumbing runs a non-stub model
+    * end-to-end (vector-level semantics asserted in PipelineOpsSpec). */
+  def embedDocumentsBow(spark: SparkSession, dir: String): DataFrame =
+    embedSummary(spark, dir, HashedBowEncoderFactory)
+
+  private def embedSummary(spark: SparkSession, dir: String,
+                           factory: EncoderFactory): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val outSchema = StructType(Seq(
@@ -105,8 +151,9 @@ object EmbedDocs {
       StructField("l2_norm", DoubleType, nullable = false),
       StructField("embedding", ArrayType(FloatType), nullable = false)))
     val rows = docs.rdd.mapPartitions { it =>
+      val encoder = factory.create() // per-partition model init
       it.grouped(BatchSize).flatMap { batch =>
-        val vecs = StubEncoder.encodeBatch(batch.map(_.getString(1)))
+        val vecs = encoder.encodeBatch(batch.map(_.getString(1)))
         batch.lazyZip(vecs).map { (r, v) =>
           var acc = 0.0
           var i = 0

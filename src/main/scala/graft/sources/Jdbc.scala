@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC table/query source — the generic external-database read contract,
+  * counterpart of the reference's SQL-warehouse pulls
+  * (/root/reference/DataEngineering/DataBricks/spark_read_sql.py:1-25 and
+  * spark_read_kusto.py:1-37: connector reads with a pushed query and a
+  * partitioned fetch). Built on Spark's own JDBC source so Catalyst
+  * keeps filter/column pushdown (`.filter`/`.select` on the returned
+  * frame land in the remote WHERE clause / SELECT list — visible as
+  * `PushedFilters` on the scan).
+  *
+  * Scale stance: an unpartitioned JDBC read is ONE task pulling the whole
+  * table through one connection — fine for dims, fatal for facts. For
+  * anything sizable pass [[Partitioning]]: Spark splits the key range
+  * into `numPartitions` slices, one connection each, and the warehouse
+  * does the slicing WHERE. That is the spark_read_sql `numPartitions /
+  * partitionColumn` shape, and the knob a 1000-executor cluster needs to
+  * not serialize on the source.
+  */
+object Jdbc {
+
+  /** Range partitioning of the fetch: `numPartitions` parallel readers
+    * slicing `[lowerBound, upperBound]` on numeric/date `column`. Bounds
+    * only shape the slices — rows OUTSIDE the bounds still arrive (first
+    * and last slice are unbounded), matching Spark's contract. */
+  final case class Partitioning(column: String, lowerBound: Long,
+                                upperBound: Long, numPartitions: Int)
+
+  /** Read a table (or `(subquery) alias`) over JDBC. `props` carries
+    * driver/user/password/fetchsize options verbatim. */
+  def read(spark: SparkSession, url: String, table: String,
+           partitioning: Option[Partitioning] = None,
+           props: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(props)
+    val withParts = partitioning.fold(base) { p =>
+      base.option("partitionColumn", p.column)
+        .option("lowerBound", p.lowerBound)
+        .option("upperBound", p.upperBound)
+        .option("numPartitions", p.numPartitions)
+    }
+    withParts.load()
+  }
+
+  /** Read an arbitrary SQL query, pushed whole to the database —
+    * spark_read_sql.py's `query` mode. (Mutually exclusive with range
+    * partitioning by Spark's JDBC contract: a pushed query has no
+    * partition column metadata.) */
+  def readQuery(spark: SparkSession, url: String, query: String,
+                props: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", query)
+      .options(props)
+      .load()
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import org.apache.spark.sql.functions._
+import graft.sources.Jdbc
+
+/** JDBC source contract spec'd against an embedded Derby database (on the
+  * unmanaged Spark classpath): content fidelity, range-partitioned
+  * parallel fetch, filter pushdown to the remote scan, pushed-query
+  * mode. */
+class JdbcSpec extends SparkSpec {
+
+  private lazy val url: String = {
+    val dir = Files.createTempDirectory("graft_derby").toString
+    val u = s"jdbc:derby:$dir/db;create=true"
+    val conn = DriverManager.getConnection(u)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE metrics (id BIGINT NOT NULL, site VARCHAR(16), score DOUBLE)")
+    val ins = conn.prepareStatement("INSERT INTO metrics VALUES (?, ?, ?)")
+    (1 to 100).foreach { i =>
+      ins.setLong(1, i.toLong); ins.setString(2, s"site_${i % 4}")
+      ins.setDouble(3, i * 1.5); ins.addBatch()
+    }
+    ins.executeBatch(); ins.close(); st.close(); conn.close()
+    u
+  }
+
+  private val props = Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+
+  test("unpartitioned read returns full table content") {
+    val df = Jdbc.read(spark, url, "metrics", props = props)
+    assert(df.count() == 100)
+    val r = df.filter(col("ID") === 7).head()
+    assert(r.getString(r.fieldIndex("SITE")) == "site_3" &&
+      r.getDouble(r.fieldIndex("SCORE")) == 10.5)
+  }
+
+  test("range partitioning fans the fetch into numPartitions slices, losslessly") {
+    val df = Jdbc.read(spark, url, "metrics",
+      partitioning = Some(Jdbc.Partitioning("ID", 1, 100, 4)), props = props)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.select(sum("ID")).head().getLong(0) == 5050L)
+    // rows outside the bounds still arrive (bounds shape slices, not a filter)
+    val dfNarrow = Jdbc.read(spark, url, "metrics",
+      partitioning = Some(Jdbc.Partitioning("ID", 40, 60, 3)), props = props)
+    assert(dfNarrow.count() == 100)
+  }
+
+  test("filters and projection push down to the remote scan") {
+    val df = Jdbc.read(spark, url, "metrics", props = props)
+      .filter(col("SCORE") > 120.0).select("ID", "SCORE")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(SCORE,120.0)"),
+      s"filter not pushed:\n$plan")
+    // 1.5*i > 120 <=> i > 80
+    assert(df.count() == 20)
+  }
+
+  test("pushed-query mode runs the SQL in the database") {
+    val agg = Jdbc.readQuery(spark, url,
+      "SELECT site, count(*) AS n FROM metrics GROUP BY site", props)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Number](r.fieldIndex("N")).longValue).toMap
+    assert(agg == Map("site_0" -> 25L, "site_1" -> 25L, "site_2" -> 25L, "site_3" -> 25L))
+  }
+}

@@ -65,4 +65,54 @@ class MultimodalSpec extends SparkSpec {
     assert(d1 == d2)
     assert(d1.values.forall(l => l > 0 && l < 256))
   }
+
+  test("zip pack/expand roundtrips arbitrary binary payloads with verified CRCs") {
+    import graft.multimodal.ArchiveIngest
+    // non-UTF8, empty, and >deflate-block payloads — all must survive
+    val payloads: Map[Long, Array[Byte]] = Map(
+      1L -> Array[Byte](0, -1, -128, 127, 10, 13),
+      2L -> Array.emptyByteArray,
+      3L -> Array.tabulate(70000)(i => (i * 31 % 251).toByte),
+      52L -> Array[Byte](42))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(payloads.toSeq.map {
+        case (id, b) => org.apache.spark.sql.Row(id, b)
+      }, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+
+    val packed = ArchiveIngest.pack(df, "id", "payload", groupSize = 50)
+    // ids 1,2,3 share archive 0; id 52 lands in archive 1
+    assert(packed.count() == 2)
+    val members = ArchiveIngest.expand(packed, "archive_id", "archive")
+      .collect().map { r =>
+        r.getAs[String]("member_name") ->
+          (r.getAs[Long]("archive_id"), r.getAs[Long]("member_size"),
+            r.getAs[Long]("member_crc"), r.getAs[Array[Byte]]("member_bytes"))
+      }.toMap
+    assert(members.keySet == Set("1", "2", "3", "52"))
+    payloads.foreach { case (id, bytes) =>
+      val (aid, sz, crc, got) = members(id.toString)
+      assert(aid == id / 50)
+      assert(sz == bytes.length.toLong && got.sameElements(bytes), s"payload $id mangled")
+      val expectCrc = new java.util.zip.CRC32()
+      expectCrc.update(bytes)
+      assert(crc == expectCrc.getValue, s"crc mismatch for $id")
+    }
+
+    // packing is partitioning-independent (members sorted within archive)
+    val packedAgain = ArchiveIngest.pack(df.repartition(7), "id", "payload", 50)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val first = packed.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(packedAgain == first)
+
+    // a corrupted member fails loudly (zip CRC check), never truncates silently
+    val archive0 = packed.filter($"archive_id" === 0L).head().getAs[Array[Byte]]("archive")
+    val corrupt = archive0.clone()
+    corrupt(archive0.length / 2) = (corrupt(archive0.length / 2) ^ 0x55).toByte
+    intercept[Exception] { ArchiveIngest.unzipArchive(corrupt) }
+  }
 }

@@ -85,6 +85,47 @@ class PipelineOpsSpec extends SparkSpec {
     // at most one ragged tail batch per partition; the rest are full
     assert(sizes.count(_ < EmbedDocs.BatchSize) <= 4, s"under-full batches: $sizes")
   }
+
+  test("hashed-BoW encoder: non-stub vectors match an independent formulation") {
+    import EmbedDocs.HashedBowEncoder
+    // independent computation: token COUNTS via groupBy, then one signed
+    // write per distinct token — different code path than the per-token
+    // accumulation loop in the encoder
+    def expected(text: String): Array[Float] = {
+      val v = new Array[Double](EmbedDocs.Dim)
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).foreach { case (tok, occs) =>
+          val (idx, sign) = HashedBowEncoder.bucketAndSign(tok)
+          v(idx) += sign * occs.length
+        }
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm == 0) new Array[Float](EmbedDocs.Dim) else v.map(x => (x / norm).toFloat)
+    }
+    val texts = Seq("the quick brown fox", "the quick brown fox jumps",
+      "completely different words entirely", "", "The THE the")
+    val got = HashedBowEncoder.encodeBatch(texts)
+    texts.lazyZip(got).foreach { (t, v) =>
+      assert(v.sameElements(expected(t)), s"mismatch for '$t'")
+    }
+    // semantic sanity: overlapping vocabulary -> high cosine; disjoint -> low
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.lazyZip(b).map((x, y) => x.toDouble * y).sum
+    assert(cos(got(0), got(1)) > 0.8, "shared-vocab cosine too low")
+    assert(math.abs(cos(got(0), got(2))) < 0.5, "disjoint-vocab cosine too high")
+    assert(got(3).forall(_ == 0f), "empty text must be the zero vector")
+
+    // end-to-end through the factory plumbing: deterministic across
+    // partitionings, unit norm for non-empty docs
+    val docs = Tables.documents(spark, sfDir).limit(80)
+    val a = EmbedDocs.embed(docs, "doc_id", "text", EmbedDocs.HashedBowEncoderFactory)
+      .select($"doc_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    val b = EmbedDocs.embed(docs.repartition(5), "doc_id", "text",
+        EmbedDocs.HashedBowEncoderFactory)
+      .select($"doc_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(a == b && a.size == 80)
+    assert(a.values.forall(v =>
+      math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5))
+  }
 }
 
 /** Test double for [[EmbedDocs.EncoderFactory]]: counts model inits and
