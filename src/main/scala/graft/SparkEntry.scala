@@ -78,6 +78,8 @@ object SparkEntry {
     // full-probe IVF == exhaustive search: shares the bruteforce oracle,
     // hash-gating the whole IVF pipeline (train/assign/probe/score/rank)
     "ann_ivf_exhaustive"    -> (IvfAnn.annIvfExhaustive(_, _)),
+    "ann_lsh_exhaustive"    -> (LshAnn.annLshExhaustive(_, _)),
+    "ann_pq_exhaustive"     -> (PqAnn.annPqExhaustive(_, _)),
     "ann_pq"                -> (PqAnn.annPq(_, _)),
     "ann_ivfpq"             -> (IvfPqAnn.annIvfPq(_, _)),
     // FAIR-pool concurrent orchestration: four independent stats run on
@@ -152,6 +154,8 @@ object SparkEntry {
     "dedup_embedding"       -> EmbeddingDedup.oracleSql,
     "ann_bruteforce"        -> BruteForceKnn.oracleSql,
     "ann_ivf_exhaustive"    -> BruteForceKnn.oracleSql,
+    "ann_lsh_exhaustive"    -> BruteForceKnn.oracleSql,
+    "ann_pq_exhaustive"     -> BruteForceKnn.oracleSql,
     "mm_meta"               -> BinaryMedia.mmMetaOracleSql,
     "mm_framesample"        -> BinaryMedia.mmFramesampleOracleSql,
     "mm_resize"             -> BinaryMedia.mmResizeOracleSql,

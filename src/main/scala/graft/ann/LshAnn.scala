@@ -88,10 +88,11 @@ object LshAnn {
   /** Approximate top-k: candidates from bucket collisions, exact cosine
     * verify, two-phase rank. Output: query_id, neighbor_id, cos_sim, rank. */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
-           vecCol: String, k: Int): DataFrame = {
-    val cPost = postings(corpus, idCol, vecCol)
+           vecCol: String, k: Int,
+           tables: Int = Tables_, bits: Int = Bits): DataFrame = {
+    val cPost = postings(corpus, idCol, vecCol, tables, bits)
       .select(col(idCol).as("neighbor_id"), col("table_idx"), col("bucket"))
-    val qPost = probePostings(queries, idCol, vecCol)
+    val qPost = probePostings(queries, idCol, vecCol, tables, bits)
       .select(col(idCol).as("query_id"), col("table_idx"), col("bucket"))
 
     val cand = cPost.join(broadcast(qPost), Seq("table_idx", "bucket"))
@@ -116,5 +117,18 @@ object LshAnn {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
     topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding", k = 5)
+  }
+
+  // ---- query-map entry (hash-gated via degeneracy) ----
+
+  /** One table, one bit: every query multi-probes BOTH buckets, so the
+    * candidate set is every (query, corpus) pair and LSH degenerates to
+    * exhaustive search — bit-identical to [[BruteForceKnn]], sharing its
+    * DuckDB oracle. Hash-gates the whole LSH pipeline (hyperplane
+    * bucketing → postings join → verify → two-phase rank). */
+  def annLshExhaustive(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+    topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding",
+      k = 5, tables = 1, bits = 1)
   }
 }

@@ -92,9 +92,11 @@ object PqAnn {
     graft.functions.Native.call("graft_adc_sum",
       exprs => graft.functions.AdcSum(exprs(0), exprs(1)), tables, codes)
 
-  /** Approximate top-k with exact re-rank. */
+  /** Approximate top-k with exact re-rank. `poolOverride` widens the
+    * re-rank candidate pool past the default RerankFactor·k (≥ corpus
+    * size ⇒ the scan degenerates to exhaustive exact search). */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
-           vecCol: String, k: Int): DataFrame = {
+           vecCol: String, k: Int, poolOverride: Int = 0): DataFrame = {
     val books = trainCodebooks(corpus, idCol, vecCol)
     val codes = encode(corpus, idCol, vecCol, books)
       .withColumnRenamed(idCol, "neighbor_id")
@@ -110,7 +112,7 @@ object PqAnn {
       .select(col("query_id"), col("neighbor_id"),
         adcSum(col("__tables"), col("pq_codes")).as("approx_dist"))
 
-    val pool = RerankFactor * k
+    val pool = if (poolOverride > 0) poolOverride else RerankFactor * k
     val cand = Ranking.partialTopK(approx, pool,
         Seq(col("approx_dist"), col("neighbor_id")), rankCol = "__r")
       .select("query_id", "neighbor_id")
@@ -135,5 +137,18 @@ object PqAnn {
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
     topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding", k = 5)
+  }
+
+  // ---- query-map entry (hash-gated via degeneracy) ----
+
+  /** Re-rank pool ≥ corpus: the ADC scan still runs (codebook train,
+    * encode, distance tables, per-pair sums) but every pair reaches the
+    * exact re-rank, so the output is bit-identical to [[BruteForceKnn]]
+    * and shares its DuckDB oracle — hash-gating the PQ plumbing
+    * end-to-end. */
+  def annPqExhaustive(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+    topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding",
+      k = 5, poolOverride = Int.MaxValue)
   }
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** JDBC table/query source — the generic external-database read contract,
   * counterpart of the reference's SQL-warehouse pulls
@@ -57,4 +58,50 @@ object Jdbc {
       .option("query", query)
       .options(props)
       .load()
+
+  // ---- write side (databricks_synapse_sql_writer.py:1-200: dynamic DDL
+  // from the frame's schema, then a batched write) ----
+
+  /** ANSI SQL type for a Spark type — the writer's dynamic-DDL mapping
+    * (the reference generates Synapse DDL from the parquet schema the
+    * same way; varcharLen mirrors its fixed-width NVARCHAR choice). */
+  def sqlTypeFor(dt: DataType, varcharLen: Int = 4000): String = dt match {
+    case BooleanType => "BOOLEAN"
+    case ByteType | ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "REAL"
+    case DoubleType => "DOUBLE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType => s"VARCHAR($varcharLen)"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case other =>
+      throw new IllegalArgumentException(
+        s"no JDBC DDL mapping for ${other.simpleString}: project it away or cast first")
+  }
+
+  /** CREATE TABLE statement for a frame's schema — executable on the
+    * target before [[write]], the reference's table-generation step. */
+  def createTableDdl(table: String, schema: StructType,
+                     varcharLen: Int = 4000): String =
+    schema.fields.map { f =>
+      val nn = if (f.nullable) "" else " NOT NULL"
+      s"${f.name} ${sqlTypeFor(f.dataType, varcharLen)}$nn"
+    }.mkString(s"CREATE TABLE $table (", ", ", ")")
+
+  /** Write a frame to a JDBC table. Each partition writes through its own
+    * connection in `batchSize`d inserts — the distributed shape: fan-in
+    * parallelism is the frame's partition count, so repartition to the
+    * warehouse's comfortable writer count before calling. */
+  def write(df: DataFrame, url: String, table: String,
+            mode: String = "append", batchSize: Int = 1000,
+            props: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .options(props)
+      .mode(mode)
+      .save()
 }

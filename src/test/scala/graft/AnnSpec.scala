@@ -168,11 +168,13 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.3f below floor")
   }
 
-  test("ivf at nprobe = nlist is bit-identical to brute force") {
-    val exact = IvfAnn.annIvfExhaustive(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
-    val bf = BruteForceKnn.annBruteforce(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
-    assert(exact == bf && bf.nonEmpty)
+  test("ivf/lsh/pq degeneracies are bit-identical to brute force") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val bf = rows(BruteForceKnn.annBruteforce(spark, sfDir))
+    assert(bf.nonEmpty)
+    assert(rows(IvfAnn.annIvfExhaustive(spark, sfDir)) == bf, "ivf full-probe")
+    assert(rows(LshAnn.annLshExhaustive(spark, sfDir)) == bf, "lsh 1-table-1-bit")
+    assert(rows(graft.ann.PqAnn.annPqExhaustive(spark, sfDir)) == bf, "pq full-pool")
   }
 }

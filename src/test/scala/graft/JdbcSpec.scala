@@ -57,6 +57,34 @@ class JdbcSpec extends SparkSpec {
     assert(df.count() == 20)
   }
 
+  test("dynamic DDL + batched write roundtrip (the sql-writer shape)") {
+    import org.apache.spark.sql.types._
+    val df = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .limit(200)
+    // DDL generated from the frame's schema must be executable DDL
+    val ddl = Jdbc.createTableDdl("orders_out", df.schema, varcharLen = 32)
+    assert(ddl == "CREATE TABLE orders_out (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus VARCHAR(32), o_totalprice DOUBLE)")
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(ddl)
+    conn.close()
+
+    Jdbc.write(df, url, "orders_out", mode = "append", batchSize = 50, props = props)
+    val back = Jdbc.read(spark, url, "orders_out", props = props)
+    assert(back.count() == 200)
+    // value fidelity through write+read
+    val a = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getDouble(3))).toSet
+    val b = back.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getDouble(3))).toSet
+    assert(a == b)
+    // unmappable types fail loudly, never silently stringified
+    intercept[IllegalArgumentException] {
+      Jdbc.sqlTypeFor(ArrayType(LongType))
+    }
+  }
+
   test("pushed-query mode runs the SQL in the database") {
     val agg = Jdbc.readQuery(spark, url,
       "SELECT site, count(*) AS n FROM metrics GROUP BY site", props)
