@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{TpchLike, TpchMore}
+import graft.queries.{TpchFinal, TpchLike, TpchMore}
 import graft.operators.{ColumnNames, Compaction, Concurrent, DimDate, EmbedDocs, FeatureAssembly, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize, Sketches}
 import graft.functions.TextFunctions
 import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
@@ -32,6 +32,10 @@ object SparkEntry {
     "q22_dormant_customers" -> (TpchMore.q22DormantCustomers(_, _)),
     "q13_order_distribution" -> (TpchMore.q13OrderDistribution(_, _)),
     "q21_waiting_supplier"  -> (TpchMore.q21WaitingSupplier(_, _)),
+    "q2_min_bal_supplier"   -> (TpchFinal.q2MinBalSupplier(_, _)),
+    "q11_important_parts"   -> (TpchFinal.q11ImportantParts(_, _)),
+    "q15_top_supplier"      -> (TpchFinal.q15TopSupplier(_, _)),
+    "q19_disjunctive_revenue" -> (TpchFinal.q19DisjunctiveRevenue(_, _)),
     "scd2_apply"            -> (Scd2.eventsScd2(_, _)),
     "scd2_asof_lookup"      -> (Scd2.eventsAsOfLookup(_, _)),
     "merge_upsert"          -> (MergeUpsert.mergeUpsertCustomer(_, _)),
@@ -115,6 +119,10 @@ object SparkEntry {
     "q22_dormant_customers" -> TpchMore.q22OracleSql,
     "q13_order_distribution" -> TpchMore.q13OracleSql,
     "q21_waiting_supplier"  -> TpchMore.q21OracleSql,
+    "q2_min_bal_supplier"   -> TpchFinal.q2OracleSql,
+    "q11_important_parts"   -> TpchFinal.q11OracleSql,
+    "q15_top_supplier"      -> TpchFinal.q15OracleSql,
+    "q19_disjunctive_revenue" -> TpchFinal.q19OracleSql,
     "scd2_apply"            -> Scd2.oracleSql,
     "scd2_asof_lookup"      -> Scd2.asOfOracleSql,
     "merge_upsert"          -> MergeUpsert.oracleSql,
