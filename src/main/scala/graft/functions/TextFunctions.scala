@@ -89,30 +89,38 @@ object TextFunctions {
       |  CAST(len(text) AS INT) AS n_chars
       |FROM documents""".stripMargin
 
-  /** #35 text_quality: length / punctuation / stopword / uniqueness ratios
-    * and a composite score. Per-row arithmetic is deterministic, so the
-    * doubles hash-match the oracle bit-for-bit with no rounding. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
+  /** Generic form of #35: append the quality metric columns to ANY frame
+    * with a text column — the library entry point (the gated
+    * [[textQuality]] is this over the documents table). All map-side
+    * codegen'd expressions; per-row arithmetic is deterministic. */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
     val nTok = size(ws)
     val nUnique = size(array_distinct(ws))
     val nStop = hitCount(ws, enMarkers :+ "in")
-    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nPunct = size(regexp_extract_all(col(textCol), lit("[^A-Za-z0-9\\s]"), lit(0)))
     val uniqR = nUnique.cast("double") / nTok
     val stopR = nStop.cast("double") / nTok
-    val punctR = nPunct.cast("double") / length(col("text"))
+    val punctR = nPunct.cast("double") / length(col(textCol))
     val lenR = least(nTok.cast("double") / lit(100), lit(1.0))
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      nTok.cast("int").as("n_tokens"),
-      nUnique.cast("int").as("n_unique"),
-      nStop.cast("int").as("n_stop"),
-      uniqR.as("uniq_ratio"),
-      stopR.as("stop_ratio"),
-      punctR.as("punct_ratio"),
-      (stopR * lit(0.3) + uniqR * lit(0.3) + (lit(1.0) - punctR) * lit(0.2)
-        + lenR * lit(0.2)).as("quality_score"))
+    df.withColumn("n_tokens", nTok.cast("int"))
+      .withColumn("n_unique", nUnique.cast("int"))
+      .withColumn("n_stop", nStop.cast("int"))
+      .withColumn("uniq_ratio", uniqR)
+      .withColumn("stop_ratio", stopR)
+      .withColumn("punct_ratio", punctR)
+      .withColumn("quality_score",
+        stopR * lit(0.3) + uniqR * lit(0.3) + (lit(1.0) - punctR) * lit(0.2)
+          + lenR * lit(0.2))
   }
+
+  /** #35 text_quality: length / punctuation / stopword / uniqueness ratios
+    * and a composite score. Per-row arithmetic is deterministic, so the
+    * doubles hash-match the oracle bit-for-bit with no rounding. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    withQuality(Tables.documents(spark, dir), "text")
+      .select("doc_id", "n_tokens", "n_unique", "n_stop",
+        "uniq_ratio", "stop_ratio", "punct_ratio", "quality_score")
 
   def textQualityOracleSql: String =
     """WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') ws FROM documents),

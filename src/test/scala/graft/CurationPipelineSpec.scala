@@ -64,4 +64,29 @@ class CurationPipelineSpec extends SparkSpec {
     val first = split.select("doc_id", "split").as[(Long, String)].collect().toSet
     assert(first == rerun, "pipeline is not partitioning-deterministic")
   }
+
+  test("archive ingest front-end: zip corpus -> expand -> curate equals direct curation") {
+    import graft.multimodal.ArchiveIngest
+    val docs = Tables.documents(spark, sfDir)
+
+    // corpus arrives packed: archives in, member rows out, text restored
+    val packed = ArchiveIngest.pack(
+      docs.select($"doc_id", encode($"text", "UTF-8").as("payload")),
+      "doc_id", "payload", groupSize = 50)
+    val restored = ArchiveIngest.expand(packed, "archive_id", "archive")
+      .select($"member_name".cast("long").as("doc_id"),
+        decode($"member_bytes", "UTF-8").as("text"))
+
+    // the curation front matter (quality + exact dedup) over the restored
+    // corpus must equal the same over the original — the archive hop is
+    // lossless for the pipeline, not only for byte equality
+    def curate(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      ExactDedup.dedup(
+        TextFunctions.withQuality(d, "text")
+          .filter($"quality_score" >= 0.3).select("doc_id", "text"),
+        "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+
+    assert(curate(restored) == curate(docs.select("doc_id", "text")))
+  }
 }

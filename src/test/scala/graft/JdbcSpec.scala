@@ -85,6 +85,42 @@ class JdbcSpec extends SparkSpec {
     }
   }
 
+  test("streaming jdbc sink: micro-batches land once, batch retry is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types._
+    import graft.streaming.JdbcSink
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("amount", DoubleType)))
+    val ddl = Jdbc.createTableDdl("stream_out",
+      StructType(schema.fields :+ StructField("batch_id", LongType)))
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(ddl); conn.close()
+
+    val in = MemoryStream[(Long, Double)](spark)
+    val chk = Files.createTempDirectory("graft_jdbc_chk").toString
+    val q = JdbcSink.start(in.toDF().toDF("event_id", "amount"),
+      url, "stream_out", chk, props)
+    in.addData((1L, 10.0), (2L, 20.0))
+    q.processAllAvailable()
+    in.addData((3L, 30.0))
+    q.processAllAvailable()
+    q.stop()
+
+    def rows() = Jdbc.read(spark, url, "stream_out", props = props)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val first = rows()
+    assert(first.map(_._1) == Set(1L, 2L, 3L))
+    assert(first.map(_._3).size == 2, s"expected 2 batch ids: $first")
+
+    // a retried batch (failure replay) must not duplicate: re-run batch 1
+    val replay = Seq((3L, 30.0)).toDF("event_id", "amount")
+    JdbcSink.writeBatch(replay, 1L, url, "stream_out", props)
+    assert(rows() == first, "batch retry duplicated rows")
+  }
+
   test("pushed-query mode runs the SQL in the database") {
     val agg = Jdbc.readQuery(spark, url,
       "SELECT site, count(*) AS n FROM metrics GROUP BY site", props)
