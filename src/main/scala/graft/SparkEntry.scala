@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{TpchFinal, TpchLike, TpchMore}
+import graft.queries.{TpchFinal, TpchLike, TpchMore, TpchRest}
 import graft.operators.{ColumnNames, Compaction, Concurrent, DimDate, EmbedDocs, FeatureAssembly, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize, Sketches}
 import graft.functions.TextFunctions
 import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
@@ -36,6 +36,12 @@ object SparkEntry {
     "q11_important_parts"   -> (TpchFinal.q11ImportantParts(_, _)),
     "q15_top_supplier"      -> (TpchFinal.q15TopSupplier(_, _)),
     "q19_disjunctive_revenue" -> (TpchFinal.q19DisjunctiveRevenue(_, _)),
+    "q6_forecast_revenue"   -> (TpchRest.q6ForecastRevenue(_, _)),
+    "q8_market_share"       -> (TpchRest.q8MarketShare(_, _)),
+    "q10_returned_customers" -> (TpchRest.q10ReturnedCustomers(_, _)),
+    "q12_priority_counts"   -> (TpchRest.q12PriorityCounts(_, _)),
+    "q16_supplier_counts"   -> (TpchRest.q16SupplierCounts(_, _)),
+    "q20_dominant_suppliers" -> (TpchRest.q20DominantSuppliers(_, _)),
     "scd2_apply"            -> (Scd2.eventsScd2(_, _)),
     "scd2_asof_lookup"      -> (Scd2.eventsAsOfLookup(_, _)),
     "merge_upsert"          -> (MergeUpsert.mergeUpsertCustomer(_, _)),
@@ -123,6 +129,12 @@ object SparkEntry {
     "q11_important_parts"   -> TpchFinal.q11OracleSql,
     "q15_top_supplier"      -> TpchFinal.q15OracleSql,
     "q19_disjunctive_revenue" -> TpchFinal.q19OracleSql,
+    "q6_forecast_revenue"   -> TpchRest.q6OracleSql,
+    "q8_market_share"       -> TpchRest.q8OracleSql,
+    "q10_returned_customers" -> TpchRest.q10OracleSql,
+    "q12_priority_counts"   -> TpchRest.q12OracleSql,
+    "q16_supplier_counts"   -> TpchRest.q16OracleSql,
+    "q20_dominant_suppliers" -> TpchRest.q20OracleSql,
     "scd2_apply"            -> Scd2.oracleSql,
     "scd2_asof_lookup"      -> Scd2.asOfOracleSql,
     "merge_upsert"          -> MergeUpsert.oracleSql,
