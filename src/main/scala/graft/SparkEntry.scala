@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{TpchFinal, TpchLike, TpchMore, TpchRest}
-import graft.operators.{ColumnNames, Compaction, Concurrent, DimDate, EmbedDocs, FeatureAssembly, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize, Sketches}
+import graft.operators.{ColumnNames, Compaction, Concurrent, DimDate, EmbedDocs, FeatureAssembly, FeatureEncoders, Hierarchy, Medallion, MergeUpsert, SaltedCumSum, Sampling, Scaling, Scd2, SchemaTools, Sessionize, Sketches, StarSplit}
 import graft.functions.TextFunctions
 import graft.dedup.{EmbeddingDedup, ExactDedup, MinHashLsh, NGramJaccard, SimHashDedup}
 import graft.ann.{BruteForceKnn, IvfAnn, IvfPqAnn, LshAnn, PqAnn}
@@ -49,6 +49,8 @@ object SparkEntry {
     "medallion_silver"      -> (Medallion.medallionSilverOrders(_, _)),
     "medallion_gold"        -> (Medallion.medallionGoldOrders(_, _)),
     "feature_assembly"      -> (FeatureAssembly.featureAssemblyCustomer(_, _)),
+    "star_split_dim"        -> (StarSplit.starSplitDim(_, _)),
+    "star_split_fact"       -> (StarSplit.starSplitFact(_, _)),
     "colnames_camel"        -> (ColumnNames.colnamesCamelOrders(_, _)),
     "submix_sample"         -> (Sampling.submixDocuments(_, _)),
     "hash_split"            -> (Sampling.hashSplitDocuments(_, _)),
@@ -142,6 +144,8 @@ object SparkEntry {
     "medallion_silver"      -> Medallion.silverOracleSql,
     "medallion_gold"        -> Medallion.goldOracleSql,
     "feature_assembly"      -> FeatureAssembly.oracleSql,
+    "star_split_dim"        -> StarSplit.dimOracleSql,
+    "star_split_fact"       -> StarSplit.factOracleSql,
     "colnames_camel"        -> ColumnNames.oracleSql,
     "submix_sample"         -> Sampling.oracleSql,
     "hash_split"            -> Sampling.hashSplitOracleSql,

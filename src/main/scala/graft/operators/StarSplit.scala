@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Star-schema decomposition: split a denormalized frame into a
+  * dimension table (distinct attribute combinations + deterministic
+  * surrogate key) and a fact table (attributes replaced by the foreign
+  * key) — the dim/fact half of the reference's star ETL
+  * (/root/reference/DataEngineering/DataBricks/AIO_delta_table_generator.py:79-87
+  * mints IDENTITY surrogate keys per tier table; merge_generator.py
+  * maintains the dims the facts point at).
+  *
+  * The surrogate key is dense_rank over the attribute ordering — unlike
+  * IDENTITY/monotonically_increasing_id it is DETERMINISTIC (same data ⇒
+  * same keys, any partitioning, any engine), which makes dims rebuildable
+  * and cross-system comparable. The unpartitioned rank window scans only
+  * the DISTINCT attribute rows — bounded by dimension cardinality, never
+  * by fact size (the [[FeatureAssembly]] stance); the fact side is one
+  * broadcast join, map-only.
+  */
+object StarSplit {
+
+  /** (dim, fact): dim = distinct `dimCols` + `keyCol`; fact = `df` with
+    * `dimCols` replaced by `keyCol`. */
+  def split(df: DataFrame, dimCols: Seq[String],
+            keyCol: String): (DataFrame, DataFrame) = {
+    val w = Window.orderBy(dimCols.map(col): _*)
+    val dim = df.select(dimCols.map(col): _*).distinct()
+      .withColumn(keyCol, dense_rank().over(w).cast("long"))
+      .select((keyCol +: dimCols).map(col): _*)
+    val factCols = df.columns.filterNot(dimCols.contains)
+    val fact = df.join(broadcast(dim), dimCols)
+      .select((factCols :+ keyCol).map(col): _*)
+    (dim, fact)
+  }
+
+  // ---- query-map entries (hash-gated) ----
+
+  private def ordersSplit(spark: SparkSession, dir: String) =
+    split(Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority"),
+      Seq("o_orderstatus", "o_orderpriority"), "order_profile_sk")
+
+  def starSplitDim(spark: SparkSession, dir: String): DataFrame =
+    ordersSplit(spark, dir)._1
+
+  def starSplitFact(spark: SparkSession, dir: String): DataFrame = {
+    val (_, fact) = ordersSplit(spark, dir)
+    fact.select(col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice"), 2).as("o_totalprice"), col("order_profile_sk"))
+  }
+
+  def dimOracleSql: String =
+    """SELECT CAST(dense_rank() OVER (ORDER BY o_orderstatus, o_orderpriority)
+      |       AS BIGINT) AS order_profile_sk,
+      |  o_orderstatus, o_orderpriority
+      |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) d""".stripMargin
+
+  def factOracleSql: String =
+    """WITH dim AS (
+      |  SELECT CAST(dense_rank() OVER (ORDER BY o_orderstatus, o_orderpriority)
+      |         AS BIGINT) AS order_profile_sk,
+      |    o_orderstatus, o_orderpriority
+      |  FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) d)
+      |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+      |  order_profile_sk
+      |FROM orders JOIN dim USING (o_orderstatus, o_orderpriority)""".stripMargin
+}

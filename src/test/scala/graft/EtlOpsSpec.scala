@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ColumnNames, Medallion, MergeUpsert}
+import graft.operators.{ColumnNames, Medallion, MergeUpsert, StarSplit}
 
 /** Specs for the changeset-merge and bronze-normalization operators. */
 class EtlOpsSpec extends SparkSpec {
@@ -97,5 +97,35 @@ class EtlOpsSpec extends SparkSpec {
     val row = b.limit(1).collect()(0)
     assert(row.getAs[String]("sourceFile") == "orders.parquet")
     assert(row.getAs[Int]("expirationDate") == Medallion.FarFuture)
+  }
+
+  test("star split: dense keys, FK integrity, lossless re-join, partitioning-stable") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority")
+    val (dim, fact) = StarSplit.split(orders,
+      Seq("o_orderstatus", "o_orderpriority"), "order_profile_sk")
+
+    // keys are dense 1..n over the distinct attribute combos
+    val keys = dim.select("order_profile_sk").collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == (1L to keys.length).toSeq)
+    assert(dim.count() ==
+      orders.select("o_orderstatus", "o_orderpriority").distinct().count())
+
+    // FK integrity + row preservation
+    assert(fact.count() == orders.count())
+    assert(fact.join(dim, Seq("order_profile_sk"), "left_anti").isEmpty,
+      "dangling foreign key")
+
+    // re-joining the dim reconstructs the original frame exactly
+    val rejoined = fact.join(dim, "order_profile_sk")
+      .select(orders.columns.map(col): _*)
+    assert(rejoined.exceptAll(orders).isEmpty && orders.exceptAll(rejoined).isEmpty)
+
+    // surrogate keys are partitioning-deterministic
+    val (dim2, _) = StarSplit.split(orders.repartition(7),
+      Seq("o_orderstatus", "o_orderpriority"), "order_profile_sk")
+    assert(dim.collect().toSet == dim2.collect().toSet)
   }
 }
