@@ -86,4 +86,34 @@ class KernelPropertySpec extends AnyFunSuite {
     val inputs = -5000L to 5000L
     assert(inputs.map(Mix64.mix).toSet.size == inputs.size)
   }
+
+  test("zip pack/unzip roundtrips arbitrary member sets byte-for-byte") {
+    import graft.multimodal.ArchiveIngest
+    (1 to 200).foreach { _ =>
+      val members = Seq.tabulate(rnd.nextInt(8)) { i =>
+        val bytes = Array.fill(rnd.nextInt(2000))(rnd.nextInt.toByte)
+        (s"m$i", bytes)
+      }
+      val back = ArchiveIngest.unzipArchive(ArchiveIngest.zipArchive(members))
+      assert(back.map(_._1) == members.map(_._1), "member names/order")
+      members.lazyZip(back).foreach { case ((_, bytes), (_, sz, _, got)) =>
+        assert(sz == bytes.length.toLong && got.sameElements(bytes))
+      }
+    }
+    // archives are byte-stable: same members, same bytes (epoch mtimes)
+    val m = Seq("a" -> Array[Byte](1, 2, 3), "b" -> Array.fill(5000)(7: Byte))
+    assert(ArchiveIngest.zipArchive(m).sameElements(ArchiveIngest.zipArchive(m)))
+  }
+
+  test("HashedBowEncoder buckets stay in range and signs are balanced-ish") {
+    import graft.operators.EmbedDocs.HashedBowEncoder
+    val toks = Seq.fill(2000)(randToken()).distinct
+    val bs = toks.map(HashedBowEncoder.bucketAndSign)
+    assert(bs.forall { case (i, s) =>
+      i >= 0 && i < graft.operators.EmbedDocs.Dim && (s == 1.0 || s == -1.0) })
+    val plus = bs.count(_._2 == 1.0).toDouble / bs.length
+    assert(plus > 0.35 && plus < 0.65, s"sign bias $plus")
+    // every bucket reachable over a modest vocabulary
+    assert(bs.map(_._1).distinct.length == graft.operators.EmbedDocs.Dim)
+  }
 }
