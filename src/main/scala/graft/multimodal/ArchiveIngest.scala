@@ -66,7 +66,9 @@ object ArchiveIngest {
   def pack(df: DataFrame, idCol: String, payloadCol: String,
            groupSize: Int): DataFrame = {
     import df.sparkSession.implicits._
-    df.select((col(idCol).cast("long") / groupSize).cast("long").as("archive_id"),
+    // DIV stays in long arithmetic (no double detour losing precision past
+    // 2^53) and truncates toward zero exactly like DuckDB's integer `//`.
+    df.select(expr(s"CAST($idCol AS BIGINT) DIV $groupSize").as("archive_id"),
         col(idCol).cast("string").as("__name"), col(payloadCol).cast("binary").as("__bytes"))
       .as[(Long, String, Array[Byte])]
       .groupByKey(_._1)

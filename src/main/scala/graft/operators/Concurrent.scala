@@ -29,9 +29,15 @@ object Concurrent {
   /** Run `jobs` concurrently on `parallelism` driver threads, each action
     * tagged into its own FAIR pool. Results return in INPUT ORDER (not
     * completion order). A job failure fails the whole call — matching
-    * the all-or-nothing contract of the reference's notebook runner. */
+    * the all-or-nothing contract of the reference's notebook runner.
+    *
+    * `timeout` bounds the whole batch: jobs that inter-depend (or hang on
+    * an external system) with fewer threads than waiters would otherwise
+    * deadlock the caller forever; on expiry the call fails NAMING the
+    * still-pending jobs so the stuck dependency is diagnosable. */
   def runAll[T](spark: SparkSession, jobs: Seq[(String, () => T)],
-                parallelism: Int = 4, poolPrefix: String = "graft"): Seq[(String, T)] = {
+                parallelism: Int = 4, poolPrefix: String = "graft",
+                timeout: Duration = Duration.Inf): Seq[(String, T)] = {
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
@@ -43,7 +49,15 @@ object Concurrent {
           finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
         }
       }
-      Await.result(Future.sequence(fs), Duration.Inf)
+      try Await.result(Future.sequence(fs), timeout)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          val pending = jobs.map(_._1).zip(fs)
+            .collect { case (n, f) if !f.isCompleted => n }
+          throw new java.util.concurrent.TimeoutException(
+            s"runAll timed out after $timeout with ${pending.size} job(s) " +
+              s"still pending: ${pending.mkString(", ")}")
+      }
     } finally pool.shutdown()
   }
 
@@ -63,7 +77,9 @@ object Concurrent {
         Tables.events(spark, dir).select(countDistinct("user_id"))
           .head().getLong(0).toDouble),
       "lineitem_total_qty" -> (() =>
-        Tables.lineitem(spark, dir).select(sum("l_quantity"))
+        // sum() is NULL on an empty input — coalesce so the stat is 0.0,
+        // not an NPE out of getDouble
+        Tables.lineitem(spark, dir).select(coalesce(sum("l_quantity"), lit(0.0)))
           .head().getDouble(0)),
       "orders_rows" -> (() =>
         Tables.orders(spark, dir).count().toDouble))

@@ -27,13 +27,22 @@ object StarSplit {
     * `dimCols` replaced by `keyCol`. */
   def split(df: DataFrame, dimCols: Seq[String],
             keyCol: String): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(dimCols.map(col): _*)
+    // asc_nulls_last pins the surrogate ordering (Spark defaults NULLS
+    // FIRST, most SQL engines NULLS LAST); <=> keeps rows whose dim
+    // attribute is NULL — distinct() retains the null combo in dim, so a
+    // null-unsafe join-back would silently drop those facts and the
+    // split would no longer reconstruct the input.
+    val w = Window.orderBy(dimCols.map(c => col(c).asc_nulls_last): _*)
     val dim = df.select(dimCols.map(col): _*).distinct()
       .withColumn(keyCol, dense_rank().over(w).cast("long"))
       .select((keyCol +: dimCols).map(col): _*)
     val factCols = df.columns.filterNot(dimCols.contains)
-    val fact = df.join(broadcast(dim), dimCols)
-      .select((factCols :+ keyCol).map(col): _*)
+    // dim derives from df, so disambiguate the self-join with aliases
+    val f = df.alias("__fact")
+    val d = dim.alias("__dim")
+    val joinCond = dimCols.map(c => col(s"__fact.$c") <=> col(s"__dim.$c")).reduce(_ && _)
+    val fact = f.join(broadcast(d), joinCond)
+      .select(factCols.map(c => col(s"__fact.$c")) :+ col(s"__dim.$keyCol"): _*)
     (dim, fact)
   }
 
@@ -55,14 +64,16 @@ object StarSplit {
   }
 
   def dimOracleSql: String =
-    """SELECT CAST(dense_rank() OVER (ORDER BY o_orderstatus, o_orderpriority)
+    """SELECT CAST(dense_rank() OVER (ORDER BY o_orderstatus NULLS LAST,
+      |                               o_orderpriority NULLS LAST)
       |       AS BIGINT) AS order_profile_sk,
       |  o_orderstatus, o_orderpriority
       |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) d""".stripMargin
 
   def factOracleSql: String =
     """WITH dim AS (
-      |  SELECT CAST(dense_rank() OVER (ORDER BY o_orderstatus, o_orderpriority)
+      |  SELECT CAST(dense_rank() OVER (ORDER BY o_orderstatus NULLS LAST,
+      |                                 o_orderpriority NULLS LAST)
       |         AS BIGINT) AS order_profile_sk,
       |    o_orderstatus, o_orderpriority
       |  FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) d)

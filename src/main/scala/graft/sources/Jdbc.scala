@@ -64,14 +64,20 @@ object Jdbc {
 
   /** ANSI SQL type for a Spark type — the writer's dynamic-DDL mapping
     * (the reference generates Synapse DDL from the parquet schema the
-    * same way; varcharLen mirrors its fixed-width NVARCHAR choice). */
-  def sqlTypeFor(dt: DataType, varcharLen: Int = 4000): String = dt match {
-    case BooleanType => "BOOLEAN"
+    * same way; varcharLen mirrors its fixed-width NVARCHAR choice).
+    * Emissions stick to ANSI spellings every major target parses
+    * (DOUBLE PRECISION, not the DuckDB/Derby-only DOUBLE shorthand).
+    * BooleanType is the one type with no portable spelling — SQL Server /
+    * Synapse (the reference writer's target) has BIT, PostgreSQL/Derby
+    * BOOLEAN — so it takes the dialect's spelling via `booleanDdl`. */
+  def sqlTypeFor(dt: DataType, varcharLen: Int = 4000,
+                 booleanDdl: String = "BOOLEAN"): String = dt match {
+    case BooleanType => booleanDdl
     case ByteType | ShortType => "SMALLINT"
     case IntegerType => "INTEGER"
     case LongType => "BIGINT"
     case FloatType => "REAL"
-    case DoubleType => "DOUBLE"
+    case DoubleType => "DOUBLE PRECISION"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case StringType => s"VARCHAR($varcharLen)"
     case DateType => "DATE"
@@ -84,10 +90,11 @@ object Jdbc {
   /** CREATE TABLE statement for a frame's schema — executable on the
     * target before [[write]], the reference's table-generation step. */
   def createTableDdl(table: String, schema: StructType,
-                     varcharLen: Int = 4000): String =
+                     varcharLen: Int = 4000,
+                     booleanDdl: String = "BOOLEAN"): String =
     schema.fields.map { f =>
       val nn = if (f.nullable) "" else " NOT NULL"
-      s"${f.name} ${sqlTypeFor(f.dataType, varcharLen)}$nn"
+      s"${f.name} ${sqlTypeFor(f.dataType, varcharLen, booleanDdl)}$nn"
     }.mkString(s"CREATE TABLE $table (", ", ", ")")
 
   /** Write a frame to a JDBC table. Each partition writes through its own

@@ -27,10 +27,16 @@ import graft.sources.Jdbc
 object JdbcSink {
 
   /** Idempotent write of one micro-batch (public: retried by the stream
-    * runner, exercised directly in the spec). */
+    * runner, exercised directly in the spec). The DELETE connection
+    * carries the same `props` (user/password/driver/...) as the insert
+    * path — an authenticated warehouse must see credentials on BOTH
+    * statements or the idempotency half silently can't run. */
   def writeBatch(batch: DataFrame, batchId: Long, url: String, table: String,
                  props: Map[String, String] = Map.empty): Unit = {
-    val conn = DriverManager.getConnection(url)
+    props.get("driver").foreach(Class.forName)
+    val cp = new java.util.Properties()
+    props.foreach { case (k, v) => cp.setProperty(k, v) }
+    val conn = DriverManager.getConnection(url, cp)
     try {
       val st = conn.prepareStatement(s"DELETE FROM $table WHERE batch_id = ?")
       st.setLong(1, batchId)

@@ -32,6 +32,22 @@ class ConcurrentSpec extends SparkSpec {
     assert(out == Seq("first" -> true, "second" -> true))
   }
 
+  test("timeout fails loudly, naming the still-pending jobs") {
+    import scala.concurrent.duration._
+    // one thread, two cross-waiting jobs: the classic under-provisioned
+    // deadlock. The timeout must rescue the caller and say who is stuck.
+    val gate = new CountDownLatch(1)
+    val ex = intercept[java.util.concurrent.TimeoutException] {
+      Concurrent.runAll[Boolean](spark, Seq(
+        "waiter" -> (() => gate.await(30, TimeUnit.SECONDS)),
+        "starved" -> (() => { gate.countDown(); true })),
+        parallelism = 1, timeout = 2.seconds)
+    }
+    gate.countDown() // release the pool thread
+    assert(ex.getMessage.contains("waiter") && ex.getMessage.contains("starved"),
+      s"pending jobs not named: ${ex.getMessage}")
+  }
+
   test("concurrent_table_stats equals independently computed values") {
     val got = Concurrent.concurrentTableStats(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -128,4 +128,25 @@ class EtlOpsSpec extends SparkSpec {
       Seq("o_orderstatus", "o_orderpriority"), "order_profile_sk")
     assert(dim.collect().toSet == dim2.collect().toSet)
   }
+
+  test("star split: NULL dim attributes keep their facts (null-safe join-back)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("red"), 10.0), (2L, None, 20.0),
+      (3L, Some("blue"), 30.0), (4L, None, 40.0))
+      .toDF("id", "color", "amount")
+    val (dim, fact) = StarSplit.split(df, Seq("color"), "color_sk")
+    // the null combo is a dim row like any other, ranked last
+    assert(dim.count() == 3)
+    val nullKey = dim.filter(col("color").isNull).head().getAs[Long]("color_sk")
+    assert(nullKey == 3L, "asc_nulls_last must rank the null combo last")
+    // no fact row dropped; both null-attribute facts carry the null combo's key
+    assert(fact.count() == 4)
+    assert(fact.filter(col("color_sk") === nullKey)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    // lossless reconstruction including the null rows
+    val back = fact.join(dim, "color_sk").select("id", "color", "amount")
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
 }

@@ -65,7 +65,10 @@ class JdbcSpec extends SparkSpec {
     // DDL generated from the frame's schema must be executable DDL
     val ddl = Jdbc.createTableDdl("orders_out", df.schema, varcharLen = 32)
     assert(ddl == "CREATE TABLE orders_out (o_orderkey BIGINT, o_custkey BIGINT, " +
-      "o_orderstatus VARCHAR(32), o_totalprice DOUBLE)")
+      "o_orderstatus VARCHAR(32), o_totalprice DOUBLE PRECISION)")
+    // BooleanType has no portable spelling: the dialect picks it
+    assert(Jdbc.sqlTypeFor(BooleanType) == "BOOLEAN" &&
+      Jdbc.sqlTypeFor(BooleanType, booleanDdl = "BIT") == "BIT")
     val conn = DriverManager.getConnection(url)
     conn.createStatement().execute(ddl)
     conn.close()
@@ -119,6 +122,43 @@ class JdbcSpec extends SparkSpec {
     val replay = Seq((3L, 30.0)).toDF("event_id", "amount")
     JdbcSink.writeBatch(replay, 1L, url, "stream_out", props)
     assert(rows() == first, "batch retry duplicated rows")
+  }
+
+  test("writeBatch carries credentials on BOTH the DELETE and the insert") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.JdbcSink
+    import spark.implicits._
+    // a Derby database with BUILTIN authentication REQUIRED: any
+    // connection opened without user/password fails, so this proves the
+    // idempotency DELETE uses the caller's props, not a bare url
+    val dir = Files.createTempDirectory("graft_derby_auth").toString
+    val bootUrl = s"jdbc:derby:$dir/authdb;create=true"
+    val boot = DriverManager.getConnection(bootUrl)
+    val st = boot.createStatement()
+    Seq(
+      "'derby.connection.requireAuthentication', 'true'",
+      "'derby.authentication.provider', 'BUILTIN'",
+      "'derby.user.app', 'secret'").foreach { kv =>
+      st.execute(s"CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY($kv)")
+    }
+    st.execute("CREATE TABLE auth_out (event_id BIGINT, amount DOUBLE PRECISION, batch_id BIGINT)")
+    st.close(); boot.close()
+    // auth takes effect on next boot: shut the database down
+    intercept[java.sql.SQLException] {
+      DriverManager.getConnection(s"jdbc:derby:$dir/authdb;shutdown=true")
+    }
+
+    val authUrl = s"jdbc:derby:$dir/authdb"
+    val creds = props ++ Map("user" -> "app", "password" -> "secret")
+    // credential-less access is really rejected (the trap the fix closes)
+    intercept[java.sql.SQLException] { DriverManager.getConnection(authUrl) }
+
+    val batch = Seq((1L, 10.0), (2L, 20.0)).toDF("event_id", "amount")
+    JdbcSink.writeBatch(batch, 7L, authUrl, "auth_out", creds)
+    // retry of the same batch must pass through the authenticated DELETE
+    JdbcSink.writeBatch(batch, 7L, authUrl, "auth_out", creds)
+    val back = Jdbc.read(spark, authUrl, "auth_out", props = creds)
+    assert(back.count() == 2, "authenticated retry duplicated or dropped rows")
   }
 
   test("pushed-query mode runs the SQL in the database") {

@@ -109,6 +109,25 @@ class MultimodalSpec extends SparkSpec {
     val first = packed.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     assert(packedAgain == first)
 
+    // archive_id stays in long arithmetic: negative ids truncate toward
+    // zero exactly like DuckDB's integer `//` (-101 // 50 = -2, not the
+    // -3 a floor would give, nor the drift a double detour gives past 2^53)
+    val neg = Seq((-101L, Array[Byte](1)), (-1L, Array[Byte](2)),
+      (49L, Array[Byte](3)), (((1L << 60) + 7L), Array[Byte](4)))
+    val negDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(neg.map {
+        case (id, b) => org.apache.spark.sql.Row(id, b)
+      }, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val negIds = ArchiveIngest.pack(negDf, "id", "payload", 50)
+      .select("archive_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(negIds == Seq(-2L, 0L, ((1L << 60) + 7L) / 50L).sorted,
+      s"archive ids diverged from integer truncating division: $negIds")
+
     // a corrupted member fails loudly (zip CRC check), never truncates silently
     val archive0 = packed.filter($"archive_id" === 0L).head().getAs[Array[Byte]]("archive")
     val corrupt = archive0.clone()
