@@ -55,6 +55,39 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Temperature-scaled mixture thresholds — the FLAN-style mixing-rate
+    * computation (spark_data_generating.py's proportions are hand-set;
+    * the published FLAN recipe derives them by temperature scaling):
+    * stratum weight ∝ n^(1/T), so T=1 is proportional sampling and
+    * T→∞ uniform across strata; per-stratum keep-fraction is
+    * min(1, targetRows·w/Σw/n), returned as an integer bucket threshold
+    * in [0, M] for [[portableBucket]] filtering. Thresholds are rounded
+    * AT the M grain so the float arithmetic (pow/sum order) cannot flap
+    * the cut row across engines. */
+  def temperatureThresholds(counts: Seq[(String, Long)], temperature: Double,
+                            targetRows: Double): Map[String, Long] = {
+    val w = counts.map { case (s, n) => s -> math.pow(n.toDouble, 1.0 / temperature) }
+    val total = w.map(_._2).sum
+    w.zip(counts).map { case ((s, wt), (_, n)) =>
+      s -> Math.round(math.min(1.0, targetRows * wt / total / n) * M)
+    }.toMap
+  }
+
+  /** [[submix]] with temperature-derived fractions: strata counted with
+    * one bounded groupBy (|strata| rows to the driver), thresholds
+    * computed closed-form, then the same pure row-value filter — the
+    * whole mix is still one codegen'd scan pass, no shuffle. */
+  def submixTemperature(df: DataFrame, stratumCol: String, idCol: String,
+                        temperature: Double, targetRows: Double): DataFrame = {
+    val counts = df.groupBy(stratumCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val thr = temperatureThresholds(counts, temperature, targetRows)
+    val thrCol = thr.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, t)) => when(col(stratumCol) === s, lit(t)).otherwise(acc)
+    }
+    df.filter(portableBucket(col(idCol)) < thrCol)
+  }
+
   // ---- query-map entry (#22) ----
 
   /** The reference submix shape: heavy/medium/light strata + dropped rest. */
@@ -72,6 +105,28 @@ object Sampling {
     hashSplit(Tables.documents(spark, dir), "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .select("doc_id", "source", "split")
+
+  /** Query-map entry: temperature-2 mix over language strata (lang counts
+    * in the test corpus are genuinely non-uniform, so the scaling is
+    * exercised, not degenerate), targeting ~250 rows. */
+  def submixTemperatureDocuments(spark: SparkSession, dir: String): DataFrame =
+    submixTemperature(Tables.documents(spark, dir), "lang", "doc_id",
+      temperature = 2.0, targetRows = 250.0)
+      .select("doc_id", "lang", "source")
+
+  /** The oracle recomputes the thresholds in SQL: pow(n, 0.5) and the
+    * division chain are IEEE-identical; round(·, 0) at the 1e6 grain
+    * absorbs the sum-order ulp. */
+  def submixTemperatureOracleSql: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n, pow(n, 0.5) AS wt FROM c),
+      |f AS (SELECT lang,
+      |  CAST(round(least(1.0, 250.0 * wt / (SELECT sum(wt) FROM w) / n)
+      |       * 1000000, 0) AS BIGINT) AS thr FROM w)
+      |SELECT d.doc_id, d.lang, d.source
+      |FROM documents d JOIN f ON d.lang = f.lang
+      |WHERE ((d.doc_id % 100003) * 1103515245 + 12345) % 1000000 < f.thr""".stripMargin
 
   def hashSplitOracleSql: String =
     """SELECT doc_id, source,

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ranks, Reshape, RollingFeatures, Sampling, SnapshotDiff, TokenPack}
+import graft.dedup.Decontaminate
+
+/** Round-8 operators: CDC snapshot diff, wide↔long reshape, rolling
+  * time-range features, sequence packing, scalable global ranks/ntile,
+  * benchmark decontamination, temperature submix. */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshot diff classifies insert/delete/update/unchanged, null-safely") {
+    val oldS = Seq((1L, Some(10.0), "x"), (2L, Some(20.0), "y"),
+      (3L, None: Option[Double], "z")).toDF("k", "v", "tag")
+    val newS = Seq((2L, Some(20.0), "y"), (3L, Some(5.0), "z"),
+      (4L, Some(1.0), "w")).toDF("k", "v", "tag")
+    val got = SnapshotDiff.diff(oldS, newS, Seq("k"), Seq("v", "tag"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 only in old; 4 only in new; 3's v goes NULL→5.0 (must be update,
+    // not a null-equality false "unchanged"); 2 identical
+    assert(got == Map(1L -> "delete", 2L -> "unchanged",
+      3L -> "update", 4L -> "insert"))
+    // old/new values ride along
+    val r3 = SnapshotDiff.diff(oldS, newS, Seq("k"), Seq("v", "tag"))
+      .filter($"k" === 3L).head()
+    assert(r3.isNullAt(r3.fieldIndex("old_v")) &&
+      r3.getDouble(r3.fieldIndex("new_v")) == 5.0)
+  }
+
+  test("unpivot→pivot round-trips a uniquely keyed frame; pivot sums duplicates") {
+    val wide = Seq((1L, 2.0, 30.0), (2L, 4.0, 50.0)).toDF("id", "a", "b")
+    val long = Reshape.unpivot(wide, Seq("id"), Seq("a", "b"))
+    assert(long.count() == 4)
+    val back = Reshape.pivot(long, Seq("id"), Seq("a", "b"))
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2.0, 30.0), (2L, 4.0, 50.0)))
+    // duplicate ids fold by sum (well-defined, partitioning-independent)
+    val dup = Seq((1L, "a", 2.0), (1L, "a", 3.0)).toDF("id", "measure", "value")
+    assert(Reshape.pivot(dup, Seq("id"), Seq("a")).head().getDouble(1) == 5.0)
+  }
+
+  test("rolling 24h window counts exactly the trailing day, inclusive") {
+    val base = 1700000000000000L // µs epoch
+    val h = 3600000000L
+    val ev = Seq((1L, 7L, 0L * h, 1.0), (2L, 7L, 1L * h, 2.0),
+      (3L, 7L, 25L * h, 4.0), (4L, 8L, 25L * h, 8.0))
+      .map { case (id, u, off, v) => (id, u, base + off, v) }
+      .toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros($"us"))
+    val got = RollingFeatures.rollingWindow(ev, "user_id", "ts", "value",
+      86400000000L, "24h")
+      .select("event_id", "cnt_24h", "cents_24h")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // at 25h: the 1h event is exactly 24h back (inclusive), 0h is out
+    assert(got == Map(1L -> ((1L, 100L)), 2L -> ((2L, 300L)),
+      3L -> ((2L, 600L)), 4L -> ((1L, 800L))))
+  }
+
+  test("token packing lays docs end to end and cuts at the budget") {
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 200L))
+      .toDF("doc_id", "n_tokens")
+    val got = TokenPack.pack(docs, "doc_id", "n_tokens", budget = 512L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"))).toMap
+    // starts 0, 300, 600 → packs 0,0,1 with offsets 0,300,88
+    assert(got == Map(1L -> ((0L, 0L)), 2L -> ((0L, 300L)), 3L -> ((1L, 88L))))
+  }
+
+  test("global row number is 1..N in order, partitioning-invariant") {
+    val df = spark.range(1, 1001).toDF("id")
+      .withColumn("key", ($"id" * 7919) % 1000) // shuffled order
+    val ranked = Ranks.globalRowNumber(df.repartition(13),
+      Seq($"key", $"id"), "rn")
+    val rows = ranked.orderBy("rn").collect()
+      .map(r => (r.getAs[Long]("rn"), r.getAs[Long]("key"), r.getAs[Long]("id")))
+    assert(rows.map(_._1).toSeq == (1L to 1000L))
+    // rn order == (key, id) lexicographic order
+    assert(rows.map(t => (t._2, t._3)).toSeq == rows.map(t => (t._2, t._3)).sorted.toSeq)
+    val again = Ranks.globalRowNumber(df.repartition(3), Seq($"key", $"id"), "rn")
+    assert(again.collect().toSet == ranked.collect().toSet)
+  }
+
+  test("ntileExact matches SQL ntile semantics: front-loaded remainder buckets") {
+    // N=10, k=3 → bucket sizes 4,3,3
+    val df = spark.range(1, 11).toDF("id")
+    val got = Ranks.ntileExact(df, Seq($"id"), 3, "b")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1,
+      5L -> 2, 6L -> 2, 7L -> 2, 8L -> 3, 9L -> 3, 10L -> 3))
+    // N<k: one row per bucket, in order
+    val tiny = Ranks.ntileExact(spark.range(1, 4).toDF("id"), Seq($"id"), 10, "b")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tiny == Map(1L -> 1, 2L -> 2, 3L -> 3))
+  }
+
+  test("decontamination flags exactly the docs sharing an n-gram with the bench") {
+    val eight = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Seq((100L, s"prefix words $eight suffix")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, s"totally different lead $eight and a tail"), // shares the 8-gram
+      (2L, "alpha beta gamma delta epsilon zeta eta NOTtheta x"), // 7-gram only
+      (3L, "short doc under eight words here now"), // <8 words: can't flag
+      (4L, "completely unrelated content with plenty of words to spare"))
+      .toDF("id", "text")
+    val bad = Decontaminate.contaminatedIds(corpus, bench, "id", "text", 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(bad == Set(1L))
+    val clean = Decontaminate.decontaminate(corpus, bench, "id", "text", 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L, 4L))
+  }
+
+  test("temperature thresholds: T=1 proportional, larger T flattens, capped at M") {
+    val counts = Seq("a" -> 100L, "b" -> 400L)
+    // T=1: rate targetRows/total for every stratum (proportional draw)
+    val t1 = Sampling.temperatureThresholds(counts, 1.0, 250.0)
+    assert(t1("a") == t1("b") && t1("a") == 500000L) // 250/500 of each
+    // T=2: sqrt weights 10:20 → frac_a=250·(10/30)/100, frac_b=250·(20/30)/400
+    val t2 = Sampling.temperatureThresholds(counts, 2.0, 250.0)
+    assert(t2("a") == Math.round(250.0 * 10 / 30 / 100 * 1000000))
+    assert(t2("b") == Math.round(250.0 * 20 / 30 / 400 * 1000000))
+    assert(t2("a") > t2("b"), "temperature must upweight the small stratum")
+    // oversampling demand caps at keep-everything
+    assert(Sampling.temperatureThresholds(Seq("a" -> 10L), 2.0, 1e9)("a") == 1000000L)
+  }
+}
