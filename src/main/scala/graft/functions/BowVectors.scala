@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Expression-level signed bag-of-words embeddings and exact sparse
+  * cosine top-k — the fully ORACLE-CHECKABLE slice of the embedding
+  * pipeline (the reference's embedding generators,
+  * /root/reference/DataEngineering/DataBricks/parallel_sentence_embedding_databricks.py
+  * and MachineLearning/NLP/ray_batch_embedding_generator.py, produce
+  * float vectors from a model; this produces INTEGER vectors from pure
+  * engine expressions — same pipeline shape, exact arithmetic).
+  *
+  * Why integers matter: every dot product and squared norm is an exact
+  * integer regardless of aggregation order, so cosine = dot/(√q·√c) is
+  * bit-identical across engines and partitionings — the whole
+  * text→vector→top-k path hash-gates against DuckDB, where the float
+  * ANN family can only be rows+recall-gated.
+  *
+  * Shape at 100 TB: token hashing is the compiled [[PolyFingerprint]]
+  * (a one-word document's fingerprint IS the token hash), map-side;
+  * the sparse vector is a (doc, dim) partial aggregation — map-side
+  * combine collapses each doc to ≤`dim` rows before the shuffle. The
+  * similarity join is an inverted-index join on `dim` (64 posting
+  * lists), partial-aggregated dots, and a per-query top-k window —
+  * partitioned by query, never global.
+  */
+object BowVectors {
+
+  /** Sparse signed-BoW rows (id, dim, val): each token hashes to a
+    * bucket (h DIV 2 mod dim) with sign (1 - 2·(h mod 2)); val is the
+    * signed count. Zero-sum buckets are kept (they're real rows of the
+    * sparse representation on every engine computing the same way). */
+  def bowSparse(df: DataFrame, idCol: String, textCol: String,
+                dim: Int): DataFrame =
+    df.select(col(idCol), explode(TextFunctions.words(col(textCol))).as("__w"))
+      .select(col(idCol), TextFunctions.fingerprint(col("__w")).as("__h"))
+      .select(col(idCol), expr(s"(__h DIV 2) % $dim").as("dim"),
+        expr("1 - 2 * (__h % 2)").as("__sign"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum("__sign").cast("long").as("val"))
+
+  /** Exact cosine top-k of `queries` against `corpus` over sparse rows
+    * (id, dim, val): inverted-index join on dim, integer dots, per-query
+    * rank window. Zero-norm docs are excluded (cosine undefined). */
+  def sparseTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def norms(v: DataFrame, as: String) =
+      v.groupBy(col("id").as(as)).agg(sum(col("val") * col("val")).as(s"__n_$as"))
+    val q = queries.select(col("id").as("query_id"), col("dim"),
+      col("val").as("__qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("dim"),
+      col("val").as("__cv"))
+    val dots = q.join(c, "dim")
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("__qv") * col("__cv")).as("__dot"))
+    val scored = dots
+      .join(norms(queries, "query_id"), "query_id")
+      .join(norms(corpus, "neighbor_id"), "neighbor_id")
+      .filter(col("__n_query_id") > 0 && col("__n_neighbor_id") > 0)
+      .withColumn("cos_sim", col("__dot").cast("double") /
+        (sqrt(col("__n_query_id").cast("double")) *
+          sqrt(col("__n_neighbor_id").cast("double"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  // ---- query-map entries (hash-gated) ----
+
+  val Dim = 64
+
+  /** Sparse BoW vectors of every document, long format. */
+  def embedBowExpr(spark: SparkSession, dir: String): DataFrame =
+    bowSparse(Tables.documents(spark, dir), "doc_id", "text", Dim)
+      .select(col("doc_id"), col("dim"), col("val"))
+
+  /** Every 50th document queries the rest: exact top-5 sparse cosine —
+    * the text→embedding→ANN pipeline under one hash gate. The vector
+    * table is localCheckpoint'd once (four downstream consumers). */
+  def annSparseBow(spark: SparkSession, dir: String): DataFrame = {
+    val v = bowSparse(Tables.documents(spark, dir), "doc_id", "text", Dim)
+      .withColumnRenamed("doc_id", "id")
+      .localCheckpoint()
+    sparseTopK(v.filter(col("id") % 50 === 0),
+      v.filter(col("id") % 50 =!= 0), k = 5)
+  }
+
+  private val tokHashSql =
+    """CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, len(w)),
+      |      i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
+      |  (a, c) -> (a*131 + c) % 1000000007) AS BIGINT)""".stripMargin
+
+  private val bowSql =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+       |  FROM documents),
+       |hs AS (SELECT doc_id, $tokHashSql AS h FROM toks),
+       |v AS (
+       |  SELECT doc_id, (h // 2) % $Dim AS dim,
+       |    CAST(sum(1 - 2 * (h % 2)) AS BIGINT) AS val
+       |  FROM hs GROUP BY doc_id, (h // 2) % $Dim)""".stripMargin
+
+  def embedBowOracleSql: String =
+    s"""WITH $bowSql
+       |SELECT doc_id, dim, val FROM v""".stripMargin
+
+  def annSparseBowOracleSql: String =
+    s"""WITH $bowSql,
+       |n AS (SELECT doc_id, sum(val*val) AS n2 FROM v GROUP BY doc_id),
+       |q AS (SELECT doc_id AS query_id, dim, val FROM v WHERE doc_id % 50 = 0),
+       |c AS (SELECT doc_id AS neighbor_id, dim, val FROM v WHERE doc_id % 50 <> 0),
+       |dots AS (
+       |  SELECT query_id, neighbor_id, sum(q.val * c.val) AS dot
+       |  FROM q JOIN c USING (dim) GROUP BY query_id, neighbor_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cos
+       |  FROM dots
+       |  JOIN n nq ON nq.doc_id = query_id
+       |  JOIN n nc ON nc.doc_id = neighbor_id
+       |  WHERE nq.n2 > 0 AND nc.n2 > 0)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       |  neighbor_id, round(cos, 6) AS cos_sim
+       |FROM scored
+       |QUALIFY rank <= 5""".stripMargin
+}

@@ -112,6 +112,44 @@ class Round8OpsSpec extends SparkSpec {
     assert(clean == Set(2L, 3L, 4L))
   }
 
+  test("sparse BoW matches an independent per-token computation; invariant to partitioning") {
+    import graft.functions.{BowVectors, PolyFingerprint}
+    val docs = Seq((1L, "red fox jumps"), (2L, "red red blue"))
+      .toDF("id", "text")
+    val got = BowVectors.bowSparse(docs, "id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent formulation: fingerprint of a one-word doc IS the token hash
+    val expect = Seq((1L, "red fox jumps"), (2L, "red red blue"))
+      .flatMap { case (id, t) => t.split("\\s+").map(w => (id, PolyFingerprint.compute(w))) }
+      .groupBy { case (id, h) => (id, (h / 2) % 8) }
+      .view.mapValues(_.map { case (_, h) => 1L - 2L * (h % 2) }.sum).toMap
+    assert(got == expect)
+    val reparted = BowVectors.bowSparse(docs.repartition(5), "id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(reparted == got)
+  }
+
+  test("sparse cosine top-k: planted duplicate ranks first with cos 1.0") {
+    import graft.functions.BowVectors
+    val docs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of query
+      (2L, "the quick brown fox naps under the busy dog"),
+      (3L, "entirely unrelated legal boilerplate paragraph text"))
+      .toDF("id", "text")
+    val v = BowVectors.bowSparse(docs, "id", "text", 64)
+    val top = BowVectors.sparseTopK(
+      v.filter($"id" === 100L), v.filter($"id" =!= 100L), k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim")))
+    assert(top.head == ((1, 1L, 1.0)), s"duplicate not top-1: ${top.toSeq}")
+    assert(top.map(_._2).toSet.subsetOf(Set(1L, 2L, 3L)))
+    // similarity must order the near-dup above the unrelated doc
+    val byId = top.map(t => t._2 -> t._3).toMap
+    assert(byId(2L) > byId(3L))
+  }
+
   test("temperature thresholds: T=1 proportional, larger T flattens, capped at M") {
     val counts = Seq("a" -> 100L, "b" -> 400L)
     // T=1: rate targetRows/total for every stratum (proportional draw)
