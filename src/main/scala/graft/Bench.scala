@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC") // date ops match Verify
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts NANOS
       .config("spark.scheduler.mode", "FAIR") // concurrent runner pools
       .config("spark.ui.enabled", "false")

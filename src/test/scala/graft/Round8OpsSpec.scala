@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Ranks, Reshape, RollingFeatures, Sampling, SnapshotDiff, TokenPack}
+import graft.operators.{LagFeatures, Ranks, Reshape, RollingFeatures, Sampling, Serialize, SftPrep, SnapshotDiff, TokenPack}
 import graft.dedup.Decontaminate
 
 /** Round-8 operators: CDC snapshot diff, wide↔long reshape, rolling
@@ -148,6 +148,64 @@ class Round8OpsSpec extends SparkSpec {
     // similarity must order the near-dup above the unrelated doc
     val byId = top.map(t => t._2 -> t._3).toMap
     assert(byId(2L) > byId(3L))
+  }
+
+  test("sft prepare: scrub collapses serial-only duplicates; prompt is templated") {
+    val docs = Seq(
+      (1L, "the cat sat SN12X on the mat", "en"),
+      (9L, "the cat sat SN99Y on the mat", "en"), // dup after scrub
+      (3L, "le chat noir A7B dort", "fr"))
+      .toDF("doc_id", "dirty", "lang")
+    val out = SftPrep.prepare(docs, "doc_id", "dirty", "lang", 0.8)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // serial tokens differ, scrubbed content identical → one row, min id kept
+    assert(rows.length == 2 && rows.map(_._1).toSet == Set(1L, 3L))
+    val p1 = rows.find(_._1 == 1L).get._3
+    assert(p1.startsWith("<s>[INST] <<SYS>>\n" + SftPrep.SystemMessage))
+    assert(p1.contains("the cat sat  on the mat [/INST] en </s>"),
+      s"scrub/template wrong: $p1")
+    assert(!p1.contains("SN12X"))
+  }
+
+  test("sft length stats: exact indexed order statistics from the histogram") {
+    // 10 prompts of known token lengths 1..10 in one split
+    val prompts = (1 to 10)
+      .map(n => ("train", Seq.fill(n)("w").mkString(" ")))
+      .toDF("split", "prompt")
+    val s = SftPrep.lengthStats(prompts, "split", "prompt").head()
+    assert(s.getAs[Long]("n_docs") == 10)
+    assert(s.getAs[Long]("min_len") == 1 && s.getAs[Long]("max_len") == 10)
+    // median = element at index n DIV 2 = lengths(5) = 6 (0-based)
+    assert(s.getAs[Long]("median_len") == 6)
+    // p99 = element at floor(9.9) = index 9 → 10
+    assert(s.getAs[Long]("p99_len") == 10)
+  }
+
+  test("lag features: daily totals, shifted lags, trailing-7 mean") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 06:00:00")
+    def day(d: Int) = new java.sql.Timestamp(base.getTime + d * 86400000L)
+    // user 1: 10 days of value d+1 dollars; two events on day 0
+    val ev = ((0 until 10).map(d => (1L, day(d), (d + 1).toDouble)) :+
+      ((1L, day(0), 0.5))).toDF("user_id", "ts", "value")
+    val got = LagFeatures.dailyLagFrame(ev, "user_id", "ts", "value")
+      .orderBy("day").collect()
+    val cents = got.map(_.getAs[Long]("day_cents")).toSeq
+    assert(cents == Seq(150L, 200L, 300L, 400L, 500L, 600L, 700L, 800L, 900L, 1000L))
+    assert(got(0).isNullAt(got(0).fieldIndex("lag1_cents")))
+    assert(got(1).getAs[Long]("lag1_cents") == 150L)
+    assert(got(7).getAs[Long]("lag7_cents") == 150L)
+    // trailing-7 mean on day 7: (200+...+800)/7
+    assert(got(7).getAs[Double]("ma7_cents") ==
+      math.rint((200 to 800 by 100).sum / 7.0 * 10000) / 10000)
+  }
+
+  test("row serialization pins formats and renders nulls explicitly") {
+    val df = Seq((1L, Some(12.5), Some("x")), (2L, None: Option[Double], None: Option[String]))
+      .toDF("id", "amt", "tag")
+    val got = Serialize.rowToText(df, Seq("id", "amt", "tag"))
+      .orderBy("id").collect().map(_.getAs[String]("row_text"))
+    assert(got(0) == "id: 1 | amt: 12.50 | tag: x")
+    assert(got(1) == "id: 2 | amt: null | tag: null")
   }
 
   test("temperature thresholds: T=1 proportional, larger T flattens, capped at M") {
