@@ -46,6 +46,21 @@ object StarSplit {
     (dim, fact)
   }
 
+  /** Multi-dimension decomposition: peel several dims off one
+    * denormalized frame — each gets its own surrogate-keyed table, the
+    * fact ends with one FK per dim (the full star of
+    * AIO_delta_table_generator.py, which maintains several dims per
+    * fact). Dims are peeled left to right; each peel is a bounded rank
+    * window + broadcast join, so the fact makes `dims.size` map-side
+    * passes and never shuffles. */
+  def splitAll(df: DataFrame, dims: Seq[(Seq[String], String)])
+      : (Seq[DataFrame], DataFrame) =
+    dims.foldLeft((Vector.empty[DataFrame], df)) {
+      case ((acc, fact), (cols, key)) =>
+        val (d, f) = split(fact, cols, key)
+        (acc :+ d, f)
+    }
+
   // ---- query-map entries (hash-gated) ----
 
   private def ordersSplit(spark: SparkSession, dir: String) =
@@ -62,6 +77,58 @@ object StarSplit {
     fact.select(col("o_orderkey"), col("o_custkey"),
       round(col("o_totalprice"), 2).as("o_totalprice"), col("order_profile_sk"))
   }
+
+  // multi-dim entries: profile dim + order-month dim peeled off orders
+
+  private def ordersMulti(spark: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) =
+    splitAll(
+      Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_month")),
+      Seq(Seq("o_orderstatus", "o_orderpriority") -> "order_profile_sk",
+        Seq("o_month") -> "order_month_sk"))
+
+  def starMultiDimProfile(spark: SparkSession, dir: String): DataFrame =
+    ordersMulti(spark, dir)._1.head
+
+  def starMultiDimMonth(spark: SparkSession, dir: String): DataFrame =
+    ordersMulti(spark, dir)._1(1)
+
+  def starMultiFact(spark: SparkSession, dir: String): DataFrame =
+    ordersMulti(spark, dir)._2
+      .select("o_orderkey", "o_custkey", "o_totalprice",
+        "order_profile_sk", "order_month_sk")
+
+  private val multiDimsSql =
+    """dimp AS (
+      |  SELECT CAST(dense_rank() OVER (ORDER BY o_orderstatus NULLS LAST,
+      |                                 o_orderpriority NULLS LAST)
+      |         AS BIGINT) AS order_profile_sk,
+      |    o_orderstatus, o_orderpriority
+      |  FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) d),
+      |m AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS o_month FROM orders),
+      |dimm AS (
+      |  SELECT CAST(dense_rank() OVER (ORDER BY o_month NULLS LAST)
+      |         AS BIGINT) AS order_month_sk, o_month
+      |  FROM m)""".stripMargin
+
+  def multiDimProfileOracleSql: String =
+    "WITH " + multiDimsSql +
+      "\nSELECT order_profile_sk, o_orderstatus, o_orderpriority FROM dimp"
+
+  def multiDimMonthOracleSql: String =
+    "WITH " + multiDimsSql + "\nSELECT order_month_sk, o_month FROM dimm"
+
+  def multiFactOracleSql: String =
+    "WITH " + multiDimsSql + "\n" +
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  order_profile_sk, order_month_sk
+        |FROM orders
+        |JOIN dimp USING (o_orderstatus, o_orderpriority)
+        |JOIN dimm ON strftime(o_orderdate, '%Y-%m') = dimm.o_month""".stripMargin
 
   def dimOracleSql: String =
     """SELECT CAST(dense_rank() OVER (ORDER BY o_orderstatus NULLS LAST,

@@ -208,6 +208,89 @@ class Round8OpsSpec extends SparkSpec {
     assert(got(1) == "id: 2 | amt: null | tag: null")
   }
 
+  test("multi-dim star split: dims independent of peel order, fact reconstructs") {
+    import graft.operators.StarSplit
+    val df = Seq(
+      (1L, "red", "S", 10.0), (2L, "red", "M", 20.0),
+      (3L, "blue", "S", 30.0), (4L, "blue", "M", 40.0))
+      .toDF("id", "color", "size", "amt")
+    val dims = Seq(Seq("color") -> "color_sk", Seq("size") -> "size_sk")
+    val (ds, fact) = StarSplit.splitAll(df, dims)
+    assert(ds.map(_.count()).toSeq == Seq(2L, 2L))
+    assert(fact.columns.toSet == Set("id", "amt", "color_sk", "size_sk"))
+    // rejoining both dims reconstructs the input
+    val back = fact.join(ds(0), "color_sk").join(ds(1), "size_sk")
+      .select("id", "color", "size", "amt")
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // dim content doesn't depend on peel order
+    val (dsRev, _) = StarSplit.splitAll(df, dims.reverse)
+    assert(ds(0).collect().toSet == dsRev(1).collect().toSet)
+    assert(ds(1).collect().toSet == dsRev(0).collect().toSet)
+  }
+
+  test("incremental agg maintenance: batch order and batching don't matter") {
+    import graft.operators.IncrementalAgg
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 20L), ("c", 5L))
+      .toDF("k", "v")
+    val direct = rows.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def fold(batches: Seq[org.apache.spark.sql.DataFrame]) =
+      batches.foldLeft(IncrementalAgg.emptyState(spark, rows, Seq("k"), Seq("v")))(
+        (s, b) => IncrementalAgg.maintain(s, b, Seq("k"), Seq("v")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val twoBatches = fold(Seq(rows.filter($"v" < 10), rows.filter($"v" >= 10)))
+    val fiveBatches = fold((0 to 4).map(i =>
+      rows.filter(($"v" % 5) === i).toDF()))
+    assert(twoBatches == direct && fiveBatches == direct)
+  }
+
+  test("token packing invariants hold on random corpora (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 200L).map(id => (id, 1L + rnd.nextInt(700).toLong))
+      .toDF("doc_id", "n_tokens")
+    val budget = 512L
+    val got = TokenPack.pack(docs, "doc_id", "n_tokens", budget)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset")))
+    // offsets in range, pack ids non-decreasing, stream positions contiguous
+    assert(got.forall { case (_, _, _, off) => off >= 0 && off < budget })
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+    var start = 0L
+    got.foreach { case (id, n, pid, off) =>
+      assert(pid == start / budget && off == start % budget,
+        s"doc $id misplaced: start=$start pid=$pid off=$off")
+      start += n
+    }
+  }
+
+  test("ntile bucket sizes differ by at most one, larger buckets first (seeded)") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 50 + rnd.nextInt(400)
+      val k = 1 + rnd.nextInt(12)
+      val sizes = Ranks.ntileExact(spark.range(1, n + 1).toDF("id"),
+        Seq($"id"), k, "b")
+        .groupBy("b").count().orderBy("b")
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+      assert(sizes.map(_._2).sum == n)
+      assert(sizes.map(_._2).distinct.length <= 2)
+      assert(sizes.map(_._2).toSeq == sizes.map(_._2).sortBy(-_).toSeq,
+        s"remainder buckets must come first: ${sizes.toSeq} (n=$n k=$k)")
+    }
+  }
+
+  test("snapshot diff degenerate cases: self-diff, empty sides") {
+    val x = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val empty = x.limit(0)
+    def types(d: org.apache.spark.sql.DataFrame) =
+      d.select("change_type").collect().map(_.getString(0)).toSeq
+    assert(types(SnapshotDiff.diff(x, x, Seq("k"), Seq("v"))).forall(_ == "unchanged"))
+    assert(types(SnapshotDiff.diff(empty, x, Seq("k"), Seq("v"))).forall(_ == "insert"))
+    assert(types(SnapshotDiff.diff(x, empty, Seq("k"), Seq("v"))).forall(_ == "delete"))
+  }
+
   test("temperature thresholds: T=1 proportional, larger T flattens, capped at M") {
     val counts = Seq("a" -> 100L, "b" -> 400L)
     // T=1: rate targetRows/total for every stratum (proportional draw)
