@@ -291,6 +291,29 @@ class Round8OpsSpec extends SparkSpec {
     assert(types(SnapshotDiff.diff(x, empty, Seq("k"), Seq("v"))).forall(_ == "delete"))
   }
 
+  test("format roundtrips survive hostile text: quotes, commas, unicode, empties") {
+    import graft.sources.Formats
+    val nasty = Seq(
+      (1L, """he said "hi, there" | and left""", Some(3L)),
+      (2L, "commas,,,and\ttabs", None: Option[Long]),
+      (3L, "ünïcødé 汉字 😀", Some(-7L)),
+      (4L, "", Some(0L)))
+      .toDF("id", "text", "n")
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    for (fmt <- Seq("json", "orc")) {
+      val back = Formats.roundtrip(nasty, fmt, s"$base/$fmt")
+      assert(back.exceptAll(nasty).isEmpty && nasty.exceptAll(back).isEmpty,
+        s"$fmt roundtrip mangled rows")
+    }
+    val csv = Formats.roundtrip(nasty, "csv", s"$base/csv",
+      Map("header" -> "true", "quote" -> "\"", "escape" -> "\""))
+    // CSV cannot distinguish empty string from null: normalize both sides
+    val norm = (d: org.apache.spark.sql.DataFrame) =>
+      d.withColumn("text", coalesce($"text", lit("")))
+    assert(norm(csv).exceptAll(norm(nasty)).isEmpty &&
+      norm(nasty).exceptAll(norm(csv)).isEmpty, "csv roundtrip mangled rows")
+  }
+
   test("temperature thresholds: T=1 proportional, larger T flattens, capped at M") {
     val counts = Seq("a" -> 100L, "b" -> 400L)
     // T=1: rate targetRows/total for every stratum (proportional draw)
