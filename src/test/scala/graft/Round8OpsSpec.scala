@@ -314,6 +314,30 @@ class Round8OpsSpec extends SparkSpec {
       norm(nasty).exceptAll(norm(csv)).isEmpty, "csv roundtrip mangled rows")
   }
 
+  test("rollup/cube: subtotal levels reconcile and plan as ONE pass") {
+    import graft.operators.GroupingSets
+    val df = Seq(("a", "x", 10L), ("a", "y", 20L), ("b", "x", 30L))
+      .toDF("k1", "k2", "cents")
+    val r = GroupingSets.rollupAgg(df, Seq("k1", "k2"), "cents")
+    val byGid = r.collect().groupBy(_.getAs[Long]("gid"))
+    // every rollup level must re-total to the same grand sum
+    assert(byGid.keySet == Set(0L, 1L, 3L))
+    byGid.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("sum_cents")).sum == 60L)
+      assert(rows.map(_.getAs[Long]("cnt")).sum == 3L)
+    }
+    val c = GroupingSets.cubeAgg(df, Seq("k1", "k2"), "cents")
+    val cGids = c.collect().groupBy(_.getAs[Long]("gid"))
+    assert(cGids.keySet == Set(0L, 1L, 2L, 3L)) // all 2^2 subsets
+    cGids.values.foreach(rows =>
+      assert(rows.map(_.getAs[Long]("sum_cents")).sum == 60L))
+    // one Expand + aggregate — not one scan per grouping set
+    val plan = c.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"cube should plan via Expand:\n$plan")
+    assert(c.queryExecution.optimizedPlan.collectLeaves().size == 1,
+      "cube must be a single pass over the input")
+  }
+
   test("temperature thresholds: T=1 proportional, larger T flattens, capped at M") {
     val counts = Seq("a" -> 100L, "b" -> 400L)
     // T=1: rate targetRows/total for every stratum (proportional draw)
