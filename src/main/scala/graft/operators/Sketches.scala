@@ -60,4 +60,20 @@ object Sketches {
 
   def sketchQuantilesLineitem(spark: SparkSession, dir: String): DataFrame =
     approxQuantilesLong(Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice")
+
+  /** Degeneracy gate (the ann_*_exhaustive trick): GK with accuracy ≥ n
+    * retains every observation, so the "approximate" path returns the
+    * EXACT discrete quantile element — and can share an exact DuckDB
+    * oracle, hash-gating the whole sketch machinery (buffer, merge,
+    * rank query) rather than rows-only. */
+  def sketchQuantilesExact(spark: SparkSession, dir: String): DataFrame =
+    approxQuantilesLong(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_quantity", qs = Seq(0.25, 0.5, 0.75, 0.99), accuracy = 10000000)
+
+  def quantilesExactOracleSql: String =
+    Seq(0.25, 0.5, 0.75, 0.99).map { q =>
+      s"""SELECT l_returnflag, CAST($q AS DOUBLE) AS q,
+         |  quantile_disc(l_quantity, $q) AS quantile_value
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    }.mkString("\nUNION ALL\n")
 }

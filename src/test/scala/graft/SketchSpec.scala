@@ -57,4 +57,22 @@ class SketchSpec extends SparkSpec {
       assert(vals.contains(est), s"quantile $q for $flag returned non-sample value $est")
     }
   }
+
+  test("exact-mode GK (accuracy >= n) returns the discrete-quantile element") {
+    val li = Tables.lineitem(spark, sfDir)
+    val qs = Seq(0.25, 0.5, 0.75, 0.99)
+    val exact = Sketches
+      .approxQuantilesLong(li, "l_returnflag", "l_quantity", qs,
+        accuracy = 10000000)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byGroup = li.select("l_returnflag", "l_quantity")
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // quantile_disc convention: the element at rank ceil(q·n), 1-based
+    for ((flag, vals) <- byGroup; q <- qs) {
+      val want = vals(math.max(0, math.ceil(q * vals.length).toInt - 1))
+      assert(exact((flag, q)) == want,
+        s"exact-mode quantile $q for $flag: got ${exact((flag, q))}, want $want")
+    }
+  }
 }
