@@ -88,6 +88,24 @@ object Sampling {
     df.filter(portableBucket(col(idCol)) < thrCol)
   }
 
+  /** Deterministic "reservoir" of exactly min(k, |group|) rows per
+    * group: rank rows inside each group by (portableBucket(id), id) —
+    * a uniform-ish pseudo-random but fully reproducible order — and
+    * keep the first k. The per-group window is the only non-map stage
+    * and each task holds one group's rows; the reference's per-group
+    * `sample(n=...)` calls (generate_data.py:97) collapse to this
+    * distributed form. */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(portableBucket(col(idCol)), col(idCol))
+    df.withColumn("__srn", row_number().over(w))
+      .filter(col("__srn") <= k)
+      .drop("__srn")
+  }
+
   // ---- query-map entry (#22) ----
 
   /** The reference submix shape: heavy/medium/light strata + dropped rest. */
@@ -127,6 +145,20 @@ object Sampling {
       |SELECT d.doc_id, d.lang, d.source
       |FROM documents d JOIN f ON d.lang = f.lang
       |WHERE ((d.doc_id % 100003) * 1103515245 + 12345) % 1000000 < f.thr""".stripMargin
+
+  /** Query-map entry: 20 deterministic sample documents per source. */
+  def sampleKPerSource(spark: SparkSession, dir: String): DataFrame =
+    sampleKPerGroup(Tables.documents(spark, dir), "source", "doc_id", 20)
+      .select("doc_id", "source", "lang")
+
+  def sampleKOracleSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY ((doc_id % 100003) * 1103515245 + 12345) % 1000000,
+      |               doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source, lang FROM r WHERE rn <= 20""".stripMargin
 
   def hashSplitOracleSql: String =
     """SELECT doc_id, source,

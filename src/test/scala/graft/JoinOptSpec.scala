@@ -47,6 +47,49 @@ class JoinOptSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  test("salted join equals the plain join — every pair meets exactly once") {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+    val got = graft.operators.SkewJoin.saltedJoin(li, ord,
+      "l_orderkey", "o_orderkey", hotKeys = (0L to 7L), r = 8,
+      saltSource = "l_partkey")
+      .select("l_orderkey", "l_linenumber", "o_orderpriority")
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_orderpriority")
+    assert(got.count() == plain.count()) // exactly-once, no dup pairs
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+  }
+
+  test("salted join spreads a hot key across salt partitions") {
+    import spark.implicits._
+    // one pathological key: 1000 left rows, 1 right row
+    val left = (1L to 1000L).map(i => (42L, i)).toDF("k", "rid")
+    val right = Seq((42L, "hot")).toDF("k2", "tag")
+    val salted = graft.operators.SkewJoin.saltedJoin(left, right,
+      "k", "k2", hotKeys = Seq(42L), r = 4, saltSource = "rid")
+    assert(salted.count() == 1000L)
+    // the salt column spreads the key over all 4 salts pre-join
+    val salts = left.withColumn("s", pmod($"rid", lit(4)))
+      .select("s").distinct().count()
+    assert(salts == 4L)
+  }
+
+  test("k-per-group sample returns exactly min(k, group size) rows") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = graft.operators.Sampling.sampleKPerGroup(docs, "source",
+      "doc_id", 20)
+    val sizes = got.groupBy("source").count()
+    val truth = docs.groupBy("source").count()
+      .withColumnRenamed("count", "n")
+    val bad = sizes.join(truth, "source")
+      .filter(col("count") =!= least(lit(20L), col("n"))).count()
+    assert(bad == 0L)
+    // deterministic: two runs agree
+    val again = graft.operators.Sampling.sampleKPerGroup(docs, "source",
+      "doc_id", 20)
+    assert(got.exceptAll(again).isEmpty)
+  }
+
   test("bloom semi join equals the exact semi join (no FNs, FPs removed)") {
     val fact = Tables.lineitem(spark, sfDir)
     val dim = Tables.orders(spark, sfDir)
