@@ -52,12 +52,13 @@ object Bench {
       spark.catalog.clearCache()
       if (!errors.contains(name)) timesByQ(name) = timesByQ(name) :+ dt
     }
+    def r2(v: Double): String = (math.rint(v * 100) / 100).toString
     val results = timesByQ.map { case (name, times) =>
       name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.length / 2))
     }
     // a failed query reports -1, never a fast success
     val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + (if (errors.contains(k)) "-1" else v.toString)
+      s"\"" + k + "\":" + (if (errors.contains(k)) "-1" else r2(v))
     }.mkString("{", ",", "}")
     val repJson = timesByQ.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.map(t => (math.rint(t * 1000) / 1000).toString)
@@ -67,7 +68,22 @@ object Bench {
     // control char must not make the one metrics line unparseable
     val es = errors.map { case (k, v) => Json.str(k) + ":" + Json.str(v) }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"errors":$es,"sf":"$sfDir"}""")
+    val slow = results.toSeq.filterNot { case (k, _) => errors.contains(k) }
+      .sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    // Full detail (per-rep times included) goes to a FILE: the harness
+    // that snapshots this run keeps only the last ~2000 chars of stdout,
+    // and a 100-query JSON line does not fit. The one printed line is
+    // ordered so its TAIL carries what matters if the front is cut:
+    // per-query medians first, then slowest-10, errors, and the total
+    // LAST — a truncated capture still ends in the headline number.
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"errors":$es,"sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(out, fullLine.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // a read-only CWD must not fail the bench
+    println(s"""{"queries":$qs,"detail":"bench_full.json","errors":$es,"slowest":$slow,"metric":"total","unit":"sec","sf":"$sfDir","n":${results.size},"value":${r2(total)}}""")
     spark.stop()
   }
 }

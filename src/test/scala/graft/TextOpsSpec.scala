@@ -82,4 +82,49 @@ class TextOpsSpec extends SparkSpec {
     assert(g(7L) == 1L)
     assert(ExactDedup.dedup(docs, "doc_id", "text").count() == 2)
   }
+
+  test("pii redact masks emails, ssns and phones with counts") {
+    val docs = Seq(
+      (1L, "mail a.b+c@test-host.org and b@x.io, ssn 123-45-6789, tel 555-123-4567"),
+      (2L, "no pii here, just 12-34 and version 1.2.3")
+    ).toDF("doc_id", "text")
+    val out = graft.functions.TextClean.redact(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_ssns"),
+          r.getAs[Int]("n_phones"), r.getAs[String]("redacted"))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 ==
+      "mail [EMAIL] and [EMAIL], ssn [SSN], tel [PHONE]")
+    assert(out(2L) == ((0, 0, 0, "no pii here, just 12-34 and version 1.2.3")))
+  }
+
+  test("normalize lowers, strips punctuation, collapses whitespace; idempotent") {
+    val docs = Seq((1L, "  Hello,   WORLD!! x_1\t(two)\n"), (2L, "...")).toDF("doc_id", "text")
+    val once = graft.functions.TextClean.normalize(docs, "text")
+    val got = once.collect().map(r => r.getLong(0) ->
+      (r.getAs[String]("norm_text"), r.getAs[Int]("n_norm_tokens"))).toMap
+    assert(got(1L) == (("hello world x 1 two", 5)))
+    assert(got(2L) == (("", 0)), "pure-punct doc normalizes to empty, 0 tokens")
+    // idempotence: normalizing the normalized column changes nothing
+    val twice = graft.functions.TextClean
+      .normalize(once.withColumnRenamed("norm_text", "t2"), "t2")
+      .where($"t2" =!= $"norm_text").count()
+    assert(twice == 0L)
+  }
+
+  test("quality filter flags each rule with auditable reasons") {
+    // 3 stopwords + 32 distinct words: 35 tokens, uniq 1.0, stop 3/35
+    val good = "the a of " + (1 to 32).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                     // passes everything
+      (2L, ("word " * 40).trim),                      // repetitive + no stopwords
+      (3L, "the of and is to a in ok")                // short (8 tokens)
+    ).toDF("doc_id", "text")
+    val out = graft.functions.TextClean.qualityFilter(docs, "text")
+      .select($"doc_id", $"keep", $"drop_reasons")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out(1L) == ((true, "")))
+    assert(!out(2L)._1 && out(2L)._2 == "repetitive,no_stopwords")
+    assert(!out(3L)._1 && out(3L)._2 == "short")
+  }
 }
