@@ -117,6 +117,58 @@ object MergeUpsert {
       .unionByName(oldRows).unionByName(newRows).unionByName(skipped)
   }
 
+  /** MERGE with deletes — the full three-clause form of the reference's
+    * generator (WHEN MATCHED AND del THEN DELETE / WHEN MATCHED THEN
+    * UPDATE / WHEN NOT MATCHED THEN INSERT). `deleteCol` is a boolean on
+    * the changeset; the latest row per key wins, so a delete followed by
+    * a later re-insert of the same key is an update, not a delete.
+    * Deletes are SOFT (current_version=0, change_type='deleted') — the
+    * audit-preserving form; a delete for an absent key is a no-op.
+    * Same scale shape as [[apply]]: one changeset window + one key join,
+    * AQE free to broadcast the changeset side. */
+  def applyWithDeletes(target: DataFrame, changeset: DataFrame,
+                       naturalKey: Seq[String], orderCol: String,
+                       compareCols: Seq[String], deleteCol: String): DataFrame = {
+    val latest = latestPerKey(changeset, naturalKey, orderCol)
+    val dataCols = latest.columns
+      .filterNot(naturalKey.contains).filterNot(_ == deleteCol).toSeq
+    val cs = latest.select(
+      naturalKey.map(col) ++ dataCols.map(c => col(c).as(s"__cs_$c")) :+
+        coalesce(col(deleteCol), lit(false)).as("__cs_del") :+
+        lit(1).as("__in_cs"): _*)
+
+    val live = target.filter(col("current_version") === 1)
+    val dead = target.filter(col("current_version") =!= 1)
+      .withColumn("change_type", lit("unchanged"))
+
+    val joined = live.join(cs, naturalKey, "full_outer")
+    val changed = compareCols
+      .map(c => !(col(c) <=> col(s"__cs_$c")))
+      .reduce(_ || _)
+    val inTarget = col("current_version").isNotNull
+    val inCs = col("__in_cs").isNotNull
+    val del = inCs && col("__cs_del")
+
+    // surviving target rows: deleted → tombstone; changed → expired
+    val oldRows = joined.filter(inTarget)
+      .select(
+        (naturalKey.map(col) ++ dataCols.map(col)) :+
+          when(del || (inCs && changed), lit(0)).otherwise(lit(1)).as("current_version") :+
+          when(del, lit("deleted"))
+            .when(inCs && changed, lit("expired"))
+            .otherwise(lit("unchanged")).as("change_type"): _*)
+
+    // replacements + true inserts; a delete row never spawns a new version
+    val newRows = joined.filter(inCs && !col("__cs_del") && (!inTarget || changed))
+      .select(
+        (naturalKey.map(col) ++ dataCols.map(c => col(s"__cs_$c").as(c))) :+
+          lit(1).as("current_version") :+
+          when(inTarget, lit("update_new")).otherwise(lit("insert")).as("change_type"): _*)
+
+    dead.select(oldRows.columns.map(col): _*)
+      .unionByName(oldRows).unionByName(newRows)
+  }
+
   // ---- query-map entry (#9) ----
 
   /** Deterministic demo merge over customer: target = customer as a live
@@ -142,6 +194,77 @@ object MergeUpsert {
     apply(target, changeset, Seq("c_custkey"), "change_seq",
       Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
   }
+
+  /** Gated delete-merge demo: %10==0 updated, %10==3 deleted (with a
+    * stale non-delete row the dedup must drop — delete wins by seq),
+    * %10==5 delete of an ABSENT key (no-op), %10==1 no-op duplicates. */
+  def mergeDeleteCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val target = c.withColumn("current_version", lit(1))
+    val updates = c.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2))
+      .withColumn("is_delete", lit(false)).withColumn("change_seq", lit(1))
+    val delStale = c.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 1, 2))
+      .withColumn("is_delete", lit(false)).withColumn("change_seq", lit(1))
+    val deletes = c.filter(col("c_custkey") % 10 === 3)
+      .withColumn("is_delete", lit(true)).withColumn("change_seq", lit(2))
+    val ghostDel = c.filter(col("c_custkey") % 10 === 5)
+      .withColumn("c_custkey", col("c_custkey") + 2000000)
+      .withColumn("is_delete", lit(true)).withColumn("change_seq", lit(1))
+    val noops = c.filter(col("c_custkey") % 10 === 1)
+      .withColumn("is_delete", lit(false)).withColumn("change_seq", lit(1))
+    val changeset = updates.unionByName(delStale).unionByName(deletes)
+      .unionByName(ghostDel).unionByName(noops)
+    applyWithDeletes(target, changeset, Seq("c_custkey"), "change_seq",
+      Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), "is_delete")
+  }
+
+  def mergeDeleteOracleSql: String =
+    """WITH cs_all AS (
+      |  SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 100, 2) AS c_acctbal,
+      |         c_mktsegment, false AS is_delete, 1 AS change_seq
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 1, 2),
+      |         c_mktsegment, false, 1 FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+      |         c_mktsegment, true, 2 FROM customer WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal,
+      |         c_mktsegment, true, 1 FROM customer WHERE c_custkey % 10 = 5
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+      |         c_mktsegment, false, 1 FROM customer WHERE c_custkey % 10 = 1
+      |), cs AS (
+      |  SELECT * EXCLUDE (change_seq, rn) FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY change_seq DESC) rn
+      |    FROM cs_all) WHERE rn = 1
+      |), j AS (
+      |  SELECT t.c_custkey AS t_key, t.c_name AS t_name, t.c_nationkey AS t_nk,
+      |         t.c_acctbal AS t_bal, t.c_mktsegment AS t_seg,
+      |         cs.c_custkey AS cs_key, cs.c_name AS cs_name, cs.c_nationkey AS cs_nk,
+      |         cs.c_acctbal AS cs_bal, cs.c_mktsegment AS cs_seg,
+      |         coalesce(cs.is_delete, false) AS del,
+      |         (t.c_custkey IS NOT NULL AND cs.c_custkey IS NOT NULL AND NOT
+      |          (t.c_name IS NOT DISTINCT FROM cs.c_name AND
+      |           t.c_nationkey IS NOT DISTINCT FROM cs.c_nationkey AND
+      |           t.c_acctbal IS NOT DISTINCT FROM cs.c_acctbal AND
+      |           t.c_mktsegment IS NOT DISTINCT FROM cs.c_mktsegment)) AS changed
+      |  FROM customer t FULL OUTER JOIN cs ON t.c_custkey = cs.c_custkey
+      |)
+      |SELECT t_key AS c_custkey, t_name AS c_name, t_nk AS c_nationkey,
+      |       t_bal AS c_acctbal, t_seg AS c_mktsegment,
+      |       CASE WHEN (cs_key IS NOT NULL AND del) OR changed THEN 0 ELSE 1 END AS current_version,
+      |       CASE WHEN cs_key IS NOT NULL AND del THEN 'deleted'
+      |            WHEN changed THEN 'expired' ELSE 'unchanged' END AS change_type
+      |FROM j WHERE t_key IS NOT NULL
+      |UNION ALL
+      |SELECT cs_key, cs_name, cs_nk, cs_bal, cs_seg, 1,
+      |       CASE WHEN t_key IS NOT NULL THEN 'update_new' ELSE 'insert' END
+      |FROM j WHERE cs_key IS NOT NULL AND NOT del AND (t_key IS NULL OR changed)
+      |""".stripMargin
 
   def oracleSql: String =
     """WITH cs_all AS (

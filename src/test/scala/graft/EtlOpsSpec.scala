@@ -14,6 +14,28 @@ class EtlOpsSpec extends SparkSpec {
     assert(ColumnNames.toCamel("x") == "x")
   }
 
+  test("merge with deletes: tombstone, delete-wins-by-seq, ghost no-op") {
+    val target = Seq(
+      (1L, "a", 10.0, 1), (2L, "b", 20.0, 1), (3L, "c", 30.0, 1)
+    ).toDF("id", "name", "bal", "current_version")
+    val changeset = Seq(
+      (1L, "a", 99.0, false, 1), // stale update for id=1 ...
+      (1L, "a", 10.0, true, 2),  // ... delete wins by seq
+      (2L, "b", 21.0, false, 1), // plain update
+      (7L, "g", 1.0, true, 1),   // delete of absent key: no-op
+      (4L, "d", 40.0, false, 1)  // insert
+    ).toDF("id", "name", "bal", "is_delete", "change_seq")
+    val out = MergeUpsert.applyWithDeletes(target, changeset, Seq("id"),
+        "change_seq", Seq("name", "bal"), "is_delete")
+      .select("id", "bal", "current_version", "change_type")
+      .as[(Long, Double, Int, String)].collect().toSet
+    assert(out == Set(
+      (1L, 10.0, 0, "deleted"),   // soft tombstone, no replacement row
+      (2L, 20.0, 0, "expired"), (2L, 21.0, 1, "update_new"),
+      (3L, 30.0, 1, "unchanged"),
+      (4L, 40.0, 1, "insert")))   // ghost delete of id=7 emitted nothing
+  }
+
   test("merge_upsert classifies insert/update/unchanged and dedups changeset") {
     val target = Seq(
       (1L, "a", 10.0, 1), (2L, "b", 20.0, 1), (3L, "c", 30.0, 1),

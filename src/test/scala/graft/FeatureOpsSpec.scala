@@ -73,4 +73,27 @@ class FeatureOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - expected) < 1e-4)
     }
   }
+
+  test("winsorize clamps into discrete-quantile bounds") {
+    import org.apache.spark.sql.functions.col
+    // values 1..21: n=21, lo rank floor(.05*20)+1=2 -> 2.0,
+    // hi rank floor(.95*20)+1=20 -> 20.0
+    val df = spark.createDataFrame(
+      (1 to 21).map(i => (i.toLong, i.toDouble))).toDF("id", "v")
+    val w = graft.operators.Scaling.winsorize(df, Seq("v"))
+      .collect().map(r => r.getAs[Double]("v") -> r.getAs[Double]("v_w")).toMap
+    assert(w(1.0) == 2.0 && w(21.0) == 20.0, "tails clamped to rank bounds")
+    assert(w(2.0) == 2.0 && w(20.0) == 20.0 && w(11.0) == 11.0)
+  }
+
+  test("robust scale centers on median, spreads by IQR") {
+    // values 1..21: q1 rank floor(.25*20)+1=6 -> 6, med rank 11 -> 11,
+    // q3 rank 16 -> 16; IQR=10
+    val df = spark.createDataFrame(
+      (1 to 21).map(i => (i.toLong, i.toDouble))).toDF("id", "v")
+    val r = graft.operators.Scaling.robustScale(df, Seq("v"))
+      .collect().map(x => x.getAs[Double]("v") -> x.getAs[Double]("v_r")).toMap
+    assert(r(11.0) == 0.0 && r(21.0) == 1.0 && r(1.0) == -1.0)
+    assert(r(16.0) == 0.5 && r(6.0) == -0.5)
+  }
 }
