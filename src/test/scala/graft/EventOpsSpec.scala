@@ -56,4 +56,26 @@ class EventOpsSpec extends SparkSpec {
     val total = agg.agg(sum("n_events")).collect()(0).getLong(0)
     assert(total == Tables.events(spark, sfDir).count())
   }
+
+  test("connected components: chains collapse, isolated node stands alone") {
+    import spark.implicits._
+    // component {1,2,3,4} via chain, {10,11} via one edge, {99} isolated
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("s", "d")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("n")
+    val got = graft.operators.Graph.connectedComponents(nodes, "n", edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("connected components: long path converges within log-bounded rounds") {
+    import spark.implicits._
+    // a 64-node path graph: diameter 63, pointer jumping must close it
+    // well inside the default 12-round bound (plain propagation needs 63)
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("s", "d")
+    val nodes = (0L to 63L).toDF("n")
+    val got = graft.operators.Graph.connectedComponents(nodes, "n", edges, "s", "d")
+      .select("component").distinct().collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L))
+  }
 }
