@@ -51,4 +51,25 @@ object StreamJoins {
         col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
   }
+
+  /** Event-time-bounded stream-stream LEFT OUTER join: same range
+    * condition as [[joinWithin]], but a left event with no in-window
+    * match is still emitted (right side null-padded) — ONCE the
+    * watermark passes its match horizon, since only then can Spark prove
+    * no match is coming. The unmatched-row latency is therefore the
+    * watermark delay plus the window, and state stays O(in-horizon
+    * rows): this is the "did a confirmation arrive within N minutes, and
+    * if not emit the timeout row" correlation shape. */
+  def leftJoinWithin(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTs: String, rightTs: String,
+                     watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      "left_outer")
+  }
 }

@@ -83,4 +83,42 @@ class StreamJoinsSpec extends SparkSpec {
     assert(stateRows <= 4, s"state holds $stateRows rows; eviction did not run")
     q.stop()
   }
+
+  test("leftJoinWithin: match emitted promptly, no-match emitted null-padded after horizon") {
+    val left = MemoryStream[(Long, Timestamp, String)](spark)
+    val right = MemoryStream[(Long, Timestamp, String)](spark)
+    val joined = StreamJoins.leftJoinWithin(
+      left.toDF().toDF("k", "lts", "l_tag"),
+      right.toDF().toDF("rk", "rts", "r_tag"),
+      "k", "rk", "lts", "rts", watermark = "10 minutes", within = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("sleft")
+      .outputMode("append").start()
+
+    left.addData(
+      (1L, ts("2024-01-01 10:00:00"), "L-matched"),
+      (2L, ts("2024-01-01 10:00:00"), "L-timeout")) // never gets a right row
+    right.addData((1L, ts("2024-01-01 10:03:00"), "R-in"))
+    q.processAllAvailable()
+    val b1 = spark.table("sleft").select("l_tag", "r_tag")
+      .as[(String, String)].collect().toSet
+    assert(b1 == Set(("L-matched", "R-in")),
+      s"unmatched row must NOT be emitted before its horizon passes: $b1")
+
+    // advance both watermarks past 10:05 + 10min delay -> L-timeout's
+    // no-match is now provable; two batches let eviction emit it
+    left.addData((7L, ts("2024-01-01 12:00:00"), "L-adv"))
+    right.addData((8L, ts("2024-01-01 12:00:00"), "R-adv"))
+    q.processAllAvailable()
+    left.addData((7L, ts("2024-01-01 12:01:00"), "L-adv2"))
+    right.addData((8L, ts("2024-01-01 12:01:00"), "R-adv2"))
+    q.processAllAvailable()
+
+    val rows = spark.table("sleft")
+      .select("l_tag", "r_tag").as[(String, String)].collect().toSet
+    assert(rows.contains(("L-timeout", null)),
+      s"timed-out left row should surface null-padded: $rows")
+    assert(!rows.exists(r => r._1 == "L-matched" && r._2 == null),
+      "matched row must not ALSO emit a null-padded copy")
+    q.stop()
+  }
 }
