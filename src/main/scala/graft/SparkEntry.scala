@@ -103,6 +103,13 @@ object SparkEntry {
     // Morton-curve multi-dim clustering; the curve value hash-gates,
     // the skipping win is measured in ZorderSpec
     "zorder_values"         -> (graft.operators.Zorder.zorderValues(_, _)),
+    // pre-shuffled co-located join: bucketed write + catalog read +
+    // no-Exchange SMJ inside the gate; oracle is the plain join
+    "bucketed_join_agg"     -> (graft.operators.BucketedJoin.bucketedJoinAgg(_, _)),
+    // strict-sequence funnel (view -> click -> purchase) per user
+    "funnel_stages"         -> (graft.operators.Funnel.funnelEvents(_, _)),
+    // one-pass expectations report + FK orphan checks
+    "dq_report"             -> (graft.operators.DataQuality.dqReport(_, _)),
     // format roundtrips: writer + reader + type fidelity inside the gate
     "jsonl_roundtrip"       -> (graft.sources.Formats.jsonlRoundtrip(_, _)),
     "orc_roundtrip"         -> (graft.sources.Formats.orcRoundtrip(_, _)),
@@ -260,6 +267,9 @@ object SparkEntry {
     "hash_split"            -> Sampling.hashSplitOracleSql,
     "compaction"            -> Compaction.oracleSql,
     "zorder_values"         -> graft.operators.Zorder.oracleSql,
+    "bucketed_join_agg"     -> graft.operators.BucketedJoin.oracleSql,
+    "funnel_stages"         -> graft.operators.Funnel.oracleSql,
+    "dq_report"             -> graft.operators.DataQuality.oracleSql,
     "jsonl_roundtrip"       -> graft.sources.Formats.oracleSql,
     "orc_roundtrip"         -> graft.sources.Formats.oracleSql,
     "csv_roundtrip"         -> graft.sources.Formats.oracleSql,
