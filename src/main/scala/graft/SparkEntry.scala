@@ -186,6 +186,25 @@ object SparkEntry {
     // zip pack->expand roundtrip: member walk + CRC-verified read + UTF-8
     // decode all land inside the hash gate (oracle = documents itself)
     "mm_zip_expand"         -> (ArchiveIngest.mmZipExpand(_, _)),
+    // as-of (temporal) join via tagged-union + carry-forward window;
+    // oracle is DuckDB's native ASOF LEFT JOIN
+    "asof_purchase_click"   -> (graft.operators.AsOfJoin.asofPurchaseClick(_, _)),
+    // touch attribution: one carry-forward window pass, exact-cent sums
+    "attribution_last_touch" -> (graft.operators.Attribution.attributionLastTouch(_, _)),
+    "attribution_first_touch" -> (graft.operators.Attribution.attributionFirstTouch(_, _)),
+    // market-basket pair support: map-side pair generation from sorted
+    // per-transaction arrays (fact shuffled once, never self-joined)
+    "basket_pairs_lineitem" -> (graft.operators.Basket.basketPairsLineitem(_, _)),
+    // cohort retention matrix keyed once on the actor column
+    "cohort_retention_orders" -> (graft.operators.Cohort.cohortRetentionOrders(_, _)),
+    // equi-width histogram: one aggregate on the bin key, exact cents
+    "hist_totalprice"       -> (graft.operators.Histogram.histTotalprice(_, _)),
+    // edit-distance<=1 similarity join with FN-free pigeonhole blocking;
+    // oracle is the all-pairs levenshtein ground truth
+    "editdist_pairs"        -> (graft.dedup.EditDistance.editdistPairs(_, _)),
+    // sparse/lexical retrieval scoring in integer micros (exact sums)
+    "tfidf_terms"           -> (graft.functions.TextScoring.tfidfTerms(_, _)),
+    "bm25_topk"             -> (graft.functions.TextScoring.bm25Topk(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -315,6 +334,15 @@ object SparkEntry {
     "mm_framesample"        -> BinaryMedia.mmFramesampleOracleSql,
     "mm_resize"             -> BinaryMedia.mmResizeOracleSql,
     "mm_zip_expand"         -> ArchiveIngest.oracleSql,
+    "asof_purchase_click"   -> graft.operators.AsOfJoin.oracleSql,
+    "attribution_last_touch" -> graft.operators.Attribution.lastTouchOracleSql,
+    "attribution_first_touch" -> graft.operators.Attribution.firstTouchOracleSql,
+    "basket_pairs_lineitem" -> graft.operators.Basket.oracleSql,
+    "cohort_retention_orders" -> graft.operators.Cohort.oracleSql,
+    "hist_totalprice"       -> graft.operators.Histogram.oracleSql,
+    "editdist_pairs"        -> graft.dedup.EditDistance.oracleSql,
+    "tfidf_terms"           -> graft.functions.TextScoring.tfidfOracleSql,
+    "bm25_topk"             -> graft.functions.TextScoring.bm25OracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -12,11 +12,15 @@ import graft.Tables
   *
   * Both are pure `functions._` pipelines over one tokenization pass —
   * explode → two integer aggregates — so every input is an exact integer
-  * (tf, df, dl, N) and the only floats are a fixed scalar expression tree
-  * evaluated identically per row in any engine. Scores are emitted as
-  * integer MICROS (round(score·1e6)) so the hash gate never rides on
+  * (tf, df, dl, N) and the per-row scoring is a fixed scalar expression
+  * tree evaluated identically per row in any engine. Scores are emitted
+  * as integer MICROS (round(score·1e6)) so the hash gate never rides on
   * float-sum ordering: BM25's per-document sum adds already-rounded
-  * BIGINTs, which is associative.
+  * BIGINTs, which is associative. The one float AGGREGATE is BM25's
+  * `avg(dl)`: its partial sums add integer-valued doubles, which stay
+  * exact (hence order-independent) as long as the total token count is
+  * below 2^53 — a bound that holds with room to spare at 100 TB of text
+  * (~2.5e13 tokens) and is the load-bearing assumption here.
   *
   * Scale: tokenize is map-side; tf is one shuffle on (doc, term); df
   * reuses tf with a shuffle on term; the join back to tf is term-keyed.

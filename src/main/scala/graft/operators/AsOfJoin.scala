@@ -46,6 +46,10 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(leftCols.intersect(payloadCols).isEmpty,
       s"right payload ${payloadCols.mkString(",")} collides with left columns")
+    val internal = Set("__side", "__p", "__match")
+    val clash = (leftCols ++ right.columns).filter(internal)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with asOf's internal working columns")
 
     val taggedLeft = left
       .withColumn("__side", lit(1))

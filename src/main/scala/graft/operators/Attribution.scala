@@ -25,9 +25,20 @@ object Attribution {
     when(typeCol.isin(touches: _*), typeCol)
 
   /** Per-channel attributed conversions and revenue cents.
-    * `mode` = "last" (most recent touch at-or-before conversion) or
-    * "first" (earliest touch in the user's history). Conversions with no
-    * preceding touch land in channel "direct". */
+    * `mode` = "last" (most recent touch at-or-before the conversion) or
+    * "first" (earliest touch AT-OR-BEFORE the conversion — NOT the whole
+    * user history: the frame ends at the conversion row, so a user whose
+    * only touches come after a conversion credits that conversion to
+    * "direct"). Conversions with no preceding touch land in "direct".
+    *
+    * Same-timestamp semantics: rows sharing a timestamp are ordered by
+    * (event_type asc, id asc), so at the conversion's own timestamp a
+    * touch type sorting BEFORE the conversion type (e.g. 'click' <
+    * 'purchase') is visible to the frame while one sorting after (e.g.
+    * 'view') is not. This asymmetry is deliberate: the tie-break must be
+    * total and engine-portable (the oracle orders identically), and any
+    * choice at exactly-equal timestamps is arbitrary — what matters is
+    * that both engines make the SAME one. */
   def attribute(events: DataFrame, userCol: String, tsCol: String,
                 typeCol: String, valueCol: String, idCol: String,
                 touches: Seq[String], conversion: String,

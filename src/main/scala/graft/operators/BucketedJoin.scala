@@ -25,10 +25,22 @@ object BucketedJoin {
 
   /** Write `df` as a bucketed+sorted catalog table (overwriting). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // The in-memory catalog dies with the JVM but the warehouse directory
+    // survives — a later session's overwrite-mode write then fails with
+    // LOCATION_ALREADY_EXISTS because the catalog has no table to drop.
+    // Remove both the (possibly absent) catalog entry and the orphaned
+    // physical location before writing.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
   /** Join two already-bucketed tables on their bucket key. */
   def joinBucketed(spark: SparkSession, leftTable: String,
