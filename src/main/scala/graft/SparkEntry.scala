@@ -205,6 +205,17 @@ object SparkEntry {
     // sparse/lexical retrieval scoring in integer micros (exact sums)
     "tfidf_terms"           -> (graft.functions.TextScoring.tfidfTerms(_, _)),
     "bm25_topk"             -> (graft.functions.TextScoring.bm25Topk(_, _)),
+    // corpus n-gram statistics: map-side bigram generation, exact
+    // integer counts, micros-rounded per-row logs
+    "pmi_bigrams"           -> (graft.functions.NgramStats.pmiBigramsDocs(_, _)),
+    "gopher_repetition"     -> (graft.functions.NgramStats.repetitionDocs(_, _)),
+    "doc_surprisal"         -> (graft.functions.NgramStats.surprisalDocs(_, _)),
+    // RAG chunking: pure map-side explode+substring, zero shuffles
+    "doc_chunks"            -> (graft.operators.Chunker.chunkDocuments(_, _)),
+    // fixed-iteration PageRank in exact integer micros (Pregel envelope)
+    "pagerank_trade"        -> (graft.operators.PageRank.pagerankTrade(_, _)),
+    // per-group Pearson/OLS from exact integer component sums
+    "corr_lineitem"         -> (graft.operators.GroupStats.corrLineitem(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -343,6 +354,12 @@ object SparkEntry {
     "editdist_pairs"        -> graft.dedup.EditDistance.oracleSql,
     "tfidf_terms"           -> graft.functions.TextScoring.tfidfOracleSql,
     "bm25_topk"             -> graft.functions.TextScoring.bm25OracleSql,
+    "pmi_bigrams"           -> graft.functions.NgramStats.pmiOracleSql,
+    "gopher_repetition"     -> graft.functions.NgramStats.repetitionOracleSql,
+    "doc_surprisal"         -> graft.functions.NgramStats.surprisalOracleSql,
+    "doc_chunks"            -> graft.operators.Chunker.oracleSql,
+    "pagerank_trade"        -> graft.operators.PageRank.oracleSql,
+    "corr_lineitem"         -> graft.operators.GroupStats.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -2,7 +2,6 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.Tables
 
 /** Exact n-gram (word-shingle) Jaccard similarity join with prefix-filter
@@ -61,12 +60,16 @@ object NGramJaccard {
   /** Verified similarity pairs (a_id < b_id) with Jaccard ≥ threshold. */
   def similarPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
-    // one pass computes the hashed shingle sets; persisted because the
-    // candidate step and the verify step both read it
+    // one pass computes the hashed shingle sets, materialized once since
+    // the candidate step and the verify step both read it. localCheckpoint
+    // (not cache/persist): checkpoint blocks are released by the
+    // ContextCleaner when the plan is GC'd, so a library caller looping
+    // over corpora doesn't accumulate pinned shingle tables — the same
+    // lifecycle fix MinHashLsh.nearDupPairs got in round 7.
     val sh = docs.select(col(idCol).as("__id"), hashedShingles(col(textCol)).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .withColumn("__n", size(col("__sh")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // global shingle document frequencies; re-sort each doc's shingles
     // rarest-first and take the prefix from that order

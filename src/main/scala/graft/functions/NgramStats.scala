@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus n-gram statistics for LLM-training-data curation: PMI
+  * collocation mining, Gopher-style within-document repetition signals,
+  * and unigram-LM document surprisal (the CCNet/Gopher quality-filter
+  * family — the reference curates its corpora by embedding similarity,
+  * /root/reference/MachineLearning/NLP/ray_batch_embedding_generator.py;
+  * these are the lexical-statistics complements used by the public
+  * corpus-cleaning pipelines).
+  *
+  * All three are shaped for 100 TB: bigrams are generated MAP-SIDE from
+  * each document's token array (a `transform` over an index sequence —
+  * no self-join, nothing quadratic), corpus aggregates shuffle on
+  * uniform token/bigram keys with map-side partial aggregation, and
+  * corpus-level constants (N, V) ride a broadcast single-row frame into
+  * the plan rather than a driver collect. Scores are exact integers or
+  * integer MICROS computed per row from exact-integer inputs, so the
+  * cross-engine hash gate never rides on float-sum ordering.
+  */
+object NgramStats {
+
+  /** Same tokenization as [[TextScoring.tokens]] (and its oracle CTE). */
+  private def toks(text: Column): Column = TextScoring.tokens(text)
+
+  /** Adjacent-token bigrams as array<struct<w1,w2>>, map-side. Empty for
+    * docs with fewer than two tokens (`sequence` would run DESCENDING on
+    * a 1-token doc — the guard is load-bearing, not cosmetic). */
+  private def bigramArr(ts: Column): Column =
+    when(size(ts) >= 2,
+      expr("transform(sequence(1, size(__ts) - 1), i -> struct(__ts[i-1] AS w1, __ts[i] AS w2))"))
+      .otherwise(expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+
+  /** Corpus-level PMI collocations: (w1, w2, c_xy, pmi_micros) for
+    * adjacent bigrams with `c_xy >= minCount`, where
+    * `pmi = ln(c_xy · N_bigrams / (c_x · c_y))` over corpus unigram
+    * counts — all inputs exact integers, the log evaluated once per
+    * surviving bigram. */
+  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+                 minCount: Long): DataFrame = {
+    val withToks = docs.select(col(idCol), toks(col(textCol)).as("__ts"))
+    val uni = withToks.select(explode(col("__ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val big = withToks.select(explode(bigramArr(col("__ts"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigCounts = big.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    // N = ALL bigram occurrences (pre-filter) — a single broadcast row
+    val totals = bigCounts.agg(sum("c_xy").as("__n"))
+    bigCounts.filter(col("c_xy") >= minCount)
+      .join(uni.withColumnRenamed("t", "w1").withColumnRenamed("c", "c_x"), "w1")
+      .join(uni.withColumnRenamed("t", "w2").withColumnRenamed("c", "c_y"), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_micros",
+        round(log(col("c_xy").cast("double") * col("__n") /
+          (col("c_x") * col("c_y"))) * lit(1e6)).cast("long"))
+      .select("w1", "w2", "c_xy", "pmi_micros")
+  }
+
+  /** Gopher-style per-document repetition signals, ALL exact integers:
+    * token count, distinct-token count, most-frequent-token count,
+    * most-frequent-bigram count, duplicated-bigram type count and the
+    * tokens they cover. Docs with ≥1 token appear; bigram columns are 0
+    * for single-token docs. One shuffle keyed on (doc, gram) then (doc)
+    * — uniform keys, cardinality bounded by corpus token count. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val withToks = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ts"))
+    val uniDoc = withToks.select(col("doc_id"), explode(col("__ts")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        max("c").as("top_token_n"))
+    val bigDoc = withToks
+      .select(col("doc_id"), explode(bigramArr(col("__ts"))).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_bigram_n"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("dup_bigram_types"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_bigram_n"))
+    uniDoc.join(bigDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top_bigram_n", "dup_bigram_types", "dup_bigram_n"))
+  }
+
+  /** Per-document unigram-LM surprisal (the CCNet perplexity-filter
+    * shape, with the LM trained on the corpus itself): add-one-smoothed
+    * negative log-prob per token, rounded to micros PER TOKEN (a scalar
+    * expression over exact integers) then summed — so the per-doc total
+    * is an exact BIGINT and the mean is integer division. High
+    * `nll_per_token_micros` = surprising/low-quality text. */
+  def docSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(toks(col(textCol))).as("t"))
+    val uni = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum("c").as("__n"), count(lit(1)).as("__v"))
+    tok.join(uni, "t")
+      .crossJoin(broadcast(totals))
+      .withColumn("__nll_micros",
+        round(-log((col("c") + lit(1)).cast("double") / (col("__n") + col("__v")))
+          * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("__nll_micros").as("nll_total_micros"))
+      .withColumn("nll_per_token_micros",
+        expr("nll_total_micros DIV n_tokens"))
+  }
+
+  // ---- query-map entries (hash-gated) ----
+
+  def pmiBigramsDocs(spark: SparkSession, dir: String): DataFrame =
+    pmiBigrams(Tables.documents(spark, dir), "doc_id", "text", minCount = 3L)
+
+  def repetitionDocs(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignals(Tables.documents(spark, dir), "doc_id", "text")
+
+  def surprisalDocs(spark: SparkSession, dir: String): DataFrame =
+    docSurprisal(Tables.documents(spark, dir), "doc_id", "text")
+
+  private val TokCte =
+    """tok AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      |  FROM documents
+      |)""".stripMargin
+
+  private val BigCte =
+    """big AS (
+      |  SELECT doc_id, unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+      |  FROM tok WHERE len(ts) >= 2
+      |)""".stripMargin
+
+  def pmiOracleSql: String =
+    s"""WITH $TokCte, $BigCte,
+       |uni AS (SELECT t, count(*) AS c
+       |        FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY 1),
+       |bc AS (SELECT w1, w2, count(*) AS c_xy FROM big GROUP BY 1, 2),
+       |tot AS (SELECT sum(c_xy) AS n FROM bc)
+       |SELECT bc.w1, bc.w2, bc.c_xy,
+       |  CAST(round(ln(CAST(bc.c_xy AS DOUBLE) * tot.n / (ux.c * uy.c)) * 1e6)
+       |       AS BIGINT) AS pmi_micros
+       |FROM bc
+       |JOIN uni ux ON ux.t = bc.w1
+       |JOIN uni uy ON uy.t = bc.w2
+       |CROSS JOIN tot
+       |WHERE bc.c_xy >= 3""".stripMargin
+
+  def repetitionOracleSql: String =
+    s"""WITH $TokCte, $BigCte,
+       |ud AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_types, max(c) AS top_token_n
+       |  FROM (SELECT doc_id, t, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(ts) AS t FROM tok) GROUP BY 1, 2)
+       |  GROUP BY 1
+       |), bd AS (
+       |  SELECT doc_id, max(c) AS top_bigram_n,
+       |    CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_bigram_types,
+       |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bigram_n
+       |  FROM (SELECT doc_id, w1, w2, count(*) AS c FROM big GROUP BY 1, 2, 3)
+       |  GROUP BY 1
+       |)
+       |SELECT ud.doc_id, ud.n_tokens, ud.n_types, ud.top_token_n,
+       |  CAST(coalesce(bd.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       |  CAST(coalesce(bd.dup_bigram_types, 0) AS BIGINT) AS dup_bigram_types,
+       |  CAST(coalesce(bd.dup_bigram_n, 0) AS BIGINT) AS dup_bigram_n
+       |FROM ud LEFT JOIN bd USING (doc_id)""".stripMargin
+
+  def surprisalOracleSql: String =
+    s"""WITH $TokCte,
+       |t AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+       |uni AS (SELECT t, count(*) AS c FROM t GROUP BY 1),
+       |tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CAST(round(-ln(CAST(uni.c + 1 AS DOUBLE) / (tot.n + tot.v))
+       |    * 1e6) AS BIGINT)) AS BIGINT) AS nll_total_micros,
+       |  CAST(sum(CAST(round(-ln(CAST(uni.c + 1 AS DOUBLE) / (tot.n + tot.v))
+       |    * 1e6) AS BIGINT)) // count(*) AS BIGINT) AS nll_per_token_micros
+       |FROM t JOIN uni USING (t) CROSS JOIN tot
+       |GROUP BY doc_id""".stripMargin
+}

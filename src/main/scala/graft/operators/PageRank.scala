@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Fixed-iteration PageRank in EXACT integer-micros arithmetic — graph
+  * centrality over an edge list, the iterative sibling of
+  * [[Graph.graphComponents]]'s pointer-jumping (both are the batch-graph
+  * analyses a lakehouse runs over entity-link tables like the
+  * reference's star lineage,
+  * /root/reference/DataEngineering/DataBricks/AIO_delta_table_generator.py).
+  *
+  * Arithmetic contract: ranks are BIGINT micros. One iteration is
+  * `r'(v) = 150000 + (850000 · Σ_{u→v} (r(u) DIV outdeg(u))) DIV 1000000`
+  * — every step integer division on non-negative values, so Spark's
+  * `DIV` and DuckDB's `//` agree bit-for-bit and the hash gate holds for
+  * ANY iteration count with no float tolerance. (The cost: dangling-node
+  * mass is dropped and DIV truncates — standard simplifications; rank
+  * ORDER is what downstream consumers use.)
+  *
+  * Scale shape: per iteration, one shuffle joining edges⋈ranks on the
+  * source key and one aggregate on the destination key — the classic
+  * Pregel envelope, linear in |E| per iteration with uniform hash keys.
+  * Out-degrees are computed once. Rank frames stay O(|V|). For deep
+  * iteration counts, `localCheckpoint` every ~5 rounds caps lineage
+  * growth (the gated 3-iteration instance doesn't need it).
+  */
+object PageRank {
+
+  private val DampMicros = 850000L
+  private val BaseMicros = 150000L
+
+  /** (node, rank_micros) after `iters` iterations from a uniform
+    * 1_000_000-micros start. `edges` must have `src`/`dst` columns;
+    * parallel edges are counted once (deduped). */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+    var r = nodes.withColumn("rank_micros", lit(1000000L))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          expr("rank_micros DIV __outdeg").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__in"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .withColumn("rank_micros",
+          expr(s"${BaseMicros}L + ($DampMicros * coalesce(__in, 0L)) DIV 1000000L"))
+        .drop("__in")
+      // cap lineage on deep runs; no-op cost for the shallow gated case
+      if (i % 5 == 0 && i < iters) r = r.localCheckpoint(eager = true)
+    }
+    r
+  }
+
+  // ---- query-map entry (hash-gated vs an unrolled DuckDB CTE) ----
+
+  /** Gated instance: the customer↔supplier trade graph (an edge per
+    * distinct trading pair from orders⋈lineitem, BOTH directions so rank
+    * circulates), 3 iterations. Node ids are prefixed strings so the two
+    * entity spaces can't collide. */
+  def pagerankTrade(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    ranks(edges, iters = 3).select("node", "rank_micros")
+  }
+
+  def oracleSql: String = {
+    def step(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT n.node,
+         |    150000 + (850000 * coalesce(sum($prev.r // d.outdeg), 0)) // 1000000 AS r
+         |  FROM n
+         |  LEFT JOIN e ON e.dst = n.node
+         |  LEFT JOIN $prev ON $prev.node = e.src
+         |  LEFT JOIN d ON d.src = e.src
+         |  GROUP BY n.node
+         |)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |), e AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION
+       |  SELECT s AS src, c AS dst FROM pairs
+       |), n AS (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e
+       |), d AS (
+       |  SELECT src, count(*) AS outdeg FROM e GROUP BY 1
+       |), r0 AS (
+       |  SELECT node, 1000000 AS r FROM n
+       |),
+       |${step("r0", "r1")},
+       |${step("r1", "r2")},
+       |${step("r2", "r3")}
+       |SELECT node, CAST(r AS BIGINT) AS rank_micros FROM r3""".stripMargin
+  }
+}
