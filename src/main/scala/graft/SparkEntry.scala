@@ -216,6 +216,9 @@ object SparkEntry {
     "pagerank_trade"        -> (graft.operators.PageRank.pagerankTrade(_, _)),
     // per-group Pearson/OLS from exact integer component sums
     "corr_lineitem"         -> (graft.operators.GroupStats.corrLineitem(_, _)),
+    // hive-style partitionBy layout: write + directory-encoded column +
+    // read inside the gate; pruning asserted in PartitionedLayoutSpec
+    "partitioned_roundtrip" -> (graft.sources.PartitionedLayout.partitionedRoundtrip(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -360,6 +363,7 @@ object SparkEntry {
     "doc_chunks"            -> graft.operators.Chunker.oracleSql,
     "pagerank_trade"        -> graft.operators.PageRank.oracleSql,
     "corr_lineitem"         -> graft.operators.GroupStats.oracleSql,
+    "partitioned_roundtrip" -> graft.sources.PartitionedLayout.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
