@@ -36,10 +36,15 @@ object PageRank {
     * parallel edges are counted once (deduped). */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "need at least one iteration")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // materialize the loop invariants ONCE: every iteration's plan (and
+    // the final action) would otherwise replay the caller's edge
+    // derivation — typically a join — once per occurrence. localCheckpoint
+    // blocks are freed by the ContextCleaner when the plans are GC'd.
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+      .localCheckpoint()
     var r = nodes.withColumn("rank_micros", lit(1000000L))
     for (i <- 1 to iters) {
       val contrib = e
