@@ -219,6 +219,14 @@ object SparkEntry {
     // hive-style partitionBy layout: write + directory-encoded column +
     // read inside the gate; pruning asserted in PartitionedLayoutSpec
     "partitioned_roundtrip" -> (graft.sources.PartitionedLayout.partitionedRoundtrip(_, _)),
+    // event-sequence behavioral stats: lead-window transition pairs;
+    // exact power-of-two recency decay (no libm in the gate)
+    "markov_transitions"    -> (graft.operators.BehaviorStats.markovEvents(_, _)),
+    "decay_user_value"      -> (graft.operators.BehaviorStats.decayedValueEvents(_, _)),
+    // Benford leading-digit DQ screen; digit from exact-cents string
+    "benford_totalprice"    -> (graft.operators.DigitProfile.benfordTotalprice(_, _)),
+    // subtree rollup read off the flattened hierarchy's path column
+    "hierarchy_rollup"      -> (Hierarchy.hierarchyRollup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -364,6 +372,10 @@ object SparkEntry {
     "pagerank_trade"        -> graft.operators.PageRank.oracleSql,
     "corr_lineitem"         -> graft.operators.GroupStats.oracleSql,
     "partitioned_roundtrip" -> graft.sources.PartitionedLayout.oracleSql,
+    "markov_transitions"    -> graft.operators.BehaviorStats.markovOracleSql,
+    "decay_user_value"      -> graft.operators.BehaviorStats.decayOracleSql,
+    "benford_totalprice"    -> graft.operators.DigitProfile.oracleSql,
+    "hierarchy_rollup"      -> Hierarchy.rollupOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -76,4 +76,57 @@ object Hierarchy {
       |  FROM edges e JOIN flat f ON e.parent = f.node
       |)
       |SELECT node, root_key, depth, path FROM flat""".stripMargin
+
+  /** Subtree rollup over an already-flattened hierarchy: aggregate every
+    * node's measure into ALL of its ancestors (and itself) — the BOM
+    * cost / org-chart headcount query. The ancestor set is read straight
+    * off `flatten`'s path column (one map-side explode), so the rollup
+    * is a single (ancestor)-keyed aggregate after an equi-join — no
+    * per-level loop beyond the one `flatten` already ran. Fan-out is
+    * depth-bounded: a node contributes depth+1 rows, and real
+    * hierarchies are single-digit deep. */
+  def subtreeRollup(flat: DataFrame, values: DataFrame,
+                    nodeCol: String, centsCol: String): DataFrame = {
+    val pairs = flat.select(
+      explode(split(col("path"), ">")).as("__anc"),
+      col("node").as(nodeCol))
+    pairs.join(values, nodeCol)
+      .groupBy(col("__anc"))
+      .agg(count(lit(1)).as("n_subtree"), sum(col(centsCol)).as("subtree_cents"))
+  }
+
+  /** Query-map entry: account-balance cents rolled up the customer
+    * hierarchy; ancestor keys re-cast to BIGINT for the gate. */
+  def hierarchyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val bal = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("node"),
+        round(col("c_acctbal") * 100).cast("long").as("__cents"))
+    subtreeRollup(customerHierarchy(spark, dir), bal, "node", "__cents")
+      .select(col("__anc").cast("long").as("anc_key"),
+        col("n_subtree"), col("subtree_cents"))
+  }
+
+  def rollupOracleSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT c_custkey AS child,
+      |         CASE WHEN c_custkey >= 10 THEN c_custkey // 10 END AS parent
+      |  FROM customer
+      |), flat AS (
+      |  SELECT child AS node, child::VARCHAR AS path
+      |  FROM edges WHERE parent IS NULL
+      |  UNION ALL
+      |  SELECT e.child, f.path || '>' || e.child::VARCHAR
+      |  FROM edges e JOIN flat f ON e.parent = f.node
+      |), pairs AS (
+      |  SELECT CAST(unnest(string_split(path, '>')) AS BIGINT) AS anc_key, node
+      |  FROM flat
+      |), bal AS (
+      |  SELECT c_custkey AS node,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer
+      |)
+      |SELECT anc_key, count(*) AS n_subtree,
+      |  CAST(sum(cents) AS BIGINT) AS subtree_cents
+      |FROM pairs JOIN bal USING (node)
+      |GROUP BY anc_key""".stripMargin
 }
