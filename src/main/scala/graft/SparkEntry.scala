@@ -227,6 +227,16 @@ object SparkEntry {
     "benford_totalprice"    -> (graft.operators.DigitProfile.benfordTotalprice(_, _)),
     // subtree rollup read off the flattened hierarchy's path column
     "hierarchy_rollup"      -> (Hierarchy.hierarchyRollup(_, _)),
+    // sweep-line interval concurrency (one shuffle, no self-range-join)
+    "peak_concurrency"      -> (graft.operators.Intervals.peakConcurrentEvents(_, _)),
+    // time-bucketed keep-first rate limiting with suppressed-count carry
+    "event_throttle"        -> (graft.operators.Throttle.eventThrottle(_, _)),
+    // dense daily spine with zero-filled gaps (generated, not shuffled)
+    "resample_daily"        -> (graft.operators.Resample.resampleDailyEvents(_, _)),
+    // chi-square contingency cells in exact integer micros
+    "chisq_contingency"     -> (graft.operators.Contingency.chisqPriorityStatus(_, _)),
+    // record linkage: pigeonhole fuzzy match -> transitive closure
+    "entity_components"     -> (graft.dedup.EntityResolution.entityComponents(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -376,6 +386,11 @@ object SparkEntry {
     "decay_user_value"      -> graft.operators.BehaviorStats.decayOracleSql,
     "benford_totalprice"    -> graft.operators.DigitProfile.oracleSql,
     "hierarchy_rollup"      -> Hierarchy.rollupOracleSql,
+    "peak_concurrency"      -> graft.operators.Intervals.oracleSql,
+    "event_throttle"        -> graft.operators.Throttle.oracleSql,
+    "resample_daily"        -> graft.operators.Resample.oracleSql,
+    "chisq_contingency"     -> graft.operators.Contingency.oracleSql,
+    "entity_components"     -> graft.dedup.EntityResolution.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -67,16 +67,16 @@ object Contingency {
       |  FROM orders GROUP BY 1, 2
       |), rt AS (SELECT priority, CAST(sum(n) AS BIGINT) AS rt FROM cells GROUP BY 1),
       |ct AS (SELECT status, CAST(sum(n) AS BIGINT) AS ct FROM cells GROUP BY 1),
-      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM cells)
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS gt FROM cells)
       |SELECT priority, status, n,
-      |  CAST(round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(N AS DOUBLE)
+      |  CAST(round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE)
       |    * 1e6) AS BIGINT) AS exp_micros,
       |  CAST(round(
       |    (CAST(n AS DOUBLE)
-      |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(N AS DOUBLE))
+      |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE))
       |    * (CAST(n AS DOUBLE)
-      |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(N AS DOUBLE))
-      |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(N AS DOUBLE))
+      |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE))
+      |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE))
       |    * 1e6) AS BIGINT) AS chi2_micros
       |FROM cells JOIN rt USING (priority) JOIN ct USING (status)
       |CROSS JOIN tot""".stripMargin

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Contingency, Intervals, Resample, Throttle}
+import graft.dedup.EntityResolution
+
+/** Round-10 wired operators: sweep-line interval concurrency,
+  * keep-first throttling, daily spine resampling, chi-square
+  * contingency, and entity resolution (fuzzy match + transitive
+  * closure). Planted-data semantics; cross-engine equality is the
+  * DuckDB hash gate. */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("peak concurrency: sweep-line counts overlaps, half-open back-to-back never overlaps") {
+    // k1: [0,10) [5,15) [5,8) peak 3; [15,20) touches [5,15) only at 15 -> not 4
+    // k2: [0,1) [1,2) back-to-back chain -> peak 1
+    val iv = Seq(("k1", 0L, 10L), ("k1", 5L, 15L), ("k1", 5L, 8L),
+      ("k1", 15L, 20L), ("k2", 0L, 1L), ("k2", 1L, 2L))
+      .toDF("k", "s", "e")
+    val got = Intervals.peakConcurrency(iv, "k", "s", "e")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("k1" -> 3L, "k2" -> 1L))
+  }
+
+  test("throttle: first row per bucket survives carrying the suppressed count") {
+    val ev = Seq((3L, "u1", "click", 100L), (1L, "u1", "click", 100L),
+      (2L, "u1", "click", 150L), (4L, "u1", "view", 100L),
+      (5L, "u2", "click", 100L)).toDF("id", "user", "typ", "t")
+    // bucket = t div 100: u1/click bucket-1 has rows t=100(id 3,1),150(id 2)
+    // -> survivor (t=100, id=1), n_suppressed=2
+    val got = Throttle.keepFirst(ev, Seq("user", "typ"), "t", "id",
+        c => floor(c / 100))
+      .select("id", "n_suppressed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("resample: silent days zero-filled over the global date range") {
+    val ev = Seq(("a", "2024-01-01 10:00:00", 1.25),
+      ("a", "2024-01-03 11:00:00", 2.50),
+      ("b", "2024-01-02 09:00:00", 0.75))
+      .toDF("k", "ts_s", "v")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val got = Resample.dailySpineFill(ev, "k", "ts", "v")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // spine is 2 keys x 3 days (global [01-01, 01-03]) = 6 rows
+    assert(got.size == 6)
+    assert(got(("a", "2024-01-01")) == ((1L, 125L)))
+    assert(got(("a", "2024-01-02")) == ((0L, 0L))) // silent day zero-filled
+    assert(got(("a", "2024-01-03")) == ((1L, 250L)))
+    assert(got(("b", "2024-01-01")) == ((0L, 0L)))
+    assert(got(("b", "2024-01-02")) == ((1L, 75L)))
+    assert(got(("b", "2024-01-03")) == ((0L, 0L)))
+  }
+
+  test("contingency: 2x2 cell math matches the hand-computed chi-square") {
+    // grid: (x,p)=10 (x,q)=20 (y,p)=30 (y,q)=40; N=100
+    val rows = Seq.fill(10)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(30)(("y", "p")) ++ Seq.fill(40)(("y", "q"))
+    val df = rows.toDF("a", "b")
+    val got = Contingency.chiSquare(df, "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def cell(n: Long, rt: Long, ct: Long): (Long, Long, Long) = {
+      val e = rt.toDouble * ct.toDouble / 100.0
+      val d = n.toDouble - e
+      (n, math.rint(e * 1e6).toLong, math.rint(d * d / e * 1e6).toLong)
+    }
+    assert(got == Map(
+      ("x", "p") -> cell(10, 30, 40), ("x", "q") -> cell(20, 30, 60),
+      ("y", "p") -> cell(30, 70, 40), ("y", "q") -> cell(40, 70, 60)))
+    // exp: (x,p) e=12 -> d=-2, chi2 = 4/12
+    assert(got(("x", "p"))._3 == math.rint(4.0 / 12.0 * 1e6).toLong)
+  }
+
+  test("entity resolution: transitive closure merges a-b and b-c into one entity") {
+    val base = "0123456789abcdef" // 16-char prefix
+    val docs = Seq(
+      (1L, base + " tail one"),            // matches 2 (distance 0 prefix)
+      (2L, base + " other tail"),          // matches 1 and 3
+      (3L, "0123456789abcdeX trailing"),   // distance 1 from base prefix
+      (4L, "completely different text!"),  // singleton
+      (5L, "short")                        // < 16 chars: excluded from matching
+    ).toDF("doc_id", "text")
+    val got = EntityResolution.resolve(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1,2 share prefix exactly; 3 is one substitution away from 2's prefix
+    // (transitively also 1) -> all label 1. 4 and 5 are their own entity.
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+  }
+}
