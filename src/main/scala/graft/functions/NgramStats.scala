@@ -28,10 +28,14 @@ object NgramStats {
 
   /** Adjacent-token bigrams as array<struct<w1,w2>>, map-side. Empty for
     * docs with fewer than two tokens (`sequence` would run DESCENDING on
-    * a 1-token doc — the guard is load-bearing, not cosmetic). */
+    * a 1-token doc — the guard is load-bearing, not cosmetic). Built from
+    * the PASSED column via the lambda API (element_at is 1-based), so any
+    * token column works — not just one named `__ts`. */
   private def bigramArr(ts: Column): Column =
     when(size(ts) >= 2,
-      expr("transform(sequence(1, size(__ts) - 1), i -> struct(__ts[i-1] AS w1, __ts[i] AS w2))"))
+      transform(sequence(lit(1), size(ts) - 1),
+        i => struct(element_at(ts, i).as("w1"),
+          element_at(ts, i + lit(1)).as("w2"))))
       .otherwise(expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
 
   /** Corpus-level PMI collocations: (w1, w2, c_xy, pmi_micros) for

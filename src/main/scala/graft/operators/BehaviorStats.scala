@@ -48,15 +48,22 @@ object BehaviorStats {
     * Halvings cap at 62 (beyond that the BIGINT is zero anyway).
     * Defined for non-negative values: on negatives, Spark's DIV
     * truncates toward zero while SQL `//` floors, so cross-engine
-    * equality would not hold (and "decayed debt" has no meaning here). */
+    * equality would not hold (and "decayed debt" has no meaning here) —
+    * a negative value therefore FAILS the job at runtime (raise_error
+    * inside the cents branch, which the optimizer cannot prune) instead
+    * of silently poisoning the result. */
   def decayedValue(events: DataFrame, userCol: String, tsCol: String,
                    valueCol: String, halfLifeDays: Int): DataFrame = {
     require(halfLifeDays > 0, "half-life must be positive")
     val us = unix_micros(col(tsCol))
     val anchor = events.agg(max(unix_micros(col(tsCol))).as("__anchor"))
+    val cents = round(col(valueCol) * 100).cast("long")
+    val guarded = when(cents >= 0, cents).otherwise(raise_error(concat(
+      lit(s"decayedValue: negative $valueCol — decay is undefined "),
+      lit("for negative amounts (DIV truncation diverges cross-engine)"))))
     events
       .select(col(userCol).as("user_id"), us.as("__us"),
-        round(col(valueCol) * 100).cast("long").as("__cents"))
+        guarded.as("__cents"))
       .crossJoin(broadcast(anchor))
       .withColumn("__halvings",
         expr(s"least((__anchor - __us) DIV ${86400000000L * halfLifeDays}, 62L)"))

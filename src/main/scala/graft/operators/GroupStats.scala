@@ -17,11 +17,12 @@ import graft.Tables
   * cannot flap them. The final correlation/slope is a fixed scalar
   * expression over those exact integers, evaluated once per GROUP (not
   * per row), with both engines running the identical IEEE-754 tree —
-  * micros-rounded for the gate. Overflow headroom: the binding sum is
-  * Σy² at ~1.4e13 per row for the gated price column — 2^63 holds ~6e5
-  * such rows per group (Spark 4's ANSI mode makes an overflow THROW, not
-  * wrap). Larger groups must pre-scale the cents (trade decimal places
-  * for headroom); that is a caller decision, not a silent default.
+  * micros-rounded for the gate. Overflow headroom is set by the caller
+  * through the per-column scale (Spark 4's ANSI mode makes an overflow
+  * THROW, not wrap): the binding sum is Σ(y·yScale)², so the gated
+  * 3-group lineitem instance drops the price column to WHOLE units
+  * (yScale = 1), trading two decimal places for ~9e8 rows/group of
+  * BIGINT headroom where cents would overflow at ~6e5.
   *
   * Scale: one shuffle on the group key with map-side combine; output
   * cardinality = number of groups. This never materializes anything
@@ -29,14 +30,22 @@ import graft.Tables
   */
 object GroupStats {
 
-  /** (group, n, corr_micros, slope_micros) per group key, from cents of
-    * `xCol`/`yCol`. Groups where either variance is zero yield NULL
-    * correlation/slope (division by zero → NULL in both engines via
-    * explicit guard). */
+  /** (group, n, corr_micros, slope_micros) per group key, from
+    * `xCol`/`yCol` scaled to integers by `xScale`/`yScale` (100 = cents).
+    * Groups where either variance is zero yield NULL correlation/slope
+    * (division by zero → NULL in both engines via explicit guard).
+    *
+    * The scale parameters are the overflow dial: the binding sum is
+    * Σ(y·yScale)² as BIGINT, so per-group row headroom is
+    * 2^63 / (maxY·yScale)². Low-cardinality group keys over a big fact
+    * need a smaller yScale (whole units instead of cents) — correlation
+    * is scale-invariant up to the final micros rounding, and the slope
+    * simply changes units. */
   def corrSlope(df: DataFrame, groupCol: String,
-                xCol: String, yCol: String): DataFrame = {
-    val xc = round(col(xCol) * 100).cast("long")
-    val yc = round(col(yCol) * 100).cast("long")
+                xCol: String, yCol: String,
+                xScale: Int = 100, yScale: Int = 100): DataFrame = {
+    val xc = round(col(xCol) * xScale).cast("long")
+    val yc = round(col(yCol) * yScale).cast("long")
     val sums = df
       .select(col(groupCol).as("grp"), xc.as("__x"), yc.as("__y"))
       .groupBy("grp")
@@ -64,10 +73,13 @@ object GroupStats {
   // ---- query-map entry (hash-gated) ----
 
   /** Gated instance: quantity↔extendedprice correlation and slope per
-    * return flag. */
+    * return flag. l_returnflag has only 3 values, so the whole fact
+    * lands in 3 groups: the price column uses WHOLE currency units
+    * (yScale = 1, y ≤ ~1e5, Σy² ≤ ~1e10/row) giving ~9e8 rows/group of
+    * BIGINT headroom — cents would overflow past ~6e5 rows/group. */
   def corrLineitem(spark: SparkSession, dir: String): DataFrame =
     corrSlope(Tables.lineitem(spark, dir), "l_returnflag",
-      "l_quantity", "l_extendedprice")
+      "l_quantity", "l_extendedprice", xScale = 100, yScale = 1)
       .withColumnRenamed("grp", "l_returnflag")
 
   def oracleSql: String =
@@ -80,7 +92,7 @@ object GroupStats {
       |  FROM (
       |    SELECT l_returnflag,
       |      CAST(round(l_quantity * 100) AS BIGINT) AS x,
-      |      CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |      CAST(round(l_extendedprice * 1) AS BIGINT) AS y
       |    FROM lineitem
       |  ) GROUP BY 1
       |)

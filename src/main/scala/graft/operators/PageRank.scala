@@ -53,9 +53,17 @@ object PageRank {
         .select(col("dst").as("node"),
           expr("rank_micros DIV __outdeg").as("__c"))
         .groupBy("node").agg(sum("__c").as("__in"))
+      // (850000·s) DIV 1e6 decomposed as 850000·(s DIV 1e6) +
+      // (850000·(s MOD 1e6)) DIV 1e6 — identical for s ≥ 0 (s is a sum
+      // of DIV-truncated non-negative contributions), but the largest
+      // intermediate is now max(850000·(s DIV 1e6), ~8.5e11) instead of
+      // 850000·s, so ANSI BIGINT holds up to s ≈ 1.08e19 of incoming
+      // micros-mass (the representable limit) rather than throwing at a
+      // ~1e7-node hub. DuckDB's HUGEINT-promoted form agrees exactly.
       r = nodes.join(contrib, Seq("node"), "left")
         .withColumn("rank_micros",
-          expr(s"${BaseMicros}L + ($DampMicros * coalesce(__in, 0L)) DIV 1000000L"))
+          expr(s"${BaseMicros}L + $DampMicros * (coalesce(__in, 0L) DIV 1000000L)" +
+            s" + ($DampMicros * (coalesce(__in, 0L) % 1000000L)) DIV 1000000L"))
         .drop("__in")
       // cap lineage on deep runs; no-op cost for the shallow gated case
       if (i % 5 == 0 && i < iters) r = r.localCheckpoint(eager = true)

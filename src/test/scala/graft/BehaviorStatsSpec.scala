@@ -39,6 +39,17 @@ class BehaviorStatsSpec extends SparkSpec {
     assert(got == Map(1L -> ((3L, 600L)), 2L -> ((1L, 100L))))
   }
 
+  test("decayed value: a negative value fails fast instead of silently diverging") {
+    val ev = Seq((1L, 1L, 0L, -0.5))
+      .toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros($"us"))
+    val e = intercept[Exception] {
+      BehaviorStats.decayedValue(ev, "user_id", "ts", "value", 7).collect()
+    }
+    assert(e.getMessage.contains("negative") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative")))
+  }
+
   test("benford: digits from exact cents, shares and expectations in micros") {
     // cents: 100, 150, 2000, 90 -> digits 1,1,2,9
     val df = Seq(1.0, 1.5, 20.0, 0.9, 0.0).toDF("v") // zero excluded
