@@ -4,24 +4,51 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** 64-bit SimHash fingerprinting + hamming-band near-dup detection.
+/** 64-bit SimHash fingerprinting + Manku-style block-combination
+  * candidate generation.
   *
   * SimHash: each word token votes ±1 on each of 64 bit positions
   * according to its xxhash64 bits; the fingerprint sets bit i when the
   * aggregate vote is ≥ 0. Near-identical texts differ in a handful of
-  * bits, so candidates are found by exact match on any of four 16-bit
-  * bands (pigeonhole: hamming distance ≤ 3 guarantees at least one of 4
-  * bands identical), then verified with `bit_count(a ^ b) ≤ 3`.
+  * bits. Candidates: the fingerprint splits into 6 blocks
+  * (11/11/11/11/10/10 bits); ≤ HammingMax (3) differing bits touch at
+  * most 3 blocks, so every true pair agrees ENTIRELY on some 3 of the 6
+  * — one table per C(6,3) = 20 block combinations, keyed on the
+  * xxhash64 of that combination's 3 block values, reaches every pair
+  * (the Manku/Jain/Sarma WWW'07 table construction). Verification is
+  * exact `bit_count(a ^ b) ≤ 3`.
+  *
+  * Why not 4 raw 16-bit bands (the round-≤9 scheme): a raw 16-bit band
+  * key has a FIXED universe of 65,536 buckets, so bucket occupancy — and
+  * the self-join's candidate count — grows quadratically with corpus
+  * size. The combination keys carry ~32-33 bits of fingerprint (hashed
+  * to 64), so buckets stay ~2^16× smaller and only near-agreeing
+  * fingerprints collide. The cost is a 20× (vs 4×) explode of the
+  * narrow (id, fp, key) table — linear, shuffle-friendly, and the price
+  * of guaranteed recall at 1B+ docs.
   *
   * The vote aggregation is the compiled [[graft.functions.SimHash64]] —
   * one O(|tokens|·64) loop per row, the pass that runs once per corpus
-  * row at 100 TB; banding joins on 16-bit keys are uniform by
-  * construction.
+  * row at 100 TB.
   */
 object SimHashDedup {
 
   val HammingMax = 3
-  val BandCount = 4 // pigeonhole: > HammingMax bands of 16 bits
+  val BlockCount = 6 // > HammingMax blocks → some (BlockCount−3)-subset agrees
+
+  /** (offset, width) of the 6 fingerprint blocks: 4×11 + 2×10 = 64. */
+  private val Blocks: Seq[(Int, Int)] =
+    Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+
+  private def block(fp: Column, i: Int): Column = {
+    val (off, w) = Blocks(i)
+    shiftright(fp, off).bitwiseAND(lit((1L << w) - 1))
+  }
+
+  /** All 3-of-6 block index combinations — one candidate table each. */
+  private val Combos: Seq[Seq[Int]] =
+    (0 until BlockCount).combinations(BlockCount - HammingMax)
+      .map(_.toSeq).toSeq
 
   /** 64-bit SimHash of a whitespace-tokenized text column (compiled
     * expression over per-token xxhash64 values, registered on the active
@@ -44,28 +71,29 @@ object SimHashDedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     nearDupPairsFromFp(fingerprints(docs, idCol, textCol))
 
-  /** Pair generation over a precomputed (\_\_id, \_\_fp) table. */
-  def nearDupPairsFromFp(fp: DataFrame): DataFrame = {
-    // shiftright needs a literal amount, so the 4 bands unroll statically
-    val bandCols = Seq.tabulate(BandCount) { j =>
-      struct(lit(j).as("band_idx"),
-        shiftright(col("__fp"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("band_v"))
+  /** CANDIDATE pairs (pre-verification, deduped): ids that share at
+    * least one 3-block combination key. Exposed so specs can assert the
+    * candidate volume the banding admits, separately from recall. */
+  def candidatePairs(fp: DataFrame): DataFrame = {
+    // shiftright needs literal amounts, so the 20 tables unroll statically
+    val keyCols = Combos.zipWithIndex.map { case (c, idx) =>
+      xxhash64(lit(idx) +: c.map(block(col("__fp"), _)): _*)
     }
     val exploded = fp.select(col("__id"), col("__fp"),
-      explode(array(bandCols: _*)).as("__b"))
-      .select(col("__id"), col("__fp"), col("__b.band_idx"), col("__b.band_v"))
-
+      explode(array(keyCols: _*)).as("__k"))
     exploded.as("a").join(exploded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_v") === col("b.band_v") &&
-          col("a.__id") < col("b.__id"))
+        col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
         col("a.__fp").as("__fpa"), col("b.__fp").as("__fpb"))
       .distinct()
+  }
+
+  /** Pair generation over a precomputed (\_\_id, \_\_fp) table. */
+  def nearDupPairsFromFp(fp: DataFrame): DataFrame =
+    candidatePairs(fp)
       .withColumn("hamming", bit_count(col("__fpa").bitwiseXOR(col("__fpb"))).cast("int"))
       .filter(col("hamming") <= HammingMax)
       .select("a_id", "b_id", "hamming")
-  }
 
   // ---- query-map entry (#29, rows-gated; semantics asserted in ScalaTest) ----
 

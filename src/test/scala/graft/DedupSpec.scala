@@ -69,6 +69,59 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
   }
 
+  test("simhash block tables: pair output identical to brute-force hamming<=3") {
+    // deterministic pseudo-random fingerprints + planted near-pairs whose
+    // 3 flipped bits land in 3 DIFFERENT blocks (the adversarial case for
+    // block agreement: exactly BlockCount−3 blocks left agreeing)
+    def mix(x: Long): Long = { // splitmix64 finalizer
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val rnd = (0L until 300L).map(i => (i, mix(i)))
+    val planted = Seq(
+      (1000L, mix(7L) ^ (1L << 5) ^ (1L << 20) ^ (1L << 60)), // blocks 0,1,5
+      (1001L, mix(7L) ^ (1L << 43)),                          // 1 bit, block 3
+      (1002L, mix(7L)))                                       // exact dup of base 7
+    val all = rnd ++ planted
+    val fp = all.toDF("__id", "__fp")
+    val got = SimHashDedup.nearDupPairsFromFp(fp)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val want = (for {
+      (ai, af) <- all; (bi, bf) <- all if ai < bi
+      if java.lang.Long.bitCount(af ^ bf) <= SimHashDedup.HammingMax
+    } yield (ai, bi)).toSet
+    assert(want.contains((7L, 1000L)) && want.contains((7L, 1002L)),
+      "fixture must plant cross-block near pairs")
+    assert(got == want, s"recall/precision mismatch: got $got want $want")
+  }
+
+  test("simhash block tables admit far fewer candidates than raw 16-bit bands") {
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val fp = (0L until 2000L).map(i => (i, mix(i))).toDF("__id", "__fp")
+    val newCand = SimHashDedup.candidatePairs(fp).count()
+    // the retired scheme: raw 16-bit band values as bucket keys
+    import org.apache.spark.sql.functions._
+    val bands = fp.select(col("__id"), explode(array(Seq.tabulate(4) { j =>
+      struct(lit(j).as("i"),
+        shiftright(col("__fp"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("v"))
+    }: _*)).as("b"))
+    val oldCand = bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.__id") < col("b.__id"))
+      .select("a.__id", "b.__id").distinct().count()
+    // 2000 random fps: raw bands collide by birthday on 65,536 buckets;
+    // 32-bit combination keys essentially never do
+    assert(oldCand > 20, s"old banding admitted only $oldCand — fixture too small")
+    assert(newCand * 10 < oldCand,
+      s"block tables admit $newCand candidates vs $oldCand for raw bands")
+  }
+
   test("ngram jaccard exact pairs match brute-force ground truth") {
     val got = NGramJaccard.similarPairs(docs, "doc_id", "text", 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
