@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Plan-regression gate over EVERY SparkEntry.queries entry (SURVEY §5a
+  * made enforceable): no query may plan a CartesianProduct or a
+  * BroadcastNestedLoopJoin — except the deliberate scalar-attachment
+  * pattern `df.crossJoin(broadcast(globalAgg))`, where one join side
+  * collapses to a single row (its subtree contains an aggregate with NO
+  * grouping keys). Any other nested-loop shape is a scale bug: its cost
+  * is |left|·|right| rows and no partitioning saves it at 100 TB.
+  *
+  * Plans are audited at sf0.001 — plan SHAPE is scale-independent (the
+  * same strategies fire at any SF; only AQE runtime re-planning varies,
+  * and the audit reads the pre-execution plan on purpose).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** A subtree that ends in a global (grouping-free) aggregate produces
+    * at most one row no matter the input size — joins against it are
+    * broadcast scalar attachment, not quadratic blowup. Joins OF such
+    * single-row frames (`stats.crossJoin(stats2)`) stay single-row, so
+    * containment is the right test. */
+  private def singleRowSide(p: SparkPlan): Boolean = p.collectFirst {
+    case a: HashAggregateExec if a.groupingExpressions.isEmpty       => ()
+    case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => ()
+    case a: SortAggregateExec if a.groupingExpressions.isEmpty       => ()
+  }.isDefined
+
+  private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
+    case j: BroadcastNestedLoopJoinExec
+        if !singleRowSide(j.left) && !singleRowSide(j.right) =>
+      s"BroadcastNestedLoopJoin(${j.joinType})"
+    case j: CartesianProductExec
+        if !singleRowSide(j.left) && !singleRowSide(j.right) =>
+      "CartesianProduct"
+  }
+
+  /** Queries ALLOWED a fixed number of nested-loop joins, each with a
+    * reason the shape is deliberate. Exact counts: one more nested loop
+    * than declared is a regression even in an allowlisted query.
+    *
+    *  - the exact-scoring baselines (`ann_bruteforce`, `ann_pq*`,
+    *    `dedup_embedding`) broadcast a BOUNDED side (query subset /
+    *    codebook probes) against the corpus — all-pairs scoring IS their
+    *    semantics; the approximate family is the scale path.
+    *  - `conformal_calibrate` broadcasts qhat: one row by construction
+    *    (row_number == k order statistic), which the single-row-aggregate
+    *    heuristic cannot see through.
+    */
+  private val allowed: Map[String, Int] = Map(
+    "ann_bruteforce" -> 1, "ann_pq" -> 1, "ann_pq_exhaustive" -> 1,
+    "dedup_embedding" -> 1, "conformal_calibrate" -> 1)
+
+  test("no query plans a non-scalar nested-loop join or cartesian product") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val off = offenders(plan)
+      if (off.size == allowed.getOrElse(name, 0)) Nil
+      else off.map(o => s"$name: $o (allowed ${allowed.getOrElse(name, 0)}, found ${off.size})")
+    }
+    assert(bad.isEmpty, s"nested-loop plans found:\n${bad.mkString("\n")}")
+  }
+
+  test("scan-predicate queries push their filters into the parquet scan") {
+    // queries whose selectivity lives in the WHERE clause: the scan node
+    // must advertise non-empty PushedFilters, or every row is read
+    // (medallion_gold is NOT here: its version predicate compares
+    // literal-derived columns — constant-folded before the scan — and
+    // silver materializes through a checkpoint, so no parquet scan with
+    // a pushable residual exists in the gold plan by design)
+    for (name <- Seq("q6_forecast_revenue", "q19_disjunctive_revenue",
+        "q14_promo_revenue")) {
+      val fmt = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      val pushed = fmt.linesIterator.filter(_.contains("PushedFilters:")).toSeq
+      assert(pushed.nonEmpty, s"$name: no PushedFilters line in plan")
+      assert(pushed.exists(l => !l.contains("PushedFilters: []")),
+        s"$name: every scan has empty PushedFilters:\n${pushed.mkString("\n")}")
+    }
+  }
+}
