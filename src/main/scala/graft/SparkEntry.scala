@@ -237,6 +237,10 @@ object SparkEntry {
     "chisq_contingency"     -> (graft.operators.Contingency.chisqPriorityStatus(_, _)),
     // record linkage: pigeonhole fuzzy match -> transitive closure
     "entity_components"     -> (graft.dedup.EntityResolution.entityComponents(_, _)),
+    // class-weighted MLlib RandomForest fit + AUC/accuracy/importances;
+    // rows-gated (tree internals have no SQL oracle) — floors and
+    // determinism asserted in RandomForestSpec
+    "rf_train_eval"         -> (graft.ml.RandomForestTrain.rfTrainEval(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
