@@ -27,10 +27,22 @@ import graft.operators.MergeUpsert
   * rewrite cost is the merge output, amortized by compaction cadence in
   * a real deployment (at 100 TB you point this at a table format with
   * file-level replace, keeping the SAME merge plan).
+  *
+  * Time travel: every committed version dir is RETAINED (the pointer
+  * flip never deletes), and each carries a `_COMMIT_META` marker
+  * (batchId + commit wall-time, written BEFORE the flip so every
+  * pointer-covered version has one) — the same read-at-version /
+  * read-as-of surface the reference gets from Delta
+  * (/root/reference/DataEngineering/Python/delta_table_rs.py:10-25,
+  * `load_version` / `load_with_datetime`). Retention is explicit:
+  * [[pruneVersions]] drops the oldest committed snapshots past a keep
+  * count — history older than the prune horizon is unreadable, exactly
+  * like a vacuumed Delta table, so the caller picks the horizon.
   */
 object UpsertSink {
 
   private def pointerFile(stateDir: String) = new File(stateDir, "_CURRENT")
+  private val MetaName = "_COMMIT_META"
 
   /** (version dir name, batchId) currently pointed at, if any. */
   def currentPointer(stateDir: String): Option[(String, Long)] = {
@@ -66,11 +78,72 @@ object UpsertSink {
       .drop("change_type")
     val vdir = s"v_$batchId"
     merged.write.mode("overwrite").parquet(s"$stateDir/$vdir")
+    // commit metadata BEFORE the flip: any pointer-covered version is
+    // guaranteed to carry it (a marker without pointer coverage is a
+    // crashed batch the replay path overwrites)
+    Files.write(Paths.get(stateDir, vdir, MetaName),
+      s"$batchId ${System.currentTimeMillis()}".getBytes(StandardCharsets.UTF_8))
     // write-then-rename: the pointer flip is the commit point
     val tmp = Paths.get(stateDir, "_CURRENT.tmp")
     Files.write(tmp, vdir.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointerFile(stateDir).toPath,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---- time travel over retained versions ----
+
+  /** One committed snapshot: its directory, batch id, and commit time. */
+  final case class Version(dir: String, batchId: Long, commitMillis: Long)
+
+  /** Committed versions (pointer-covered, oldest first). Dirs beyond the
+    * current pointer — a batch that wrote but crashed before its flip —
+    * are excluded: they are not part of history until replay commits
+    * them. */
+  def versionHistory(stateDir: String): Seq[Version] = {
+    val head = currentPointer(stateDir).map(_._2).getOrElse(return Nil)
+    val dirs = Option(new File(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+    dirs.flatMap { d =>
+      val meta = new File(d, MetaName)
+      if (!meta.exists()) None
+      else {
+        val Array(bid, ts) =
+          new String(Files.readAllBytes(meta.toPath), StandardCharsets.UTF_8)
+            .trim.split(" ")
+        Some(Version(d.getName, bid.toLong, ts.toLong))
+      }
+    }.filter(_.batchId <= head).sortBy(_.batchId).toSeq
+  }
+
+  /** The dimension snapshot exactly as of committed batch `batchId`. */
+  def stateAtVersion(spark: SparkSession, stateDir: String,
+                     batchId: Long): DataFrame = {
+    val v = versionHistory(stateDir).find(_.batchId == batchId)
+      .getOrElse(throw new NoSuchElementException(
+        s"no committed version $batchId under $stateDir (pruned or never applied)"))
+    spark.read.parquet(s"$stateDir/${v.dir}")
+  }
+
+  /** The newest snapshot committed at-or-before `tsMillis`, if any. */
+  def stateAsOf(spark: SparkSession, stateDir: String,
+                tsMillis: Long): Option[DataFrame] =
+    versionHistory(stateDir).filter(_.commitMillis <= tsMillis)
+      .lastOption.map(v => spark.read.parquet(s"$stateDir/${v.dir}"))
+
+  /** Drop the oldest committed snapshots, keeping the newest
+    * `keepLast` (≥ 1 — the current version is never deleted). Returns
+    * the dropped versions. Reads at pruned versions fail like reads of
+    * a vacuumed table — choose `keepLast` as the retention horizon. */
+  def pruneVersions(stateDir: String, keepLast: Int): Seq[Version] = {
+    require(keepLast >= 1, "must retain at least the current version")
+    val hist = versionHistory(stateDir)
+    val drop = hist.dropRight(keepLast)
+    drop.foreach { v =>
+      val dir = new File(stateDir, v.dir)
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      dir.delete()
+    }
+    drop
   }
 
   /** Start the checkpointed stream maintaining the dimension at

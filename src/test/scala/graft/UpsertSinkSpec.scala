@@ -50,4 +50,43 @@ class UpsertSinkSpec extends SparkSpec {
     assert(state() == Set((1L, "a", 0), (1L, "a2", 1),
       (2L, "b", 0), (2L, "b2", 1), (3L, "c", 1)))
   }
+
+  test("time travel: every committed version reproduces its snapshot; as-of and prune honor history") {
+    val stateDir = Files.createTempDirectory("graft_tt_state").toString
+    def write(batchId: Long, rows: Seq[(Long, String, Long)]): Unit =
+      UpsertSink.writeBatch(rows.toDF("k", "v", "seq"), batchId, stateDir,
+        Seq("k"), "seq", Seq("v"))
+    def read(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+    write(0L, Seq((1L, "a", 1L)))
+    val s0 = read(UpsertSink.currentState(spark, stateDir).get)
+    write(1L, Seq((2L, "b", 2L)))
+    val s1 = read(UpsertSink.currentState(spark, stateDir).get)
+    write(2L, Seq((1L, "a2", 3L)))
+    val s2 = read(UpsertSink.currentState(spark, stateDir).get)
+    assert(s0 != s1 && s1 != s2, "fixture batches must change state")
+
+    // each historical version reproduces its exact snapshot
+    assert(read(UpsertSink.stateAtVersion(spark, stateDir, 0L)) == s0)
+    assert(read(UpsertSink.stateAtVersion(spark, stateDir, 1L)) == s1)
+    assert(read(UpsertSink.stateAtVersion(spark, stateDir, 2L)) == s2)
+
+    // as-of: between commit times resolves to the earlier version;
+    // before all history resolves to none
+    val hist = UpsertSink.versionHistory(stateDir)
+    assert(hist.map(_.batchId) == Seq(0L, 1L, 2L))
+    assert(hist.map(_.commitMillis) == hist.map(_.commitMillis).sorted)
+    assert(read(UpsertSink.stateAsOf(spark, stateDir, hist(1).commitMillis).get) == s1)
+    assert(UpsertSink.stateAsOf(spark, stateDir, hist(0).commitMillis - 1).isEmpty)
+
+    // prune: oldest dropped, reads at pruned versions fail, current survives
+    val dropped = UpsertSink.pruneVersions(stateDir, keepLast = 2)
+    assert(dropped.map(_.batchId) == Seq(0L))
+    intercept[NoSuchElementException] {
+      UpsertSink.stateAtVersion(spark, stateDir, 0L)
+    }
+    assert(read(UpsertSink.stateAtVersion(spark, stateDir, 2L)) == s2)
+    assert(read(UpsertSink.currentState(spark, stateDir).get) == s2)
+  }
 }
