@@ -328,8 +328,8 @@ object SparkEntry {
     "jsonl_roundtrip"       -> graft.sources.Formats.oracleSql,
     "orc_roundtrip"         -> graft.sources.Formats.oracleSql,
     "csv_roundtrip"         -> graft.sources.Formats.oracleSql,
-    // embed_docs: stub encoder output is engine-internal — rows-gated;
-    // determinism + batching semantics asserted in EmbedDocsSpec
+    // embed_docs: encoder vectors are engine-internal — rows-gated;
+    // encoder semantics + batching asserted in PipelineOpsSpec
     "salted_cumsum"         -> SaltedCumSum.oracleSql,
     "sessionize"            -> Sessionize.sessionsOracleSql,
     "evt_window_agg"        -> Sessionize.hourlyAggOracleSql,

@@ -15,10 +15,13 @@ import graft.Tables
   * per partition (the broadcast-model pattern — model init is expensive,
   * so never per-row), rows accumulated into fixed-size batches, one
   * encode call per batch, results flattened back preserving order. The
-  * encoder itself is STUBBED deterministically (this container has no
-  * model runtime): component j of a text's vector is a unit-normalized
-  * hash of (text, j). Swapping in a real model changes only
-  * [[StubEncoder.encodeBatch]]'s body.
+  * default encoder is a REAL (if small) embedding model: random
+  * projection of the token bag — each token owns a deterministic dense
+  * Dim-vector, a text embeds as the normalized sum, so shared vocabulary
+  * ⇒ high cosine and the vectors compose linearly (the
+  * Johnson-Lindenstrauss-style sparse-to-dense projection; no model
+  * runtime needed, stable across JVMs). Swapping in a
+  * sentence-transformer changes only the [[EncoderFactory]] passed in.
   *
   * Scale shape: embarrassingly parallel mapPartitions — no shuffle, no
   * driver involvement, output column is `array<float>` ready for the
@@ -47,23 +50,41 @@ object EmbedDocs {
     def create(): BatchEncoder
   }
 
-  /** Deterministic stand-in for a sentence-transformer (this container
-    * has no model runtime): component j of a text's vector is a
-    * unit-normalized hash of (text, j). */
-  object StubEncoder extends BatchEncoder {
+  /** Random-projection-of-BoW encoder: each lowercase whitespace token
+    * owns a deterministic dense Dim-vector (components pseudo-uniform in
+    * [-1, 1], seeded by the token), a text embeds as the L2-normalized
+    * sum over its tokens. Equivalent to projecting the (implicit,
+    * vocabulary-sized) BoW count vector through a fixed random matrix —
+    * near-identical token bags get near-identical vectors, disjoint
+    * vocabularies decorrelate, and composition is linear. Deterministic
+    * across JVMs (String.hashCode is JLS-specified; the mixer is ours). */
+  object RandomProjectionEncoder extends BatchEncoder {
     import graft.functions.Mix64
     private def mix(z0: Long): Long = Mix64.mix(z0 + Mix64.Golden)
-    def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
-      val seed = mix(t.hashCode.toLong)
-      val raw = Array.tabulate(Dim)(j =>
+
+    /** The projection matrix row for one token — public: the spec
+      * recomputes expected embeddings from it via an independent
+      * count-weighted path. */
+    def tokenVector(token: String): Array[Double] = {
+      val seed = mix(token.hashCode.toLong)
+      Array.tabulate(Dim)(j =>
         (mix(seed + j) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
-      val norm = math.sqrt(raw.map(x => x * x).sum)
-      raw.map(x => (x / norm).toFloat)
+    }
+
+    def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+      val v = new Array[Double](Dim)
+      for (tok <- t.toLowerCase.split("\\s+") if tok.nonEmpty) {
+        val tv = tokenVector(tok)
+        var j = 0
+        while (j < Dim) { v(j) += tv(j); j += 1 }
+      }
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm == 0.0) new Array[Float](Dim) else v.map(x => (x / norm).toFloat)
     }
   }
 
-  object StubEncoderFactory extends EncoderFactory {
-    def create(): BatchEncoder = StubEncoder
+  object RandomProjectionEncoderFactory extends EncoderFactory {
+    def create(): BatchEncoder = RandomProjectionEncoder
   }
 
   /** A REAL (non-stub) deterministic encoder: signed feature hashing of
@@ -104,7 +125,7 @@ object EmbedDocs {
 
   /** Append an `embedding array<float>` column computed in batches. */
   def embed(docs: DataFrame, idCol: String, textCol: String,
-            factory: EncoderFactory = StubEncoderFactory): DataFrame = {
+            factory: EncoderFactory = RandomProjectionEncoderFactory): DataFrame = {
     val spark = docs.sparkSession
     val inSchema = docs.select(idCol, textCol).schema
     val outSchema = StructType(inSchema.fields :+
@@ -133,7 +154,7 @@ object EmbedDocs {
     * (interpreted aggregate fold + transform + to_json per row) benched
     * 8× slower and its hash was JDK-version-sensitive. */
   def embedDocuments(spark: SparkSession, dir: String): DataFrame =
-    embedSummary(spark, dir, StubEncoderFactory)
+    embedSummary(spark, dir, RandomProjectionEncoderFactory)
 
   /** Same summary projection over the REAL hashed-BoW encoder — the
     * driver-gated proof that the factory plumbing runs a non-stub model

@@ -138,7 +138,7 @@ class AnnSpec extends SparkSpec {
     // 2,000 synthetic vectors: the sf0.001 table's 50% training sample
     // is smaller than 256 and can't seed a full 8-bit codebook
     val emb = (0 until 2000).map { i =>
-      (i.toLong, graft.operators.EmbedDocs.StubEncoder
+      (i.toLong, graft.operators.EmbedDocs.RandomProjectionEncoder
         .encodeBatch(Seq(s"pq8x8 doc $i")).head.toSeq)
     }.toDF("vec_id", "embedding")
     val books = graft.ann.PqAnn.trainCodebooks(emb, "vec_id", "embedding", codes = 256)

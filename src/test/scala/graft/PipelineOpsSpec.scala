@@ -126,6 +126,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.values.forall(v =>
       math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5))
   }
+
+  test("random-projection encoder: vectors match a count-weighted independent formulation") {
+    import EmbedDocs.RandomProjectionEncoder
+    // independent path: distinct-token COUNTS via groupBy, one
+    // count-scaled projection-row add per distinct token — vs the
+    // encoder's per-occurrence accumulation loop
+    def expected(text: String): Array[Float] = {
+      val v = new Array[Double](EmbedDocs.Dim)
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).foreach { case (tok, occs) =>
+          val tv = RandomProjectionEncoder.tokenVector(tok)
+          for (j <- 0 until EmbedDocs.Dim) v(j) += tv(j) * occs.length
+        }
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      if (norm == 0) new Array[Float](EmbedDocs.Dim) else v.map(x => (x / norm).toFloat)
+    }
+    val texts = Seq("the quick brown fox", "the quick brown fox jumps",
+      "completely different words entirely", "", "The THE the")
+    val got = RandomProjectionEncoder.encodeBatch(texts)
+    texts.lazyZip(got).foreach { (t, v) =>
+      assert(v.sameElements(expected(t)), s"mismatch for '$t'")
+    }
+    // embedding semantics a stub cannot have: shared token bags are
+    // close, disjoint vocabularies decorrelate, repetition is invariant
+    // under normalization
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.lazyZip(b).map((x, y) => x.toDouble * y).sum
+    assert(cos(got(0), got(1)) > 0.8, "shared-vocab cosine too low")
+    assert(math.abs(cos(got(0), got(2))) < 0.5, "disjoint-vocab cosine too high")
+    assert(got(3).forall(_ == 0f), "empty text must be the zero vector")
+    assert(cos(got(4), RandomProjectionEncoder.encodeBatch(Seq("the")).head) > 0.999,
+      "repeated single token must normalize to the token direction")
+  }
 }
 
 /** Test double for [[EmbedDocs.EncoderFactory]]: counts model inits and
@@ -144,7 +177,7 @@ object CountingEncoderFactory extends EmbedDocs.EncoderFactory {
     new EmbedDocs.BatchEncoder {
       def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = {
         batches.add(texts.length)
-        EmbedDocs.StubEncoder.encodeBatch(texts)
+        EmbedDocs.RandomProjectionEncoder.encodeBatch(texts)
       }
     }
   }
