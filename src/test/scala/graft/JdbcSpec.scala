@@ -168,4 +168,21 @@ class JdbcSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getAs[Number](r.fieldIndex("N")).longValue).toMap
     assert(agg == Map("site_0" -> 25L, "site_1" -> 25L, "site_2" -> 25L, "site_3" -> 25L))
   }
+
+  test("pushed aggregate: Spark scans only the DB-aggregated rows, no Spark-side agg") {
+    // the kusto-reader shape (spark_read_kusto.py): the remote engine
+    // runs the aggregation; Spark must see 4 group rows, not 100 facts
+    val df = Jdbc.readQuery(spark, url,
+      "SELECT site, count(*) AS n FROM metrics GROUP BY site", props)
+    assert(df.collect().length == 4)
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("Aggregate"),
+      s"GROUP BY re-ran in Spark instead of the database:\n$plan")
+    val scanRows = plan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+        s.metrics("numOutputRows").value
+    }
+    assert(scanRows == Seq(4L),
+      s"scan emitted $scanRows rows — the aggregate was not pushed (fact table has 100)")
+  }
 }
