@@ -241,6 +241,15 @@ object SparkEntry {
     // rows-gated (tree internals have no SQL oracle) — floors and
     // determinism asserted in RandomForestSpec
     "rf_train_eval"         -> (graft.ml.RandomForestTrain.rfTrainEval(_, _)),
+    // PSI distribution drift: exact integer bins, smoothed shares,
+    // micros log terms (fixed cardinality after one scan per side)
+    "psi_value_drift"       -> (graft.operators.Drift.psiValueDrift(_, _)),
+    // reciprocal rank fusion in pure integer arithmetic over two
+    // scalable global ranks (hybrid-retrieval combiner)
+    "rrf_fusion"            -> (graft.operators.RankFusion.rrfDocs(_, _)),
+    // exact tie-correct Mann-Whitney AUC per group (doubled midranks
+    // keep everything BIGINT until one ratio per group)
+    "auc_by_group"          -> (graft.operators.ExactAuc.aucEvents(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -395,6 +404,9 @@ object SparkEntry {
     "resample_daily"        -> graft.operators.Resample.oracleSql,
     "chisq_contingency"     -> graft.operators.Contingency.oracleSql,
     "entity_components"     -> graft.dedup.EntityResolution.oracleSql,
+    "psi_value_drift"       -> graft.operators.Drift.oracleSql,
+    "rrf_fusion"            -> graft.operators.RankFusion.oracleSql,
+    "auc_by_group"          -> graft.operators.ExactAuc.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -75,6 +75,62 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(("x", "p"))._3 == math.rint(4.0 / 12.0 * 1e6).toLong)
   }
 
+  test("psi: hand-computed smoothed bins; identical samples give zero drift") {
+    import graft.operators.Drift
+    val a = Seq(0.01, 0.02, 0.03, 0.10).toDF("v") // cents 1,2,3,10
+    val b = Seq(0.01, 0.10, 0.10).toDF("v")
+    // bounds [1,10], 2 bins, width expr: (c-1)*2 DIV 10 -> bin 0: c in
+    // [1,5]; bin 1: c in [6,10]. a: (3,1), b: (1,2)
+    val got = Drift.psi(a, b, "v", bins = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def term(nA: Long, nB: Long): Long = {
+      val pA = (nA + 1.0) / 6.0; val pB = (nB + 1.0) / 5.0
+      math.rint((pA - pB) * math.log(pA / pB) * 1e6).toLong
+    }
+    assert(got == Map(0L -> ((1L, 3L, 1L, term(3, 1))),
+      1L -> ((6L, 1L, 2L, term(1, 2)))))
+    // A/A: every per-bin term is exactly zero
+    val aa = Drift.psi(a, a, "v", bins = 2).agg(sum("psi_micros")).head().getLong(0)
+    assert(aa == 0L)
+  }
+
+  test("rrf: integer reciprocal ranks fuse and rank deterministically") {
+    import graft.operators.RankFusion
+    val docs = Seq((1L, "aaaa"), (2L, "bbb"), (3L, "cc")).toDF("doc_id", "text")
+    // orderA: length desc -> 1,2,3; orderB: doc_id desc -> 3,2,1
+    val got = RankFusion.rrf(docs, "doc_id",
+        Seq(length(col("text")).desc, col("doc_id")),
+        Seq(col("doc_id").desc), k = 60)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def m(r: Long) = 1000000L / (60L + r)
+    // doc1: ranks (1,3) doc2: (2,2) doc3: (3,1); symmetric scores tie
+    // 1 and 3 -> id tie-break
+    assert(got(1L) == ((1L, 3L, m(1) + m(3), 1L)))
+    assert(got(3L) == ((3L, 1L, m(3) + m(1), 2L)))
+    assert(got(2L) == ((2L, 2L, 2 * m(2), 3L)))
+  }
+
+  test("exact auc: separable, anti-separable, tied and degenerate groups") {
+    import graft.operators.ExactAuc
+    val df = Seq(
+      // g1: perfectly separable (pos scores all above) -> AUC 1
+      ("g1", 0.10, 1L), ("g1", 0.09, 1L), ("g1", 0.02, 0L), ("g1", 0.01, 0L),
+      // g2: reversed -> AUC 0
+      ("g2", 0.10, 0L), ("g2", 0.01, 1L),
+      // g3: all scores tied -> AUC exactly 1/2 via midranks
+      ("g3", 0.05, 1L), ("g3", 0.05, 0L), ("g3", 0.05, 0L),
+      // g4: no negatives -> NULL
+      ("g4", 0.07, 1L)
+    ).toDF("g", "score", "y")
+    val got = ExactAuc.aucByGroup(df, "g", "score", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got("g1") == ((2L, 2L, Some(1000000L))))
+    assert(got("g2") == ((1L, 1L, Some(0L))))
+    assert(got("g3") == ((1L, 2L, Some(500000L))))
+    assert(got("g4") == ((1L, 0L, None)))
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(
