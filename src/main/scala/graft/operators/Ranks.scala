@@ -29,8 +29,15 @@ object Ranks {
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
                       out: String): DataFrame = {
     val parts = df.sparkSession.sparkContext.defaultParallelism
+    // localCheckpoint is LOAD-BEARING: both the local-rank pass and the
+    // per-slice offsets read `ranged`, and RangePartitioner draws a new
+    // random sample per evaluation — if the exchange is not reused, the
+    // two passes see DIFFERENT partition boundaries and the stitched row
+    // numbers collide or overrun N. Materializing once pins one
+    // partitioning for both consumers.
     val ranged = df.repartitionByRange(parts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
     val local = ranged.withColumn("__rn", row_number().over(wLocal).cast("long"))
     // per-slice counts: #partitions rows — bounded, driver-window safe
