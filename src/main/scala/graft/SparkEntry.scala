@@ -250,6 +250,10 @@ object SparkEntry {
     // exact tie-correct Mann-Whitney AUC per group (doubled midranks
     // keep everything BIGINT until one ratio per group)
     "auc_by_group"          -> (graft.operators.ExactAuc.aucEvents(_, _)),
+    // reliability-diagram bins: ntileExact deciles + exact per-bin sums
+    "calibration_bins"      -> (graft.operators.Calibration.calibrationEvents(_, _)),
+    // join-key skew profile: Gini + top-key shares from the count table
+    "key_skew_profile"      -> (graft.operators.KeySkew.keySkewLineitem(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -407,6 +411,8 @@ object SparkEntry {
     "psi_value_drift"       -> graft.operators.Drift.oracleSql,
     "rrf_fusion"            -> graft.operators.RankFusion.oracleSql,
     "auc_by_group"          -> graft.operators.ExactAuc.oracleSql,
+    "calibration_bins"      -> graft.operators.Calibration.oracleSql,
+    "key_skew_profile"      -> graft.operators.KeySkew.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -131,6 +131,39 @@ class Round10OpsSpec extends SparkSpec {
     assert(got("g4") == ((1L, 0L, None)))
   }
 
+  test("calibration bins: exact decile membership and per-bin label rates") {
+    import graft.operators.Calibration
+    // 20 rows, scores 1..20 cents, label = 1 for the top half
+    val df = (1L to 20L).map(i => (i, i.toDouble / 100.0, if (i > 10) 1L else 0L))
+      .toDF("id", "score", "y")
+    val got = Calibration.bins(df, "id", "score", "y", bins = 10)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 10)
+    // bin b holds scores 2b-1, 2b: all-0 below bin 6, all-1 from bin 6
+    for (b <- 1 to 5) assert(got(b) == ((2L, 0L, 0L, (2 * b * 100 - 50) * 10000L)))
+    for (b <- 6 to 10) assert(got(b) == ((2L, 2L, 1000000L, (2 * b * 100 - 50) * 10000L)))
+  }
+
+  test("key skew: uniform keys near zero gini, one hot key dominates the shares") {
+    import graft.operators.KeySkew
+    // uniform: 10 keys x 10 rows
+    val uni = (0L until 100L).map(i => i % 10).toDF("k")
+    val u = KeySkew.profile(uni, "k").collect().head
+    assert((u.getLong(1), u.getLong(2)) == ((10L, 100L)))
+    assert(u.getLong(3) == 100000L) // max share 10%
+    assert(u.getLong(4) == 1000000L) // 10 keys: top-10 covers everything
+    assert(u.getLong(5) == 0L, s"uniform distribution must have zero gini: $u")
+    // skewed: key 0 owns 91 of 100 rows
+    val skew = ((0L until 91L).map(_ => 0L) ++ (1L to 9L)).toDF("k")
+    val s = KeySkew.profile(skew, "k").collect().head
+    assert((s.getLong(1), s.getLong(2)) == ((10L, 100L)))
+    assert(s.getLong(3) == 910000L) // hot key: 91%
+    // lorenz hand-check: counts asc = [1x9, 91]; sum i*c_i = 45 + 910
+    val gini = math.rint((2.0 * (45 + 910) / (10.0 * 100) - 11.0 / 10) * 1e6).toLong
+    assert(s.getLong(5) == gini, s"gini mismatch: ${s.getLong(5)} vs $gini")
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(
