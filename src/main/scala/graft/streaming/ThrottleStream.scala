@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming keep-first throttle — the stateful twin of the batch
+  * [[graft.operators.Throttle]]: emit the FIRST event per (key, time
+  * bucket), drop the burst behind it, at the source
+  * (/root/reference/DataEngineering/DataBricks/spark_stream.py is where
+  * such bursts arrive; throttling them in-stream keeps the bronze feed
+  * from amplifying downstream merges).
+  *
+  * Semantics: an event passes iff its bucket is not yet in the key's
+  * state — so across micro-batches a bucket admits exactly one event
+  * (the first to ARRIVE; the batch operator's (ts, id) tie-break needs
+  * the full bucket, which a low-latency stream by design does not
+  * wait for — callers needing arrival-order independence run the batch
+  * form on the landed data).
+  *
+  * State per key is the set of open bucket ids, pruned two ways: on
+  * every update, buckets older than the newest-seen minus `keepBuckets`
+  * are dropped (late events past that horizon re-admit at most once —
+  * the watermark bounds how late they can be); and an event-time
+  * timeout removes a key's state entirely once the watermark passes its
+  * newest bucket + horizon. O(keepBuckets) per active key, never the
+  * event backlog.
+  */
+object ThrottleStream {
+
+  case class Evt(user_id: Long, event_type: String, ts: Timestamp,
+                 event_id: Long, value: Double)
+  case class Seen(newestBucket: Long, buckets: Set[Long])
+
+  /** Emit first-arrival per ((user, type), bucket); bucket = ts DIV
+    * `bucketMs`. `keepBuckets` is the dedup horizon in buckets. */
+  def updateState(bucketMs: Long, keepBuckets: Int)(
+      key: (Long, String), events: Iterator[Evt],
+      state: GroupState[Seen]): Iterator[Evt] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var seen = state.getOption.getOrElse(Seen(Long.MinValue, Set.empty))
+      val out = Seq.newBuilder[Evt]
+      events.foreach { e =>
+        val b = e.ts.getTime / bucketMs
+        if (!seen.buckets.contains(b)) {
+          out += e
+          val newest = math.max(seen.newestBucket, b)
+          val pruned = (seen.buckets + b).filter(_ > newest - keepBuckets)
+          seen = Seen(newest, pruned)
+        }
+      }
+      state.update(seen)
+      // state dies once the watermark passes the horizon of its newest bucket
+      state.setTimeoutTimestamp((seen.newestBucket + keepBuckets) * bucketMs)
+      out.result().iterator
+    }
+  }
+
+  /** Wire the throttle onto an event stream (1h buckets by default). */
+  def keepFirst(events: Dataset[Evt], bucketMs: Long = 3600 * 1000L,
+                keepBuckets: Int = 24,
+                watermark: String = "1 hour"): Dataset[Evt] = {
+    implicit val ee = Encoders.product[Evt]
+    implicit val se = Encoders.product[Seen]
+    implicit val ke = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(updateState(bucketMs, keepBuckets))
+  }
+}

@@ -175,4 +175,33 @@ class StreamingSpec extends SparkSpec {
       s"user2 session not emitted: $all")
     q.stop()
   }
+
+  test("streaming throttle: one event per (key, hour bucket) across micro-batches") {
+    import graft.streaming.ThrottleStream
+    import ThrottleStream.{Evt => TEvt}
+    val in = MemoryStream[TEvt](spark)
+    val q = ThrottleStream.keepFirst(in.toDS())
+      .writeStream.format("memory").queryName("throttled")
+      .outputMode("append").start()
+
+    in.addData(
+      TEvt(1L, "click", ts("2024-01-01 10:00:00"), 100L, 1.0),
+      TEvt(1L, "click", ts("2024-01-01 10:20:00"), 101L, 1.0), // same bucket: dropped
+      TEvt(1L, "view",  ts("2024-01-01 10:25:00"), 102L, 1.0), // other type: passes
+      TEvt(2L, "click", ts("2024-01-01 10:30:00"), 103L, 1.0))
+    q.processAllAvailable()
+    def ids = spark.table("throttled").as[TEvt].collect().map(_.event_id).toSet
+    assert(ids == Set(100L, 102L, 103L))
+
+    // NEXT micro-batch, same bucket: state must persist the dedup
+    in.addData(TEvt(1L, "click", ts("2024-01-01 10:40:00"), 104L, 1.0))
+    q.processAllAvailable()
+    assert(ids == Set(100L, 102L, 103L), "cross-batch duplicate admitted")
+
+    // a later bucket admits again
+    in.addData(TEvt(1L, "click", ts("2024-01-01 11:05:00"), 105L, 1.0))
+    q.processAllAvailable()
+    assert(ids == Set(100L, 102L, 103L, 105L))
+    q.stop()
+  }
 }
