@@ -254,6 +254,11 @@ object SparkEntry {
     "calibration_bins"      -> (graft.operators.Calibration.calibrationEvents(_, _)),
     // join-key skew profile: Gini + top-key shares from the count table
     "key_skew_profile"      -> (graft.operators.KeySkew.keySkewLineitem(_, _)),
+    // median/MAD robust outlier screen: discrete indexed order stats by
+    // histogram cumulation, raw rows touched once
+    "mad_outliers"          -> (graft.operators.Robust.madOutliersEvents(_, _)),
+    // per-cell mutual information over exact margins (feature selection)
+    "mutual_info"           -> (graft.operators.MutualInfo.miCustomer(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -413,6 +418,8 @@ object SparkEntry {
     "auc_by_group"          -> graft.operators.ExactAuc.oracleSql,
     "calibration_bins"      -> graft.operators.Calibration.oracleSql,
     "key_skew_profile"      -> graft.operators.KeySkew.oracleSql,
+    "mad_outliers"          -> graft.operators.Robust.oracleSql,
+    "mutual_info"           -> graft.operators.MutualInfo.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

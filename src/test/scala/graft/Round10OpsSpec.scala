@@ -164,6 +164,35 @@ class Round10OpsSpec extends SparkSpec {
     assert(s.getLong(5) == gini, s"gini mismatch: ${s.getLong(5)} vs $gini")
   }
 
+  test("mad outliers: hand medians, deviation median, 3xMAD flags") {
+    import graft.operators.Robust
+    // g: cents [10,10,20,30,200] -> n=5, med=elem[2]=20; devs sorted
+    // [0,10,10,10,180] -> mad=elem[2]=10; outlier: |200-20|=180 > 30
+    val df = Seq(("g", 0.10), ("g", 0.10), ("g", 0.20), ("g", 0.30),
+      ("g", 2.00), ("h", 0.50)).toDF("k", "v")
+    val got = Robust.madOutliers(df, "k", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("g") == ((5L, 20L, 10L, 1L)))
+    // singleton: med = value, mad = 0, no row deviates from itself
+    assert(got("h") == ((1L, 50L, 0L, 0L)))
+  }
+
+  test("mutual info: independent columns sum to ~zero, dependent to ln2") {
+    import graft.operators.MutualInfo
+    // dependent: b == a -> MI = H(a) = ln 2 for a uniform binary a
+    val dep = Seq.fill(50)(("x", "x")) ++ Seq.fill(50)(("y", "y"))
+    val miDep = MutualInfo.cells(dep.toDF("a", "b"), "a", "b")
+      .agg(sum("mi_micros")).head().getLong(0)
+    assert(miDep == 2 * math.rint(0.5 * math.log(2.0) * 1e6).toLong)
+    // independent: all four cells equal -> each term exactly ln(1)=0
+    val ind = Seq.fill(25)(("x", "p")) ++ Seq.fill(25)(("x", "q")) ++
+      Seq.fill(25)(("y", "p")) ++ Seq.fill(25)(("y", "q"))
+    val miInd = MutualInfo.cells(ind.toDF("a", "b"), "a", "b")
+      .agg(sum("mi_micros")).head().getLong(0)
+    assert(miInd == 0L)
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(
