@@ -259,6 +259,11 @@ object SparkEntry {
     "mad_outliers"          -> (graft.operators.Robust.madOutliersEvents(_, _)),
     // per-cell mutual information over exact margins (feature selection)
     "mutual_info"           -> (graft.operators.MutualInfo.miCustomer(_, _)),
+    // KS statistic: peak CDF separation, exact by cross-multiplication
+    "ks_by_group"           -> (graft.operators.ExactAuc.ksEvents(_, _)),
+    // BPE merge mining over the (word, freq) vocab; rows-gated (greedy
+    // argmax recursion has no SQL oracle) — sequence asserted in spec
+    "bpe_merges"            -> (graft.functions.BpeMerges.bpeMergesDocs(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -420,6 +425,7 @@ object SparkEntry {
     "key_skew_profile"      -> graft.operators.KeySkew.oracleSql,
     "mad_outliers"          -> graft.operators.Robust.oracleSql,
     "mutual_info"           -> graft.operators.MutualInfo.oracleSql,
+    "ks_by_group"           -> graft.operators.ExactAuc.ksOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

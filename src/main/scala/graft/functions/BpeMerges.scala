@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Byte-pair-encoding merge mining — the tokenizer-induction step of an
+  * LLM data pipeline (the reference consumes pretrained tokenizers,
+  * /root/reference/MachineLearning/Data/flan2022_submix/prepare_dataset.py;
+  * this is how one is LEARNED from the corpus, Sennrich et al.'s BPE).
+  *
+  * Shape: the corpus collapses ONCE to the (word, freq) vocabulary —
+  * everything after runs at VOCAB cardinality, the standard trick that
+  * makes BPE tractable (merges act on word types, weighted by
+  * frequency, never on the token stream). Each round is one pair-count
+  * aggregate over the vocab, one `limit(1)` argmax (a single row to the
+  * driver — bounded by construction), and one map applying the merge
+  * greedily left-to-right. Rounds are lineage-capped by checkpoint.
+  *
+  * Determinism: the argmax total-orders by (count DESC, left, right),
+  * and the merge application is the standard leftmost-first single
+  * pass — same corpus, same merges, any partitioning.
+  */
+object BpeMerges {
+
+  case class Vw(syms: Seq[String], freq: Long)
+
+  /** Top `k` BPE merges over whitespace-lowercase words of `textCol`:
+    * (merge_rank, left, right, pair_count). Stops early if no pair
+    * repeats. */
+  def topMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need at least one merge")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[Vw] = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => Vw(w.split("").toSeq, f) }
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val best = vocab.flatMap { v =>
+          if (v.syms.length < 2) Iterator.empty
+          else v.syms.sliding(2).map(p => ((p(0), p(1)), v.freq))
+        }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((l, r), c) => (l, r, c) }
+        .toDF("l", "r", "c")
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).as[(String, String, Long)]
+        .collect()
+      best.headOption match {
+        case Some((l, r, c)) if c >= 2 =>
+          merges += ((round, l, r, c))
+          vocab = vocab.map { v =>
+            val out = Seq.newBuilder[String]
+            var i = 0
+            while (i < v.syms.length) {
+              if (i + 1 < v.syms.length && v.syms(i) == l && v.syms(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += v.syms(i); i += 1 }
+            }
+            Vw(out.result(), v.freq)
+          }.localCheckpoint()
+          round += 1
+        case _ => done = true // no pair repeats: a further merge is noise
+      }
+    }
+    merges.result().toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  // ---- query-map entry (rows-gated; merge order asserted in spec) ----
+
+  /** Gated instance: top-8 merges over the documents corpus. Rows-gated
+    * (the greedy argmax recursion has no ANSI-SQL oracle); the exact
+    * merge sequence on a planted corpus is hand-verified in
+    * Round10OpsSpec. */
+  def bpeMergesDocs(spark: SparkSession, dir: String): DataFrame =
+    topMerges(Tables.documents(spark, dir), "text", k = 8)
+}

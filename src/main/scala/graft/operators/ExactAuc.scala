@@ -55,6 +55,39 @@ object ExactAuc {
       .select("grp", "n_pos", "n_neg", "auc_micros")
   }
 
+  /** (group, n_pos, n_neg, ks_micros): the Kolmogorov-Smirnov statistic
+    * max|F⁺(s) − F⁻(s)| per group — the separation companion of
+    * [[aucByGroup]] (AUC integrates the separation; KS reports its
+    * peak). Exact by cross-multiplication: the compared quantity is
+    * |cum⁺·n⁻ − cum⁻·n⁺|, a BIGINT (headroom to ~6e9-row groups), with
+    * ONE double ratio per group at the end. Same envelope: cells, one
+    * window over distinct scores, one aggregate. */
+  def ksByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                labelCol: String): DataFrame = {
+    val cells = df
+      .select(col(groupCol).as("grp"),
+        round(col(scoreCol) * 100).cast("long").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy("grp", "__s")
+      .agg(count(lit(1)).as("__t"), sum("__y").as("__np"))
+    val w = Window.partitionBy("grp").orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("__cp", sum(col("__np")).over(w))
+      .withColumn("__cn", sum(col("__t") - col("__np")).over(w))
+    val tot = cells.groupBy("grp").agg(
+      sum("__np").as("n_pos"), sum(col("__t") - col("__np")).as("n_neg"))
+    val agg = cum.join(tot, "grp")
+      .groupBy("grp", "n_pos", "n_neg")
+      .agg(max(abs(col("__cp") * col("n_neg") - col("__cn") * col("n_pos")))
+        .as("__d2"))
+    agg.withColumn("ks_micros",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__d2").cast("double")
+            / (col("n_pos").cast("double") * col("n_neg")) * lit(1e6)).cast("long")))
+      .select("grp", "n_pos", "n_neg", "ks_micros")
+  }
+
   // ---- query-map entry (hash-gated) ----
 
   /** Gated instance: per-event-type AUC of value cents against the
@@ -63,6 +96,13 @@ object ExactAuc {
   def aucEvents(spark: SparkSession, dir: String): DataFrame =
     aucByGroup(Tables.events(spark, dir), "event_type", "value",
       col("user_id") % 2)
+      .withColumnRenamed("grp", "event_type")
+
+  /** Gated instance: per-event-type KS of the same score/label pair. */
+  def ksEvents(spark: SparkSession, dir: String): DataFrame =
+    ksByGroup(Tables.events(spark, dir)
+        .withColumn("__lbl", col("user_id") % 2),
+      "event_type", "value", "__lbl")
       .withColumnRenamed("grp", "event_type")
 
   private def aucByGroup(df: DataFrame, groupCol: String, scoreCol: String,
@@ -94,4 +134,32 @@ object ExactAuc {
       |      / (2.0 * n_pos * n_neg) * 1e6) AS BIGINT)
       |  END AS auc_micros
       |FROM agg""".stripMargin
+
+  def ksOracleSql: String =
+    """WITH base AS (
+      |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS s,
+      |    user_id % 2 AS y
+      |  FROM events
+      |), cells AS (
+      |  SELECT g, s, count(*) AS t, CAST(sum(y) AS BIGINT) AS np
+      |  FROM base GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT g, s, np, t,
+      |    sum(np) OVER (PARTITION BY g ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+      |    sum(t - np) OVER (PARTITION BY g ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+      |  FROM cells
+      |), tot AS (
+      |  SELECT g, CAST(sum(np) AS BIGINT) AS n_pos,
+      |    CAST(sum(t - np) AS BIGINT) AS n_neg
+      |  FROM cells GROUP BY 1
+      |)
+      |SELECT g AS event_type, n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    CAST(round(CAST(max(abs(cp * n_neg - cn * n_pos)) AS DOUBLE)
+      |      / (CAST(n_pos AS DOUBLE) * n_neg) * 1e6) AS BIGINT)
+      |  END AS ks_micros
+      |FROM cum JOIN tot USING (g)
+      |GROUP BY g, n_pos, n_neg""".stripMargin
 }

@@ -193,6 +193,41 @@ class Round10OpsSpec extends SparkSpec {
     assert(miInd == 0L)
   }
 
+  test("ks: separable groups hit 1e6, uniform-tied hit 0, cross-multiplied exactly") {
+    import graft.operators.ExactAuc
+    val df = Seq(
+      // g1: pos strictly above neg -> KS = 1
+      ("g1", 0.10, 1L), ("g1", 0.09, 1L), ("g1", 0.02, 0L), ("g1", 0.01, 0L),
+      // g2: identical score distributions -> KS = 0
+      ("g2", 0.05, 1L), ("g2", 0.05, 0L),
+      // g3: pos at {1,3}, neg at {2,4} cents: cdfs max gap 1/2
+      ("g3", 0.01, 1L), ("g3", 0.02, 0L), ("g3", 0.03, 1L), ("g3", 0.04, 0L)
+    ).toDF("g", "score", "y")
+    val got = ExactAuc.ksByGroup(df, "g", "score", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("g1") == ((2L, 2L, 1000000L)))
+    assert(got("g2") == ((1L, 1L, 0L)))
+    assert(got("g3") == ((2L, 2L, 500000L)))
+  }
+
+  test("bpe: planted corpus yields the classic hand-computed merge sequence") {
+    import graft.functions.BpeMerges
+    // hug:3 pug:2 pun:1 bun:1 — r1 (u,g)=5; r2 (h,ug)=3;
+    // r3 tie (p,ug)=2 vs (u,n)=2 -> lexicographic left wins: (p,ug)
+    val docs = Seq((1L, "hug pug pun"), (2L, "bun hug HUG pug"))
+      .toDF("doc_id", "text")
+    val got = BpeMerges.topMerges(docs, "text", k = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.take(3).toSeq == Seq((1, "u", "g", 5L), (2, "h", "ug", 3L),
+      (3, "p", "ug", 2L)), s"merge sequence wrong: ${got.toSeq}")
+    // r4: remaining pairs (u,n)=2, (b,u)=1 -> (u,n)
+    assert(got(3) == ((4, "u", "n", 2L)))
+    // early stop: once no pair repeats, no further merges are emitted
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    assert(BpeMerges.topMerges(tiny, "text", k = 5).count() == 0)
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(
