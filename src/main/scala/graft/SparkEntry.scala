@@ -264,6 +264,12 @@ object SparkEntry {
     // BPE merge mining over the (word, freq) vocab; rows-gated (greedy
     // argmax recursion has no SQL oracle) — sequence asserted in spec
     "bpe_merges"            -> (graft.functions.BpeMerges.bpeMergesDocs(_, _)),
+    // exact per-group discrete quantiles (indexed order statistics over
+    // value cells — the GK sketch family's exact baseline, grouped)
+    "group_quantiles"       -> (graft.operators.GroupQuantiles.quantilesLineitem(_, _)),
+    // MERGE with additive schema evolution (new source column lands,
+    // old rows null-backfilled, evolution joins the change compare)
+    "merge_upsert_evolve"   -> (MergeUpsert.mergeEvolveCustomer(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -426,6 +432,8 @@ object SparkEntry {
     "mad_outliers"          -> graft.operators.Robust.oracleSql,
     "mutual_info"           -> graft.operators.MutualInfo.oracleSql,
     "ks_by_group"           -> graft.operators.ExactAuc.ksOracleSql,
+    "group_quantiles"       -> graft.operators.GroupQuantiles.oracleSql,
+    "merge_upsert_evolve"   -> MergeUpsert.mergeEvolveOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -169,6 +169,34 @@ object MergeUpsert {
       .unionByName(oldRows).unionByName(newRows)
   }
 
+  /** MERGE with additive schema evolution — the batch twin of
+    * `FileIngest.ingestEvolving` (the reference turns on
+    * `mergeSchema`/addNewColumns for exactly this,
+    * /root/reference/DataEngineering/DataBricks/spark_stream.py:13-17 ×
+    * merge_generator.py): changeset columns absent from the target are
+    * ADDED (existing rows null-backfilled), target columns absent from
+    * the changeset ride along (changeset rows get null), and the new
+    * columns join the change-detection compare automatically so a row
+    * differing only in a new column still versions. Column REMOVAL is
+    * not evolution — the surviving union of both schemas is always
+    * emitted. */
+  def applyEvolving(target: DataFrame, changeset: DataFrame,
+                    naturalKey: Seq[String], orderCol: String,
+                    compareCols: Seq[String]): DataFrame = {
+    val tCols = target.columns.toSet
+    val csCols = changeset.columns.toSet
+    val added = changeset.columns
+      .filterNot(c => tCols.contains(c) || c == orderCol).toSeq
+    val carried = target.columns
+      .filterNot(c => csCols.contains(c) || c == "current_version").toSeq
+    val alignedTarget = added.foldLeft(target)((df, c) =>
+      df.withColumn(c, lit(null).cast(changeset.schema(c).dataType)))
+    val alignedCs = carried.foldLeft(changeset)((df, c) =>
+      df.withColumn(c, lit(null).cast(target.schema(c).dataType)))
+    apply(alignedTarget, alignedCs, naturalKey, orderCol,
+      compareCols ++ added)
+  }
+
   // ---- query-map entry (#9) ----
 
   /** Deterministic demo merge over customer: target = customer as a live
@@ -265,6 +293,69 @@ object MergeUpsert {
       |       CASE WHEN t_key IS NOT NULL THEN 'update_new' ELSE 'insert' END
       |FROM j WHERE cs_key IS NOT NULL AND NOT del AND (t_key IS NULL OR changed)
       |""".stripMargin
+
+  /** Evolving-merge gate: the changeset carries a NEW loyalty_tier
+    * column (deterministic from the key) — %10==0 rows update acctbal
+    * AND gain a tier, %10==2 re-keyed inserts arrive with tiers, and
+    * every untouched row must surface with a NULL tier. */
+  def mergeEvolveCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val target = c.withColumn("current_version", lit(1))
+    val tier = when(col("c_custkey") % 3 === 0, "gold")
+      .when(col("c_custkey") % 3 === 1, "silver").otherwise("bronze")
+    val updates = c.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2))
+      .withColumn("loyalty_tier", tier)
+      .withColumn("change_seq", lit(1))
+    val inserts = c.filter(col("c_custkey") % 10 === 2)
+      .withColumn("loyalty_tier", tier) // tier from the ORIGINAL key
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+      .withColumn("change_seq", lit(1))
+    applyEvolving(target, updates.unionByName(inserts), Seq("c_custkey"),
+      "change_seq", Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+  }
+
+  def mergeEvolveOracleSql: String =
+    """WITH cs AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |         round(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment,
+      |         CASE WHEN c_custkey % 3 = 0 THEN 'gold'
+      |              WHEN c_custkey % 3 = 1 THEN 'silver'
+      |              ELSE 'bronze' END AS loyalty_tier
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+      |         c_mktsegment,
+      |         CASE WHEN c_custkey % 3 = 0 THEN 'gold'
+      |              WHEN c_custkey % 3 = 1 THEN 'silver'
+      |              ELSE 'bronze' END
+      |  FROM customer WHERE c_custkey % 10 = 2
+      |), j AS (
+      |  SELECT t.c_custkey AS t_key, t.c_name AS t_name,
+      |         t.c_nationkey AS t_nk, t.c_acctbal AS t_bal,
+      |         t.c_mktsegment AS t_seg,
+      |         cs.c_custkey AS cs_key, cs.c_name AS cs_name,
+      |         cs.c_nationkey AS cs_nk, cs.c_acctbal AS cs_bal,
+      |         cs.c_mktsegment AS cs_seg, cs.loyalty_tier AS cs_tier,
+      |         (t.c_custkey IS NOT NULL AND cs.c_custkey IS NOT NULL AND NOT
+      |          (t.c_name IS NOT DISTINCT FROM cs.c_name AND
+      |           t.c_nationkey IS NOT DISTINCT FROM cs.c_nationkey AND
+      |           t.c_acctbal IS NOT DISTINCT FROM cs.c_acctbal AND
+      |           t.c_mktsegment IS NOT DISTINCT FROM cs.c_mktsegment AND
+      |           CAST(NULL AS VARCHAR) IS NOT DISTINCT FROM cs.loyalty_tier))
+      |           AS changed
+      |  FROM customer t FULL OUTER JOIN cs ON t.c_custkey = cs.c_custkey
+      |)
+      |SELECT t_key AS c_custkey, t_name AS c_name, t_nk AS c_nationkey,
+      |       t_bal AS c_acctbal, t_seg AS c_mktsegment,
+      |       CAST(NULL AS VARCHAR) AS loyalty_tier,
+      |       CASE WHEN changed THEN 0 ELSE 1 END AS current_version,
+      |       CASE WHEN changed THEN 'expired' ELSE 'unchanged' END AS change_type
+      |FROM j WHERE t_key IS NOT NULL
+      |UNION ALL
+      |SELECT cs_key, cs_name, cs_nk, cs_bal, cs_seg, cs_tier, 1,
+      |       CASE WHEN t_key IS NOT NULL THEN 'update_new' ELSE 'insert' END
+      |FROM j WHERE cs_key IS NOT NULL AND (t_key IS NULL OR changed)""".stripMargin
 
   def oracleSql: String =
     """WITH cs_all AS (

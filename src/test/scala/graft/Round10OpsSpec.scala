@@ -228,6 +228,43 @@ class Round10OpsSpec extends SparkSpec {
     assert(BpeMerges.topMerges(tiny, "text", k = 5).count() == 0)
   }
 
+  test("group quantiles: indexed order statistics on a hand-buildable group") {
+    import graft.operators.GroupQuantiles
+    // g: cents 1..100 (n=100): idx(q) = (num*99) DIV den; p25 idx24 -> 25
+    val df = (1 to 100).map(i => ("g", i / 100.0)).toDF("k", "v")
+    val got = GroupQuantiles.quantiles(df, "k", "v",
+        Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p99", 99, 100)))
+      .collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4),
+      got.getLong(5)) == ((100L, 25L, 50L, 75L, 99L)))
+    // heavy ties: median of [1,1,1,9] is the elem at idx 1 -> 1
+    val ties = Seq(("t", 0.01), ("t", 0.01), ("t", 0.01), ("t", 0.09))
+      .toDF("k", "v")
+    val t = GroupQuantiles.quantiles(ties, "k", "v", Seq(("p50", 1, 2)))
+      .collect().head
+    assert(t.getLong(2) == 1L)
+  }
+
+  test("evolving merge: new column lands, old rows null-backfilled, compare includes it") {
+    import graft.operators.MergeUpsert
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .withColumn("current_version", lit(1))
+    // changeset: k=1 identical v but NEW column set -> must still version;
+    // k=3 insert with the new column
+    val cs = Seq((1L, "a", "gold", 1), (3L, "c", "silver", 1))
+      .toDF("k", "v", "tier", "seq")
+    val got = MergeUpsert.applyEvolving(target, cs, Seq("k"), "seq", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(r.fieldIndex("tier"))),
+        r.getInt(r.fieldIndex("current_version")),
+        r.getString(r.fieldIndex("change_type")))).toSet
+    assert(got == Set(
+      (1L, "a", None, 0, "expired"),          // differs ONLY in the new col
+      (1L, "a", Some("gold"), 1, "update_new"),
+      (2L, "b", None, 1, "unchanged"),
+      (3L, "c", Some("silver"), 1, "insert")))
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(
