@@ -270,6 +270,8 @@ object SparkEntry {
     // MERGE with additive schema evolution (new source column lands,
     // old rows null-backfilled, evolution joins the change compare)
     "merge_upsert_evolve"   -> (MergeUpsert.mergeEvolveCustomer(_, _)),
+    // forward as-of: next right row at-or-after (label-at-horizon)
+    "asof_next_click"       -> (graft.operators.AsOfJoin.asofNextClick(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -434,6 +436,7 @@ object SparkEntry {
     "ks_by_group"           -> graft.operators.ExactAuc.ksOracleSql,
     "group_quantiles"       -> graft.operators.GroupQuantiles.oracleSql,
     "merge_upsert_evolve"   -> MergeUpsert.mergeEvolveOracleSql,
+    "asof_next_click"       -> graft.operators.AsOfJoin.forwardOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

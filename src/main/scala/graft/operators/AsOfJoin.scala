@@ -36,11 +36,16 @@ import graft.Tables
 object AsOfJoin {
 
   /** Left rows + the payload of the latest right row with
-    * `right(tsCol) <= left(tsCol)` per `keys`. Right payload columns
-    * (everything but keys + tsCol) must not collide with left column
-    * names; unmatched left rows keep NULL payloads (LEFT semantics). */
+    * `right(tsCol) <= left(tsCol)` per `keys` — or, with
+    * `forward = true`, the EARLIEST right row with
+    * `right(tsCol) >= left(tsCol)` (the "next observation" lookup:
+    * label-at-horizon joins, next-quote alignment). Right payload
+    * columns (everything but keys + tsCol) must not collide with left
+    * column names; unmatched left rows keep NULL payloads (LEFT
+    * semantics). Both directions are inclusive at equal timestamps. */
   def asOf(left: DataFrame, right: DataFrame,
-           keys: Seq[String], tsCol: String): DataFrame = {
+           keys: Seq[String], tsCol: String,
+           forward: Boolean = false): DataFrame = {
     val payloadCols = right.columns.filterNot((keys :+ tsCol).contains).toSeq
     require(payloadCols.nonEmpty, "right side needs at least one payload column")
     val leftCols = left.columns.toSeq
@@ -65,8 +70,12 @@ object AsOfJoin {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .select(taggedLeft.columns.map(c => col(c)): _*)
 
+    // backward: carry the latest earlier right row forward (ts asc);
+    // forward: the same scan over ts DESC carries the earliest LATER
+    // right row — one code path, direction picks the sort
+    val ord = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(c => col(c)): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(ord, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedLeft.unionByName(rightAligned)
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
@@ -109,4 +118,38 @@ object AsOfJoin {
       |SELECT p.user_id, p.event_id, p.ts, c.click_id, c.click_ts
       |FROM purchases p ASOF LEFT JOIN clicks c
       |  ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin
+
+  /** Gated FORWARD instance: each purchase joined to the user's next
+    * click at-or-after purchase time (the label-at-horizon shape). */
+  def asofNextClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dedupW = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("__rn", row_number().over(dedupW))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    asOf(purchases, clicks, Seq("user_id"), "ts", forward = true)
+      .select("user_id", "event_id", "ts", "click_id", "click_ts")
+  }
+
+  /** Forward oracle written as an explicit earliest-candidate pick (no
+    * dependence on the engine's ASOF comparator support). */
+  def forwardOracleSql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts AS click_ts, event_id AS click_id FROM events
+      |  WHERE event_type = 'click'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+      |                             ORDER BY event_id DESC) = 1
+      |), purchases AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.user_id, p.event_id, p.ts, c.click_id, c.click_ts
+      |FROM purchases p LEFT JOIN clicks c
+      |  ON c.user_id = p.user_id AND c.click_ts >= p.ts
+      |QUALIFY row_number() OVER (PARTITION BY p.event_id
+      |                           ORDER BY c.click_ts) = 1""".stripMargin
 }

@@ -265,6 +265,21 @@ class Round10OpsSpec extends SparkSpec {
       (3L, "c", Some("silver"), 1, "insert")))
   }
 
+  test("forward as-of: earliest later right row, inclusive ties, null when none follows") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 31L, "p3"),
+      (2L, 5L, "p4")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r@10"), (1L, 30L, "r@30"))
+      .toDF("k", "t", "payload")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "t", forward = true)
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(got == Map(
+      "p1" -> Some("r@10"),  // equal ts is inclusive
+      "p2" -> Some("r@30"),  // next later right
+      "p3" -> None,          // nothing follows
+      "p4" -> None))         // key absent on the right
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(
