@@ -272,6 +272,8 @@ object SparkEntry {
     "merge_upsert_evolve"   -> (MergeUpsert.mergeEvolveCustomer(_, _)),
     // forward as-of: next right row at-or-after (label-at-horizon)
     "asof_next_click"       -> (graft.operators.AsOfJoin.asofNextClick(_, _)),
+    // deterministic stratified k-fold balance sheet (portable hash fold)
+    "kfold_balance"         -> (graft.operators.KFold.kfoldOrders(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -437,6 +439,7 @@ object SparkEntry {
     "group_quantiles"       -> graft.operators.GroupQuantiles.oracleSql,
     "merge_upsert_evolve"   -> MergeUpsert.mergeEvolveOracleSql,
     "asof_next_click"       -> graft.operators.AsOfJoin.forwardOracleSql,
+    "kfold_balance"         -> graft.operators.KFold.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

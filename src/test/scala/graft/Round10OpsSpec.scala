@@ -280,6 +280,27 @@ class Round10OpsSpec extends SparkSpec {
       "p4" -> None))         // key absent on the right
   }
 
+  test("kfold: folds partition each stratum, assignment is a pure id function") {
+    import graft.operators.KFold
+    val df = (1L to 1000L).map(i => (i, if (i % 4 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val got = KFold.balance(df, "id", "s", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // every (stratum, fold) cell present; cells sum back to the stratum
+    assert(got.keys.map(_._1).toSet == Set("a", "b"))
+    for (s <- Seq("a", "b")) {
+      val cells = got.filter(_._1._1 == s)
+      assert(cells.keys.map(_._2).toSet == Set(0L, 1L, 2L, 3L, 4L))
+      assert(cells.values.map(_._1).sum == cells.values.head._2)
+    }
+    // determinism: identical ids -> identical folds under repartitioning
+    val again = KFold.balance(df.repartition(7), "id", "s", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(again == got)
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(

@@ -204,4 +204,29 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(100L, 102L, 103L, 105L))
     q.stop()
   }
+
+  test("drift monitor: matching batch scores near zero, shifted batch scores high") {
+    import graft.streaming.DriftMonitor
+    val baseline = (1 to 200).map(i => (i % 100) / 100.0).toDF("v")
+    val reports = scala.collection.mutable.Map[Long, Long]()
+    val in = MemoryStream[Double](spark)
+    val chk = java.nio.file.Files.createTempDirectory("graft_drift_chk").toString
+    val q = DriftMonitor.start(in.toDF().toDF("v"), baseline, "v",
+        bins = 10, chk) { rep =>
+      val id = rep.select("batch_id").head().getLong(0)
+      reports.synchronized {
+        reports(id) = rep.agg(sum(abs(col("psi_micros")))).head().getLong(0)
+      }
+    }
+    in.addData((1 to 200).map(i => (i % 100) / 100.0): _*) // same distribution
+    q.processAllAvailable()
+    in.addData((1 to 200).map(i => 0.9 + (i % 10) / 100.0): _*) // shifted mass
+    q.processAllAvailable()
+    q.stop()
+    assert(reports.size == 2, s"expected two reports: $reports")
+    val Seq(same, shifted) = reports.toSeq.sortBy(_._1).map(_._2)
+    assert(same < 50000L, s"A/A batch drifted: $same micros")
+    assert(shifted > 500000L, s"shifted batch not flagged: $shifted micros")
+    assert(shifted > 10 * same, s"no separation: $reports")
+  }
 }
