@@ -210,6 +210,7 @@ object SparkEntry {
     "pmi_bigrams"           -> (graft.functions.NgramStats.pmiBigramsDocs(_, _)),
     "gopher_repetition"     -> (graft.functions.NgramStats.repetitionDocs(_, _)),
     "doc_surprisal"         -> (graft.functions.NgramStats.surprisalDocs(_, _)),
+    "doc_bigram_surprisal"  -> (graft.functions.NgramStats.bigramSurprisalDocs(_, _)),
     // RAG chunking: pure map-side explode+substring, zero shuffles
     "doc_chunks"            -> (graft.operators.Chunker.chunkDocuments(_, _)),
     // fixed-iteration PageRank in exact integer micros (Pregel envelope)
@@ -415,6 +416,7 @@ object SparkEntry {
     "pmi_bigrams"           -> graft.functions.NgramStats.pmiOracleSql,
     "gopher_repetition"     -> graft.functions.NgramStats.repetitionOracleSql,
     "doc_surprisal"         -> graft.functions.NgramStats.surprisalOracleSql,
+    "doc_bigram_surprisal"  -> graft.functions.NgramStats.bigramSurprisalOracleSql,
     "doc_chunks"            -> graft.operators.Chunker.oracleSql,
     "pagerank_trade"        -> graft.operators.PageRank.oracleSql,
     "corr_lineitem"         -> graft.operators.GroupStats.oracleSql,

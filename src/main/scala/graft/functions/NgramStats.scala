@@ -110,7 +110,41 @@ object NgramStats {
         expr("nll_total_micros DIV n_tokens"))
   }
 
+  /** Per-document BIGRAM-LM surprisal — the conditional upgrade of
+    * [[docSurprisal]] (a unigram LM scores words in isolation; the
+    * bigram LM scores them in context, which is what separates fluent
+    * text from shuffled words — the CCNet discipline one order up).
+    * P(w₂|w₁) = (c(w₁w₂)+1) / (ctx(w₁)+V) with ctx counted over bigram
+    * starts and V the corpus vocabulary; per-bigram micros rounding
+    * then exact BIGINT sums, mean by integer division. Docs with fewer
+    * than two tokens have no bigrams and are absent. */
+  def docBigramSurprisal(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val withToks = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ts"))
+    val big = withToks
+      .select(col("doc_id"), explode(bigramArr(col("__ts"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("__cxy"))
+    val ctx = big.groupBy("w1").agg(count(lit(1)).as("__cx"))
+    val vocab = withToks.select(explode(col("__ts")).as("t"))
+      .agg(countDistinct("t").as("__v"))
+    big.join(bc, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll_micros",
+        round(-log((col("__cxy") + lit(1)).cast("double")
+          / (col("__cx") + col("__v"))) * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("__nll_micros").as("nll2_total_micros"))
+      .withColumn("nll2_per_bigram_micros",
+        expr("nll2_total_micros DIV n_bigrams"))
+  }
+
   // ---- query-map entries (hash-gated) ----
+
+  def bigramSurprisalDocs(spark: SparkSession, dir: String): DataFrame =
+    docBigramSurprisal(Tables.documents(spark, dir), "doc_id", "text")
 
   def pmiBigramsDocs(spark: SparkSession, dir: String): DataFrame =
     pmiBigrams(Tables.documents(spark, dir), "doc_id", "text", minCount = 3L)
@@ -169,6 +203,20 @@ object NgramStats {
        |  CAST(coalesce(bd.dup_bigram_types, 0) AS BIGINT) AS dup_bigram_types,
        |  CAST(coalesce(bd.dup_bigram_n, 0) AS BIGINT) AS dup_bigram_n
        |FROM ud LEFT JOIN bd USING (doc_id)""".stripMargin
+
+  def bigramSurprisalOracleSql: String =
+    s"""WITH $TokCte, $BigCte,
+       |bc AS (SELECT w1, w2, count(*) AS cxy FROM big GROUP BY 1, 2),
+       |ctx AS (SELECT w1, count(*) AS cx FROM big GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT t) AS v
+       |        FROM (SELECT unnest(ts) AS t FROM tok))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(CAST(round(-ln(CAST(bc.cxy + 1 AS DOUBLE) / (ctx.cx + voc.v))
+       |    * 1e6) AS BIGINT)) AS BIGINT) AS nll2_total_micros,
+       |  CAST(sum(CAST(round(-ln(CAST(bc.cxy + 1 AS DOUBLE) / (ctx.cx + voc.v))
+       |    * 1e6) AS BIGINT)) // count(*) AS BIGINT) AS nll2_per_bigram_micros
+       |FROM big JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+       |GROUP BY doc_id""".stripMargin
 
   def surprisalOracleSql: String =
     s"""WITH $TokCte,

@@ -301,6 +301,24 @@ class Round10OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("bigram surprisal: conditional NLL matches a hand computation") {
+    import graft.functions.NgramStats
+    // corpus: d1 "a b a b", d2 "a c" -> bigrams: (a,b)x2, (b,a), (a,c)
+    // ctx(a)=3, ctx(b)=1; V=3 (a,b,c)
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    def nll(cxy: Long, cx: Long) =
+      math.rint(-math.log((cxy + 1.0) / (cx + 4.0)) * 1e6).toLong // V=4 incl 'solo'
+    val got = NgramStats.docBigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val d1 = 2 * nll(2, 3) + nll(1, 1)
+    val d2 = nll(1, 3)
+    assert(got == Map(1L -> ((3L, d1, d1 / 3)), 2L -> ((1L, d2, d2))),
+      s"got $got")
+    assert(!got.contains(3L), "single-token doc has no bigrams")
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(
