@@ -150,6 +150,9 @@ object SparkEntry {
     // corpus cleaning: PII scrub, canonical form, C4-style rule filter —
     // all map-side regex/ratio pipelines, each a full hash gate
     "pii_redact"            -> (graft.functions.TextClean.piiRedact(_, _)),
+    // long-format entity extraction (blocklist/link-graph feed): the
+    // inverse consumer of the redact gate's shared patterns
+    "extract_entities"      -> (graft.functions.TextClean.extractEntitiesDocs(_, _)),
     "text_normalize"        -> (graft.functions.TextClean.textNormalize(_, _)),
     "quality_filter"        -> (graft.functions.TextClean.qualityFilterDocs(_, _)),
     "doc_fingerprint"       -> (TextFunctions.docFingerprint(_, _)),
@@ -386,6 +389,7 @@ object SparkEntry {
     "graph_components"      -> graft.operators.Graph.graphComponentsOracleSql,
     "text_tokens"           -> TextFunctions.textTokensOracleSql,
     "pii_redact"            -> graft.functions.TextClean.piiRedactOracleSql,
+    "extract_entities"      -> graft.functions.TextClean.extractEntitiesOracleSql,
     "text_normalize"        -> graft.functions.TextClean.textNormalizeOracleSql,
     "quality_filter"        -> graft.functions.TextClean.qualityFilterOracleSql,
     "text_quality"          -> TextFunctions.textQualityOracleSql,

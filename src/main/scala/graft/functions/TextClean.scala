@@ -27,6 +27,28 @@ object TextClean {
   val ssnRe   = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
   val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 
+  val urlRe = "https?://[A-Za-z0-9./_%+?=&#-]+"
+
+  /** Entity EXTRACTION into long format — the inverse consumer of the
+    * same patterns [[redact]] deletes: (id, kind, value, n_th) rows for
+    * every email/url/ssn/phone occurrence, the table a curation
+    * pipeline aggregates into blocklists, contact-frequency stats, and
+    * link graphs. Map-side explode of `regexp_extract_all` — zero
+    * shuffles, codegen'd; rows with no matches contribute nothing. */
+  def extractEntities(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val kinds = Seq("email" -> emailRe, "url" -> urlRe,
+      "ssn" -> ssnRe, "phone" -> phoneRe)
+    kinds.map { case (kind, re) =>
+      df.select(col(idCol),
+          posexplode(regexp_extract_all(col(textCol), lit(re), lit(0)))
+            .as(Seq("n_th", "value")))
+        .withColumn("kind", lit(kind))
+        .withColumn("n_th", col("n_th").cast("long") + 1)
+        .select(col(idCol), col("kind"), col("value"), col("n_th"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Redact PII in `textCol`: emails → [EMAIL], SSNs → [SSN], phones →
     * [PHONE], with per-row match counts. SSN before phone: the two are
     * disjoint shapes (3-2-4 vs 3-3-4) but redacting the more specific
@@ -61,6 +83,47 @@ object TextClean {
       ).as("text"))
     redact(docs, "text").select("doc_id", "n_emails", "n_ssns", "n_phones", "redacted")
   }
+
+  /** Gated extraction instance: same planted-PII corpus as [[piiRedact]]
+    * plus a URL every 5th row — the long-format inverse of the redact
+    * gate, so the two gates cross-check the same patterns. */
+  def extractEntitiesDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.org"),
+        when(col("doc_id") % 3 === 0, lit(" ssn 123-45-6789")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" see https://example.org/d/"), col("doc_id").cast("string")))
+          .otherwise(lit(""))
+      ).as("text"))
+    extractEntities(docs, "doc_id", "text")
+  }
+
+  def extractEntitiesOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.org'
+      |      || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+      |      || CASE WHEN doc_id % 4 = 0 THEN ' call 555-867-5309' ELSE '' END
+      |      || CASE WHEN doc_id % 5 = 0
+      |           THEN ' see https://example.org/d/' || doc_id ELSE '' END AS text
+      |  FROM documents
+      |), pat AS (
+      |  SELECT 'email' AS kind,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}' AS re
+      |  UNION ALL SELECT 'url', 'https?://[A-Za-z0-9./_%+?=&#-]+'
+      |  UNION ALL SELECT 'ssn', '\b\d{3}-\d{2}-\d{4}\b'
+      |  UNION ALL SELECT 'phone', '\b\d{3}-\d{3}-\d{4}\b'
+      |), m AS (
+      |  SELECT doc_id, kind, regexp_extract_all(text, re) AS ms
+      |  FROM t CROSS JOIN pat
+      |)
+      |SELECT doc_id, kind, unnest(ms) AS value,
+      |  unnest(range(1, len(ms) + 1)) AS n_th
+      |FROM m""".stripMargin
 
   def piiRedactOracleSql: String =
     """WITH t AS (

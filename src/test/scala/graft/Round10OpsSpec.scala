@@ -319,6 +319,20 @@ class Round10OpsSpec extends SparkSpec {
     assert(!got.contains(3L), "single-token doc has no bigrams")
   }
 
+  test("entity extraction: every occurrence lands with kind and ordinal") {
+    import graft.functions.TextClean
+    val docs = Seq(
+      (1L, "mail a@b.co then c@d.org, see https://x.io/p?q=1 call 555-123-4567"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val got = TextClean.extractEntities(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "email", "a@b.co", 1L),
+      (1L, "email", "c@d.org", 2L), // trailing comma not in the class
+      (1L, "url", "https://x.io/p?q=1", 1L),
+      (1L, "phone", "555-123-4567", 1L)), s"got $got")
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(
