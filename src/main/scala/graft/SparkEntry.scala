@@ -159,6 +159,8 @@ object SparkEntry {
     "corpus_stats"          -> (TextFunctions.corpusStats(_, _)),
     "topk_per_group"        -> (graft.functions.TopKAgg.topkPerGroup(_, _)),
     "dedup_exact"           -> (ExactDedup.dedupExact(_, _)),
+    // duplication profile: cluster-size histogram + corpus shares
+    "dedup_cluster_stats"   -> (ExactDedup.dedupClusterStats(_, _)),
     "dedup_ngram_jaccard"   -> (NGramJaccard.dedupNgramJaccard(_, _)),
     "dedup_minhash_lsh"     -> (MinHashLsh.dedupMinhashLsh(_, _)),
     "dedup_simhash"         -> (SimHashDedup.dedupSimhash(_, _)),
@@ -398,6 +400,7 @@ object SparkEntry {
     "corpus_stats"          -> TextFunctions.corpusStatsOracleSql,
     "topk_per_group"        -> graft.functions.TopKAgg.oracleSql,
     "dedup_exact"           -> ExactDedup.oracleSql,
+    "dedup_cluster_stats"   -> ExactDedup.clusterStatsOracleSql,
     "dedup_ngram_jaccard"   -> NGramJaccard.oracleSql,
     "dedup_embedding"       -> EmbeddingDedup.oracleSql,
     "ann_bruteforce"        -> BruteForceKnn.oracleSql,

@@ -333,6 +333,20 @@ class Round10OpsSpec extends SparkSpec {
       (1L, "phone", "555-123-4567", 1L)), s"got $got")
   }
 
+  test("dedup cluster stats: size histogram and corpus shares from planted dups") {
+    import graft.dedup.ExactDedup
+    // 3 copies of A, 2 of B, 1 of C -> sizes {3:1, 2:1, 1:1}, 6 docs
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "C")).toDF("doc_id", "text")
+    val got = ExactDedup.clusterStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      3L -> ((1L, 3L, 500000L)),
+      2L -> ((1L, 2L, math.rint(2.0 / 6 * 1e6).toLong)),
+      1L -> ((1L, 1L, math.rint(1.0 / 6 * 1e6).toLong))))
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(
