@@ -43,13 +43,16 @@ object PageRank {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+    // out-degree is loop-INVARIANT: bake it into the edge table once so
+    // each iteration pays ONE join (edges⋈ranks), not two — the window
+    // form (count over src partition) keeps it a single pass over e
+    val eDeg = e.withColumn("__outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .localCheckpoint()
     var r = nodes.withColumn("rank_micros", lit(1000000L))
     for (i <- 1 to iters) {
-      val contrib = e
+      val contrib = eDeg
         .join(r.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
         .select(col("dst").as("node"),
           expr("rank_micros DIV __outdeg").as("__c"))
         .groupBy("node").agg(sum("__c").as("__in"))
