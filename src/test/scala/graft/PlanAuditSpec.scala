@@ -72,7 +72,8 @@ class PlanAuditSpec extends SparkSpec {
     // silver materializes through a checkpoint, so no parquet scan with
     // a pushable residual exists in the gold plan by design)
     for (name <- Seq("q6_forecast_revenue", "q19_disjunctive_revenue",
-        "q14_promo_revenue")) {
+        "q14_promo_revenue", "q12_priority_counts", "q10_returned_customers",
+        "q15_top_supplier")) {
       val fmt = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
       val pushed = fmt.linesIterator.filter(_.contains("PushedFilters:")).toSeq
