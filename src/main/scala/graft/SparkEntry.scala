@@ -225,6 +225,9 @@ object SparkEntry {
     // hive-style partitionBy layout: write + directory-encoded column +
     // read inside the gate; pruning asserted in PartitionedLayoutSpec
     "partitioned_roundtrip" -> (graft.sources.PartitionedLayout.partitionedRoundtrip(_, _)),
+    // dynamic partition overwrite (replaceWhere analogue): only batch
+    // partitions rewritten, others physically untouched
+    "partition_overwrite"   -> (graft.sources.PartitionedLayout.partitionOverwrite(_, _)),
     // event-sequence behavioral stats: lead-window transition pairs;
     // exact power-of-two recency decay (no libm in the gate)
     "markov_transitions"    -> (graft.operators.BehaviorStats.markovEvents(_, _)),
@@ -428,6 +431,7 @@ object SparkEntry {
     "pagerank_trade"        -> graft.operators.PageRank.oracleSql,
     "corr_lineitem"         -> graft.operators.GroupStats.oracleSql,
     "partitioned_roundtrip" -> graft.sources.PartitionedLayout.oracleSql,
+    "partition_overwrite"   -> graft.sources.PartitionedLayout.overwriteOracleSql,
     "markov_transitions"    -> graft.operators.BehaviorStats.markovOracleSql,
     "decay_user_value"      -> graft.operators.BehaviorStats.decayOracleSql,
     "benford_totalprice"    -> graft.operators.DigitProfile.oracleSql,

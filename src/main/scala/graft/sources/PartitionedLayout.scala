@@ -64,4 +64,51 @@ object PartitionedLayout {
 
   def oracleSql: String =
     "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders"
+
+  /** Dynamic partition overwrite — the Delta `replaceWhere` analogue
+    * over the plain hive layout (the reference replaces partitions of
+    * its delta tables the same way,
+    * /root/reference/DataEngineering/Python/delta_table_rs.py family):
+    * ONLY the partitions present in `batch` are rewritten; every other
+    * directory is untouched — physically untouched, the incremental
+    * write a daily pipeline needs (static overwrite mode would drop the
+    * whole table first). The session flag is scoped and restored. */
+  def overwritePartitions(batch: DataFrame, path: String,
+                          parts: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try batch.repartition(parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Gated instance: full layout write, then a dynamic overwrite of the
+    * URGENT partition with bumped prices. The read-back gates all of it:
+    * untouched partitions preserved byte-for-value, the replaced
+    * partition carrying the new values, no duplicate rows. */
+  def partitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val path = scratch(dir) + "_dyn"
+    writePartitioned(orders, path, Seq("o_orderpriority"))
+    val batch = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    overwritePartitions(batch, path, Seq("o_orderpriority"))
+    readPruned(spark, path,
+      "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING",
+      lit(true))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+  }
+
+  def overwriteOracleSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderpriority = '1-URGENT'
+      |       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+      |  o_orderpriority
+      |FROM orders""".stripMargin
 }

@@ -51,4 +51,32 @@ class PartitionedLayoutSpec extends SparkSpec {
     assert(scan.selectedPartitions.totalNumberOfFiles <
       allScan.selectedPartitions.totalNumberOfFiles)
   }
+
+  test("dynamic overwrite rewrites only the batch's partitions, others keep their files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_dynow").toString
+    val base = Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "a"),
+      (4L, 4.0, "c")).toDF("id", "v", "part")
+    PartitionedLayout.writePartitioned(base, path, Seq("part"))
+    def files(p: String): Set[String] =
+      Option(new java.io.File(s"$path/part=$p").listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName + ":" + f.lastModified()).toSet
+    val bBefore = files("b"); val cBefore = files("c")
+    // overwrite ONLY partition a with new content
+    val batch = Seq((9L, 9.0, "a")).toDF("id", "v", "part")
+    PartitionedLayout.overwritePartitions(batch, path, Seq("part"))
+    assert(files("b") == bBefore && files("c") == cBefore,
+      "untouched partitions were rewritten")
+    val got = PartitionedLayout.readPruned(spark, path,
+        "id BIGINT, v DOUBLE, part STRING", lit(true))
+      .as[(Long, Double, String)].collect().toSet
+    assert(got == Set((9L, 9.0, "a"), (2L, 2.0, "b"), (4L, 4.0, "c")),
+      s"overwrite content wrong: $got")
+    // the flag is restored after the call
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic") ||
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode").isEmpty)
+  }
 }
