@@ -205,6 +205,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming throttle: dedup state survives a checkpointed restart") {
+    import graft.streaming.ThrottleStream
+    import ThrottleStream.{Evt => TEvt}
+    val root = java.nio.file.Files.createTempDirectory("graft_thr_restart").toString
+    val in = MemoryStream[TEvt](spark)
+    // memory sink cannot recover a checkpoint; the file sink can
+    def run() = ThrottleStream.keepFirst(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/chk")
+      .outputMode("append").start()
+
+    val q1 = run()
+    in.addData(TEvt(1L, "click", ts("2024-01-01 10:00:00"), 200L, 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the checkpoint: the (key, bucket) state must be
+    // restored, so the same bucket still rejects
+    val q2 = run()
+    in.addData(TEvt(1L, "click", ts("2024-01-01 10:30:00"), 201L, 1.0))
+    q2.processAllAvailable()
+    val ids = spark.read.parquet(s"$root/out")
+      .as[TEvt].collect().map(_.event_id).toSet
+    assert(ids == Set(200L), s"restart lost throttle state: $ids")
+    q2.stop()
+  }
+
   test("drift monitor: matching batch scores near zero, shifted batch scores high") {
     import graft.streaming.DriftMonitor
     val baseline = (1 to 200).map(i => (i % 100) / 100.0).toDF("v")
