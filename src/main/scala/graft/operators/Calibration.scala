@@ -22,7 +22,10 @@ import graft.Tables
 object Calibration {
 
   /** (bin, n, pos, mean_label_micros, mean_score_cents_micros) over
-    * `bins` equal-frequency score bins. */
+    * `bins` equal-frequency score bins. Overflow headroom: the binding
+    * sum is Σ score-cents per bin (≤ binRows · maxCents); at 1e12-row
+    * bins keep scores under ~1e7 cents or pre-scale — ANSI mode throws
+    * rather than wraps, so the failure is loud. */
   def bins(df: DataFrame, idCol: String, scoreCol: String,
            labelCol: String, bins: Int): DataFrame = {
     val cells = df.select(col(idCol).as("__id"),

@@ -58,6 +58,29 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("approximate Misra-Gries honors the N/k error guarantee under eviction") {
+    import graft.operators.FreqSketch
+    // zipf-ish planted corpus: 3 heavy items over 60 light singletons,
+    // capacity 8 << 63 distinct values forces real evictions
+    val rows = Seq.fill(300)("hot1") ++ Seq.fill(200)("hot2") ++
+      Seq.fill(100)("hot3") ++ (1 to 60).map(i => s"light$i")
+    val n = rows.length.toLong
+    val k = 8
+    val df = spark.createDataFrame(rows.map(Tuple1(_))).toDF("v")
+      .repartition(4) // evictions must merge across partitions too
+    val got = FreqSketch.heavyHitters(df, "v", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = Map("hot1" -> 300L, "hot2" -> 200L, "hot3" -> 100L)
+    for ((item, t) <- truth) {
+      // every item with true count > N/k MUST survive, estimate within
+      // [true − N/k, true]
+      assert(got.contains(item), s"heavy item $item evicted: $got")
+      assert(got(item) <= t && got(item) >= t - n / k,
+        s"$item estimate ${got(item)} outside [${t - n / k}, $t]")
+    }
+    assert(got.size <= 2 * (k - 1), s"sketch kept too many counters: ${got.size}")
+  }
+
   test("exact-mode GK (accuracy >= n) returns the discrete-quantile element") {
     val li = Tables.lineitem(spark, sfDir)
     val qs = Seq(0.25, 0.5, 0.75, 0.99)
