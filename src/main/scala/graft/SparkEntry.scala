@@ -120,6 +120,9 @@ object SparkEntry {
     // expression-level signed-BoW + exact sparse cosine: the embedding
     // pipeline slice that DOES hash-gate (integer vectors, exact dots)
     "embed_bow_expr"        -> (graft.functions.BowVectors.embedBowExpr(_, _)),
+    // per-dimension embedding stats on the ANN family's quantization
+    // (the FAISS-style normalization pre-pass)
+    "embed_dim_stats"       -> (graft.operators.EmbedStats.embedDimStats(_, _)),
     "ann_sparse_bow"        -> (graft.functions.BowVectors.annSparseBow(_, _)),
     "salted_cumsum"         -> (SaltedCumSum.eventsCumSum(_, _)),
     "sessionize"            -> (Sessionize.eventsSessions(_, _)),
@@ -330,6 +333,7 @@ object SparkEntry {
     "cube_orders"           -> graft.operators.GroupingSets.cubeOracleSql,
     "snapshot_diff"         -> SnapshotDiff.oracleSql,
     "embed_bow_expr"        -> graft.functions.BowVectors.embedBowOracleSql,
+    "embed_dim_stats"       -> graft.operators.EmbedStats.oracleSql,
     "ann_sparse_bow"        -> graft.functions.BowVectors.annSparseBowOracleSql,
     "unpivot_measures"      -> Reshape.unpivotOracleSql,
     "pivot_measures"        -> Reshape.pivotOracleSql,

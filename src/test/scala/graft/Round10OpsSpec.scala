@@ -347,6 +347,29 @@ class Round10OpsSpec extends SparkSpec {
       1L -> ((1L, 1L, math.rint(1.0 / 6 * 1e6).toLong))))
   }
 
+  test("embed dim stats: exact quantized moments on a hand-built vector set") {
+    import graft.operators.EmbedStats
+    // dim0 quantized: floor(0.5*1000)=500, floor(-0.25*1000)=-250;
+    // dim1: floor(1.0*1000)=1000, floor(0.999*1000)=998 (float32 0.999
+    // is 0.99899995...; quantize matches floor on the double widening)
+    val df = Seq(
+      (1L, Seq(0.5f, 1.0f)),
+      (2L, Seq(-0.25f, 0.999f))).toDF("vec_id", "embedding")
+    val got = EmbedStats.dimStats(df, "embedding")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def moments(a: Long, b: Long) = {
+      val mean = (a + b) / 2.0
+      val v = (a * a + b * b) / 2.0 - mean * mean
+      (math.rint(mean * 1e6).toLong, math.rint(v * 1e6).toLong)
+    }
+    val (m0, v0) = moments(500L, -250L)
+    assert(got(0) == ((2L, m0, v0, -250L, 500L)))
+    val q1b = math.floor(0.999f.toDouble * 1000).toLong
+    val (m1, v1) = moments(1000L, q1b)
+    assert(got(1) == ((2L, m1, v1, q1b, 1000L)))
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(
