@@ -89,4 +89,26 @@ class CurationPipelineSpec extends SparkSpec {
 
     assert(curate(restored) == curate(docs.select("doc_id", "text")))
   }
+
+  test("fold hygiene: k-fold splits keep the length distribution (PSI across folds ~ 0)") {
+    import graft.operators.{Drift, KFold}
+    // the check a CV pipeline runs after splitting: no fold may carry a
+    // skewed input distribution, or per-fold metrics stop comparing
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", (length($"text") / 100.0).as("lenv"))
+      .withColumn("fold", KFold.foldOf("doc_id", 3))
+    def fold(i: Int) = docs.filter($"fold" === i).select("lenv")
+    for (i <- 1 to 2) {
+      val psiTotal = Drift.psi(fold(0), fold(i), "lenv", bins = 8)
+        .agg(sum(abs($"psi_micros"))).head().getLong(0)
+      assert(psiTotal < 200000L,
+        s"fold $i length distribution drifted vs fold 0: $psiTotal micros")
+    }
+    // degenerate-skew control: a split BY length would flunk the same test
+    val bad0 = docs.orderBy($"lenv").limit(150).select("lenv")
+    val bad1 = docs.orderBy($"lenv".desc).limit(150).select("lenv")
+    val badPsi = Drift.psi(bad0, bad1, "lenv", bins = 8)
+      .agg(sum(abs($"psi_micros"))).head().getLong(0)
+    assert(badPsi > 1000000L, s"control skew not detected: $badPsi")
+  }
 }
