@@ -286,6 +286,8 @@ object SparkEntry {
     "asof_next_click"       -> (graft.operators.AsOfJoin.asofNextClick(_, _)),
     // deterministic stratified k-fold balance sheet (portable hash fold)
     "kfold_balance"         -> (graft.operators.KFold.kfoldOrders(_, _)),
+    // view->purchase conversion-lag histogram over the forward as-of
+    "conversion_lag"        -> (graft.operators.ConversionLag.viewPurchaseLag(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -457,6 +459,7 @@ object SparkEntry {
     "merge_upsert_evolve"   -> MergeUpsert.mergeEvolveOracleSql,
     "asof_next_click"       -> graft.operators.AsOfJoin.forwardOracleSql,
     "kfold_balance"         -> graft.operators.KFold.oracleSql,
+    "conversion_lag"        -> graft.operators.ConversionLag.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -370,6 +370,22 @@ class Round10OpsSpec extends SparkSpec {
     assert(got(1) == ((2L, m1, v1, q1b, 1000L)))
   }
 
+  test("conversion lag: hour buckets from forward matches, unconverted in bucket -1") {
+    import graft.operators.ConversionLag
+    val h = 3600000000L
+    val ev = Seq(
+      (1L, 1L, 0L, "view"), (2L, 1L, h / 2, "purchase"),   // lag 30min -> bucket 0
+      (3L, 1L, h, "view"), (4L, 1L, 4L * h, "purchase"),   // lag 3h -> bucket 3
+      (5L, 2L, 0L, "view"),                                // never converts -> -1
+      (6L, 3L, 0L, "purchase")                             // purchase w/o view: ignored
+    ).toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = ConversionLag.lagHistogram(ev, "user_id", "ts", "event_type",
+        "event_id", "view", "purchase", h)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 3L -> 1L, -1L -> 1L), s"got $got")
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(
