@@ -123,6 +123,8 @@ object SparkEntry {
     // per-dimension embedding stats on the ANN family's quantization
     // (the FAISS-style normalization pre-pass)
     "embed_dim_stats"       -> (graft.operators.EmbedStats.embedDimStats(_, _)),
+    // mean-centered quantized embeddings (the transform dimStats feeds)
+    "embed_center"          -> (graft.operators.EmbedStats.embedCenter(_, _)),
     "ann_sparse_bow"        -> (graft.functions.BowVectors.annSparseBow(_, _)),
     "salted_cumsum"         -> (SaltedCumSum.eventsCumSum(_, _)),
     "sessionize"            -> (Sessionize.eventsSessions(_, _)),
@@ -336,6 +338,7 @@ object SparkEntry {
     "snapshot_diff"         -> SnapshotDiff.oracleSql,
     "embed_bow_expr"        -> graft.functions.BowVectors.embedBowOracleSql,
     "embed_dim_stats"       -> graft.operators.EmbedStats.oracleSql,
+    "embed_center"          -> graft.operators.EmbedStats.centerOracleSql,
     "ann_sparse_bow"        -> graft.functions.BowVectors.annSparseBowOracleSql,
     "unpivot_measures"      -> Reshape.unpivotOracleSql,
     "pivot_measures"        -> Reshape.pivotOracleSql,

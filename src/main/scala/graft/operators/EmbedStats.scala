@@ -44,10 +44,31 @@ object EmbedStats {
         "min_q", "max_q")
   }
 
-  // ---- query-map entry (hash-gated) ----
+  /** Mean-centered quantized embeddings in long format — the transform
+    * [[dimStats]] exists to feed (FAISS-style preprocessing: centering
+    * before codebook training removes the DC component that wastes the
+    * first principal direction). `centered_q = q − round(mean_dim)`,
+    * all integers: the per-dim means ride in as a broadcast
+    * vector-width table, the corpus is touched once, and the result
+    * stays exactly representable for downstream integer scoring. */
+  def centered(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = df.select(col(idCol),
+      posexplode(VectorFunctions.quantize(col(vecCol))).as(Seq("dim", "__q")))
+    val means = dimStats(df, vecCol)
+      .select(col("dim"),
+        round(col("mean_milli_micros") / lit(1e6)).cast("long").as("__m"))
+    q.join(broadcast(means), "dim")
+      .select(col(idCol), col("dim"),
+        (col("__q") - col("__m")).as("centered_q"))
+  }
+
+  // ---- query-map entries (hash-gated) ----
 
   def embedDimStats(spark: SparkSession, dir: String): DataFrame =
     dimStats(Tables.embeddings(spark, dir), "embedding")
+
+  def embedCenter(spark: SparkSession, dir: String): DataFrame =
+    centered(Tables.embeddings(spark, dir), "vec_id", "embedding")
 
   def oracleSql: String =
     """WITH q AS (
@@ -65,4 +86,20 @@ object EmbedStats {
       |    AS var_milli2_micros,
       |  CAST(min(qv) AS BIGINT) AS min_q, CAST(max(qv) AS BIGINT) AS max_q
       |FROM q GROUP BY dim""".stripMargin
+
+  def centerOracleSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         unnest(list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qv,
+      |         unnest(range(0, len(embedding))) AS dim
+      |  FROM embeddings
+      |), m AS (
+      |  SELECT dim, CAST(round(
+      |      round(CAST(sum(qv) AS DOUBLE) / count(*) * 1e6) / 1e6)
+      |    AS BIGINT) AS mu
+      |  FROM q GROUP BY dim
+      |)
+      |SELECT vec_id, CAST(q.dim AS INT) AS dim, qv - mu AS centered_q
+      |FROM q JOIN m ON q.dim = m.dim""".stripMargin
 }

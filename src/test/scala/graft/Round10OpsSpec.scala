@@ -386,6 +386,17 @@ class Round10OpsSpec extends SparkSpec {
     assert(got == Map(0L -> 1L, 3L -> 1L, -1L -> 1L), s"got $got")
   }
 
+  test("embed centering: per-dim integer means subtract out, sums go to ~zero") {
+    import graft.operators.EmbedStats
+    val df = Seq((1L, Seq(0.5f, 0.2f)), (2L, Seq(0.3f, 0.2f)),
+      (3L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    // dim0 q: 500,300,100 -> mean 300; dim1 q: 200x3 -> mean 200
+    val got = EmbedStats.centered(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 0) -> 200L, (2L, 0) -> 0L, (3L, 0) -> -200L,
+      (1L, 1) -> 0L, (2L, 1) -> 0L, (3L, 1) -> 0L))
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(
