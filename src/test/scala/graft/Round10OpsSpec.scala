@@ -397,6 +397,29 @@ class Round10OpsSpec extends SparkSpec {
       (1L, 1) -> 0L, (2L, 1) -> 0L, (3L, 1) -> 0L))
   }
 
+  test("exact auc: distributed midrank path equals brute-force pair counting on random data") {
+    import graft.operators.ExactAuc
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // 400 rows, scores drawn from only 20 values (heavy ties), random labels
+    val rows = (0 until 400).map { i =>
+      ("g", (math.abs(mix(i)) % 20L) / 100.0, math.abs(mix(i + 7777)) % 2L)
+    }
+    val got = ExactAuc.aucByGroup(rows.toDF("g", "score", "y"), "g", "score", "y")
+      .collect().head.getLong(3)
+    // independent formulation: P(pos > neg) + 0.5 P(tie) over ALL pairs
+    val pos = rows.filter(_._3 == 1L).map(_._2)
+    val neg = rows.filter(_._3 == 0L).map(_._2)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val want = math.rint(wins / (pos.size.toLong * neg.size) * 1e6).toLong
+    assert(got == want, s"midrank AUC $got != pair-counting AUC $want")
+  }
+
   test("entity resolution: transitive closure merges a-b and b-c into one entity") {
     val base = "0123456789abcdef" // 16-char prefix
     val docs = Seq(
