@@ -37,6 +37,7 @@ object Bench {
     // the JSON so any residual noise is diagnosable post hoc.
     val timesByQ = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       selected.keys.toSeq.map(_ -> Vector.empty[Double]): _*)
+    var qCount = 0
     for (_ <- 1 to reps; (name, fn) <- selected if !errors.contains(name)) {
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune computed
@@ -48,8 +49,19 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators persist intermediates (LSH signatures, shingle sets)
-      // for the duration of their action; drop them between runs
+      // for the duration of their action; drop them between runs.
+      // clearCache() misses localCheckpoint RDDs (they are persisted
+      // RDDs, not catalog-cached tables) — ~10 operators eagerly
+      // checkpoint per call, and across 179 queries × 3 reps those
+      // blocks pile up in the block manager until driver GC lets
+      // ContextCleaner reap them. That accumulation was the round-10
+      // suite-wide drift (+18% on unchanged keys); free them explicitly.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      qCount += 1
+      // broadcasts are only freed via ContextCleaner after driver GC;
+      // nudge it periodically OUTSIDE the timed region
+      if (qCount % 25 == 0) System.gc()
       if (!errors.contains(name)) timesByQ(name) = timesByQ(name) :+ dt
     }
     def r2(v: Double): String = (math.rint(v * 100) / 100).toString

@@ -52,18 +52,21 @@ object RandomForestTrain {
     val prepped = FeatureAssembly.assemble(df, featureCols, "__farr")
       .withColumn("features", array_to_vector(col("__farr")))
       .withColumn("label", col(labelCol).cast("double"))
-    // balanced class weights, in-plan (one tiny agg + broadcast join)
-    val counts = prepped.groupBy("label").agg(count(lit(1)).as("__n"))
+    val thr = (trainFrac * Sampling.M).toLong
+    val all = prepped
+      .withColumn("__train", Sampling.portableBucket(col(idCol)) < thr)
+    val trainRaw = all.filter(col("__train"))
+    val test = all.filter(!col("__train"))
+    // balanced class weights from the TRAIN split only (one tiny agg +
+    // broadcast join) — the held-out priors must not leak into training,
+    // matching the reference's train-side value_counts
+    val counts = trainRaw.groupBy("label").agg(count(lit(1)).as("__n"))
     val tot = counts.agg(sum("__n").as("__tot"), count(lit(1)).as("__k"))
     val weights = counts.crossJoin(broadcast(tot))
       .withColumn("weight",
         col("__tot").cast("double") / (col("__k") * col("__n")))
       .select("label", "weight")
-    val thr = (trainFrac * Sampling.M).toLong
-    val all = prepped.join(broadcast(weights), "label")
-      .withColumn("__train", Sampling.portableBucket(col(idCol)) < thr)
-    val train = all.filter(col("__train"))
-    val test = all.filter(!col("__train"))
+    val train = trainRaw.join(broadcast(weights), "label")
 
     val rf = new RandomForestClassifier()
       .setLabelCol("label").setFeaturesCol("features").setWeightCol("weight")

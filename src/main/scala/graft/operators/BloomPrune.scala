@@ -1,8 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 import graft.Tables
+import graft.functions.Native
 
 /** Explicit Bloom-filter semi-join pruning for multi-stage pipelines.
   *
@@ -11,10 +15,12 @@ import graft.Tables
   * staged ETL like the reference's bronze→silver→gold flow) loses that:
   * each stage re-scans the full fact side. This operator makes the
   * pruning explicit and reusable: build a Bloom filter over the dim
-  * keys once (`DataFrameStatFunctions.bloomFilter` — a distributed
-  * aggregate, driver holds only the final bit array), broadcast it,
-  * drop ~all non-matching fact rows map-side BEFORE the shuffle, then
-  * run the exact semi join on the survivors to remove false positives.
+  * keys once (`BloomFilterAggregate` over `xxhash64` — the same native
+  * expressions AQE's runtime filter injection uses; a distributed
+  * aggregate, driver holds only the final bit array), drop ~all
+  * non-matching fact rows map-side BEFORE the shuffle via the codegen'd
+  * `BloomFilterMightContain` probe, then run the exact semi join on the
+  * survivors to remove false positives.
   *
   * Because a Bloom filter has NO false negatives and the residual semi
   * join removes every false positive, the result is bit-identical to
@@ -35,13 +41,28 @@ object BloomPrune {
   def semiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                dimKey: String, expectedItems: Long,
                fpp: Double = 0.01): DataFrame = {
-    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bloomBc = fact.sparkSession.sparkContext.broadcast(bloom)
-    // null keys can never satisfy the equi semi join — dropping them in
-    // the pre-filter is semantics-preserving
-    val might = udf((k: java.lang.Long) =>
-      k != null && bloomBc.value.mightContainLong(k))
-    val pruned = fact.filter(might(col(factKey).cast("long")))
+    // Build the filter with the same codegen'd expressions AQE's runtime
+    // filter injection uses (BloomFilterAggregate over xxhash64 of the
+    // key): a distributed partial-merge aggregate whose payload is the
+    // fixed-size bit array, never the key set. The one-row result is a
+    // bounded driver read (like every scaling-stats collect here).
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val bloomBytes = dim.filter(col(dimKey).isNotNull)
+      .select(Native.call("graft_bloom_agg",
+        es => new BloomFilterAggregate(es(0), es(1), es(2)),
+        xxhash64(col(dimKey).cast("long")), lit(expectedItems), lit(numBits)
+      ).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // Probe with BloomFilterMightContain — a native expression, so the
+    // whole pre-filter stays inside WholeStageCodegen (the scala UDF it
+    // replaces broke codegen on the full fact scan). The filter bytes
+    // ride as a foldable binary literal (BloomFilterMightContain requires
+    // a constant/scalar-subquery filter side); null keys can never
+    // satisfy the equi semi join, so dropping them is semantics-preserving.
+    val pruned = fact.filter(col(factKey).isNotNull &&
+      Native.call("graft_might_contain",
+        es => BloomFilterMightContain(es(0), es(1)),
+        lit(bloomBytes), xxhash64(col(factKey).cast("long"))))
     val keys = dim.select(col(dimKey).as("__k")).distinct()
     pruned.join(keys, pruned(factKey) === keys("__k"), "left_semi")
   }

@@ -19,12 +19,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * form on the landed data).
   *
   * State per key is the set of open bucket ids, pruned two ways: on
-  * every update, buckets older than the newest-seen minus `keepBuckets`
-  * are dropped (late events past that horizon re-admit at most once —
-  * the watermark bounds how late they can be); and an event-time
-  * timeout removes a key's state entirely once the watermark passes its
-  * newest bucket + horizon. O(keepBuckets) per active key, never the
-  * event backlog.
+  * every update, buckets the WATERMARK has fully passed are dropped —
+  * safe because the watermark filter already discards any later event
+  * that could land in them, so a pruned bucket can never re-admit
+  * (pruning on a newest−keepBuckets horizon instead would duplicate
+  * whenever the watermark delay exceeds keepBuckets·bucketMs); and an
+  * event-time timeout removes a key's state entirely once the watermark
+  * passes its newest bucket + `keepBuckets`. State per key is therefore
+  * O(watermark delay / bucketMs + keepBuckets), never the event backlog.
   */
 object ThrottleStream {
 
@@ -42,13 +44,17 @@ object ThrottleStream {
       Iterator.empty
     } else {
       var seen = state.getOption.getOrElse(Seen(Long.MinValue, Set.empty))
+      // a bucket is prunable only once the watermark passes its end:
+      // the watermark filter drops any later event that could land in
+      // it, so pruning can never cause a re-admit
+      val wm = state.getCurrentWatermarkMs()
       val out = Seq.newBuilder[Evt]
       events.foreach { e =>
         val b = e.ts.getTime / bucketMs
         if (!seen.buckets.contains(b)) {
           out += e
           val newest = math.max(seen.newestBucket, b)
-          val pruned = (seen.buckets + b).filter(_ > newest - keepBuckets)
+          val pruned = (seen.buckets + b).filter(bk => (bk + 1) * bucketMs > wm)
           seen = Seen(newest, pruned)
         }
       }

@@ -64,6 +64,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(bad.isEmpty, s"nested-loop plans found:\n${bad.mkString("\n")}")
   }
 
+  test("no query plans a Scala UDF — functions._ / native expressions only") {
+    // A ScalaUDF is an interpreted black box: it breaks WholeStageCodegen
+    // at its call site and hides the expression from Catalyst (no
+    // pushdown, no constant folding through it). SURVEY §4 claims
+    // "functions._ over UDFs" — this makes the claim mechanical. The
+    // mapPartitions seams (EmbedDocs, BinaryMedia decode) don't appear
+    // here: they are RDD transitions, not SQL-plan UDF calls, and carry
+    // their own documented justification (per-partition model init).
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val hasUdf = plan.collect {
+        case p if p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])) => p.nodeName
+      }
+      hasUdf.map(n => s"$name: ScalaUDF in $n")
+    }
+    assert(bad.isEmpty, s"ScalaUDF plans found:\n${bad.mkString("\n")}")
+  }
+
   test("scan-predicate queries push their filters into the parquet scan") {
     // queries whose selectivity lives in the WHERE clause: the scan node
     // must advertise non-empty PushedFilters, or every row is read
