@@ -87,6 +87,9 @@ object SparkEntry {
     "conformal_calibrate"   -> (graft.operators.Conformal.conformalEvents(_, _)),
     // seasonal-naive backtest: date-arithmetic forecast join + exact MAE
     "forecast_backtest"     -> (graft.operators.Forecast.forecastBacktestEvents(_, _)),
+    // additive Holt-Winters in integer fixed-point: the REAL model next
+    // to seasonal-naive, recursion hash-gated via a recursive-CTE oracle
+    "holt_winters_backtest" -> (graft.operators.HoltWinters.holtWintersEvents(_, _)),
     // Misra-Gries at capacity >= cardinality == plain GROUP BY COUNT
     "freq_topk_exact"       -> (graft.operators.FreqSketch.freqTopkExact(_, _)),
     // hot-key salted join == plain join (every pair meets exactly once)
@@ -171,6 +174,12 @@ object SparkEntry {
     "dedup_simhash"         -> (SimHashDedup.dedupSimhash(_, _)),
     "dedup_embedding"       -> (EmbeddingDedup.dedupEmbedding(_, _)),
     "dedup_embedding_approx" -> (EmbeddingDedup.dedupEmbeddingApprox(_, _)),
+    // 1 table x 0 bits: LSH candidate machinery degenerates to all-pairs
+    // exact — hash-gated against the dedup_embedding oracle
+    "dedup_embedding_exhaustive" -> (EmbeddingDedup.dedupEmbeddingExhaustive(_, _)),
+    // 1 band spanning the full signature: minhash plumbing reproduces
+    // equal-shingle-set pairs exactly — SQL-expressible, hash-gated
+    "dedup_minhash_exhaustive" -> (MinHashLsh.dedupMinhashExhaustive(_, _)),
     "ann_bruteforce"        -> (BruteForceKnn.annBruteforce(_, _)),
     "ann_lsh"               -> (LshAnn.annLsh(_, _)),
     "ann_ivf"               -> (IvfAnn.annIvf(_, _)),
@@ -193,6 +202,9 @@ object SparkEntry {
     "mm_meta"               -> (BinaryMedia.mmMeta(_, _)),
     "mm_framesample"        -> (BinaryMedia.mmFramesample(_, _)),
     "mm_resize"             -> (BinaryMedia.mmResize(_, _)),
+    // REAL pure-JVM BMP decode: encode docs as actual bitmaps, decode
+    // the bytes back; oracle predicts from the generator's closed form
+    "mm_decode_bmp"         -> (BinaryMedia.mmDecodeBmp(_, _)),
     // zip pack->expand roundtrip: member walk + CRC-verified read + UTF-8
     // decode all land inside the hash gate (oracle = documents itself)
     "mm_zip_expand"         -> (ArchiveIngest.mmZipExpand(_, _)),
@@ -255,6 +267,11 @@ object SparkEntry {
     // rows-gated (tree internals have no SQL oracle) — floors and
     // determinism asserted in RandomForestSpec
     "rf_train_eval"         -> (graft.ml.RandomForestTrain.rfTrainEval(_, _)),
+    // GBT through the same harness (rows-gated like rf_train_eval)
+    "gbt_train_eval"        -> (graft.ml.GbtTrain.gbtTrainEval(_, _)),
+    // per-row Saabas path contributions off the fitted RF (rows-gated;
+    // exact additivity + signal concentration in RfAttributionSpec)
+    "rf_attribution"        -> (graft.ml.RfAttribution.rfAttribution(_, _)),
     // PSI distribution drift: exact integer bins, smoothed shares,
     // micros log terms (fixed cardinality after one scan per side)
     "psi_value_drift"       -> (graft.operators.Drift.psiValueDrift(_, _)),
@@ -362,6 +379,7 @@ object SparkEntry {
     "bloom_prune_join"      -> graft.operators.BloomPrune.oracleSql,
     "conformal_calibrate"   -> graft.operators.Conformal.oracleSql,
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,
+    "holt_winters_backtest" -> graft.operators.HoltWinters.oracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,
     "skew_salted_join"      -> graft.operators.SkewJoin.oracleSql,
     "sample_k_per_group"    -> Sampling.sampleKOracleSql,
@@ -415,11 +433,15 @@ object SparkEntry {
     "dedup_cluster_stats"   -> ExactDedup.clusterStatsOracleSql,
     "dedup_ngram_jaccard"   -> NGramJaccard.oracleSql,
     "dedup_embedding"       -> EmbeddingDedup.oracleSql,
+    // the degenerate 1x0-bit LSH pipeline must equal the exact all-pairs
+    "dedup_embedding_exhaustive" -> EmbeddingDedup.oracleSql,
+    "dedup_minhash_exhaustive"   -> MinHashLsh.exhaustiveOracleSql,
     "ann_bruteforce"        -> BruteForceKnn.oracleSql,
     "ann_ivf_exhaustive"    -> BruteForceKnn.oracleSql,
     "ann_lsh_exhaustive"    -> BruteForceKnn.oracleSql,
     "ann_pq_exhaustive"     -> BruteForceKnn.oracleSql,
     "mm_meta"               -> BinaryMedia.mmMetaOracleSql,
+    "mm_decode_bmp"         -> BinaryMedia.mmDecodeBmpOracleSql,
     "mm_framesample"        -> BinaryMedia.mmFramesampleOracleSql,
     "mm_resize"             -> BinaryMedia.mmResizeOracleSql,
     "mm_zip_expand"         -> ArchiveIngest.oracleSql,

@@ -59,9 +59,11 @@ object LshAnn {
     element_at(
       transform(array(quantize(vec)), qv =>
         array(hq.map { planes =>
+          // foldLeft, not reduce: bits=0 (the all-in-one-bucket
+          // degeneracy gate) folds to the constant bucket 0
           planes.zipWithIndex.map { case (h, j) =>
             when(dotQ(qv, typedlit(h)) >= 0, lit(1 << j)).otherwise(lit(0))
-          }.reduce(_ + _)
+          }.foldLeft(lit(0))(_ + _)
         }: _*)),
       1)
 

@@ -56,8 +56,10 @@ object EmbeddingDedup {
     * 12-table/6-bit config, so dedup recall is effectively total while
     * candidate volume stays linear in corpus size. */
   def similarPairsApprox(vecs: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
-    val post = graft.ann.LshAnn.postings(vecs, idCol, vecCol)
+                         threshold: Double,
+                         tables: Int = graft.ann.LshAnn.Tables_,
+                         bits: Int = graft.ann.LshAnn.Bits): DataFrame = {
+    val post = graft.ann.LshAnn.postings(vecs, idCol, vecCol, tables, bits)
     val cand = post.as("a").join(post.as("b"),
         col("a.table_idx") === col("b.table_idx") &&
           col("a.bucket") === col("b.bucket") &&
@@ -86,6 +88,17 @@ object EmbeddingDedup {
     * DedupSpec together with total recall on planted near-dups). */
   def dedupEmbeddingApprox(spark: SparkSession, dir: String): DataFrame =
     similarPairsApprox(Tables.embeddings(spark, dir), "vec_id", "embedding", threshold = 0.4)
+
+  /** Degeneracy gate (the ann_*_exhaustive trick applied to the dedup
+    * path): 1 table × 0 hyperplane bits puts every vector in ONE bucket,
+    * so the LSH candidate machinery (posting explode, bucket self-join,
+    * distinct, verify join-back) degenerates to all-pairs exact — and
+    * must be bit-identical to [[similarPairs]], whose DuckDB oracle it
+    * therefore shares. Hash-gates the approximate pipeline itself; the
+    * probed `dedup_embedding_approx` stays the declared scale path. */
+  def dedupEmbeddingExhaustive(spark: SparkSession, dir: String): DataFrame =
+    similarPairsApprox(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.4, tables = 1, bits = 0)
 
   def oracleSql: String =
     """WITH q AS (

@@ -135,10 +135,77 @@ object MinHashLsh {
       .withColumn("is_dup", (col("rep_id") =!= col(idCol)).cast("int"))
   }
 
+  /** Degeneracy gate (the ann_*_exhaustive trick): ONE band spanning the
+    * WHOLE signature — the bucket key is a hash of all 32 minhash
+    * components. Identical shingle sets always produce identical
+    * signatures, so every Jaccard-1 pair is a candidate (zero false
+    * negatives at threshold 1.0), and the exact set verification keeps
+    * only shingle-set-identical pairs. The output is therefore exactly
+    * "pairs of documents with equal trigram-shingle sets" — which IS
+    * SQL-expressible, so the minhash machinery (compiled signature
+    * expression, banding explode, bucket join, verify join-back) runs
+    * inside a DuckDB hash gate. The banded probabilistic form stays the
+    * declared 100 TB path; this pins its plumbing. */
+  def identicalShingleSetPairs(docs: DataFrame, idCol: String,
+                               textCol: String): DataFrame = {
+    val sig = docs
+      .select(col(idCol).as("__id"), NGramJaccard.hashedShingles(col(textCol)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", signature(col("__sh")))
+      .localCheckpoint()
+    // one band = the full signature: xxhash64 over the whole array
+    val bucket = sig.select(col("__id"), xxhash64(col("__sig")).as("band_h"))
+    val cand = bucket.as("a").join(bucket.as("b"),
+        col("a.band_h") === col("b.band_h") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
+      .distinct()
+    val nCommon = size(array_intersect(col("__sha"), col("__shb")))
+    cand
+      .join(sig.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
+      .join(sig.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
+      .withColumn("jaccard",
+        nCommon.cast("double") / (size(col("__sha")) + size(col("__shb")) - nCommon))
+      .filter(col("jaccard") >= 1.0)
+      .select(col("a_id"), col("b_id"),
+        size(col("__sha")).cast("int").as("n_common"))
+  }
+
   // ---- query-map entry (#28, rows-gated; semantics asserted in ScalaTest) ----
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     assignReps(docs, "doc_id", nearDupPairs(docs, "doc_id", "text", threshold = 0.5))
   }
+
+  // ---- degeneracy-gated sibling (hash-gated) ----
+
+  /** The corpus carries no exact-duplicate texts at test SF, so the
+    * gated instance PLANTS them (every 20th doc re-keyed at +1,000,000 —
+    * the impute_median discipline: synthetic signal inside the gate so
+    * the pipeline's positive path is exercised, with the oracle planting
+    * identically). */
+  def dedupMinhashExhaustive(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    identicalShingleSetPairs(docs.unionAll(planted), "doc_id", "text")
+  }
+
+  /** Equal-shingle-set pairs, straight from the text — the ground truth
+    * the degenerate 1-band pipeline must reproduce exactly. */
+  def exhaustiveOracleSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+      |), sh AS (
+      |  SELECT doc_id, list_sort(list_distinct(
+      |         list_transform(generate_series(1, len(ws)-2),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) sg
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') ws FROM docs)
+      |  WHERE len(ws) >= 3
+      |)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(len(a.sg) AS INT) AS n_common
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.sg = b.sg""".stripMargin
 }

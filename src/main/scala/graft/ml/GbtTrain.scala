@@ -1,0 +1,52 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.GBTClassifier
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Class-weighted gradient-boosted-trees train + eval — the XGBoost leg
+  * of the reference's tabular stack
+  * (/root/reference/MachineLearning/Ray/tabular/minimal_xgboost_ray.py
+  * trains xgboost on Ray; MachineLearning/SHAP/shap_demo_xgb.py:1-20 fits
+  * xgb before explaining it), re-expressed as MLlib's `GBTClassifier`
+  * through the exact [[RandomForestTrain]] harness: same deterministic
+  * hash split, same train-only balanced class weights, same
+  * (metric, value) output frame — so RF and GBT results are directly
+  * comparable row-for-row.
+  *
+  * Scale: MLlib GBT is sequential over iterations but each iteration is
+  * the same distributed histogram-aggregate tree build as RF — per-node
+  * fixed-size bin statistics over the executors, nothing row-shaped on
+  * the driver. Cost is maxIter × one-tree build; model is O(trees·nodes).
+  *
+  * Rows-gated (tree ensemble internals have no ANSI-SQL oracle) with the
+  * same planted-signal floors + determinism discipline as
+  * RandomForestSpec, in GbtSpec.
+  */
+object GbtTrain {
+
+  /** Train on a deterministic `trainFrac` hash-split of `df`, evaluate
+    * on the held-out rows; returns (metric, value) rows. `labelCol`
+    * must be 0/1 doubles; `idCol` drives the split. */
+  def trainEval(df: DataFrame, idCol: String, labelCol: String,
+                featureCols: Seq[String], trainFrac: Double = 0.8,
+                maxIter: Int = 20, maxDepth: Int = 4,
+                seed: Long = 42L): DataFrame = {
+    val (train, test) =
+      RandomForestTrain.prepSplit(df, idCol, labelCol, featureCols, trainFrac)
+    val gbt = new GBTClassifier()
+      .setLabelCol("label").setFeaturesCol("features").setWeightCol("weight")
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+    val model = gbt.fit(train)
+    val scoredTest = model.transform(test).localCheckpoint()
+    RandomForestTrain.metricsFrame(train, test, scoredTest, featureCols,
+      model.featureImportances.toArray)
+  }
+
+  // ---- query-map entry (rows-gated; floors + determinism in GbtSpec) ----
+
+  /** Gated instance: same planted-signal orders features as
+    * `rf_train_eval` — the machinery gate for the boosted fit. */
+  def gbtTrainEval(spark: SparkSession, dir: String): DataFrame =
+    trainEval(RandomForestTrain.orderFeatures(spark, dir), "o_orderkey",
+      "label01", RandomForestTrain.orderFeatureCols)
+}

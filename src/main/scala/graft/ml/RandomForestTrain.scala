@@ -38,17 +38,17 @@ import graft.operators.{FeatureAssembly, Sampling}
   */
 object RandomForestTrain {
 
-  /** Train on a deterministic `trainFrac` hash-split of `df`, evaluate
-    * on the held-out rows; returns (metric, value) rows. `labelCol`
-    * must be 0/1 doubles; `idCol` drives the split. */
-  def trainEval(df: DataFrame, idCol: String, labelCol: String,
-                featureCols: Seq[String], trainFrac: Double = 0.8,
-                numTrees: Int = 20, maxDepth: Int = 5,
-                seed: Long = 42L): DataFrame = {
+  /** Deterministic prep + split + train-only balanced weights, shared by
+    * every tree-model harness (RF here, GBT in [[GbtTrain]], attribution
+    * in [[RfAttribution]]): assemble features, hash-split on `idCol`,
+    * compute balanced class weights on the TRAIN split only (the
+    * held-out priors must not leak into training, matching the
+    * reference's train-side value_counts), broadcast-join them onto
+    * train. Returns (train-with-weight, test). */
+  private[ml] def prepSplit(df: DataFrame, idCol: String, labelCol: String,
+                            featureCols: Seq[String],
+                            trainFrac: Double): (DataFrame, DataFrame) = {
     require(trainFrac > 0 && trainFrac < 1, "trainFrac in (0,1)")
-    val spark = df.sparkSession
-    import spark.implicits._
-
     val prepped = FeatureAssembly.assemble(df, featureCols, "__farr")
       .withColumn("features", array_to_vector(col("__farr")))
       .withColumn("label", col(labelCol).cast("double"))
@@ -57,23 +57,24 @@ object RandomForestTrain {
       .withColumn("__train", Sampling.portableBucket(col(idCol)) < thr)
     val trainRaw = all.filter(col("__train"))
     val test = all.filter(!col("__train"))
-    // balanced class weights from the TRAIN split only (one tiny agg +
-    // broadcast join) — the held-out priors must not leak into training,
-    // matching the reference's train-side value_counts
     val counts = trainRaw.groupBy("label").agg(count(lit(1)).as("__n"))
     val tot = counts.agg(sum("__n").as("__tot"), count(lit(1)).as("__k"))
     val weights = counts.crossJoin(broadcast(tot))
       .withColumn("weight",
         col("__tot").cast("double") / (col("__k") * col("__n")))
       .select("label", "weight")
-    val train = trainRaw.join(broadcast(weights), "label")
+    (trainRaw.join(broadcast(weights), "label"), test)
+  }
 
-    val rf = new RandomForestClassifier()
-      .setLabelCol("label").setFeaturesCol("features").setWeightCol("weight")
-      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
-    val model = rf.fit(train)
-    val scoredTest = model.transform(test).localCheckpoint() // scored once, read by 3 metrics
-
+  /** Shared eval: score the held-out split, compute AUC / accuracy /
+    * majority baseline / counts, append per-feature importances; one
+    * tall (metric, value) frame. `scoredTest` must carry label,
+    * rawPrediction, prediction. */
+  private[ml] def metricsFrame(train: DataFrame, test: DataFrame,
+                               scoredTest: DataFrame, featureCols: Seq[String],
+                               importances: Array[Double]): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
     val auc = new BinaryClassificationEvaluator()
       .setLabelCol("label").setRawPredictionCol("rawPrediction")
       .setMetricName("areaUnderROC").evaluate(scoredTest)
@@ -83,14 +84,30 @@ object RandomForestTrain {
     val Seq(nTrain, nTest) = Seq(train, test).map(_.count())
     val majority = test.groupBy("label").agg(count(lit(1)).as("n"))
       .agg(max("n").cast("double") / sum("n")).as[Double].head()
-
     val rows = Seq(
       "n_train" -> nTrain.toDouble, "n_test" -> nTest.toDouble,
       "majority_baseline" -> majority, "auc" -> auc, "accuracy" -> acc) ++
-      model.featureImportances.toArray.zip(featureCols).map {
+      importances.zip(featureCols).map {
         case (imp, c) => s"importance_$c" -> imp
       }
     rows.toDF("metric", "value").withColumn("value", round(col("value"), 6))
+  }
+
+  /** Train on a deterministic `trainFrac` hash-split of `df`, evaluate
+    * on the held-out rows; returns (metric, value) rows. `labelCol`
+    * must be 0/1 doubles; `idCol` drives the split. */
+  def trainEval(df: DataFrame, idCol: String, labelCol: String,
+                featureCols: Seq[String], trainFrac: Double = 0.8,
+                numTrees: Int = 20, maxDepth: Int = 5,
+                seed: Long = 42L): DataFrame = {
+    val (train, test) = prepSplit(df, idCol, labelCol, featureCols, trainFrac)
+    val rf = new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features").setWeightCol("weight")
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+    val model = rf.fit(train)
+    val scoredTest = model.transform(test).localCheckpoint() // scored once, read by 3 metrics
+    metricsFrame(train, test, scoredTest, featureCols,
+      model.featureImportances.toArray)
   }
 
   // ---- query-map entry (rows-gated; floors + determinism in spec) ----
@@ -103,15 +120,22 @@ object RandomForestTrain {
     * noise, and RandomForestSpec asserts the fit finds it (AUC ≫ 0.5,
     * importance concentrated on f_price). A machinery gate for the
     * distributed fit/score/eval path, not a modeling claim. */
-  def rfTrainEval(spark: SparkSession, dir: String): DataFrame = {
-    val feats = Tables.orders(spark, dir)
+  /** The shared gated-instance feature block (also the GBT and
+    * attribution input): planted-signal price threshold label, price
+    * carries the signal, date/priority are noise. */
+  private[ml] def orderFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
       .withColumn("label01", when(col("o_totalprice") > 250000.0, 1.0).otherwise(0.0))
       .withColumn("f_price", col("o_totalprice"))
       .withColumn("f_year", year(col("o_orderdate")).cast("double"))
       .withColumn("f_month", month(col("o_orderdate")).cast("double"))
       .withColumn("f_priority",
         substring(col("o_orderpriority"), 1, 1).cast("double"))
-    trainEval(feats, "o_orderkey", "label01",
-      Seq("f_price", "f_year", "f_month", "f_priority"))
-  }
+
+  private[ml] val orderFeatureCols =
+    Seq("f_price", "f_year", "f_month", "f_priority")
+
+  def rfTrainEval(spark: SparkSession, dir: String): DataFrame =
+    trainEval(orderFeatures(spark, dir), "o_orderkey", "label01",
+      orderFeatureCols)
 }

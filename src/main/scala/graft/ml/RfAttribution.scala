@@ -1,0 +1,105 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, InternalNode, LeafNode, Node}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-row feature attribution for a fitted RandomForest — the
+  * Saabas path-contribution method, the distributed Spark-native
+  * analogue of the reference's per-row SHAP explanation
+  * (/root/reference/MachineLearning/SHAP/shap_demo_xgb.py:20-40 computes
+  * per-row shap_values for a fitted xgb model; `rf_train_eval` covers
+  * only the global importances at :14).
+  *
+  * Method: for each row and each tree, walk root→leaf; at every internal
+  * node the change in node prediction from parent to chosen child is
+  * credited to the feature the node splits on. The telescoping sum makes
+  * the decomposition EXACT per tree:
+  *   leaf = root + Σ_path (child − parent)
+  * so averaging over trees gives score(row) = baseline + Σ_f contrib_f
+  * bit-exactly (assertable to float round-off in the spec — Saabas'
+  * property, which sampling-based SHAP only approaches).
+  *
+  * Node values are the public `Node.prediction` (majority class at the
+  * node), so the per-tree walk contributes class-vote units and the
+  * averaged score is the forest's VOTE SHARE for class 1 — the model's
+  * own hard-vote aggregation, chosen because MLlib keeps per-node class
+  * distributions `private[ml]`. The additivity and signal-concentration
+  * properties the spec gates are identical in either unit.
+  *
+  * Scale: the fitted model is O(trees·nodes) and rides the task closure;
+  * attribution is one map-side pass over the rows (mapPartitions — the
+  * per-row tree walk is genuinely imperative, the same documented seam
+  * as EmbedDocs' per-partition model init). No shuffle, no driver rows.
+  */
+object RfAttribution {
+
+  /** Walk `node` for `feats`, crediting prediction deltas to split
+    * features in `contrib`; returns the leaf prediction. */
+  @annotation.tailrec
+  private def walk(node: Node, feats: Array[Double],
+                   contrib: Array[Double]): Double = node match {
+    case leaf: LeafNode => leaf.prediction
+    case n: InternalNode =>
+      val f = n.split.featureIndex
+      val goLeft = n.split match {
+        case c: ContinuousSplit  => feats(f) <= c.threshold
+        case c: CategoricalSplit => c.leftCategories.contains(feats(f))
+      }
+      val child = if (goLeft) n.leftChild else n.rightChild
+      contrib(f) += child.prediction - n.prediction
+      walk(child, feats, contrib)
+  }
+
+  /** Per-row contributions for every row of `rows` (must carry `idCol`,
+    * `label`, and `featCol` = array<double> in `featureCols` order).
+    * Output: (id, label, baseline, score, contrib_<f>...) with
+    * score = baseline + Σ contribs exactly. */
+  def contributions(model: RandomForestClassificationModel, rows: DataFrame,
+                    idCol: String, featCol: String,
+                    featureCols: Seq[String]): DataFrame = {
+    val spark = rows.sparkSession
+    val trees = model.trees.map(_.rootNode)
+    val nTrees = trees.length.toDouble
+    val baseline = trees.map(_.prediction).sum / nTrees
+    val k = featureCols.length
+    val outSchema = StructType(
+      StructField("id", LongType) +: StructField("label", DoubleType) +:
+      StructField("baseline", DoubleType) +: StructField("score", DoubleType) +:
+      featureCols.map(c => StructField(s"contrib_$c", DoubleType)))
+    val out = rows.select(col(idCol).cast("long"), col("label"), col(featCol))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val feats = r.getSeq[Double](2).toArray
+          val contrib = new Array[Double](k)
+          var vote = 0.0
+          trees.foreach { t => vote += walk(t, feats, contrib) }
+          val score = vote / nTrees
+          var i = 0
+          while (i < k) { contrib(i) /= nTrees; i += 1 }
+          Row.fromSeq(r.getLong(0) +: r.getDouble(1) +: baseline +: score +:
+            contrib.toSeq)
+        }
+      }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  // ---- query-map entry (rows-gated; additivity + signal in spec) ----
+
+  /** Gated instance: fit the same planted-signal RF as `rf_train_eval`,
+    * attribute every held-out row. The spec asserts exact additivity and
+    * that |contrib| mass concentrates on the planted signal feature. */
+  def rfAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val featureCols = RandomForestTrain.orderFeatureCols
+    val (train, test) = RandomForestTrain.prepSplit(
+      RandomForestTrain.orderFeatures(spark, dir), "o_orderkey", "label01",
+      featureCols, trainFrac = 0.8)
+    val rf = new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features").setWeightCol("weight")
+      .setNumTrees(20).setMaxDepth(5).setSeed(42L)
+    val model = rf.fit(train)
+    contributions(model, test, "o_orderkey", "__farr", featureCols)
+  }
+}

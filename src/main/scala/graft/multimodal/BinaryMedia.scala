@@ -79,26 +79,73 @@ object BinaryMedia {
       .select("media_id", "width", "height", "out_w", "out_h", "out_bytes")
   }
 
-  /** Batched stub decode — the mapPartitions seam where a real codec
-    * (per-partition init, batch decode call) plugs in; returns a fake
-    * per-item "luma" = mean payload byte. */
+  /** Batched decode — the mapPartitions seam where codecs plug in. BMP
+    * payloads (structurally validated, see [[BmpCodec.isBmp]]) go
+    * through the REAL pure-JVM decoder: avg_luma is the exact mean
+    * channel byte over decoded pixel rows (header and padding excluded).
+    * Foreign formats fall back to the payload byte mean — the container
+    * ships no other codecs, and the fallback keeps the seam total. */
   def decodeBatch(media: DataFrame, batchSize: Int = 32): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("avg_luma", DoubleType)))
     val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
-      // per-partition decoder init goes here (stub has none)
+      // per-partition decoder init goes here (BmpCodec is stateless)
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]]("payload")
-          val luma = if (bytes.isEmpty) 0.0
+          val luma =
+            if (BmpCodec.isBmp(bytes)) {
+              val d = BmpCodec.decode(bytes)
+              d.sumRgb.toDouble / (3.0 * d.nPx)
+            } else if (bytes.isEmpty) 0.0
             else bytes.map(b => (b & 0xFF).toDouble).sum / bytes.length
           Row(r.getLong(0), luma)
         }
       }
     }
     spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Deterministic REAL-BMP media table: each doc becomes a w×h
+    * grayscale bitmap (dimensions and pixels closed-form in doc_id, so
+    * the decode gate has a SQL oracle that never parses bytes — the
+    * encoder writes a real header, the decoder must read it back). */
+  def bmpMediaFromDocs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 24 + 8).toInt
+        val h = (id % 16 + 8).toInt
+        Row(id, BmpCodec.encodeGray(w, h,
+          (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Decode stats straight off real BMP bytes: dimensions from the
+    * header, exact channel-byte sum from the pixel rows. */
+  def decodeBmpStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_px", LongType),
+      StructField("sum_rgb", LongType)))
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val d = BmpCodec.decode(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), d.width, d.height, d.nPx, d.sumRgb)
+      }
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   // ---- query-map entries (#38, #39) ----
@@ -137,6 +184,30 @@ object BinaryMedia {
       |  CAST(floor(height * sc) AS INT) AS out_h,
       |  CAST(floor(width * sc) AS BIGINT) * CAST(floor(height * sc) AS BIGINT) * 3 AS out_bytes
       |FROM s""".stripMargin
+
+  /** Real-decode gate: encode every doc as an actual BMP, decode the
+    * BYTES back (header parse + padded-row walk), emit stats. The
+    * oracle predicts them from the generator's closed form — so the
+    * hash gate proves the decoder reads back exactly what a spec-valid
+    * encoder wrote. Planted-pixel byte-level checks live in BmpSpec. */
+  def mmDecodeBmp(spark: SparkSession, dir: String): DataFrame =
+    decodeBmpStats(bmpMediaFromDocs(Tables.documents(spark, dir), "doc_id"))
+
+  def mmDecodeBmpOracleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) AS w,
+      |         CAST(doc_id % 16 + 8 AS INT) AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h,
+      |    CAST((doc_id * 31 + x.v * 7 + y.v * 13) % 256 AS BIGINT) AS g
+      |  FROM p, unnest(generate_series(0, w - 1)) AS x(v),
+      |       unnest(generate_series(0, h - 1)) AS y(v)
+      |)
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  CAST(w AS BIGINT) * h AS n_px,
+      |  CAST(3 * sum(g) AS BIGINT) AS sum_rgb
+      |FROM px GROUP BY doc_id, w, h""".stripMargin
 
   def mmFramesample(spark: SparkSession, dir: String): DataFrame =
     frameSample(

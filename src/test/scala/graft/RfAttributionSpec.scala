@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.RfAttribution
+
+/** Saabas path-contribution attribution: the telescoping decomposition
+  * is EXACT (score = baseline + Σ contributions per row, to float
+  * round-off) and the attribution mass must land on the planted signal
+  * feature — the properties sampling-based SHAP can only approximate. */
+class RfAttributionSpec extends SparkSpec {
+
+  private lazy val attr = RfAttribution.rfAttribution(spark, sfDir)
+    .localCheckpoint()
+
+  test("every held-out row decomposes exactly: score = baseline + sum(contribs)") {
+    val contribCols = attr.columns.filter(_.startsWith("contrib_"))
+    val resid = attr.select(
+      abs(col("score") - col("baseline") -
+        contribCols.map(col).reduce(_ + _)).as("r"))
+      .agg(max("r")).head().getDouble(0)
+    assert(resid < 1e-9, s"additivity violated: max residual $resid")
+  }
+
+  test("scores are valid vote shares and rows cover the test split") {
+    val n = attr.count()
+    assert(n > 0)
+    val bad = attr.filter(col("score") < 0 || col("score") > 1).count()
+    assert(bad == 0, "vote share outside [0,1]")
+  }
+
+  test("attribution mass concentrates on the planted signal feature") {
+    val means = attr.agg(
+      avg(abs(col("contrib_f_price"))).as("p"),
+      avg(abs(col("contrib_f_year"))).as("y"),
+      avg(abs(col("contrib_f_month"))).as("m"),
+      avg(abs(col("contrib_f_priority"))).as("pr")).head()
+    val (p, rest) = (means.getDouble(0), Seq(means.getDouble(1), means.getDouble(2), means.getDouble(3)))
+    assert(rest.forall(p > _), s"signal not dominant: price=$p others=$rest")
+  }
+
+  test("contributions separate the classes the model predicts") {
+    // rows the forest votes positive on should carry net-positive
+    // contributions (score > baseline) and vice versa
+    val wrong = attr.filter(
+      (col("score") > col("baseline") + 0.3) && col("label") === 0.0).count()
+    val total = attr.count()
+    assert(wrong < total / 4, "strongly-positive attributions mostly on negatives")
+  }
+}
