@@ -205,6 +205,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming throttle: old-but-within-watermark buckets cannot re-admit") {
+    // regression (round-11 ADVICE): with keepBuckets·bucketMs smaller
+    // than the watermark delay, the old horizon-based pruning dropped an
+    // admitted bucket from state while the watermark still let events
+    // into it — every such event re-admitted. Pruning now follows the
+    // watermark, so the bucket stays until no event can reach it.
+    import graft.streaming.ThrottleStream
+    import ThrottleStream.{Evt => TEvt}
+    val in = MemoryStream[TEvt](spark)
+    val q = ThrottleStream.keepFirst(in.toDS(),
+        bucketMs = 60 * 1000L, keepBuckets = 1, watermark = "1 hour")
+      .writeStream.format("memory").queryName("throttled_wm")
+      .outputMode("append").start()
+    in.addData(
+      TEvt(1L, "click", ts("2024-01-01 10:00:10"), 300L, 1.0), // bucket 10:00
+      TEvt(1L, "click", ts("2024-01-01 10:05:10"), 301L, 1.0)) // bucket 10:05
+    q.processAllAvailable()
+    // next batch: bucket 10:00 again — older than newest−keepBuckets but
+    // comfortably within the 1h watermark. Must stay suppressed.
+    in.addData(TEvt(1L, "click", ts("2024-01-01 10:00:40"), 302L, 1.0))
+    q.processAllAvailable()
+    val ids = spark.table("throttled_wm").as[TEvt].collect().map(_.event_id).toSet
+    assert(ids == Set(300L, 301L), s"watermark-reachable bucket re-admitted: $ids")
+    q.stop()
+  }
+
   test("streaming throttle: dedup state survives a checkpointed restart") {
     import graft.streaming.ThrottleStream
     import ThrottleStream.{Evt => TEvt}
