@@ -79,15 +79,22 @@ object BowVectors {
     bowSparse(Tables.documents(spark, dir), "doc_id", "text", Dim)
       .select(col("doc_id"), col("dim"), col("val"))
 
-  /** Every 50th document queries the rest: exact top-5 sparse cosine —
-    * the text→embedding→ANN pipeline under one hash gate. The vector
-    * table is localCheckpoint'd once (four downstream consumers). */
+  /** A FIXED query batch (every 50th doc among ids < 5000 — identical
+    * to "every 50th doc" at the sf0.01 gate) against the whole rest of
+    * the corpus: exact top-5 sparse cosine — the text→embedding→ANN
+    * pipeline under one hash gate. The query set is deliberately
+    * BOUNDED: a top-k service answers a fixed query batch per job while
+    * the corpus is the scaling dimension, so the inverted-index join
+    * stays O(|batch|·corpus) — a %-of-corpus query set made the whole
+    * key quadratic (measured 49× at 10× data in the round-11 sf1 sweep;
+    * linear after this change). The vector table is localCheckpoint'd
+    * once (four downstream consumers). */
   def annSparseBow(spark: SparkSession, dir: String): DataFrame = {
     val v = bowSparse(Tables.documents(spark, dir), "doc_id", "text", Dim)
       .withColumnRenamed("doc_id", "id")
       .localCheckpoint()
-    sparseTopK(v.filter(col("id") % 50 === 0),
-      v.filter(col("id") % 50 =!= 0), k = 5)
+    val isQuery = col("id") % 50 === 0 && col("id") < 5000
+    sparseTopK(v.filter(isQuery), v.filter(!isQuery), k = 5)
   }
 
   private val tokHashSql =
@@ -113,8 +120,10 @@ object BowVectors {
   def annSparseBowOracleSql: String =
     s"""WITH $bowSql,
        |n AS (SELECT doc_id, sum(val*val) AS n2 FROM v GROUP BY doc_id),
-       |q AS (SELECT doc_id AS query_id, dim, val FROM v WHERE doc_id % 50 = 0),
-       |c AS (SELECT doc_id AS neighbor_id, dim, val FROM v WHERE doc_id % 50 <> 0),
+       |q AS (SELECT doc_id AS query_id, dim, val FROM v
+       |      WHERE doc_id % 50 = 0 AND doc_id < 5000),
+       |c AS (SELECT doc_id AS neighbor_id, dim, val FROM v
+       |      WHERE NOT (doc_id % 50 = 0 AND doc_id < 5000)),
        |dots AS (
        |  SELECT query_id, neighbor_id, sum(q.val * c.val) AS dot
        |  FROM q JOIN c USING (dim) GROUP BY query_id, neighbor_id),
