@@ -90,6 +90,8 @@ object SparkEntry {
     // additive Holt-Winters in integer fixed-point: the REAL model next
     // to seasonal-naive, recursion hash-gated via a recursive-CTE oracle
     "holt_winters_backtest" -> (graft.operators.HoltWinters.holtWintersEvents(_, _)),
+    // AutoETS-style per-series model selection over the two exact models
+    "auto_forecast"         -> (graft.operators.AutoForecast.autoForecastEvents(_, _)),
     // Misra-Gries at capacity >= cardinality == plain GROUP BY COUNT
     "freq_topk_exact"       -> (graft.operators.FreqSketch.freqTopkExact(_, _)),
     // hot-key salted join == plain join (every pair meets exactly once)
@@ -380,6 +382,7 @@ object SparkEntry {
     "conformal_calibrate"   -> graft.operators.Conformal.oracleSql,
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,
     "holt_winters_backtest" -> graft.operators.HoltWinters.oracleSql,
+    "auto_forecast"         -> graft.operators.AutoForecast.oracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,
     "skew_salted_join"      -> graft.operators.SkewJoin.oracleSql,
     "sample_k_per_group"    -> Sampling.sampleKOracleSql,

@@ -29,7 +29,7 @@ object GbtTrain {
     * must be 0/1 doubles; `idCol` drives the split. */
   def trainEval(df: DataFrame, idCol: String, labelCol: String,
                 featureCols: Seq[String], trainFrac: Double = 0.8,
-                maxIter: Int = 20, maxDepth: Int = 4,
+                maxIter: Int = 10, maxDepth: Int = 4,
                 seed: Long = 42L): DataFrame = {
     val (train, test) =
       RandomForestTrain.prepSplit(df, idCol, labelCol, featureCols, trainFrac)

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-series model selection over the forecast backtests — the
+  * evaluation/selection loop of the reference's forecasting stack
+  * (/root/reference/MachineLearning/Kubernetes/src/stats_forecast_tune.py:
+  * 291-356 `evaluate_models_with_cv` builds the per-series per-model
+  * error table and picks the winner; AutoETS itself is "fit candidates,
+  * keep the best"). Both candidate models here are EXACT integer
+  * pipelines ([[Forecast]] seasonal-naive, [[HoltWinters]] additive
+  * ETS), so the leaderboard — per-series MAE of each model, the chosen
+  * winner, its error — is deterministic and sits inside one DuckDB hash
+  * gate, composed from the two models' already-gated oracles.
+  *
+  * Tie-break is explicit and engine-identical: Holt-Winters wins ties
+  * (both MAEs derive from exact integer sums, so `<=` compares
+  * identical doubles on both engines).
+  *
+  * Scale: one narrow join of two per-key aggregate frames; each input
+  * carries the scale shape documented on its own operator.
+  */
+object AutoForecast {
+
+  /** Join the two backtests per key and pick the winner. */
+  def leaderboard(sn: DataFrame, hw: DataFrame, keyCol: String): DataFrame =
+    hw.select(col(keyCol), col("mae_cents").as("mae_hw_cents"))
+      .join(sn.select(col(keyCol), col("mae_cents").as("mae_sn_cents")), keyCol)
+      .select(col(keyCol), col("mae_sn_cents"), col("mae_hw_cents"),
+        when(col("mae_hw_cents") <= col("mae_sn_cents"), lit("holt_winters"))
+          .otherwise(lit("seasonal_naive")).as("best_model"),
+        least(col("mae_hw_cents"), col("mae_sn_cents")).as("best_mae_cents"))
+
+  // ---- query-map entry (hash-gated) ----
+
+  def autoForecastEvents(spark: SparkSession, dir: String): DataFrame =
+    leaderboard(
+      Forecast.forecastBacktestEvents(spark, dir),
+      HoltWinters.holtWintersEvents(spark, dir), "user_id")
+
+  /** Composed oracle: the Holt-Winters recursive CTE chain (as gated on
+    * its own key) + the seasonal-naive backtest rebuilt on the same
+    * sparse daily CTE (`d`), joined per key. */
+  def oracleSql: String = {
+    val hwBody = HoltWinters.oracleSql
+    // reuse everything up to (and including) the ev CTE; swap the final
+    // SELECT for CTE composition
+    val upToEv = hwBody.substring(0, hwBody.lastIndexOf("SELECT p.user_id")).trim
+    s"""$upToEv,
+       |hw AS (
+       |  SELECT p.user_id, CAST(sum(abs(e.cents - p.yhat)) AS DOUBLE) / count(*) AS mae
+       |  FROM preds p JOIN ev e ON e.user_id = p.user_id AND e.k = p.k
+       |  GROUP BY p.user_id),
+       |sn_ev AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS recency
+       |  FROM d),
+       |sn_j AS (
+       |  SELECT e.user_id, e.cents, h.cents AS hcents
+       |  FROM sn_ev e JOIN d h ON e.user_id = h.user_id AND e.day = h.day + 7
+       |  WHERE e.recency <= 7),
+       |sn AS (
+       |  SELECT user_id, CAST(sum(abs(cents - hcents)) AS DOUBLE) / count(*) AS mae
+       |  FROM sn_j GROUP BY user_id)
+       |SELECT hw.user_id, sn.mae AS mae_sn_cents, hw.mae AS mae_hw_cents,
+       |  CASE WHEN hw.mae <= sn.mae THEN 'holt_winters' ELSE 'seasonal_naive' END AS best_model,
+       |  least(hw.mae, sn.mae) AS best_mae_cents
+       |FROM hw JOIN sn USING (user_id)""".stripMargin
+  }
+}
