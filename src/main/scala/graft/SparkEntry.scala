@@ -297,6 +297,8 @@ object SparkEntry {
     // BPE merge mining over the (word, freq) vocab; rows-gated (greedy
     // argmax recursion has no SQL oracle) — sequence asserted in spec
     "bpe_merges"            -> (graft.functions.BpeMerges.bpeMergesDocs(_, _)),
+    // k=1 degeneracy: first merge == SQL argmax over weighted pair counts
+    "bpe_first_merge"       -> (graft.functions.BpeMerges.bpeFirstMerge(_, _)),
     // exact per-group discrete quantiles (indexed order statistics over
     // value cells — the GK sketch family's exact baseline, grouped)
     "group_quantiles"       -> (graft.operators.GroupQuantiles.quantilesLineitem(_, _)),
@@ -383,6 +385,7 @@ object SparkEntry {
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,
     "holt_winters_backtest" -> graft.operators.HoltWinters.oracleSql,
     "auto_forecast"         -> graft.operators.AutoForecast.oracleSql,
+    "bpe_first_merge"       -> graft.functions.BpeMerges.firstMergeOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,
     "skew_salted_join"      -> graft.operators.SkewJoin.oracleSql,
     "sample_k_per_group"    -> Sampling.sampleKOracleSql,

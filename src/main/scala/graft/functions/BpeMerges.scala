@@ -81,4 +81,32 @@ object BpeMerges {
     * Round10OpsSpec. */
   def bpeMergesDocs(spark: SparkSession, dir: String): DataFrame =
     topMerges(Tables.documents(spark, dir), "text", k = 8)
+
+  // ---- degeneracy-gated sibling (hash-gated) ----
+
+  /** k=1 degeneracy: the first BPE merge is simply the most frequent
+    * adjacent character pair over the (word, freq) vocab with the
+    * (count DESC, left, right) total order — SQL-expressible, so the
+    * vocab collapse, pair counting, weighting, and argmax ordering all
+    * sit inside a DuckDB hash gate (the greedy RECURSION stays
+    * rows+spec-gated on the k=8 key). */
+  def bpeFirstMerge(spark: SparkSession, dir: String): DataFrame =
+    topMerges(Tables.documents(spark, dir), "text", k = 1)
+
+  def firstMergeOracleSql: String =
+    """WITH wd AS (
+      |  SELECT x AS w, count(*) AS freq
+      |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS x
+      |        FROM documents)
+      |  WHERE len(x) > 0 GROUP BY 1
+      |), pairs AS (
+      |  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, freq
+      |  FROM wd, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      |  WHERE len(w) >= 2
+      |), agg AS (
+      |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS c FROM pairs GROUP BY l, r
+      |)
+      |SELECT CAST(1 AS INT) AS merge_rank, l AS "left", r AS "right",
+      |  c AS pair_count
+      |FROM agg WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1""".stripMargin
 }
