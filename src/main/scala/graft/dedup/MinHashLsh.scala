@@ -33,23 +33,41 @@ object MinHashLsh {
     graft.functions.Native.call("graft_minhash_signature",
       exprs => graft.functions.MinHashSignature(exprs.head, SigLen), hashedShingleArr)
 
-  /** Verified near-dup pairs (a_id < b_id, Jaccard ≥ threshold). */
-  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double): DataFrame = {
-    // signatures are materialized once — by design: at scale the table is
-    // |docs| × (32 longs + hashed shingles), tiny next to the corpus, and
-    // both the banding join and the verification join-back read it.
-    // localCheckpoint (EAGER — one job at construction) rather than
-    // cache(): checkpoint blocks are released by the ContextCleaner when
-    // the plan is garbage collected, so a library caller looping over
-    // corpora doesn't accumulate pinned signature tables the way
-    // un-unpersisted cache() entries did
-    val sig = docs
+  /** Signature table (__id, __sh hashed shingles, __sig minhash array),
+    * materialized once — by design: at scale the table is |docs| ×
+    * (32 longs + hashed shingles), tiny next to the corpus, and both the
+    * banding join and the verification join-back read it.
+    * localCheckpoint (EAGER — one job at construction) rather than
+    * cache(): checkpoint blocks are released by the ContextCleaner when
+    * the plan is garbage collected, so a library caller looping over
+    * corpora doesn't accumulate pinned signature tables the way
+    * un-unpersisted cache() entries did. Shared by the banded pipeline
+    * and the full-signature degeneracy gate so the two can never
+    * de-synchronize on shingling/signing. */
+  private def sigTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("__id"), NGramJaccard.hashedShingles(col(textCol)).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .withColumn("__sig", signature(col("__sh")))
       .localCheckpoint()
 
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs against
+    * the signature table's shingle sets — the one shared verify step. */
+  private def verifyJaccard(cand: DataFrame, sig: DataFrame,
+                            threshold: Double): DataFrame = {
+    val nCommon = size(array_intersect(col("__sha"), col("__shb")))
+    cand
+      .join(sig.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
+      .join(sig.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
+      .withColumn("jaccard",
+        nCommon.cast("double") / (size(col("__sha")) + size(col("__shb")) - nCommon))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Verified near-dup pairs (a_id < b_id, Jaccard ≥ threshold). */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    val sig = sigTable(docs, idCol, textCol)
     val bands = sig.select(col("__id"), explode(
       transform(sequence(lit(0), lit(Bands - 1)),
         j => struct(j.cast("int").as("band_idx"),
@@ -65,14 +83,7 @@ object MinHashLsh {
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
       .distinct()
 
-    val nCommon = size(array_intersect(col("__sha"), col("__shb")))
-    cand
-      .join(sig.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
-      .join(sig.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
-      .withColumn("jaccard",
-        nCommon.cast("double") / (size(col("__sha")) + size(col("__shb")) - nCommon))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+    verifyJaccard(cand, sig, threshold).select("a_id", "b_id", "jaccard")
   }
 
   /** Per-doc keeper assignment: rep_id = the minimum id of the document's
@@ -148,24 +159,14 @@ object MinHashLsh {
     * declared 100 TB path; this pins its plumbing. */
   def identicalShingleSetPairs(docs: DataFrame, idCol: String,
                                textCol: String): DataFrame = {
-    val sig = docs
-      .select(col(idCol).as("__id"), NGramJaccard.hashedShingles(col(textCol)).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", signature(col("__sh")))
-      .localCheckpoint()
+    val sig = sigTable(docs, idCol, textCol)
     // one band = the full signature: xxhash64 over the whole array
     val bucket = sig.select(col("__id"), xxhash64(col("__sig")).as("band_h"))
     val cand = bucket.as("a").join(bucket.as("b"),
         col("a.band_h") === col("b.band_h") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
       .distinct()
-    val nCommon = size(array_intersect(col("__sha"), col("__shb")))
-    cand
-      .join(sig.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
-      .join(sig.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
-      .withColumn("jaccard",
-        nCommon.cast("double") / (size(col("__sha")) + size(col("__shb")) - nCommon))
-      .filter(col("jaccard") >= 1.0)
+    verifyJaccard(cand, sig, threshold = 1.0)
       .select(col("a_id"), col("b_id"),
         size(col("__sha")).cast("int").as("n_common"))
   }

@@ -25,6 +25,21 @@ object BpeMerges {
 
   case class Vw(syms: Seq[String], freq: Long)
 
+  /** Initial symbols = CODEPOINTS, not UTF-16 code units (`split("")`
+    * halves astral characters into surrogate pairs, which both breaks
+    * BPE's symbol model and diverges from the DuckDB oracle's
+    * codepoint-wise `substr` on the k=1 gate). */
+  private[functions] def codepoints(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   /** Top `k` BPE merges over whitespace-lowercase words of `textCol`:
     * (merge_rank, left, right, pair_count). Stops early if no pair
     * repeats. */
@@ -37,7 +52,7 @@ object BpeMerges {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .map { case (w, f) => Vw(w.split("").toSeq, f) }
+      .map { case (w, f) => Vw(codepoints(w), f) }
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var round = 1

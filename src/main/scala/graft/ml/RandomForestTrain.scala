@@ -112,14 +112,6 @@ object RandomForestTrain {
 
   // ---- query-map entry (rows-gated; floors + determinism in spec) ----
 
-  /** Gated instance: high-value-order label (o_totalprice > 250k, the
-    * reference's binary-label shape). The driver's synthetic tables have
-    * mutually INDEPENDENT columns — no cross-column signal exists to
-    * model — so the gate plants recoverable signal instead: the price
-    * feature carries the threshold, the date/priority features are
-    * noise, and RandomForestSpec asserts the fit finds it (AUC ≫ 0.5,
-    * importance concentrated on f_price). A machinery gate for the
-    * distributed fit/score/eval path, not a modeling claim. */
   /** The shared gated-instance feature block (also the GBT and
     * attribution input): planted-signal price threshold label, price
     * carries the signal, date/priority are noise. */
@@ -135,6 +127,14 @@ object RandomForestTrain {
   private[ml] val orderFeatureCols =
     Seq("f_price", "f_year", "f_month", "f_priority")
 
+  /** Gated instance: high-value-order label (o_totalprice > 250k, the
+    * reference's binary-label shape). The driver's synthetic tables have
+    * mutually INDEPENDENT columns — no cross-column signal exists to
+    * model — so the gate plants recoverable signal instead: the price
+    * feature carries the threshold, the date/priority features are
+    * noise, and RandomForestSpec asserts the fit finds it (AUC ≫ 0.5,
+    * importance concentrated on f_price). A machinery gate for the
+    * distributed fit/score/eval path, not a modeling claim. */
   def rfTrainEval(spark: SparkSession, dir: String): DataFrame =
     trainEval(orderFeatures(spark, dir), "o_orderkey", "label01",
       orderFeatureCols)

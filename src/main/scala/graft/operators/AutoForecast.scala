@@ -39,15 +39,12 @@ object AutoForecast {
       Forecast.forecastBacktestEvents(spark, dir),
       HoltWinters.holtWintersEvents(spark, dir), "user_id")
 
-  /** Composed oracle: the Holt-Winters recursive CTE chain (as gated on
-    * its own key) + the seasonal-naive backtest rebuilt on the same
-    * sparse daily CTE (`d`), joined per key. */
+  /** Composed oracle: the Holt-Winters recursive CTE chain (the SAME
+    * [[HoltWinters.oracleCtePrefix]] its own gate runs on — structural
+    * reuse, no string surgery) + the seasonal-naive backtest rebuilt on
+    * the shared sparse daily CTE (`d`), joined per key. */
   def oracleSql: String = {
-    val hwBody = HoltWinters.oracleSql
-    // reuse everything up to (and including) the ev CTE; swap the final
-    // SELECT for CTE composition
-    val upToEv = hwBody.substring(0, hwBody.lastIndexOf("SELECT p.user_id")).trim
-    s"""$upToEv,
+    s"""${HoltWinters.oracleCtePrefix},
        |hw AS (
        |  SELECT p.user_id, CAST(sum(abs(e.cents - p.yhat)) AS DOUBLE) / count(*) AS mae
        |  FROM preds p JOIN ev e ON e.user_id = p.user_id AND e.k = p.k

@@ -110,9 +110,10 @@ object HoltWinters {
       "user_id", "day", "cents", season = 7, horizon = 7)
       .select("user_id", "n_eval", "mae_cents", "bias_cents")
 
-  /** The same integer recursion as a recursive CTE carrying the
-    * seasonal state as a list; floor division decomposed identically. */
-  def oracleSql: String = {
+  /** The recursive-CTE chain up to (and including) the `preds`/`ev`
+    * CTEs — exposed separately so [[AutoForecast]] composes the shared
+    * prefix STRUCTURALLY instead of substring-parsing a sibling's SQL. */
+  def oracleCtePrefix: String = {
     def fdk(e: String, d: Int): String = s"((($e) - ((($e) % $d) + $d) % $d) // $d)"
     val lt = fdk("y.cents - r.s[1] + r.l + r.b", 2)
     s"""WITH RECURSIVE
@@ -160,11 +161,16 @@ object HoltWinters {
        |ev AS (
        |  SELECT a.user_id,
        |    CAST(a.day - (SELECT cutoff FROM cut) AS INT) AS k, a.cents
-       |  FROM dense a, cut WHERE a.day > cut.cutoff)
+       |  FROM dense a, cut WHERE a.day > cut.cutoff)""".stripMargin
+  }
+
+  /** The same integer recursion as a recursive CTE carrying the
+    * seasonal state as a list; floor division decomposed identically. */
+  def oracleSql: String =
+    s"""$oracleCtePrefix
        |SELECT p.user_id, count(*) AS n_eval,
        |  CAST(sum(abs(e.cents - p.yhat)) AS DOUBLE) / count(*) AS mae_cents,
        |  CAST(sum(e.cents - p.yhat) AS DOUBLE) / count(*) AS bias_cents
        |FROM preds p JOIN ev e ON e.user_id = p.user_id AND e.k = p.k
        |GROUP BY p.user_id""".stripMargin
-  }
 }

@@ -44,23 +44,32 @@ object ThrottleStream {
       Iterator.empty
     } else {
       var seen = state.getOption.getOrElse(Seen(Long.MinValue, Set.empty))
-      // a bucket is prunable only once the watermark passes its end:
-      // the watermark filter drops any later event that could land in
-      // it, so pruning can never cause a re-admit
-      val wm = state.getCurrentWatermarkMs()
       val out = Seq.newBuilder[Evt]
       events.foreach { e =>
         val b = e.ts.getTime / bucketMs
         if (!seen.buckets.contains(b)) {
           out += e
-          val newest = math.max(seen.newestBucket, b)
-          val pruned = (seen.buckets + b).filter(bk => (bk + 1) * bucketMs > wm)
-          seen = Seen(newest, pruned)
+          seen = Seen(math.max(seen.newestBucket, b), seen.buckets + b)
         }
       }
-      state.update(seen)
-      // state dies once the watermark passes the horizon of its newest bucket
-      state.setTimeoutTimestamp((seen.newestBucket + keepBuckets) * bucketMs)
+      // Prune ONCE, after the whole batch: a bucket is prunable only
+      // when the eviction watermark passed its end, because the NEXT
+      // batch's late filter runs at (at least) this watermark and drops
+      // any event that could land in it. Pruning inside the loop would
+      // drop a just-admitted bucket while later same-batch events for it
+      // are still in the iterator (Spark's late filter uses the PREVIOUS
+      // batch's watermark — SPARK-40925 — so such events do arrive),
+      // re-admitting duplicates.
+      val wm = state.getCurrentWatermarkMs()
+      state.update(Seen(seen.newestBucket,
+        seen.buckets.filter(bk => (bk + 1) * bucketMs > wm)))
+      // state dies once the watermark passes the horizon of its newest
+      // bucket — clamped above the current watermark: a batch admitting
+      // only filter-surviving stragglers can have newest+keepBuckets
+      // behind the eviction watermark, and an un-clamped timestamp
+      // would throw and kill the query
+      state.setTimeoutTimestamp(
+        math.max((seen.newestBucket + keepBuckets) * bucketMs, wm + bucketMs))
       out.result().iterator
     }
   }

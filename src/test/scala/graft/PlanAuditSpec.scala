@@ -54,9 +54,18 @@ class PlanAuditSpec extends SparkSpec {
     "ann_bruteforce" -> 1, "ann_pq" -> 1, "ann_pq_exhaustive" -> 1,
     "dedup_embedding" -> 1, "conformal_calibrate" -> 1)
 
+  // ONE plan sweep shared by both audits: query construction is not
+  // plan-only for several keys (model fits, BPE argmax rounds, bloom
+  // builds, eager checkpoints all run at DataFrame construction), so
+  // instantiating all ~187 queries once instead of once per test keeps
+  // the suite's audit cost flat as audits are added.
+  private lazy val plans: Seq[(String, SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.sparkPlan
+    }
+
   test("no query plans a non-scalar nested-loop join or cartesian product") {
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+    val bad = plans.flatMap { case (name, plan) =>
       val off = offenders(plan)
       if (off.size == allowed.getOrElse(name, 0)) Nil
       else off.map(o => s"$name: $o (allowed ${allowed.getOrElse(name, 0)}, found ${off.size})")
@@ -73,8 +82,7 @@ class PlanAuditSpec extends SparkSpec {
     // here: they are RDD transitions, not SQL-plan UDF calls, and carry
     // their own documented justification (per-partition model init).
     import org.apache.spark.sql.catalyst.expressions.ScalaUDF
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+    val bad = plans.flatMap { case (name, plan) =>
       val hasUdf = plan.collect {
         case p if p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])) => p.nodeName
       }

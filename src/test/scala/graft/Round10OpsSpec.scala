@@ -226,6 +226,14 @@ class Round10OpsSpec extends SparkSpec {
     // early stop: once no pair repeats, no further merges are emitted
     val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
     assert(BpeMerges.topMerges(tiny, "text", k = 5).count() == 0)
+    // astral characters stay WHOLE symbols (codepoints, not UTF-16
+    // units): "🙂a 🙂a" must merge (🙂, a), never a surrogate half —
+    // and it matches the DuckDB oracle's codepoint substr on the
+    // bpe_first_merge gate
+    val astral = Seq((1L, "🙂a 🙂a")).toDF("doc_id", "text")
+    val am = BpeMerges.topMerges(astral, "text", k = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(am.toSeq == Seq(("🙂", "a", 2L)), s"astral split wrong: ${am.toSeq}")
   }
 
   test("group quantiles: indexed order statistics on a hand-buildable group") {

@@ -231,6 +231,55 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming throttle: same-batch events in a watermark-passed bucket admit once") {
+    // direct state-function test (TestGroupState): Spark 4.x late-filters
+    // with the PREVIOUS batch's watermark (SPARK-40925), so a batch can
+    // carry several events for a bucket the EVICTION watermark already
+    // passed. In-loop pruning dropped the bucket between those events,
+    // admitting each one; the single post-batch prune must not.
+    import graft.streaming.ThrottleStream
+    import ThrottleStream.{Evt => TEvt, Seen}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val wm = ts("2024-01-01 10:30:00").getTime
+    val st = TestGroupState.create[Seen](org.apache.spark.api.java.Optional.empty[Seen](),
+      GroupStateTimeout.EventTimeTimeout(), 0L,
+      org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(wm)), hasTimedOut = false)
+    val out = ThrottleStream.updateState(60 * 1000L, 1)(
+      (1L, "click"), Iterator(
+        TEvt(1L, "click", ts("2024-01-01 11:35:10"), 1L, 1.0),
+        TEvt(1L, "click", ts("2024-01-01 09:30:40"), 2L, 1.0), // old bucket
+        TEvt(1L, "click", ts("2024-01-01 09:30:50"), 3L, 1.0)), // same old bucket
+      st).toSeq
+    assert(out.map(_.event_id) == Seq(1L, 2L),
+      s"second same-bucket event re-admitted: ${out.map(_.event_id)}")
+    // post-batch prune drops the watermark-passed bucket, keeps the live one
+    val buckets = st.get.buckets
+    assert(buckets == Set(ts("2024-01-01 11:35:00").getTime / 60000),
+      s"stale bucket retained or live bucket lost: $buckets")
+  }
+
+  test("streaming throttle: timeout timestamp clamps above the watermark") {
+    // a batch whose only events land in already-seen old buckets leaves
+    // newestBucket+keepBuckets behind the eviction watermark; an
+    // un-clamped setTimeoutTimestamp would throw and kill the query
+    import graft.streaming.ThrottleStream
+    import ThrottleStream.{Evt => TEvt, Seen}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val oldBucket = ts("2024-01-01 09:30:00").getTime / 60000
+    val wm = ts("2024-01-01 10:30:00").getTime
+    val st = TestGroupState.create[Seen](
+      org.apache.spark.api.java.Optional.of(Seen(oldBucket, Set(oldBucket))),
+      GroupStateTimeout.EventTimeTimeout(), 0L,
+      org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(wm)), hasTimedOut = false)
+    val out = ThrottleStream.updateState(60 * 1000L, 1)(
+      (1L, "click"),
+      Iterator(TEvt(1L, "click", ts("2024-01-01 09:30:40"), 9L, 1.0)),
+      st).toSeq
+    assert(out.isEmpty, "suppressed event emitted")
+    assert(st.getTimeoutTimestampMs.get() > wm,
+      "timeout timestamp must clamp above the current watermark")
+  }
+
   test("streaming throttle: dedup state survives a checkpointed restart") {
     import graft.streaming.ThrottleStream
     import ThrottleStream.{Evt => TEvt}
