@@ -274,6 +274,8 @@ object SparkEntry {
     // per-row Saabas path contributions off the fitted RF (rows-gated;
     // exact additivity + signal concentration in RfAttributionSpec)
     "rf_attribution"        -> (graft.ml.RfAttribution.rfAttribution(_, _)),
+    // margin-space Saabas over the boosted model (the SHAP-demo shape)
+    "gbt_attribution"       -> (graft.ml.RfAttribution.gbtAttribution(_, _)),
     // PSI distribution drift: exact integer bins, smoothed shares,
     // micros log terms (fixed cardinality after one scan per side)
     "psi_value_drift"       -> (graft.operators.Drift.psiValueDrift(_, _)),

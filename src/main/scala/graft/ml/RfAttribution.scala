@@ -36,10 +36,10 @@ import org.apache.spark.sql.types._
   */
 object RfAttribution {
 
-  /** Walk `node` for `feats`, crediting prediction deltas to split
-    * features in `contrib`; returns the leaf prediction. */
+  /** Walk `node` for `feats`, crediting WEIGHTED prediction deltas to
+    * split features in `contrib`; returns the leaf prediction. */
   @annotation.tailrec
-  private def walk(node: Node, feats: Array[Double],
+  private def walk(node: Node, feats: Array[Double], w: Double,
                    contrib: Array[Double]): Double = node match {
     case leaf: LeafNode => leaf.prediction
     case n: InternalNode =>
@@ -49,21 +49,22 @@ object RfAttribution {
         case c: CategoricalSplit => c.leftCategories.contains(feats(f))
       }
       val child = if (goLeft) n.leftChild else n.rightChild
-      contrib(f) += child.prediction - n.prediction
-      walk(child, feats, contrib)
+      contrib(f) += w * (child.prediction - n.prediction)
+      walk(child, feats, w, contrib)
   }
 
-  /** Per-row contributions for every row of `rows` (must carry `idCol`,
-    * `label`, and `featCol` = array<double> in `featureCols` order).
-    * Output: (id, label, baseline, score, contrib_<f>...) with
-    * score = baseline + Σ contribs exactly. */
-  def contributions(model: RandomForestClassificationModel, rows: DataFrame,
-                    idCol: String, featCol: String,
-                    featureCols: Seq[String]): DataFrame = {
+  /** Per-row contributions of a weighted tree ensemble: for every row
+    * of `rows` (must carry `idCol`, `label`, and `featCol` =
+    * array<double> in `featureCols` order), emit (id, label, baseline,
+    * score, contrib_<f>...) with score = Σᵢ wᵢ·leafᵢ = baseline +
+    * Σ contribs exactly. RF passes uniform weights 1/n (score = vote
+    * share); GBT passes its treeWeights (score = additive margin). */
+  def ensembleContributions(trees: Array[Node], weights: Array[Double],
+                            rows: DataFrame, idCol: String, featCol: String,
+                            featureCols: Seq[String]): DataFrame = {
+    require(trees.length == weights.length, "one weight per tree")
     val spark = rows.sparkSession
-    val trees = model.trees.map(_.rootNode)
-    val nTrees = trees.length.toDouble
-    val baseline = trees.map(_.prediction).sum / nTrees
+    val baseline = trees.zip(weights).map { case (t, w) => w * t.prediction }.sum
     val k = featureCols.length
     val outSchema = StructType(
       StructField("id", LongType) +: StructField("label", DoubleType) +:
@@ -74,16 +75,28 @@ object RfAttribution {
         it.map { r =>
           val feats = r.getSeq[Double](2).toArray
           val contrib = new Array[Double](k)
-          var vote = 0.0
-          trees.foreach { t => vote += walk(t, feats, contrib) }
-          val score = vote / nTrees
+          var score = 0.0
           var i = 0
-          while (i < k) { contrib(i) /= nTrees; i += 1 }
+          while (i < trees.length) {
+            score += weights(i) * walk(trees(i), feats, weights(i), contrib)
+            i += 1
+          }
           Row.fromSeq(r.getLong(0) +: r.getDouble(1) +: baseline +: score +:
             contrib.toSeq)
         }
       }
     spark.createDataFrame(out, outSchema)
+  }
+
+  /** RF form: uniform weights 1/nTrees — score is the forest's vote
+    * share for class 1 (see object doc). */
+  def contributions(model: RandomForestClassificationModel, rows: DataFrame,
+                    idCol: String, featCol: String,
+                    featureCols: Seq[String]): DataFrame = {
+    val trees = model.trees.map(_.rootNode)
+    ensembleContributions(trees,
+      Array.fill(trees.length)(1.0 / trees.length), rows, idCol, featCol,
+      featureCols)
   }
 
   // ---- query-map entry (rows-gated; additivity + signal in spec) ----
@@ -101,5 +114,23 @@ object RfAttribution {
       .setNumTrees(20).setMaxDepth(5).setSeed(42L)
     val model = rf.fit(train)
     contributions(model, test, "o_orderkey", "__farr", featureCols)
+  }
+
+  /** GBT form — the faithful twin of the reference's SHAP demo (which
+    * explains a BOOSTED model): contributions in additive-margin units,
+    * score = Σᵢ wᵢ·treeᵢ(x) with the model's own treeWeights, so
+    * additivity is exact in exactly the space the booster predicts in. */
+  def gbtAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.GBTClassifier
+    val featureCols = RandomForestTrain.orderFeatureCols
+    val (train, test) = RandomForestTrain.prepSplit(
+      RandomForestTrain.orderFeatures(spark, dir), "o_orderkey", "label01",
+      featureCols, trainFrac = 0.8)
+    val gbt = new GBTClassifier()
+      .setLabelCol("label").setFeaturesCol("features").setWeightCol("weight")
+      .setMaxIter(10).setMaxDepth(4).setSeed(42L)
+    val model = gbt.fit(train)
+    ensembleContributions(model.trees.map(_.rootNode), model.treeWeights,
+      test, "o_orderkey", "__farr", featureCols)
   }
 }
