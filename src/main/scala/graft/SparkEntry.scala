@@ -198,6 +198,9 @@ object SparkEntry {
     // sketch_*: rows-gated (DuckDB's sketch internals differ, so no hash
     // oracle exists); tolerance vs exact answers asserted in SketchSpec
     "sketch_distinct_events"   -> (Sketches.sketchDistinctEvents(_, _)),
+    // exact-under-cap mergeable distinct sketch; cap >= cardinality
+    // degenerates to exact COUNT(DISTINCT) == the hash gate
+    "sketch_distinct_exact"    -> (graft.functions.DistinctSketch.sketchDistinctExact(_, _)),
     "sketch_quantiles_lineitem" -> (Sketches.sketchQuantilesLineitem(_, _)),
     // exact-mode GK == discrete quantile: shares an exact DuckDB oracle
     "sketch_quantiles_exact" -> (Sketches.sketchQuantilesExact(_, _)),
@@ -425,6 +428,7 @@ object SparkEntry {
     "dim_date"              -> DimDate.oracleSql,
     "concurrent_table_stats" -> Concurrent.oracleSql,
     "sketch_quantiles_exact" -> Sketches.quantilesExactOracleSql,
+    "sketch_distinct_exact"  -> graft.functions.DistinctSketch.oracleSql,
     "hierarchy_flatten"     -> Hierarchy.oracleSql,
     "graph_components"      -> graft.operators.Graph.graphComponentsOracleSql,
     "text_tokens"           -> TextFunctions.textTokensOracleSql,

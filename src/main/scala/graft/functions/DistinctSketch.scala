@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Exact-under-cap mergeable distinct sketch as a typed [[Aggregator]]:
+  * per group, the buffer is the SORTED set of distinct 64-bit hashes,
+  * capped at `cap` — below the cap the count is exact (the sparse/exact
+  * phase every production distinct sketch runs before flipping dense:
+  * HLL++'s sparse mode, Theta's sample mode); at the cap it reports the
+  * overflow sentinel −1 instead of guessing, which is the handoff point
+  * to the HLL path (`sketch_distinct_events`).
+  *
+  * Why this is the right 100 TB shape for the LOW-cardinality groups
+  * profiling actually meets (enum-ish columns, per-type user counts):
+  * map-side partial aggregation reduces each task's slice to ≤ cap
+  * longs BEFORE the shuffle, merge is a bounded sorted-set union, and
+  * the result is deterministic under ANY partitioning — which is what
+  * lets the degeneracy gate (cap ≥ cardinality ⇒ result ≡ exact
+  * COUNT(DISTINCT)) hash-match DuckDB. A plain `countDistinct` plans a
+  * two-shuffle expand; this is one aggregate whose payload is bounded.
+  *
+  * Anchor: discover_schema.py's distinct-count profiling
+  * (/root/reference/DataEngineering/DataBricks/discover_schema.py:70-111
+  * classifies columns by distinct counts) — the mergeable form those
+  * profiles need at fleet scale.
+  */
+class DistinctUnderCap(cap: Int)
+  extends Aggregator[Long, Seq[Long], Long] {
+  require(cap > 0, "positive cap")
+
+  override def zero: Seq[Long] = Seq.empty
+
+  override def reduce(b: Seq[Long], a: Long): Seq[Long] =
+    if (b.length > cap) b                     // already overflowed
+    else {
+      // sorted insert keeping distinctness; bounded at cap+1 so
+      // overflow is representable without growing further
+      val i = java.util.Arrays.binarySearch(b.toArray, a)
+      if (i >= 0) b
+      else (b :+ a).sorted.take(cap + 1)
+    }
+
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+    if (b1.length > cap) b1
+    else if (b2.length > cap) b2
+    else (b1 ++ b2).distinct.sorted.take(cap + 1)
+
+  /** Exact distinct count, or −1 once the cap is exceeded. */
+  override def finish(r: Seq[Long]): Long =
+    if (r.length > cap) -1L else r.length.toLong
+
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Long] =
+    ExpressionEncoder[Long]()
+}
+
+object DistinctSketch {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
+
+  /** Column form: exact distinct count of `e`'s xxhash64 under `cap`,
+    * −1 on overflow. (A 64-bit hash collision inside one group is the
+    * usual ~n²/2⁶⁵ non-event.) */
+  def distinctUnderCap(cap: Int)(e: Column): Column =
+    udaf(new DistinctUnderCap(cap)).apply(xxhash64(e))
+
+  // ---- query-map entry (degeneracy-gated, hash) ----
+
+  /** Degeneracy gate: cap (100k) far above the per-type user
+    * cardinality ⇒ the sketch NEVER overflows and its output is
+    * bit-identical to exact COUNT(DISTINCT) — so the mergeable-sketch
+    * machinery (bounded buffer, map-side partials, union merge,
+    * overflow sentinel logic) all sits inside the DuckDB hash gate.
+    * The HLL key stays the unbounded-cardinality path. */
+  def sketchDistinctExact(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        distinctUnderCap(100000)(col("user_id")).as("n_distinct"),
+        count(lit(1)).as("n_rows"))
+
+  def oracleSql: String =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM events GROUP BY event_type""".stripMargin
+}

@@ -9,6 +9,23 @@ import graft.operators.Sketches
   * GK quantiles within the guaranteed rank error). */
 class SketchSpec extends SparkSpec {
 
+  test("distinct-under-cap: exact below cap, sentinel above, any partitioning") {
+    import spark.implicits._
+    import graft.functions.DistinctSketch.distinctUnderCap
+    // 3 groups: small (7 distinct), duplicated-heavy (5 distinct from
+    // 500 rows), overflowing (40 distinct vs cap 32)
+    val rows = (1 to 7).map(i => ("small", i.toLong)) ++
+      (1 to 500).map(i => ("dups", (i % 5).toLong)) ++
+      (1 to 200).map(i => ("big", (i % 40).toLong))
+    for (parts <- Seq(1, 4, 13)) { // merge order must not matter
+      val got = rows.toDF("g", "v").repartition(parts)
+        .groupBy("g").agg(distinctUnderCap(32)(col("v")).as("d"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("small" -> 7L, "dups" -> 5L, "big" -> -1L),
+        s"at $parts partitions: $got")
+    }
+  }
+
   test("approx_count_distinct within tolerance of exact per group") {
     val events = Tables.events(spark, sfDir)
     val approx = Sketches.approxDistinct(events, "event_type", "user_id", rsd = 0.02)
