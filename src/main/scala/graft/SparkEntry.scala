@@ -201,6 +201,8 @@ object SparkEntry {
     // exact-under-cap mergeable distinct sketch; cap >= cardinality
     // degenerates to exact COUNT(DISTINCT) == the hash gate
     "sketch_distinct_exact"    -> (graft.functions.DistinctSketch.sketchDistinctExact(_, _)),
+    // pairwise segment overlap via sketch SETS (theta-style set ops)
+    "audience_overlap"         -> (graft.functions.DistinctSketch.audienceOverlapEvents(_, _)),
     "sketch_quantiles_lineitem" -> (Sketches.sketchQuantilesLineitem(_, _)),
     // exact-mode GK == discrete quantile: shares an exact DuckDB oracle
     "sketch_quantiles_exact" -> (Sketches.sketchQuantilesExact(_, _)),
@@ -429,6 +431,7 @@ object SparkEntry {
     "concurrent_table_stats" -> Concurrent.oracleSql,
     "sketch_quantiles_exact" -> Sketches.quantilesExactOracleSql,
     "sketch_distinct_exact"  -> graft.functions.DistinctSketch.oracleSql,
+    "audience_overlap"       -> graft.functions.DistinctSketch.overlapOracleSql,
     "hierarchy_flatten"     -> Hierarchy.oracleSql,
     "graph_components"      -> graft.operators.Graph.graphComponentsOracleSql,
     "text_tokens"           -> TextFunctions.textTokensOracleSql,

@@ -58,9 +58,25 @@ class DistinctUnderCap(cap: Int)
     ExpressionEncoder[Long]()
 }
 
+/** Same bounded sorted-set buffer, but FINISHING with the set itself
+  * (null once overflowed) — the form set OPERATIONS consume: audience
+  * overlap, segment union/intersection counts. At 100 TB beyond the
+  * cap these become Theta-sketch estimates; under it they are exact,
+  * which is what the `audience_overlap` gate pins. */
+class DistinctSetUnderCap(cap: Int)
+  extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  private val inner = new DistinctUnderCap(cap)
+  override def zero: Seq[Long] = inner.zero
+  override def reduce(b: Seq[Long], a: Long): Seq[Long] = inner.reduce(b, a)
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] = inner.merge(b1, b2)
+  override def finish(r: Seq[Long]): Seq[Long] = if (r.length > cap) null else r
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
 object DistinctSketch {
   import org.apache.spark.sql.{DataFrame, SparkSession}
-  import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
+  import org.apache.spark.sql.functions.{array_intersect, broadcast, col, count, lit, round, size, xxhash64}
 
   /** Column form: exact distinct count of `e`'s xxhash64 under `cap`,
     * −1 on overflow. (A 64-bit hash collision inside one group is the
@@ -88,4 +104,58 @@ object DistinctSketch {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
       |  CAST(count(*) AS BIGINT) AS n_rows
       |FROM events GROUP BY event_type""".stripMargin
+
+  /** Column form of the set-valued sketch. */
+  def distinctSetUnderCap(cap: Int)(e: Column): Column =
+    udaf(new DistinctSetUnderCap(cap)).apply(xxhash64(e))
+
+  /** Pairwise audience overlap over sketch SETS: per (segment a <
+    * segment b), exact |A|, |B|, |A∩B|, |A∪B| and Jaccard — the
+    * Theta-sketch set-operation workload (campaign/audience overlap),
+    * exact under the cap. Shape at scale: the heavy side (events) is
+    * touched ONCE by the sketch aggregate; the pair join runs at
+    * segment-pair cardinality (segments², tiny) over broadcast
+    * sketch rows, and the intersect cost is |A|+|B| per pair (sorted
+    * arrays). Beyond the cap the same plan carries Theta sketches. */
+  def audienceOverlap(df: DataFrame, segCol: String, idCol: String,
+                      cap: Int): DataFrame = {
+    val sets = df.groupBy(col(segCol).as("__seg"))
+      .agg(distinctSetUnderCap(cap)(col(idCol)).as("__s"))
+    val a = sets.select(col("__seg").as("type_a"), col("__s").as("__sa"))
+    val b = sets.select(col("__seg").as("type_b"), col("__s").as("__sb"))
+    val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("long")
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        size(col("__sa")).cast("long").as("n_a"),
+        size(col("__sb")).cast("long").as("n_b"),
+        inter.as("n_overlap"),
+        (size(col("__sa")) + size(col("__sb")) - inter).cast("long").as("n_union"),
+        round(inter.cast("double") /
+          (size(col("__sa")) + size(col("__sb")) - inter), 6).as("jaccard"))
+  }
+
+  // ---- query-map entry (hash-gated; exact under cap) ----
+
+  def audienceOverlapEvents(spark: SparkSession, dir: String): DataFrame =
+    audienceOverlap(graft.Tables.events(spark, dir), "event_type", "user_id",
+      cap = 100000)
+
+  def overlapOracleSql: String =
+    """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+      |ov AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS n_overlap
+      |  FROM u x JOIN u y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT na.event_type AS type_a, nb.event_type AS type_b,
+      |  na.n AS n_a, nb.n AS n_b,
+      |  coalesce(o.n_overlap, 0) AS n_overlap,
+      |  na.n + nb.n - coalesce(o.n_overlap, 0) AS n_union,
+      |  round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE)
+      |    / (na.n + nb.n - coalesce(o.n_overlap, 0)), 6) AS jaccard
+      |FROM n na JOIN n nb ON na.event_type < nb.event_type
+      |LEFT JOIN ov o
+      |  ON o.type_a = na.event_type AND o.type_b = nb.event_type""".stripMargin
 }

@@ -26,6 +26,20 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("audience overlap: hand-computed sets, exact under cap") {
+    import spark.implicits._
+    import graft.functions.DistinctSketch.audienceOverlap
+    // A = {1..10}, B = {6..20}: |A∩B| = 5, |A∪B| = 20
+    val rows = (1 to 10).map(i => ("A", i.toLong)) ++
+      (6 to 20).map(i => ("B", i.toLong)) ++
+      (1 to 10).map(i => ("A", i.toLong)) // duplicates must not count
+    val got = audienceOverlap(rows.toDF("seg", "uid"), "seg", "uid", cap = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(("A", "B", 10L, 15L, 5L, 20L, 0.25)),
+      s"overlap wrong: ${got.toSeq}")
+  }
+
   test("approx_count_distinct within tolerance of exact per group") {
     val events = Tables.events(spark, sfDir)
     val approx = Sketches.approxDistinct(events, "event_type", "user_id", rsd = 0.02)
