@@ -281,6 +281,8 @@ object SparkEntry {
     "rf_attribution"        -> (graft.ml.RfAttribution.rfAttribution(_, _)),
     // margin-space Saabas over the boosted model (the SHAP-demo shape)
     "gbt_attribution"       -> (graft.ml.RfAttribution.gbtAttribution(_, _)),
+    // concurrent hyperparameter grid through the shared harness
+    "rf_param_sweep"        -> (graft.ml.ParamSweep.rfParamSweep(_, _)),
     // PSI distribution drift: exact integer bins, smoothed shares,
     // micros log terms (fixed cardinality after one scan per side)
     "psi_value_drift"       -> (graft.operators.Drift.psiValueDrift(_, _)),
