@@ -92,6 +92,8 @@ object SparkEntry {
     "holt_winters_backtest" -> (graft.operators.HoltWinters.holtWintersEvents(_, _)),
     // AutoETS-style per-series model selection over the two exact models
     "auto_forecast"         -> (graft.operators.AutoForecast.autoForecastEvents(_, _)),
+    // split-conformal intervals around the HW forecast (two-window fit)
+    "forecast_intervals"    -> (graft.operators.ForecastIntervals.forecastIntervalsEvents(_, _)),
     // Misra-Gries at capacity >= cardinality == plain GROUP BY COUNT
     "freq_topk_exact"       -> (graft.operators.FreqSketch.freqTopkExact(_, _)),
     // hot-key salted join == plain join (every pair meets exactly once)
@@ -394,6 +396,7 @@ object SparkEntry {
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,
     "holt_winters_backtest" -> graft.operators.HoltWinters.oracleSql,
     "auto_forecast"         -> graft.operators.AutoForecast.oracleSql,
+    "forecast_intervals"    -> graft.operators.ForecastIntervals.oracleSql,
     "bpe_first_merge"       -> graft.functions.BpeMerges.firstMergeOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,
     "skew_salted_join"      -> graft.operators.SkewJoin.oracleSql,

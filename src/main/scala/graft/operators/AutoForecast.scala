@@ -44,7 +44,8 @@ object AutoForecast {
     * reuse, no string surgery) + the seasonal-naive backtest rebuilt on
     * the shared sparse daily CTE (`d`), joined per key. */
   def oracleSql: String = {
-    s"""${HoltWinters.oracleCtePrefix},
+    s"""WITH RECURSIVE
+       |${HoltWinters.oracleCtePrefix()},
        |hw AS (
        |  SELECT p.user_id, CAST(sum(abs(e.cents - p.yhat)) AS DOUBLE) / count(*) AS mae
        |  FROM preds p JOIN ev e ON e.user_id = p.user_id AND e.k = p.k

@@ -39,21 +39,28 @@ object HoltWinters {
   private def fd(e: String, d: Int): String =
     s"((($e) - pmod(($e), $d)) div $d)"
 
-  /** Backtest: fit on each key's dense daily series up to max_day −
-    * horizon, forecast the last `horizon` days from the end state,
-    * exact MAE/bias vs actuals. Requires horizon ≤ season (forecast
-    * seasonal index stays within one cycle). Input must be DENSE per
-    * key (use [[Resample.dailySpineFill]]). Returns (key, n_eval,
-    * mae_cents, bias_cents). */
-  def backtest(dense: DataFrame, keyCol: String, dayCol: String,
-               centsCol: String, season: Int, horizon: Int): DataFrame = {
+  /** Per-step forecast frame: fit on each key's dense daily series up
+    * to max_day − `holdback`, forecast `horizon` steps from the end
+    * state, join each step's prediction to the actual on that day.
+    * Requires horizon ≤ season (forecast seasonal index stays within
+    * one cycle) and horizon ≤ holdback (every forecast day observed).
+    * Input must be DENSE per key ([[Resample.dailySpineFill]]).
+    * Returns (__key, __k, __yhat, __actual). The backtest uses
+    * holdback = horizon; [[ForecastIntervals]] calibrates on an earlier
+    * window via holdback = 2·horizon. */
+  def forecastFrame(dense: DataFrame, keyCol: String, dayCol: String,
+                    centsCol: String, season: Int, horizon: Int,
+                    holdback: Int): DataFrame = {
     require(horizon <= season, "horizon must be ≤ season")
+    require(horizon <= holdback, "every forecast day must be observed")
     val m = season
     val bounds = dense.agg(max(col(dayCol)).as("__hi"))
-      .select(date_sub(col("__hi"), horizon).as("__cutoff"))
+      .select(date_sub(col("__hi"), holdback).as("__cutoff"))
     val withCut = dense.crossJoin(broadcast(bounds))
     val train = withCut.filter(col(dayCol) <= col("__cutoff"))
-    val testRows = withCut.filter(col(dayCol) > col("__cutoff"))
+    val testRows = withCut
+      .filter(col(dayCol) > col("__cutoff") &&
+        datediff(col(dayCol), col("__cutoff")) <= horizon)
       .select(col(keyCol).as("__key"),
         datediff(col(dayCol), col("__cutoff")).as("__k"),
         col(centsCol).as("__actual"))
@@ -93,11 +100,18 @@ object HoltWinters {
       .select(col("__key"), col("__p.k").as("__k"), col("__p.yhat").as("__yhat"))
 
     preds.join(testRows, Seq("__key", "__k"))
+  }
+
+  /** Backtest: forecast the last `horizon` observed days, exact
+    * MAE/bias vs actuals. Returns (key, n_eval, mae_cents, bias_cents). */
+  def backtest(dense: DataFrame, keyCol: String, dayCol: String,
+               centsCol: String, season: Int, horizon: Int): DataFrame =
+    forecastFrame(dense, keyCol, dayCol, centsCol, season, horizon,
+        holdback = horizon)
       .groupBy(col("__key").as(keyCol))
       .agg(count(lit(1)).as("n_eval"),
         (sum(abs(col("__actual") - col("__yhat"))) / count(lit(1))).as("mae_cents"),
         (sum(col("__actual") - col("__yhat")) / count(lit(1))).as("bias_cents"))
-  }
 
   // ---- query-map entry (hash-gated) ----
 
@@ -111,63 +125,70 @@ object HoltWinters {
       .select("user_id", "n_eval", "mae_cents", "bias_cents")
 
   /** The recursive-CTE chain up to (and including) the `preds`/`ev`
-    * CTEs — exposed separately so [[AutoForecast]] composes the shared
-    * prefix STRUCTURALLY instead of substring-parsing a sibling's SQL. */
-  def oracleCtePrefix: String = {
+    * CTEs — exposed separately so [[AutoForecast]] and
+    * [[ForecastIntervals]] compose the shared prefix STRUCTURALLY
+    * instead of substring-parsing a sibling's SQL. `holdback` is the
+    * fit cutoff (hi − holdback); `sfx` suffixes every CTE name so two
+    * instantiations (fit-for-calibration and fit-for-test) can coexist
+    * in one statement. The final `preds$sfx`/`ev$sfx` CTEs carry
+    * (user_id, k, yhat)/(user_id, k, cents) for k = 1..7. */
+  def oracleCtePrefix(holdback: Int = 7, sfx: String = ""): String = {
     def fdk(e: String, d: Int): String = s"((($e) - ((($e) % $d) + $d) % $d) // $d)"
     val lt = fdk("y.cents - r.s[1] + r.l + r.b", 2)
-    s"""WITH RECURSIVE
-       |b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
-       |cut AS (SELECT hi - 7 AS cutoff FROM b),
-       |k AS (SELECT DISTINCT user_id FROM events),
-       |spine AS (
+    s"""b$sfx AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+       |cut$sfx AS (SELECT hi - $holdback AS cutoff FROM b$sfx),
+       |k$sfx AS (SELECT DISTINCT user_id FROM events),
+       |spine$sfx AS (
        |  SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
-       |  FROM k CROSS JOIN b),
-       |d AS (
+       |  FROM k$sfx CROSS JOIN b$sfx),
+       |d$sfx AS (
        |  SELECT user_id, CAST(ts AS DATE) AS day,
        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
        |  FROM events GROUP BY 1, 2),
-       |dense AS (
+       |dense$sfx AS (
        |  SELECT s.user_id, s.day, coalesce(d.cents, 0) AS cents
-       |  FROM spine s LEFT JOIN d USING (user_id, day)),
-       |train AS (
+       |  FROM spine$sfx s LEFT JOIN d$sfx d USING (user_id, day)),
+       |train$sfx AS (
        |  SELECT user_id, day, cents,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS t
-       |  FROM dense, cut WHERE day <= cutoff),
-       |tmax AS (SELECT user_id, max(t) AS tt FROM train GROUP BY user_id),
-       |f7 AS (
-       |  SELECT user_id, list(cents ORDER BY day) AS ys FROM train
+       |  FROM dense$sfx, cut$sfx WHERE day <= cutoff),
+       |tmax$sfx AS (SELECT user_id, max(t) AS tt FROM train$sfx GROUP BY user_id),
+       |f7$sfx AS (
+       |  SELECT user_id, list(cents ORDER BY day) AS ys FROM train$sfx
        |  WHERE t <= 7 GROUP BY user_id),
-       |init AS (
+       |init$sfx AS (
        |  SELECT user_id, l0, list_transform(ys, y -> y - l0) AS s0
        |  FROM (SELECT user_id, ys,
-       |          ${fdk("CAST(list_sum(ys) AS BIGINT)", 7)} AS l0 FROM f7)),
-       |rec AS (
-       |  SELECT user_id, CAST(7 AS BIGINT) AS t, l0 AS l, CAST(0 AS BIGINT) AS b, s0 AS s FROM init
+       |          ${fdk("CAST(list_sum(ys) AS BIGINT)", 7)} AS l0 FROM f7$sfx)),
+       |rec$sfx AS (
+       |  SELECT user_id, CAST(7 AS BIGINT) AS t, l0 AS l, CAST(0 AS BIGINT) AS b, s0 AS s FROM init$sfx
        |  UNION ALL
        |  SELECT r.user_id, r.t + 1,
        |    $lt,
        |    r.b + ${fdk(s"($lt) - r.l - r.b", 4)},
        |    list_concat(r.s[2:],
        |      [r.s[1] + ${fdk(s"y.cents - ($lt) - r.s[1]", 2)}])
-       |  FROM rec r JOIN train y ON y.user_id = r.user_id AND y.t = r.t + 1),
-       |fin AS (
-       |  SELECT r.user_id, r.l, r.b, r.s FROM rec r JOIN tmax m
+       |  FROM rec$sfx r JOIN train$sfx y ON y.user_id = r.user_id AND y.t = r.t + 1),
+       |fin$sfx AS (
+       |  SELECT r.user_id, r.l, r.b, r.s FROM rec$sfx r JOIN tmax$sfx m
        |  ON r.user_id = m.user_id AND r.t = m.tt),
-       |preds AS (
+       |preds$sfx AS (
        |  SELECT f.user_id, CAST(k AS INT) AS k,
        |    f.l + CAST(k AS BIGINT) * f.b + f.s[CAST(k AS INT)] AS yhat
-       |  FROM fin f, unnest(generate_series(1, 7)) AS u(k)),
-       |ev AS (
+       |  FROM fin$sfx f, unnest(generate_series(1, 7)) AS u(k)),
+       |ev$sfx AS (
        |  SELECT a.user_id,
-       |    CAST(a.day - (SELECT cutoff FROM cut) AS INT) AS k, a.cents
-       |  FROM dense a, cut WHERE a.day > cut.cutoff)""".stripMargin
+       |    CAST(a.day - (SELECT cutoff FROM cut$sfx) AS INT) AS k, a.cents
+       |  FROM dense$sfx a, cut$sfx
+       |  WHERE a.day > cut$sfx.cutoff
+       |    AND a.day - cut$sfx.cutoff <= 7)""".stripMargin
   }
 
   /** The same integer recursion as a recursive CTE carrying the
     * seasonal state as a list; floor division decomposed identically. */
   def oracleSql: String =
-    s"""$oracleCtePrefix
+    s"""WITH RECURSIVE
+       |${oracleCtePrefix()}
        |SELECT p.user_id, count(*) AS n_eval,
        |  CAST(sum(abs(e.cents - p.yhat)) AS DOUBLE) / count(*) AS mae_cents,
        |  CAST(sum(e.cents - p.yhat) AS DOUBLE) / count(*) AS bias_cents
