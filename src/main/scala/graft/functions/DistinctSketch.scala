@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions.udaf
   *
   * Why this is the right 100 TB shape for the LOW-cardinality groups
   * profiling actually meets (enum-ish columns, per-type user counts):
-  * map-side partial aggregation reduces each task's slice to ≤ cap
-  * longs BEFORE the shuffle, merge is a bounded sorted-set union, and
+  * map-side partial aggregation bounds each task's shuffle payload per
+  * group at 2·(cap+1) longs — the amortized-compaction buffer may cross
+  * the serialization boundary un-compacted, duplicates included, since
+  * compaction triggers only at ≥ 2·(cap+1) entries — merge is a
+  * bounded sorted-set union, and
   * the result is deterministic under ANY partitioning — which is what
   * lets the degeneracy gate (cap ≥ cardinality ⇒ result ≡ exact
   * COUNT(DISTINCT)) hash-match DuckDB. A plain `countDistinct` plans a
@@ -138,8 +141,12 @@ object DistinctSketch {
     * arrays). Beyond the cap the same plan carries Theta sketches. */
   def audienceOverlap(df: DataFrame, segCol: String, idCol: String,
                       cap: Int): DataFrame = {
+    // localCheckpoint: `sets` feeds BOTH sides of the pair join below;
+    // without it the full-table sketch aggregate is planned (and run)
+    // twice — same multi-consumer discipline as BowVectors/MinHashLsh.
     val sets = df.groupBy(col(segCol).as("__seg"))
       .agg(distinctSetUnderCap(cap)(col(idCol)).as("__s"))
+      .localCheckpoint()
     val a = sets.select(col("__seg").as("type_a"), col("__s").as("__sa"))
     val b = sets.select(col("__seg").as("type_b"), col("__s").as("__sb"))
     val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("long")

@@ -29,14 +29,23 @@ import graft.Tables
   */
 object ForecastIntervals {
 
+  /** The gated instance's horizon — referenced by BOTH the Spark path
+    * and [[oracleSql]] so the two cannot de-synchronize. */
+  private val gatedHorizon = 7
+
+  /** ⌈(n+1)(1−α)⌉ with n = h, α = 1/4 — the split-conformal order
+    * statistic index. SHARED by the Spark path and the oracle: the
+    * oracle interpolates this value instead of hardcoding it, so a
+    * horizon/alpha change moves both sides together. */
+  private def conformalQIdx(h: Int): Int =
+    math.ceil((h + 1) * 3 / 4.0).toInt
+
   /** Returns (key, qhat_cents, n_eval, n_covered, coverage). */
   def conformalBacktest(dense: DataFrame, keyCol: String, dayCol: String,
                         centsCol: String, season: Int,
                         horizon: Int): DataFrame = {
     val h = horizon
-    // ceil((n+1)(1-alpha)) with n = h, alpha = 1/4 => (6h+6+7) div 8? Keep
-    // it literal: idx = ceil((h+1) * 3 / 4.0) — exact small-int math
-    val qIdx = math.ceil((h + 1) * 3 / 4.0).toInt
+    val qIdx = conformalQIdx(h)
     val cal = HoltWinters.forecastFrame(dense, keyCol, dayCol, centsCol,
         season, h, holdback = 2 * h)
       .groupBy(col("__key"))
@@ -64,19 +73,25 @@ object ForecastIntervals {
     conformalBacktest(
       Resample.dailySpineFill(Tables.events(spark, dir), "user_id", "ts", "value")
         .select(col("key").as("user_id"), col("day"), col("cents")),
-      "user_id", "day", "cents", season = 7, horizon = 7)
+      "user_id", "day", "cents", season = 7, horizon = gatedHorizon)
       .select("user_id", "qhat_cents", "n_eval", "n_covered", "coverage")
 
   /** Two instantiations of the Holt-Winters CTE chain (suffix `c` =
-    * fit-for-calibration at holdback 14, suffix `t` = fit-for-test at
-    * holdback 7) + the order-statistic threshold + the coverage count. */
-  def oracleSql: String =
+    * fit-for-calibration at holdback 2h, suffix `t` = fit-for-test at
+    * holdback h) + the order-statistic threshold + the coverage count.
+    * The quantile index comes from [[conformalQIdx]] — the same
+    * expression the Spark path evaluates — with the same
+    * least(idx, n) guard, so the two engines index the residual list
+    * identically for ANY gated horizon. */
+  def oracleSql: String = {
+    val h = gatedHorizon
+    val qIdx = conformalQIdx(h)
     s"""WITH RECURSIVE
-       |${HoltWinters.oracleCtePrefix(holdback = 14, sfx = "c")},
-       |${HoltWinters.oracleCtePrefix(holdback = 7, sfx = "t")},
+       |${HoltWinters.oracleCtePrefix(holdback = 2 * h, sfx = "c", horizon = h)},
+       |${HoltWinters.oracleCtePrefix(holdback = h, sfx = "t", horizon = h)},
        |qh AS (
        |  SELECT p.user_id,
-       |    (list_sort(list(abs(e.cents - p.yhat))))[6] AS qhat_cents
+       |    (list_sort(list(abs(e.cents - p.yhat))))[least($qIdx, CAST(count(*) AS INT))] AS qhat_cents
        |  FROM predsc p JOIN evc e ON e.user_id = p.user_id AND e.k = p.k
        |  GROUP BY p.user_id)
        |SELECT t.user_id, q.qhat_cents,
@@ -89,4 +104,5 @@ object ForecastIntervals {
        |JOIN evt e ON e.user_id = t.user_id AND e.k = t.k
        |JOIN qh q ON q.user_id = t.user_id
        |GROUP BY t.user_id, q.qhat_cents""".stripMargin
+  }
 }

@@ -65,10 +65,17 @@ object HoltWinters {
         datediff(col(dayCol), col("__cutoff")).as("__k"),
         col(centsCol).as("__actual"))
 
-    // per-key ordered series (calendar-bounded array)
+    // per-key ordered series (calendar-bounded array). Keys whose train
+    // span is shorter than one season are DROPPED, not errored: the
+    // init seasonal list would have < m entries, so the forecast's
+    // element_at(s, k) would throw INVALID_ARRAY_INDEX under ANSI mode —
+    // while the DuckDB oracle silently drops them (its recursion anchors
+    // at t = m, so a key with tmax < m never reaches `fin`). Filtering
+    // here makes short-span inputs degrade identically on both engines.
     val ser = train.groupBy(col(keyCol).as("__key"))
       .agg(expr(s"transform(sort_array(collect_list(struct($dayCol, $centsCol))), x -> x.$centsCol)")
         .as("__ys"))
+      .filter(expr(s"size(__ys) >= $m"))
       .withColumn("__l0", expr(fd(s"aggregate(slice(__ys, 1, $m), CAST(0 AS BIGINT), (a, x) -> a + x)", m)))
 
     // the recursion: aggregate() over the post-init steps, state =
@@ -131,8 +138,11 @@ object HoltWinters {
     * fit cutoff (hi − holdback); `sfx` suffixes every CTE name so two
     * instantiations (fit-for-calibration and fit-for-test) can coexist
     * in one statement. The final `preds$sfx`/`ev$sfx` CTEs carry
-    * (user_id, k, yhat)/(user_id, k, cents) for k = 1..7. */
-  def oracleCtePrefix(holdback: Int = 7, sfx: String = ""): String = {
+    * (user_id, k, yhat)/(user_id, k, cents) for k = 1..`horizon`.
+    * `horizon` is interpolated (not hardcoded) so a caller changing the
+    * gated horizon moves the oracle in lockstep with the Scala path. */
+  def oracleCtePrefix(holdback: Int = 7, sfx: String = "",
+                      horizon: Int = 7): String = {
     def fdk(e: String, d: Int): String = s"((($e) - ((($e) % $d) + $d) % $d) // $d)"
     val lt = fdk("y.cents - r.s[1] + r.l + r.b", 2)
     s"""b$sfx AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
@@ -175,13 +185,13 @@ object HoltWinters {
        |preds$sfx AS (
        |  SELECT f.user_id, CAST(k AS INT) AS k,
        |    f.l + CAST(k AS BIGINT) * f.b + f.s[CAST(k AS INT)] AS yhat
-       |  FROM fin$sfx f, unnest(generate_series(1, 7)) AS u(k)),
+       |  FROM fin$sfx f, unnest(generate_series(1, $horizon)) AS u(k)),
        |ev$sfx AS (
        |  SELECT a.user_id,
        |    CAST(a.day - (SELECT cutoff FROM cut$sfx) AS INT) AS k, a.cents
        |  FROM dense$sfx a, cut$sfx
        |  WHERE a.day > cut$sfx.cutoff
-       |    AND a.day - cut$sfx.cutoff <= 7)""".stripMargin
+       |    AND a.day - cut$sfx.cutoff <= $horizon)""".stripMargin
   }
 
   /** The same integer recursion as a recursive CTE carrying the
