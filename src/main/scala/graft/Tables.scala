@@ -19,10 +19,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as long and truncate to microseconds — exactly what
-    * DuckDB does when it narrows ns→us, so oracles stay value-identical
-    * (the generator writes µs-aligned nanos, so truncation is lossless).
+  /** events.ts has shipped under three physical parquet types across test
+    * data generations — TIMESTAMP(NANOS) (surfaced as BIGINT nanos via the
+    * `nanosAsLong` legacy flag), timestamp[us] without UTC adjustment
+    * (surfaced as TIMESTAMP_NTZ), and plain TIMESTAMP — so the loader
+    * adapts on the *loaded* dataType rather than hard-coding one era.
+    * Sessions are pinned to UTC, so the NTZ→timestamp cast is a pure
+    * re-tag with identical values; the nanos path truncates ns→µs exactly
+    * like DuckDB (generator nanos are µs-aligned, so lossless). Schema
+    * drift as a loader concern mirrors the reference's ingestion
+    * (DataEngineering/DataBricks/spark_stream.py:13-17 schema evolution).
     *
     * The legacy flag is session-wide by necessity: there is no reader
     * option for it (ParquetOptions doesn't carry it) and the task-side
@@ -32,11 +38,21 @@ object Tables {
     * defensive set covers ad-hoc sessions and only affects
     * TIMESTAMP(NANOS) columns, which no other test table has. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => sys.error(
+        s"events.ts: unsupported parquet-surfaced type $other; " +
+          "extend Tables.events for this generation of test data")
+    }
   }
   /** documents/embeddings feed CPU-heavy map stages (shingling, hashing,
     * vector math). A single small parquet file scans as ONE partition
