@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.classification.GBTClassifier
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Class-weighted gradient-boosted-trees train + eval — the XGBoost leg
@@ -24,19 +24,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GbtTrain {
 
+  /** Fit-or-load seam (see [[RandomForestTrain.fitRf]]): gated keys
+    * share one boosted fit via [[ModelStore]]; library callers fit. */
+  private[ml] def fitGbt(train: DataFrame, maxIter: Int, maxDepth: Int,
+                         seed: Long, storeKey: Option[String])
+      : GBTClassificationModel = {
+    def fit = new GBTClassifier()
+      .setLabelCol("label").setFeaturesCol("features").setWeightCol("weight")
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+      .fit(train)
+    storeKey match {
+      case Some(k) => ModelStore.fitOrLoad(k, GBTClassificationModel.load)(fit)
+      case None    => fit
+    }
+  }
+
+  /** Store key for a gated GBT fit (same identity discipline as
+    * [[RandomForestTrain.rfKey]]). */
+  def gbtKey(dir: String, maxIter: Int, maxDepth: Int,
+                         seed: Long = 42L, trainFrac: Double = 0.8): String = {
+    val fp = ModelStore.fingerprint(dir, Seq("orders"))
+    s"gbt-v1:$dir:$fp:it$maxIter:md$maxDepth:s$seed:f$trainFrac"
+  }
+
   /** Train on a deterministic `trainFrac` hash-split of `df`, evaluate
     * on the held-out rows; returns (metric, value) rows. `labelCol`
     * must be 0/1 doubles; `idCol` drives the split. */
   def trainEval(df: DataFrame, idCol: String, labelCol: String,
                 featureCols: Seq[String], trainFrac: Double = 0.8,
                 maxIter: Int = 10, maxDepth: Int = 4,
-                seed: Long = 42L): DataFrame = {
+                seed: Long = 42L, storeKey: Option[String] = None): DataFrame = {
     val (train, test) =
       RandomForestTrain.prepSplit(df, idCol, labelCol, featureCols, trainFrac)
-    val gbt = new GBTClassifier()
-      .setLabelCol("label").setFeaturesCol("features").setWeightCol("weight")
-      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
-    val model = gbt.fit(train)
+    val model = fitGbt(train, maxIter, maxDepth, seed, storeKey)
     val scoredTest = model.transform(test).localCheckpoint()
     RandomForestTrain.metricsFrame(train, test, scoredTest, featureCols,
       model.featureImportances.toArray)
@@ -48,5 +68,6 @@ object GbtTrain {
     * `rf_train_eval` — the machinery gate for the boosted fit. */
   def gbtTrainEval(spark: SparkSession, dir: String): DataFrame =
     trainEval(RandomForestTrain.orderFeatures(spark, dir), "o_orderkey",
-      "label01", RandomForestTrain.orderFeatureCols)
+      "label01", RandomForestTrain.orderFeatureCols,
+      storeKey = Some(gbtKey(dir, 10, 4)))
 }

@@ -1,6 +1,8 @@
 package graft.ml
 
 import java.io.File
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.ml.util.MLWritable
@@ -18,42 +20,82 @@ import org.apache.spark.ml.util.MLWritable
   * (including the first) scores the PERSISTED artifact, so the
   * save→load roundtrip is exercised on every use, not only in the spec.
   *
-  * Keys must encode everything the fit depends on (data dir, algorithm,
-  * hyperparameters, seed, harness version) — two callers with the same
-  * key assert they'd fit the identical model, which holds here because
-  * every gated fit is deterministic (fixed seed, hash split, no
-  * `randomSplit`).
+  * Keys must encode everything the fit depends on — data dir AND a
+  * [[fingerprint]] of the backing files (the test data is regenerated
+  * in place between rounds, so the path alone is not an identity),
+  * algorithm, hyperparameters, seed, and a harness version — because two
+  * callers with the same key assert they'd fit the identical model. That
+  * holds here: every gated fit is deterministic (fixed seed, hash split,
+  * no `randomSplit`).
+  *
+  * Scope: the store is single-process — `java.io.File` paths and JVM
+  * locks, matching the gated local[32] harness where Verify/Bench are one
+  * driver JVM. A multi-driver deployment would swap the marker-file
+  * commit for Hadoop `FileSystem` atomic rename on shared storage; the
+  * call surface would not change.
   *
   * Scale: the artifact is O(trees · nodes) — kilobytes to megabytes —
-  * written once; on a cluster the path would be shared storage and the
-  * load is one small parquet read per executor-side broadcast. Reuse
-  * turns N gated keys over the same model into 1 fit + N loads.
+  * written once; on a cluster the load is one small parquet read feeding
+  * an executor-side broadcast. Reuse turns N gated keys over the same
+  * model into 1 fit + N loads.
   */
 object ModelStore {
 
   private val root = sys.props.getOrElse("graft.model.store", "/tmp/graft_models")
 
-  /** One lock per key: concurrent callers (e.g. FAIR-pool trials) must
-    * not double-fit or read a half-written artifact. */
+  /** One lock per ARTIFACT PATH (not per raw key): distinct raw keys can
+    * never race on one directory because [[pathFor]] is injective, and
+    * equal raw keys always coalesce onto the same lock object. */
   private val locks = new ConcurrentHashMap[String, Object]()
 
   /** Marker written only after a complete save — a crashed writer leaves
     * no marker, so the next caller refits over the partial artifact. */
   private def marker(p: String) = new File(p, "_GRAFT_SAVED")
 
-  def pathFor(key: String): String =
-    s"$root/${key.replaceAll("[^A-Za-z0-9._-]", "_")}"
+  private def sha256Hex(s: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Injective key→path mapping: a readable sanitized prefix for humans
+    * plus a hash of the RAW key, so "a/b" vs "a_b" (or a hostile "..")
+    * can never collide or escape `root` — the resolved path is always a
+    * fresh child of the store root. */
+  def pathFor(key: String): String = {
+    val pretty = key.replaceAll("[^A-Za-z0-9._-]", "_").take(64)
+      .replaceAll("^\\.+", "_") // no dot-leading dirs ("."/".." inexpressible)
+    s"$root/$pretty-${sha256Hex(key).take(16)}"
+  }
+
+  /** Stable fingerprint of the files backing `dir/<table>.parquet` —
+    * (relative name, length, mtime) per file, hashed. One filesystem
+    * metadata listing per table; no data read. Lets cached fits go stale
+    * the moment the generator rewrites a table in place. */
+  def fingerprint(dir: String, tables: Seq[String]): String = {
+    def files(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq
+          .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+          .sortBy(_.getName).flatMap(files)
+      else Seq(f)
+    val desc = tables.sorted.flatMap { t =>
+      val base = new File(dir, s"$t.parquet")
+      files(base).map(f => s"$t/${f.getName}:${f.length}:${f.lastModified}")
+    }
+    sha256Hex(desc.mkString("\n")).take(16)
+  }
 
   /** Load the model persisted under `key` if present, else run `fit`,
     * save it, and load it back. The returned model is ALWAYS the loaded
     * copy of the on-disk artifact. */
   def fitOrLoad[M <: MLWritable](key: String, load: String => M)(fit: => M): M = {
     val p = pathFor(key)
-    val lock = locks.computeIfAbsent(key, _ => new Object)
+    val lock = locks.computeIfAbsent(p, _ => new Object)
     lock.synchronized {
       if (!marker(p).exists()) {
         fit.write.overwrite().save(p)
-        marker(p).createNewFile()
+        if (!marker(p).createNewFile())
+          sys.error(s"ModelStore: could not commit marker for $p")
       }
       load(p)
     }
@@ -61,13 +103,17 @@ object ModelStore {
 
   /** Drop a persisted model (specs use this to force a refit). */
   def invalidate(key: String): Unit = {
-    val lock = locks.computeIfAbsent(key, _ => new Object)
+    val p = pathFor(key)
+    val lock = locks.computeIfAbsent(p, _ => new Object)
     lock.synchronized {
+      val d = new File(p)
+      val rootCanon = new File(root).getCanonicalPath
+      require(d.getCanonicalPath.startsWith(rootCanon + File.separator),
+        s"ModelStore.invalidate: $p escapes store root") // pathFor makes this unreachable
       def rm(f: File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
         f.delete(); ()
       }
-      val d = new File(pathFor(key))
       if (d.exists()) rm(d)
     }
   }

@@ -26,16 +26,20 @@ import graft.operators.Concurrent
 object ParamSweep {
 
   /** Run `grid` (numTrees, maxDepth) points concurrently; returns the
-    * per-point metric frame with the winner flagged. */
+    * per-point metric frame with the winner flagged. `keyFor` maps a
+    * grid point to an optional [[ModelStore]] key — gated instances use
+    * it so each point's fit persists (and points matching another gated
+    * key, e.g. the sweep's (20,5) vs `rf_train_eval`, share ONE fit). */
   def rfSweep(df: DataFrame, idCol: String, labelCol: String,
               featureCols: Seq[String],
-              grid: Seq[(Int, Int)], parallelism: Int = 4): DataFrame = {
+              grid: Seq[(Int, Int)], parallelism: Int = 4,
+              keyFor: (Int, Int) => Option[String] = (_, _) => None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val jobs = grid.map { case (nt, md) =>
       s"rf_${nt}_$md" -> (() => {
         val m = RandomForestTrain.trainEval(df, idCol, labelCol, featureCols,
-          numTrees = nt, maxDepth = md)
+          numTrees = nt, maxDepth = md, storeKey = keyFor(nt, md))
           .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
         (nt, md, m("auc"), m("accuracy"))
       })
@@ -56,5 +60,6 @@ object ParamSweep {
   def rfParamSweep(spark: SparkSession, dir: String): DataFrame =
     rfSweep(RandomForestTrain.orderFeatures(spark, dir), "o_orderkey",
       "label01", RandomForestTrain.orderFeatureCols,
-      grid = Seq((10, 3), (10, 5), (20, 3), (20, 5)))
+      grid = Seq((10, 3), (10, 5), (20, 3), (20, 5)),
+      keyFor = (nt, md) => Some(RandomForestTrain.rfKey(dir, nt, md)))
 }

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -93,18 +93,44 @@ object RandomForestTrain {
     rows.toDF("metric", "value").withColumn("value", round(col("value"), 6))
   }
 
+  /** Fit-or-load seam shared by every RF consumer: with a `storeKey`,
+    * route through [[ModelStore.fitOrLoad]] so gated keys over the same
+    * (data, params, seed) share ONE distributed fit and always score the
+    * persisted artifact (the reference's train-then-serve split,
+    * score.py:1-20); without one, fit directly (library callers on
+    * ad-hoc frames). */
+  private[ml] def fitRf(train: DataFrame, numTrees: Int, maxDepth: Int,
+                        seed: Long, storeKey: Option[String])
+      : RandomForestClassificationModel = {
+    def fit = new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features").setWeightCol("weight")
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+      .fit(train)
+    storeKey match {
+      case Some(k) =>
+        ModelStore.fitOrLoad(k, RandomForestClassificationModel.load)(fit)
+      case None => fit
+    }
+  }
+
+  /** Store key for a gated RF fit: data dir + file fingerprint (the
+    * generator rewrites tables in place between rounds) + hyperparams +
+    * seed + harness version. */
+  def rfKey(dir: String, numTrees: Int, maxDepth: Int,
+                        seed: Long = 42L, trainFrac: Double = 0.8): String = {
+    val fp = ModelStore.fingerprint(dir, Seq("orders"))
+    s"rf-v1:$dir:$fp:nt$numTrees:md$maxDepth:s$seed:f$trainFrac"
+  }
+
   /** Train on a deterministic `trainFrac` hash-split of `df`, evaluate
     * on the held-out rows; returns (metric, value) rows. `labelCol`
     * must be 0/1 doubles; `idCol` drives the split. */
   def trainEval(df: DataFrame, idCol: String, labelCol: String,
                 featureCols: Seq[String], trainFrac: Double = 0.8,
                 numTrees: Int = 20, maxDepth: Int = 5,
-                seed: Long = 42L): DataFrame = {
+                seed: Long = 42L, storeKey: Option[String] = None): DataFrame = {
     val (train, test) = prepSplit(df, idCol, labelCol, featureCols, trainFrac)
-    val rf = new RandomForestClassifier()
-      .setLabelCol("label").setFeaturesCol("features").setWeightCol("weight")
-      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
-    val model = rf.fit(train)
+    val model = fitRf(train, numTrees, maxDepth, seed, storeKey)
     val scoredTest = model.transform(test).localCheckpoint() // scored once, read by 3 metrics
     metricsFrame(train, test, scoredTest, featureCols,
       model.featureImportances.toArray)
@@ -137,5 +163,5 @@ object RandomForestTrain {
     * distributed fit/score/eval path, not a modeling claim. */
   def rfTrainEval(spark: SparkSession, dir: String): DataFrame =
     trainEval(orderFeatures(spark, dir), "o_orderkey", "label01",
-      orderFeatureCols)
+      orderFeatureCols, storeKey = Some(rfKey(dir, 20, 5)))
 }

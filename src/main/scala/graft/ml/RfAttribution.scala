@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.classification.{RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.classification.RandomForestClassificationModel
 import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, InternalNode, LeafNode, Node}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -109,10 +109,10 @@ object RfAttribution {
     val (train, test) = RandomForestTrain.prepSplit(
       RandomForestTrain.orderFeatures(spark, dir), "o_orderkey", "label01",
       featureCols, trainFrac = 0.8)
-    val rf = new RandomForestClassifier()
-      .setLabelCol("label").setFeaturesCol("features").setWeightCol("weight")
-      .setNumTrees(20).setMaxDepth(5).setSeed(42L)
-    val model = rf.fit(train)
+    // SAME store key as `rf_train_eval` — identical data/params/seed, so
+    // attribution consumes that key's persisted fit instead of refitting.
+    val model = RandomForestTrain.fitRf(train, numTrees = 20, maxDepth = 5,
+      seed = 42L, storeKey = Some(RandomForestTrain.rfKey(dir, 20, 5)))
     contributions(model, test, "o_orderkey", "__farr", featureCols)
   }
 
@@ -121,15 +121,13 @@ object RfAttribution {
     * score = Σᵢ wᵢ·treeᵢ(x) with the model's own treeWeights, so
     * additivity is exact in exactly the space the booster predicts in. */
   def gbtAttribution(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.classification.GBTClassifier
     val featureCols = RandomForestTrain.orderFeatureCols
     val (train, test) = RandomForestTrain.prepSplit(
       RandomForestTrain.orderFeatures(spark, dir), "o_orderkey", "label01",
       featureCols, trainFrac = 0.8)
-    val gbt = new GBTClassifier()
-      .setLabelCol("label").setFeaturesCol("features").setWeightCol("weight")
-      .setMaxIter(10).setMaxDepth(4).setSeed(42L)
-    val model = gbt.fit(train)
+    // Shares `gbt_train_eval`'s persisted fit (same key) — see rfAttribution.
+    val model = GbtTrain.fitGbt(train, maxIter = 10, maxDepth = 4,
+      seed = 42L, storeKey = Some(GbtTrain.gbtKey(dir, 10, 4)))
     ensembleContributions(model.trees.map(_.rootNode), model.treeWeights,
       test, "o_orderkey", "__farr", featureCols)
   }
