@@ -90,7 +90,9 @@ object SparkEntry {
     // additive Holt-Winters in integer fixed-point: the REAL model next
     // to seasonal-naive, recursion hash-gated via a recursive-CTE oracle
     "holt_winters_backtest" -> (graft.operators.HoltWinters.holtWintersEvents(_, _)),
-    // AutoETS-style per-series model selection over the two exact models
+    // Theta method (SES + half-OLS-drift) in integer fixed-point
+    "theta_backtest"        -> (graft.operators.Theta.thetaEvents(_, _)),
+    // AutoETS-style per-series model selection over the three exact models
     "auto_forecast"         -> (graft.operators.AutoForecast.autoForecastEvents(_, _)),
     // split-conformal intervals around the HW forecast (two-window fit)
     "forecast_intervals"    -> (graft.operators.ForecastIntervals.forecastIntervalsEvents(_, _)),
@@ -395,6 +397,7 @@ object SparkEntry {
     "conformal_calibrate"   -> graft.operators.Conformal.oracleSql,
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,
     "holt_winters_backtest" -> graft.operators.HoltWinters.oracleSql,
+    "theta_backtest"        -> graft.operators.Theta.oracleSql,
     "auto_forecast"         -> graft.operators.AutoForecast.oracleSql,
     "forecast_intervals"    -> graft.operators.ForecastIntervals.oracleSql,
     "bpe_first_merge"       -> graft.functions.BpeMerges.firstMergeOracleSql,

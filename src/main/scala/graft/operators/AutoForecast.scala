@@ -2,53 +2,80 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Per-series model selection over the forecast backtests — the
   * evaluation/selection loop of the reference's forecasting stack
   * (/root/reference/MachineLearning/Kubernetes/src/stats_forecast_tune.py:
   * 291-356 `evaluate_models_with_cv` builds the per-series per-model
   * error table and picks the winner; AutoETS itself is "fit candidates,
-  * keep the best"). Both candidate models here are EXACT integer
+  * keep the best"). All three candidate models here are EXACT integer
   * pipelines ([[Forecast]] seasonal-naive, [[HoltWinters]] additive
-  * ETS), so the leaderboard — per-series MAE of each model, the chosen
+  * ETS, [[Theta]] SES-with-drift — the same trio the reference tunes),
+  * so the leaderboard — per-series MAE of each model, the chosen
   * winner, its error — is deterministic and sits inside one DuckDB hash
-  * gate, composed from the two models' already-gated oracles.
+  * gate, composed from the three models' already-gated oracles.
   *
-  * Tie-break is explicit and engine-identical: Holt-Winters wins ties
-  * (both MAEs derive from exact integer sums, so `<=` compares
-  * identical doubles on both engines).
+  * Tie-break is explicit and engine-identical: Holt-Winters beats
+  * Theta beats seasonal-naive (all MAEs derive from exact integer
+  * sums, so `<=` compares identical doubles on both engines).
   *
   * Scale: one narrow join of two per-key aggregate frames; each input
   * carries the scale shape documented on its own operator.
   */
 object AutoForecast {
 
-  /** Join the two backtests per key and pick the winner. */
-  def leaderboard(sn: DataFrame, hw: DataFrame, keyCol: String): DataFrame =
+  /** Join the three backtests per key and pick the winner. Tie order
+    * (engine-identical `<=` on exact integer-derived doubles):
+    * holt_winters beats theta beats seasonal_naive. */
+  def leaderboard(sn: DataFrame, hw: DataFrame, th: DataFrame,
+                  keyCol: String): DataFrame =
     hw.select(col(keyCol), col("mae_cents").as("mae_hw_cents"))
+      .join(th.select(col(keyCol), col("mae_cents").as("mae_theta_cents")), keyCol)
       .join(sn.select(col(keyCol), col("mae_cents").as("mae_sn_cents")), keyCol)
       .select(col(keyCol), col("mae_sn_cents"), col("mae_hw_cents"),
-        when(col("mae_hw_cents") <= col("mae_sn_cents"), lit("holt_winters"))
+        col("mae_theta_cents"),
+        when(col("mae_hw_cents") <= col("mae_theta_cents") &&
+             col("mae_hw_cents") <= col("mae_sn_cents"), lit("holt_winters"))
+          .when(col("mae_theta_cents") <= col("mae_sn_cents"), lit("theta"))
           .otherwise(lit("seasonal_naive")).as("best_model"),
-        least(col("mae_hw_cents"), col("mae_sn_cents")).as("best_mae_cents"))
+        least(col("mae_hw_cents"), col("mae_theta_cents"),
+          col("mae_sn_cents")).as("best_mae_cents"))
 
   // ---- query-map entry (hash-gated) ----
 
-  def autoForecastEvents(spark: SparkSession, dir: String): DataFrame =
+  def autoForecastEvents(spark: SparkSession, dir: String): DataFrame = {
+    // HW and Theta fit the same dense spine — build it once and pin it
+    // (localCheckpoint, the audienceOverlap discipline) so the corpus
+    // scan + daily aggregate run once, not once per candidate model.
+    val dense = Resample
+      .dailySpineFill(Tables.events(spark, dir), "user_id", "ts", "value")
+      .select(col("key").as("user_id"), col("day"), col("cents"))
+      .localCheckpoint()
     leaderboard(
       Forecast.forecastBacktestEvents(spark, dir),
-      HoltWinters.holtWintersEvents(spark, dir), "user_id")
+      HoltWinters.backtest(dense, "user_id", "day", "cents",
+        season = 7, horizon = 7),
+      Theta.backtest(dense, "user_id", "day", "cents", horizon = 7),
+      "user_id")
+  }
 
   /** Composed oracle: the Holt-Winters recursive CTE chain (the SAME
     * [[HoltWinters.oracleCtePrefix]] its own gate runs on — structural
-    * reuse, no string surgery) + the seasonal-naive backtest rebuilt on
-    * the shared sparse daily CTE (`d`), joined per key. */
+    * reuse, no string surgery) + [[Theta.oracleCtes]] over the shared
+    * series chain + the seasonal-naive backtest rebuilt on the shared
+    * sparse daily CTE (`d`), joined per key. */
   def oracleSql: String = {
     s"""WITH RECURSIVE
        |${HoltWinters.oracleCtePrefix()},
+       |${Theta.oracleCtes()},
        |hw AS (
        |  SELECT p.user_id, CAST(sum(abs(e.cents - p.yhat)) AS DOUBLE) / count(*) AS mae
        |  FROM preds p JOIN ev e ON e.user_id = p.user_id AND e.k = p.k
+       |  GROUP BY p.user_id),
+       |th AS (
+       |  SELECT p.user_id, CAST(sum(abs(e.cents - p.yhat)) AS DOUBLE) / count(*) AS mae
+       |  FROM tpreds p JOIN ev e ON e.user_id = p.user_id AND e.k = p.k
        |  GROUP BY p.user_id),
        |sn_ev AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS recency
@@ -61,8 +88,11 @@ object AutoForecast {
        |  SELECT user_id, CAST(sum(abs(cents - hcents)) AS DOUBLE) / count(*) AS mae
        |  FROM sn_j GROUP BY user_id)
        |SELECT hw.user_id, sn.mae AS mae_sn_cents, hw.mae AS mae_hw_cents,
-       |  CASE WHEN hw.mae <= sn.mae THEN 'holt_winters' ELSE 'seasonal_naive' END AS best_model,
-       |  least(hw.mae, sn.mae) AS best_mae_cents
-       |FROM hw JOIN sn USING (user_id)""".stripMargin
+       |  th.mae AS mae_theta_cents,
+       |  CASE WHEN hw.mae <= th.mae AND hw.mae <= sn.mae THEN 'holt_winters'
+       |       WHEN th.mae <= sn.mae THEN 'theta'
+       |       ELSE 'seasonal_naive' END AS best_model,
+       |  least(hw.mae, th.mae, sn.mae) AS best_mae_cents
+       |FROM hw JOIN th USING (user_id) JOIN sn USING (user_id)""".stripMargin
   }
 }

@@ -141,10 +141,8 @@ object HoltWinters {
     * (user_id, k, yhat)/(user_id, k, cents) for k = 1..`horizon`.
     * `horizon` is interpolated (not hardcoded) so a caller changing the
     * gated horizon moves the oracle in lockstep with the Scala path. */
-  def oracleCtePrefix(holdback: Int = 7, sfx: String = "",
-                      horizon: Int = 7): String = {
-    def fdk(e: String, d: Int): String = s"((($e) - ((($e) % $d) + $d) % $d) // $d)"
-    val lt = fdk("y.cents - r.s[1] + r.l + r.b", 2)
+  def oracleSeriesCtes(holdback: Int = 7, sfx: String = "",
+                       horizon: Int = 7): String =
     s"""b$sfx AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
        |cut$sfx AS (SELECT hi - $holdback AS cutoff FROM b$sfx),
        |k$sfx AS (SELECT DISTINCT user_id FROM events),
@@ -163,6 +161,18 @@ object HoltWinters {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS t
        |  FROM dense$sfx, cut$sfx WHERE day <= cutoff),
        |tmax$sfx AS (SELECT user_id, max(t) AS tt FROM train$sfx GROUP BY user_id),
+       |ev$sfx AS (
+       |  SELECT a.user_id,
+       |    CAST(a.day - (SELECT cutoff FROM cut$sfx) AS INT) AS k, a.cents
+       |  FROM dense$sfx a, cut$sfx
+       |  WHERE a.day > cut$sfx.cutoff
+       |    AND a.day - cut$sfx.cutoff <= $horizon)""".stripMargin
+
+  def oracleCtePrefix(holdback: Int = 7, sfx: String = "",
+                      horizon: Int = 7): String = {
+    def fdk(e: String, d: Int): String = s"((($e) - ((($e) % $d) + $d) % $d) // $d)"
+    val lt = fdk("y.cents - r.s[1] + r.l + r.b", 2)
+    s"""${oracleSeriesCtes(holdback, sfx, horizon)},
        |f7$sfx AS (
        |  SELECT user_id, list(cents ORDER BY day) AS ys FROM train$sfx
        |  WHERE t <= 7 GROUP BY user_id),
@@ -185,13 +195,7 @@ object HoltWinters {
        |preds$sfx AS (
        |  SELECT f.user_id, CAST(k AS INT) AS k,
        |    f.l + CAST(k AS BIGINT) * f.b + f.s[CAST(k AS INT)] AS yhat
-       |  FROM fin$sfx f, unnest(generate_series(1, $horizon)) AS u(k)),
-       |ev$sfx AS (
-       |  SELECT a.user_id,
-       |    CAST(a.day - (SELECT cutoff FROM cut$sfx) AS INT) AS k, a.cents
-       |  FROM dense$sfx a, cut$sfx
-       |  WHERE a.day > cut$sfx.cutoff
-       |    AND a.day - cut$sfx.cutoff <= $horizon)""".stripMargin
+       |  FROM fin$sfx f, unnest(generate_series(1, $horizon)) AS u(k))""".stripMargin
   }
 
   /** The same integer recursion as a recursive CTE carrying the
