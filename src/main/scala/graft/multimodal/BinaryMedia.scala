@@ -35,16 +35,52 @@ object BinaryMedia {
         (col(idCol) % 3 + 1).cast("int")).as("media_type"),
       col(textCol).cast("binary").as("payload"))
 
-  /** STUB header decode, as expressions: real decoders replace these with
-    * a batched parse (see [[decodeBatch]]); the *schema* is the contract. */
+  /** Little-endian unsigned int read from a binary column at 0-based
+    * byte offset `off`, as pure codegen'd expressions: slice the bytes,
+    * hex them, swap to big-endian pair order, `conv` base-16. No UDF —
+    * header parsing stays inside whole-stage codegen. */
+  private def leU32(b: Column, off: Int): Column = {
+    val h = hex(substring(b, off + 1, 4))
+    conv(concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("int")
+  }
+
+  private def leU16(b: Column, off: Int): Column = {
+    val h = hex(substring(b, off + 1, 2))
+    conv(concat(substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("int")
+  }
+
+  /** Expression form of [[BmpCodec.isBmp]]'s structural check: magic,
+    * declared file size matching the byte count, fixed header sizes,
+    * 24 bpp, BI_RGB. Mirrors the JVM-side check bit-for-bit so the
+    * dispatch below agrees with [[decodeBatch]]'s codec routing. */
+  def isBmpExpr(b: Column): Column =
+    (length(b) >= 54) &&
+      (substring(b, 1, 2) === lit("BM".getBytes("US-ASCII"))) &&
+      (leU32(b, 2) === length(b)) &&
+      (leU32(b, 10) === 54) && (leU32(b, 14) === 40) &&
+      (leU16(b, 28) === 24) && (leU32(b, 30) === 0)
+
+  /** Header decode, as expressions. Payloads in a format we ship a codec
+    * for (BMP) get their dimensions READ FROM THE HEADER BYTES — a real
+    * parse, codegen'd, no UDF. Formats with no codec in the container
+    * fall back to the declared arithmetic stub (clearly fake, but
+    * deterministic and cross-engine checkable); a real deployment
+    * replaces that branch with a batched parse (see [[decodeBatch]]);
+    * the *schema* is the contract. */
   def withMeta(media: DataFrame): DataFrame = {
     val n = length(col("payload"))
+    val bmp = isBmpExpr(col("payload"))
     media
       .withColumn("n_bytes", n)
       .withColumn("width",
-        when(col("media_type") === "image", n % 512 + 64).otherwise(lit(null).cast("int")))
+        when(col("media_type") === "image",
+          when(bmp, leU32(col("payload"), 18)).otherwise(n % 512 + 64))
+          .otherwise(lit(null).cast("int")))
       .withColumn("height",
-        when(col("media_type") === "image", n % 384 + 64).otherwise(lit(null).cast("int")))
+        when(col("media_type") === "image",
+          when(bmp, leU32(col("payload"), 22)).otherwise(n % 384 + 64))
+          .otherwise(lit(null).cast("int")))
       .withColumn("duration_ms",
         when(col("media_type") =!= "image", n * 8).otherwise(lit(null).cast("long")))
       .withColumn("frame_count",
@@ -129,6 +165,38 @@ object BinaryMedia {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Mixed-type media table with REAL payloads where a codec exists:
+    * image rows (id % 3 == 0) carry an actual encoded BMP (dimensions
+    * and pixels closed-form in the id, identical to
+    * [[bmpMediaFromDocs]]); audio/video rows carry the document's
+    * UTF-8 bytes as the opaque stand-in. [[withMeta]] must then read
+    * image dimensions from the header bytes — the oracle predicts them
+    * from the generator's closed form without ever parsing a byte. */
+  def typedMediaFromDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media_type", StringType, nullable = false),
+      StructField("payload", BinaryType)))
+    val rows = docs.select(col(idCol).cast("long"), col(textCol)).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val mt = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val payload: Array[Byte] =
+          if (mt == "image") {
+            val w = (id % 24 + 8).toInt
+            val h = (id % 16 + 8).toInt
+            BmpCodec.encodeGray(w, h,
+              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+          } else r.getString(1).getBytes("UTF-8")
+        Row(id, mt, payload)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Decode stats straight off real BMP bytes: dimensions from the
     * header, exact channel-byte sum from the pixel rows. */
   def decodeBmpStats(media: DataFrame): DataFrame = {
@@ -150,17 +218,24 @@ object BinaryMedia {
 
   // ---- query-map entries (#38, #39) ----
 
+  /** Image rows are REAL BMPs here: width/height in the Spark result
+    * come from [[withMeta]]'s expression-level header parse of the
+    * payload bytes, while the oracle derives the same numbers from the
+    * generator's closed form (and the exact BMP size formula,
+    * 54 + padded-row·h) — so a hash match proves the header read. */
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
-    withMeta(mediaFromDocs(Tables.documents(spark, dir), "doc_id", "text"))
+    withMeta(typedMediaFromDocs(Tables.documents(spark, dir), "doc_id", "text"))
       .select("media_id", "media_type", "n_bytes", "width", "height",
         "duration_ms", "frame_count")
 
   def mmMetaOracleSql: String =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-      |  CASE WHEN doc_id % 3 = 0 THEN CAST(octet_length(encode(text)) % 512 + 64 AS INT) END AS width,
-      |  CASE WHEN doc_id % 3 = 0 THEN CAST(octet_length(encode(text)) % 384 + 64 AS INT) END AS height,
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN CAST(54 + ((3 * (doc_id % 24 + 8) + 3) // 4) * 4 * (doc_id % 16 + 8) AS INT)
+      |       ELSE CAST(octet_length(encode(text)) AS INT) END AS n_bytes,
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 24 + 8 AS INT) END AS width,
+      |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 16 + 8 AS INT) END AS height,
       |  CASE WHEN doc_id % 3 <> 0 THEN CAST(octet_length(encode(text)) * 8 AS BIGINT) END AS duration_ms,
       |  CASE WHEN doc_id % 3 = 2 THEN CAST(octet_length(encode(text)) // 100 + 1 AS INT) END AS frame_count
       |FROM documents""".stripMargin

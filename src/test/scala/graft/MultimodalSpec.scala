@@ -28,6 +28,46 @@ class MultimodalSpec extends SparkSpec {
     assert(wv == 0 && dv == nv && fv == nv, "video meta shape wrong")
   }
 
+  test("withMeta reads BMP dimensions from the actual header bytes") {
+    // Planted payloads: a real 100×50 BMP must yield header dims (100,
+    // 50) — NOT the arithmetic-stub dims its byte length would predict —
+    // while a codec-less text payload still falls back to the stub.
+    val bmp = graft.multimodal.BmpCodec.encodeGray(100, 50, (x, y) => (x + y) % 256)
+    val rows = Seq(
+      (1L, "image", bmp),
+      (2L, "image", "not a bitmap at all".getBytes("UTF-8")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map {
+        case (id, t, b) => org.apache.spark.sql.Row(id, t, b)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val m = BinaryMedia.withMeta(df)
+      .select("media_id", "n_bytes", "width", "height")
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    val (_, nb, w, h) = m(1L)
+    assert((w, h) == ((100, 50)), s"header parse wrong: ${(w, h)}")
+    assert((nb % 512 + 64, nb % 384 + 64) != ((100, 50)),
+      "planted BMP accidentally matches the stub formula — test is vacuous")
+    val (_, nb2, w2, h2) = m(2L)
+    assert((w2, h2) == ((nb2 % 512 + 64, nb2 % 384 + 64)),
+      "codec-less payload must fall back to the stub formula")
+
+    // gated instance: every image row's dims match the generator closed
+    // form — the header round-trip over the whole documents table
+    val bad = BinaryMedia.mmMeta(spark, sfDir)
+      .filter($"media_type" === "image" &&
+        ($"width" =!= ($"media_id" % 24 + 8) ||
+         $"height" =!= ($"media_id" % 16 + 8)))
+      .count()
+    assert(bad == 0, s"$bad image rows with header dims off the closed form")
+  }
+
   test("frame sampling: only videos, every k-th frame, correct offsets") {
     val fs = BinaryMedia.frameSample(BinaryMedia.withMeta(media), every = 10)
       .as[(Long, Int, Long)].collect()
