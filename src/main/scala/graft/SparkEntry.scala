@@ -280,6 +280,9 @@ object SparkEntry {
     "rf_train_eval"         -> (graft.ml.RandomForestTrain.rfTrainEval(_, _)),
     // GBT through the same harness (rows-gated like rf_train_eval)
     "gbt_train_eval"        -> (graft.ml.GbtTrain.gbtTrainEval(_, _)),
+    // depth-1 histogram-split fit in relational form: the one tree
+    // iteration the ensembles run, integer-exact and hash-gated
+    "gbt_stump"             -> (graft.ml.GbtStump.gbtStump(_, _)),
     // per-row Saabas path contributions off the fitted RF (rows-gated;
     // exact additivity + signal concentration in RfAttributionSpec)
     "rf_attribution"        -> (graft.ml.RfAttribution.rfAttribution(_, _)),
@@ -399,6 +402,7 @@ object SparkEntry {
     "holt_winters_backtest" -> graft.operators.HoltWinters.oracleSql,
     "theta_backtest"        -> graft.operators.Theta.oracleSql,
     "auto_forecast"         -> graft.operators.AutoForecast.oracleSql,
+    "gbt_stump"             -> graft.ml.GbtStump.oracleSql,
     "forecast_intervals"    -> graft.operators.ForecastIntervals.oracleSql,
     "bpe_first_merge"       -> graft.functions.BpeMerges.firstMergeOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,

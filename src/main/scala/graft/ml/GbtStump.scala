@@ -1,0 +1,178 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Sampling
+
+/** Depth-1 single-iteration tree fit (a decision stump) expressed
+  * DECLARATIVELY — the distributed histogram-split algorithm that every
+  * tree ensemble iteration runs (per-feature bin statistics aggregated
+  * map-side, then an impurity argmax over candidate thresholds), pulled
+  * out of the MLlib black box and into plain relational operators so a
+  * DuckDB hash gate can pin it bit-for-bit. This is to the RF/GBT keys
+  * what `bpe_first_merge` is to `bpe_merges`: the machinery of one
+  * boosting/bagging iteration made SQL-expressible.
+  *
+  * Reference anchor: the xgboost/RF legs of the tabular stack
+  * (/root/reference/MachineLearning/Ray/tabular/minimal_xgboost_ray.py,
+  * /root/reference/DataEngineering/DataBricks/spark_randomforest.py:41-72)
+  * fit exactly this histogram-split primitive at depth d; depth 1 with
+  * integer-exact scoring is its gateable core.
+  *
+  * Determinism discipline: every quantity is BIGINT until one final
+  * IEEE division. Features are integerized by the caller; bins are
+  * equal-width in integer arithmetic ((v−min)·B div (max−min+1), all
+  * non-negative); the split score — minimizing weighted Gini cost
+  * Σ_side n_s·(1 − (pos_s²+neg_s²)/n_s²) is equivalent to maximizing
+  *   score = (pos_l²+neg_l²)/n_l + (pos_r²+neg_r²)/n_r
+  *         = [(pos_l²+neg_l²)·n_r + (pos_r²+neg_r²)·n_l] / (n_l·n_r)
+  * — is carried as that exact integer numerator/denominator pair, and
+  * the ranking double is ONE correctly-rounded division of those two
+  * integers, so any engine computes the identical double and the
+  * argmax order cannot diverge. Exact-integer scoring is safe to ~2M
+  * rows per fit (num ≲ N³ must fit in int64); past that a production
+  * stump scores in doubles — the gate runs at gate scale by design.
+  *
+  * Scale shape: one pass computes per-feature ranges (map-side min/max
+  * partials), one pass the (feature, bin) histogram (map-side combine;
+  * ≤ |features|·B rows survive the shuffle), and the cumulative scan +
+  * argmax run on that bounded frame — nothing row-shaped leaves the
+  * executors, same contract as MLlib's own `findBestSplits` aggregate.
+  */
+object GbtStump {
+
+  /** Best split per integerized feature, globally ranked. `features`
+    * maps name → non-negative-range integer column (any int range;
+    * internally shifted by the observed min). Output one row per
+    * feature that admits a split: (rank, feature, split_bin, minv,
+    * maxv, n_left, pos_left, n_right, pos_right, score_num,
+    * score_den) — rank 1 is the stump's chosen split. */
+  def bestSplits(df: DataFrame, labelCol: String,
+                 features: Seq[(String, Column)], bins: Int = 32): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val tall = df.select(
+        col(labelCol).cast("long").as("__y"),
+        array(features.map { case (n, c) =>
+          struct(lit(n).as("f"), c.cast("long").as("v"))
+        }: _*).as("__fs"))
+      .select(explode(col("__fs")).as("__fv"), col("__y"))
+      .select(col("__fv.f").as("feature"), col("__fv.v").as("v"), col("__y"))
+
+    val ranges = tall.groupBy("feature")
+      .agg(min("v").as("minv"), max("v").as("maxv"))
+      .filter(col("maxv") > col("minv")) // constant features admit no split
+
+    val hist = tall.join(broadcast(ranges), "feature")
+      .withColumn("bin",
+        expr(s"((v - minv) * $bins) div (maxv - minv + 1)"))
+      .groupBy("feature", "minv", "maxv", "bin")
+      .agg(count(lit(1)).as("n"), sum("__y").as("pos"))
+
+    val wCum = Window.partitionBy("feature").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("feature")
+    val cand = hist
+      .withColumn("n_left", sum("n").over(wCum))
+      .withColumn("pos_left", sum("pos").over(wCum))
+      .withColumn("n_tot", sum("n").over(wTot))
+      .withColumn("pos_tot", sum("pos").over(wTot))
+      .filter(col("n_left") < col("n_tot")) // right side must be non-empty
+      .withColumn("n_right", col("n_tot") - col("n_left"))
+      .withColumn("pos_right", col("pos_tot") - col("pos_left"))
+      .withColumn("neg_left", col("n_left") - col("pos_left"))
+      .withColumn("neg_right", col("n_right") - col("pos_right"))
+      .withColumn("score_num",
+        (col("pos_left") * col("pos_left") + col("neg_left") * col("neg_left")) * col("n_right") +
+          (col("pos_right") * col("pos_right") + col("neg_right") * col("neg_right")) * col("n_left"))
+      .withColumn("score_den", col("n_left") * col("n_right"))
+      .withColumn("__score",
+        col("score_num").cast("double") / col("score_den").cast("double"))
+
+    val perFeature = cand
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("feature").orderBy(desc("__score"), col("bin"))))
+      .filter(col("__rn") === 1)
+
+    // |features| rows remain — the single-partition rank window is bounded
+    perFeature
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("__score"), col("feature"), col("bin"))).cast("long"))
+      .select(col("rank"), col("feature"), col("bin").as("split_bin"),
+        col("minv"), col("maxv"), col("n_left"), col("pos_left"),
+        col("n_right"), col("pos_right"), col("score_num"), col("score_den"))
+  }
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** Gated instance: the SAME planted-signal orders features and the
+    * SAME deterministic 0.8 hash split as `rf_train_eval`/
+    * `gbt_train_eval` (so this gate pins the split machinery those
+    * rows-gated keys run on), with features integerized — price in
+    * cents, year/month/priority already integral. */
+  def gbtStump(spark: SparkSession, dir: String): DataFrame = {
+    val thr = (0.8 * Sampling.M).toLong
+    val train = Tables.orders(spark, dir)
+      .filter(Sampling.portableBucket(col("o_orderkey")) < thr)
+      .withColumn("label01",
+        when(col("o_totalprice") > 250000.0, 1L).otherwise(0L))
+    bestSplits(train, "label01", Seq(
+      "f_price" -> floor(col("o_totalprice") * lit(100.0)).cast("long"),
+      "f_year" -> year(col("o_orderdate")).cast("long"),
+      "f_month" -> month(col("o_orderdate")).cast("long"),
+      "f_priority" -> substring(col("o_orderpriority"), 1, 1).cast("long")))
+  }
+
+  def oracleSql: String =
+    """WITH t AS (
+      |  SELECT CAST(o_totalprice > 250000.0 AS BIGINT) AS y,
+      |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS f_price,
+      |    CAST(year(o_orderdate) AS BIGINT) AS f_year,
+      |    CAST(month(o_orderdate) AS BIGINT) AS f_month,
+      |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS f_priority
+      |  FROM orders
+      |  WHERE ((o_orderkey % 100003) * 1103515245 + 12345) % 1000000 < 800000
+      |), tall AS (
+      |  SELECT 'f_price' AS feature, f_price AS v, y FROM t
+      |  UNION ALL SELECT 'f_year', f_year, y FROM t
+      |  UNION ALL SELECT 'f_month', f_month, y FROM t
+      |  UNION ALL SELECT 'f_priority', f_priority, y FROM t
+      |), rng AS (
+      |  SELECT feature, min(v) AS minv, max(v) AS maxv FROM tall
+      |  GROUP BY feature HAVING max(v) > min(v)
+      |), hist AS (
+      |  SELECT tall.feature, minv, maxv,
+      |    ((v - minv) * 32) // (maxv - minv + 1) AS bin,
+      |    count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+      |  FROM tall JOIN rng ON tall.feature = rng.feature
+      |  GROUP BY tall.feature, minv, maxv, bin
+      |), cum AS (
+      |  SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_left,
+      |    CAST(sum(pos) OVER (PARTITION BY feature ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pos_left,
+      |    CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS n_tot,
+      |    CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS pos_tot
+      |  FROM hist
+      |), cand AS (
+      |  SELECT feature, bin, minv, maxv, n_left, pos_left,
+      |    n_tot - n_left AS n_right, pos_tot - pos_left AS pos_right,
+      |    (pos_left * pos_left + (n_left - pos_left) * (n_left - pos_left)) * (n_tot - n_left)
+      |      + ((pos_tot - pos_left) * (pos_tot - pos_left)
+      |         + (n_tot - n_left - (pos_tot - pos_left)) * (n_tot - n_left - (pos_tot - pos_left))) * n_left
+      |      AS score_num,
+      |    n_left * (n_tot - n_left) AS score_den
+      |  FROM cum WHERE n_left < n_tot
+      |), best AS (
+      |  SELECT *, CAST(score_num AS DOUBLE) / CAST(score_den AS DOUBLE) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY feature
+      |      ORDER BY CAST(score_num AS DOUBLE) / CAST(score_den AS DOUBLE) DESC, bin) AS rn
+      |  FROM cand
+      |)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, feature, bin) AS BIGINT) AS rank,
+      |  feature, bin AS split_bin, minv, maxv, n_left, pos_left,
+      |  n_right, pos_right, score_num, score_den
+      |FROM best WHERE rn = 1""".stripMargin
+}

@@ -41,6 +41,36 @@ class GbtSpec extends SparkSpec {
     assert(a == b, s"nondeterministic training: ${a.diff(b)} vs ${b.diff(a)}")
   }
 
+  test("stump: picks the separating feature and a pure planted split") {
+    import graft.ml.GbtStump
+    // x1 in [0, 99] separates y perfectly at 50; x2 is noise. The stump
+    // must rank x1 first, and its best bin boundary must split pure:
+    // every left row negative, every right row positive (bins are
+    // equal-width over [0, 99], so boundary 16 = value 50 exactly).
+    val rows = (0L until 640L).map { i =>
+      val x1 = i % 100L
+      val x2 = (i * 2654435761L) % 97L
+      (if (x1 >= 50) 1L else 0L, x1, x2)
+    }.toDF("y", "x1", "x2")
+    val got = GbtStump.bestSplits(rows, "y",
+      Seq("x1" -> col("x1"), "x2" -> col("x2")), bins = 32)
+      .collect().map(r => r.getAs[String]("feature") ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("split_bin"),
+          r.getAs[Long]("pos_left"), r.getAs[Long]("n_left"),
+          r.getAs[Long]("pos_right"), r.getAs[Long]("n_right"))).toMap
+    val (rank1, bin1, posL, nL, posR, nR) = got("x1")
+    assert(rank1 == 1L, s"signal feature not ranked first: $got")
+    assert(posL == 0L && posR == nR, s"best x1 split not pure: $got")
+    assert(nL + nR == 640L)
+    assert(got("x2")._1 == 2L)
+
+    // gated instance: f_price (the label's own threshold) must win, and
+    // its winning split must be far cleaner than any other feature's
+    val gate = GbtStump.gbtStump(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("rank") -> r.getAs[String]("feature")).toMap
+    assert(gate(1L) == "f_price", s"stump chose ${gate(1L)} over f_price")
+  }
+
   test("gated orders instance: recovers the planted price threshold") {
     val m = GbtTrain.gbtTrainEval(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
