@@ -55,6 +55,27 @@ class HoltWintersSpec extends SparkSpec {
       "constant series must backtest with zero error")
   }
 
+  test("key shorter than one season is dropped, not errored") {
+    // The guard's contract: a key whose observed day span is shorter
+    // than one season cannot seed the seasonal state, so BOTH engines
+    // drop it — the oracle's dense spine joins back to fit rows that
+    // survive the same size(__ys) >= season cut, and the Spark side
+    // filters before the recursion. Keys with enough history are
+    // unaffected by the short key's presence.
+    val short = (0 until 4).map { t => // 4 days < season 7
+      (3L, Date.valueOf(day0.plusDays(t)), 7000L + 10L * t)
+    }.toDF("key", "day", "cents")
+    val withShort = HoltWinters.backtest(planted.union(short),
+        "key", "day", "cents", season = 7, horizon = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!withShort.contains(3L), "short key must be dropped")
+    val without = HoltWinters.backtest(planted,
+        "key", "day", "cents", season = 7, horizon = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(withShort == without,
+      "short key must not perturb surviving keys")
+  }
+
   test("gated instance is deterministic and covers every user") {
     val a = HoltWinters.holtWintersEvents(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toMap

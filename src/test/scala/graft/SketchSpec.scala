@@ -40,6 +40,23 @@ class SketchSpec extends SparkSpec {
       s"overlap wrong: ${got.toSeq}")
   }
 
+  test("audience overlap plans the sketch aggregate once, not per join side") {
+    import graft.functions.DistinctSketch.audienceOverlapEvents
+    // The eager localCheckpoint inside audienceOverlap materializes the
+    // per-segment sketch sets BEFORE the self-join, so the pair join's
+    // physical plan must read the checkpointed RDD on both sides and
+    // contain neither the sketch aggregate nor an events scan.
+    val plan = audienceOverlapEvents(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaAggregator"),
+      "sketch aggregate re-planned after checkpoint")
+    assert(!plan.contains("events.parquet"),
+      "events scan re-planned after checkpoint")
+    val rddScans = "ExistingRDD".r.findAllIn(plan).length
+    assert(rddScans >= 2,
+      s"expected both join sides on the checkpointed RDD, plan:\n$plan")
+  }
+
   test("approx_count_distinct within tolerance of exact per group") {
     val events = Tables.events(spark, sfDir)
     val approx = Sketches.approxDistinct(events, "event_type", "user_id", rsd = 0.02)
