@@ -108,6 +108,9 @@ object SparkEntry {
     "colnames_camel"        -> (ColumnNames.colnamesCamelOrders(_, _)),
     "submix_sample"         -> (Sampling.submixDocuments(_, _)),
     "hash_split"            -> (Sampling.hashSplitDocuments(_, _)),
+    // deterministic global shuffle -> fixed-size dataloader shards
+    // (two-phase rank: no corpus-wide single-partition window)
+    "shard_assign"          -> (Sampling.shardAssignDocuments(_, _)),
     "compaction"            -> (Compaction.compactionOrders(_, _)),
     // Morton-curve multi-dim clustering; the curve value hash-gates,
     // the skipping win is measured in ZorderSpec
@@ -414,6 +417,7 @@ object SparkEntry {
     "colnames_camel"        -> ColumnNames.oracleSql,
     "submix_sample"         -> Sampling.oracleSql,
     "hash_split"            -> Sampling.hashSplitOracleSql,
+    "shard_assign"          -> Sampling.shardAssignOracleSql,
     "compaction"            -> Compaction.oracleSql,
     "zorder_values"         -> graft.operators.Zorder.oracleSql,
     "bucketed_join_agg"     -> graft.operators.BucketedJoin.oracleSql,

@@ -106,6 +106,27 @@ object Sampling {
       .drop("__srn")
   }
 
+  /** Deterministic training-shard export: the corpus in pseudo-random
+    * [[portableBucket]] order, cut into fixed-size shards with a
+    * position inside each — the "global shuffle then write N-row
+    * shards" step every dataloader export runs before training.
+    * shard = (rank−1) div shardSize, shard_pos = (rank−1) mod shardSize.
+    *
+    * Scale: the global order comes from [[Ranks.globalRowNumber]]
+    * (range repartition + per-slice window + broadcast offsets), so no
+    * corpus-wide single-partition window exists at any size; shard and
+    * position are map-side arithmetic on the rank. Shard boundaries are
+    * byte-stable across partitioning because the order
+    * (bucket, id) is total. */
+  def shardAssign(df: DataFrame, idCol: String, shardSize: Long): DataFrame = {
+    require(shardSize >= 1, "shardSize must be >= 1")
+    Ranks.globalRowNumber(df,
+        Seq(portableBucket(col(idCol)), col(idCol)), "__grn")
+      .withColumn("shard", expr(s"(__grn - 1) div $shardSize"))
+      .withColumn("shard_pos", expr(s"(__grn - 1) % $shardSize"))
+      .drop("__grn")
+  }
+
   // ---- query-map entry (#22) ----
 
   /** The reference submix shape: heavy/medium/light strata + dropped rest. */
@@ -145,6 +166,24 @@ object Sampling {
       |SELECT d.doc_id, d.lang, d.source
       |FROM documents d JOIN f ON d.lang = f.lang
       |WHERE ((d.doc_id % 100003) * 1103515245 + 12345) % 1000000 < f.thr""".stripMargin
+
+  /** Query-map entry: the document corpus shuffled and cut into
+    * 512-row training shards. */
+  def shardAssignDocuments(spark: SparkSession, dir: String): DataFrame =
+    shardAssign(Tables.documents(spark, dir), "doc_id", shardSize = 512L)
+      .select("doc_id", "source", "shard", "shard_pos")
+
+  def shardAssignOracleSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (ORDER BY
+      |      ((doc_id % 100003) * 1103515245 + 12345) % 1000000,
+      |      doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source,
+      |  CAST((rn - 1) // 512 AS BIGINT) AS shard,
+      |  CAST((rn - 1) % 512 AS BIGINT) AS shard_pos
+      |FROM r""".stripMargin
 
   /** Query-map entry: 20 deterministic sample documents per source. */
   def sampleKPerSource(spark: SparkSession, dir: String): DataFrame =

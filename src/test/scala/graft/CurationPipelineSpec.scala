@@ -90,6 +90,34 @@ class CurationPipelineSpec extends SparkSpec {
     assert(curate(restored) == curate(docs.select("doc_id", "text")))
   }
 
+  test("shard export: full fixed-size shards in deterministic shuffled order") {
+    // 1030 docs at shard size 100: shards 0..9 full, shard 10 holds 30
+    val ids = (0L until 1030L).map(i => i * 7L + 3L) // arbitrary non-dense ids
+    val docs = ids.toDF("doc_id")
+    val got = Sampling.shardAssign(docs, "doc_id", shardSize = 100L)
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 1030)
+    val bySh = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySh == (0L to 9L).map(_ -> 100).toMap + (10L -> 30),
+      s"shard sizes wrong: $bySh")
+    // positions inside each shard are exactly 0..n-1
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"positions in shard $sh not dense")
+    }
+    // the order is the (portableBucket, id) total order, so the mapping
+    // is byte-stable across partitioning
+    val expected = ids.sortBy(id =>
+        ((((id % 100003L) * 1103515245L + 12345L) % 1000000L + 1000000L) % 1000000L, id))
+      .zipWithIndex.map { case (id, i) => (id, i / 100L, i % 100L) }.toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == expected)
+    val again = Sampling.shardAssign(docs.repartition(13), "doc_id", 100L)
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == got.toSet, "shard assignment not partitioning-invariant")
+  }
+
   test("fold hygiene: k-fold splits keep the length distribution (PSI across folds ~ 0)") {
     import graft.operators.{Drift, KFold}
     // the check a CV pipeline runs after splitting: no fold may carry a
