@@ -286,6 +286,9 @@ object SparkEntry {
     // depth-1 histogram-split fit in relational form: the one tree
     // iteration the ensembles run, integer-exact and hash-gated
     "gbt_stump"             -> (graft.ml.GbtStump.gbtStump(_, _)),
+    // Saabas node-delta attribution on the one-node tree, where the
+    // ensemble-attribution principle is SQL-expressible and hash-gates
+    "stump_attribution"     -> (graft.ml.GbtStump.stumpAttribution(_, _)),
     // per-row Saabas path contributions off the fitted RF (rows-gated;
     // exact additivity + signal concentration in RfAttributionSpec)
     "rf_attribution"        -> (graft.ml.RfAttribution.rfAttribution(_, _)),
@@ -406,6 +409,7 @@ object SparkEntry {
     "theta_backtest"        -> graft.operators.Theta.oracleSql,
     "auto_forecast"         -> graft.operators.AutoForecast.oracleSql,
     "gbt_stump"             -> graft.ml.GbtStump.oracleSql,
+    "stump_attribution"     -> graft.ml.GbtStump.attributionOracleSql,
     "forecast_intervals"    -> graft.operators.ForecastIntervals.oracleSql,
     "bpe_first_merge"       -> graft.functions.BpeMerges.firstMergeOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,

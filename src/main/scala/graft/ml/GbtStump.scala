@@ -124,15 +124,21 @@ object GbtStump {
       "f_priority" -> substring(col("o_orderpriority"), 1, 1).cast("long")))
   }
 
-  def oracleSql: String =
-    """WITH t AS (
-      |  SELECT CAST(o_totalprice > 250000.0 AS BIGINT) AS y,
+  /** The shared CTE chain up to `best` (per-feature best splits) —
+    * exposed so [[stumpAttribution]]'s oracle composes on it
+    * STRUCTURALLY instead of duplicating the fit (same discipline as
+    * HoltWinters.sharedCte for the forecast family). */
+  private val fitCtes: String =
+    """raw AS (
+      |  SELECT o_orderkey, CAST(o_totalprice > 250000.0 AS BIGINT) AS y,
       |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS f_price,
       |    CAST(year(o_orderdate) AS BIGINT) AS f_year,
       |    CAST(month(o_orderdate) AS BIGINT) AS f_month,
-      |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS f_priority
+      |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS f_priority,
+      |    ((o_orderkey % 100003) * 1103515245 + 12345) % 1000000 AS bkt
       |  FROM orders
-      |  WHERE ((o_orderkey % 100003) * 1103515245 + 12345) % 1000000 < 800000
+      |), t AS (
+      |  SELECT * FROM raw WHERE bkt < 800000
       |), tall AS (
       |  SELECT 'f_price' AS feature, f_price AS v, y FROM t
       |  UNION ALL SELECT 'f_year', f_year, y FROM t
@@ -170,9 +176,79 @@ object GbtStump {
       |    ROW_NUMBER() OVER (PARTITION BY feature
       |      ORDER BY CAST(score_num AS DOUBLE) / CAST(score_den AS DOUBLE) DESC, bin) AS rn
       |  FROM cand
-      |)
+      |)""".stripMargin
+
+  def oracleSql: String =
+    s"""WITH $fitCtes
       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, feature, bin) AS BIGINT) AS rank,
       |  feature, bin AS split_bin, minv, maxv, n_left, pos_left,
       |  n_right, pos_right, score_num, score_den
       |FROM best WHERE rn = 1""".stripMargin
+
+  // ---- Saabas attribution over the stump (hash-gated) ----
+
+  /** Per-row Saabas attribution over the fitted stump, all in integer
+    * micros: prediction = root positive rate + the split-side delta —
+    * the telescoping node-delta principle the rows-gated
+    * rf/gbt_attribution keys run over full ensembles, pinned here
+    * bit-for-bit on the one-node tree where it IS SQL-expressible.
+    * Test rows are the held-out 0.2 hash split; values are clamped
+    * into the trained [min, max] before binning (unseen-range policy:
+    * extreme values fall in the edge bins, matching MLlib's behavior
+    * for out-of-range continuous splits).
+    *
+    * Scale shape: the 1-row winning split broadcasts; scoring is pure
+    * map-side expression arithmetic — no shuffle at any corpus size. */
+  def stumpAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val thr = (0.8 * Sampling.M).toLong
+    val win = gbtStump(spark, dir).filter(col("rank") === 1)
+    val test = Tables.orders(spark, dir)
+      .filter(Sampling.portableBucket(col("o_orderkey")) >= thr)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long").as("f_price"),
+        year(col("o_orderdate")).cast("long").as("f_year"),
+        month(col("o_orderdate")).cast("long").as("f_month"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("f_priority"))
+    test.crossJoin(broadcast(win))
+      .withColumn("__v", expr(
+        "CASE feature WHEN 'f_price' THEN f_price WHEN 'f_year' THEN f_year " +
+          "WHEN 'f_month' THEN f_month ELSE f_priority END"))
+      .withColumn("__vc", expr("least(greatest(__v, minv), maxv)"))
+      .withColumn("__bin", expr("((__vc - minv) * 32) div (maxv - minv + 1)"))
+      .withColumn("side", expr("CASE WHEN __bin <= split_bin THEN 'L' ELSE 'R' END"))
+      .withColumn("root_micros", expr(
+        "((pos_left + pos_right) * 1000000) div (n_left + n_right)"))
+      .withColumn("pred_micros", expr(
+        "CASE WHEN __bin <= split_bin THEN (pos_left * 1000000) div n_left " +
+          "ELSE (pos_right * 1000000) div n_right END"))
+      .withColumn("contrib_micros", col("pred_micros") - col("root_micros"))
+      .select("o_orderkey", "feature", "side",
+        "root_micros", "pred_micros", "contrib_micros")
+  }
+
+  def attributionOracleSql: String =
+    s"""WITH $fitCtes, win AS (
+      |  SELECT * FROM best WHERE rn = 1
+      |  ORDER BY score DESC, feature, bin LIMIT 1
+      |), testr AS (
+      |  SELECT o_orderkey, f_price, f_year, f_month, f_priority
+      |  FROM raw WHERE bkt >= 800000
+      |), scored AS (
+      |  SELECT o_orderkey, w.feature,
+      |    ((least(greatest(CASE w.feature
+      |        WHEN 'f_price' THEN f_price WHEN 'f_year' THEN f_year
+      |        WHEN 'f_month' THEN f_month ELSE f_priority END,
+      |      w.minv), w.maxv) - w.minv) * 32) // (w.maxv - w.minv + 1) AS bin_t,
+      |    w.bin AS split_bin, w.n_left, w.pos_left, w.n_right, w.pos_right
+      |  FROM testr, win w
+      |)
+      |SELECT o_orderkey, feature,
+      |  CASE WHEN bin_t <= split_bin THEN 'L' ELSE 'R' END AS side,
+      |  ((pos_left + pos_right) * 1000000) // (n_left + n_right) AS root_micros,
+      |  CASE WHEN bin_t <= split_bin THEN (pos_left * 1000000) // n_left
+      |       ELSE (pos_right * 1000000) // n_right END AS pred_micros,
+      |  CASE WHEN bin_t <= split_bin THEN (pos_left * 1000000) // n_left
+      |       ELSE (pos_right * 1000000) // n_right END
+      |    - ((pos_left + pos_right) * 1000000) // (n_left + n_right) AS contrib_micros
+      |FROM scored""".stripMargin
 }

@@ -71,6 +71,27 @@ class GbtSpec extends SparkSpec {
     assert(gate(1L) == "f_price", s"stump chose ${gate(1L)} over f_price")
   }
 
+  test("stump attribution: additive node deltas that separate the planted label") {
+    import graft.ml.GbtStump
+    val rows = GbtStump.stumpAttribution(spark, sfDir)
+      .select("o_orderkey", "side", "root_micros", "pred_micros", "contrib_micros")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // Saabas identity, exact in integer micros
+    assert(rows.forall(r => r._4 == r._3 + r._5), "pred != root + contrib")
+    // the winning split is on f_price at the planted 250k threshold, so
+    // the two sides' predicted positive rates must be far apart —
+    // right (high price) near-certain positive, left near-certain not
+    val predL = rows.filter(_._2 == "L").map(_._4)
+    val predR = rows.filter(_._2 == "R").map(_._4)
+    assert(predL.nonEmpty && predR.nonEmpty)
+    assert(predR.head > predL.head + 500000,
+      s"stump sides not separated: L=${predL.head} R=${predR.head}")
+    // contributions carry the separation sign
+    assert(rows.filter(_._2 == "R").forall(_._5 > 0))
+    assert(rows.filter(_._2 == "L").forall(_._5 < 0))
+  }
+
   test("gated orders instance: recovers the planted price threshold") {
     val m = GbtTrain.gbtTrainEval(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -53,11 +53,16 @@ class PlanAuditSpec extends SparkSpec {
   /**  - `audience_overlap` pair-joins two GROUPED aggregates (one row
     *    per segment) under `type_a < type_b`: both sides are bounded by
     *    segment cardinality, so the nested loop is |segments|² — the
-    *    single-row heuristic can't see a grouped-but-tiny side. */
+    *    single-row heuristic can't see a grouped-but-tiny side.
+    *  - `stump_attribution` broadcasts the WINNING split — a
+    *    filter(rank = 1) over the ≤|features|-row best-splits frame,
+    *    exactly one row by the rank window's construction — against the
+    *    test rows: scalar attachment the aggregate heuristic cannot see
+    *    through a filter. */
   private val allowed: Map[String, Int] = Map(
     "ann_bruteforce" -> 1, "ann_pq" -> 1, "ann_pq_exhaustive" -> 1,
     "dedup_embedding" -> 1, "conformal_calibrate" -> 1,
-    "audience_overlap" -> 1)
+    "audience_overlap" -> 1, "stump_attribution" -> 1)
 
   // ONE plan sweep shared by both audits: query construction is not
   // plan-only for several keys (model fits, BPE argmax rounds, bloom
