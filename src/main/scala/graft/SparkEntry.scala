@@ -192,6 +192,9 @@ object SparkEntry {
     "ann_bruteforce"        -> (BruteForceKnn.annBruteforce(_, _)),
     "ann_lsh"               -> (LshAnn.annLsh(_, _)),
     "ann_ivf"               -> (IvfAnn.annIvf(_, _)),
+    // one distributed Lloyd iteration in exact integer arithmetic —
+    // the IVF codebook-training primitive, hash-gated
+    "kmeans_step"           -> (graft.ann.KmeansStep.kmeansStepEmbeddings(_, _)),
     // full-probe IVF == exhaustive search: shares the bruteforce oracle,
     // hash-gating the whole IVF pipeline (train/assign/probe/score/rank)
     "ann_ivf_exhaustive"    -> (IvfAnn.annIvfExhaustive(_, _)),
@@ -410,6 +413,7 @@ object SparkEntry {
     "auto_forecast"         -> graft.operators.AutoForecast.oracleSql,
     "gbt_stump"             -> graft.ml.GbtStump.oracleSql,
     "stump_attribution"     -> graft.ml.GbtStump.attributionOracleSql,
+    "kmeans_step"           -> graft.ann.KmeansStep.oracleSql,
     "forecast_intervals"    -> graft.operators.ForecastIntervals.oracleSql,
     "bpe_first_merge"       -> graft.functions.BpeMerges.firstMergeOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,

@@ -24,6 +24,33 @@ class AnnSpec extends SparkSpec {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
   }
 
+  test("kmeans step: planted clusters assign exactly, means truncate toward zero") {
+    import spark.implicits._
+    import graft.ann.KmeansStep
+    // d=2, values exactly representable in float32 so quantize(·1000)
+    // is closed-form; seeds = ids 0,1. p3's negative dim pins the
+    // truncating (not flooring) integer mean: -250 div 3 = -83.
+    val pts = Seq(
+      0L -> Array(0.0f, 0.0f),   // seed c0
+      1L -> Array(1.0f, 1.0f),   // seed c1
+      2L -> Array(0.25f, 0.0f),  // -> c0
+      3L -> Array(-0.25f, -0.25f), // -> c0
+      4L -> Array(0.75f, 1.0f),  // -> c1
+      5L -> Array(1.25f, 0.75f)) // -> c1
+    val df = pts.toDF("vec_id", "embedding")
+    val got = KmeansStep.step(df, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (0L, 0L, 3L, 0L, 0L),      // c0 dim0: 0 + 250 - 250
+      (0L, 1L, 3L, -250L, -83L), // c0 dim1: truncating negative mean
+      (1L, 0L, 3L, 3000L, 1000L),
+      (1L, 1L, 3L, 2750L, 916L))
+    assert(got == expected, s"kmeans step wrong: $got")
+    val again = KmeansStep.step(df.repartition(7), "vec_id", "embedding", 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(again == expected, "kmeans step not partitioning-invariant")
+  }
+
   test("brute-force knn ranks by cosine with deterministic tie-break") {
     val got = BruteForceKnn.topK(vecs, vecs.filter($"vec_id" === 0L),
         "vec_id", "embedding", k = 3)

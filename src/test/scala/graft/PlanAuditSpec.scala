@@ -58,11 +58,14 @@ class PlanAuditSpec extends SparkSpec {
     *    filter(rank = 1) over the ≤|features|-row best-splits frame,
     *    exactly one row by the rank window's construction — against the
     *    test rows: scalar attachment the aggregate heuristic cannot see
-    *    through a filter. */
+    *    through a filter.
+    *  - `kmeans_step` broadcasts the k seed centroids (filter id < k)
+    *    against the corpus: the N×k assignment score is the
+    *    irreducible cost of a Lloyd pass — bounded by k, not by data. */
   private val allowed: Map[String, Int] = Map(
     "ann_bruteforce" -> 1, "ann_pq" -> 1, "ann_pq_exhaustive" -> 1,
     "dedup_embedding" -> 1, "conformal_calibrate" -> 1,
-    "audience_overlap" -> 1, "stump_attribution" -> 1)
+    "audience_overlap" -> 1, "stump_attribution" -> 1, "kmeans_step" -> 1)
 
   // ONE plan sweep shared by both audits: query construction is not
   // plan-only for several keys (model fits, BPE argmax rounds, bloom
