@@ -222,6 +222,8 @@ object SparkEntry {
     // REAL pure-JVM BMP decode: encode docs as actual bitmaps, decode
     // the bytes back; oracle predicts from the generator's closed form
     "mm_decode_bmp"         -> (BinaryMedia.mmDecodeBmp(_, _)),
+    // real audio decode: header-parsed PCM16 stats vs closed-form oracle
+    "mm_decode_wav"         -> (BinaryMedia.mmDecodeWav(_, _)),
     // zip pack->expand roundtrip: member walk + CRC-verified read + UTF-8
     // decode all land inside the hash gate (oracle = documents itself)
     "mm_zip_expand"         -> (ArchiveIngest.mmZipExpand(_, _)),
@@ -481,6 +483,7 @@ object SparkEntry {
     "ann_pq_exhaustive"     -> BruteForceKnn.oracleSql,
     "mm_meta"               -> BinaryMedia.mmMetaOracleSql,
     "mm_decode_bmp"         -> BinaryMedia.mmDecodeBmpOracleSql,
+    "mm_decode_wav"         -> BinaryMedia.mmDecodeWavOracleSql,
     "mm_framesample"        -> BinaryMedia.mmFramesampleOracleSql,
     "mm_resize"             -> BinaryMedia.mmResizeOracleSql,
     "mm_zip_expand"         -> ArchiveIngest.oracleSql,

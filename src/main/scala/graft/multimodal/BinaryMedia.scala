@@ -61,6 +61,20 @@ object BinaryMedia {
       (leU32(b, 10) === 54) && (leU32(b, 14) === 40) &&
       (leU16(b, 28) === 24) && (leU32(b, 30) === 0)
 
+  /** Expression form of [[WavCodec.isWav]]: RIFF/WAVE/fmt/data magics,
+    * canonical mono PCM16 layout, both declared sizes matching the
+    * byte count. */
+  def isWavExpr(b: Column): Column =
+    (length(b) > 44) &&
+      (substring(b, 1, 4) === lit("RIFF".getBytes("US-ASCII"))) &&
+      (substring(b, 9, 8) === lit("WAVEfmt ".getBytes("US-ASCII"))) &&
+      (substring(b, 37, 4) === lit("data".getBytes("US-ASCII"))) &&
+      (leU32(b, 16) === 16) && (leU16(b, 20) === 1) &&
+      (leU16(b, 22) === 1) && (leU16(b, 34) === 16) &&
+      (leU32(b, 4) === length(b) - 8) &&
+      (leU32(b, 40) === length(b) - 44) &&
+      ((length(b) - 44) % 2 === 0)
+
   /** Header decode, as expressions. Payloads in a format we ship a codec
     * for (BMP) get their dimensions READ FROM THE HEADER BYTES — a real
     * parse, codegen'd, no UDF. Formats with no codec in the container
@@ -81,8 +95,18 @@ object BinaryMedia {
         when(col("media_type") === "image",
           when(bmp, leU32(col("payload"), 22)).otherwise(n % 384 + 64))
           .otherwise(lit(null).cast("int")))
+      // audio with a real WAV payload: duration from the header
+      // (samples = (bytes − 44)/2, over the declared sample rate);
+      // codec-less payloads keep the declared stub
+      .withColumn("__wav", isWavExpr(col("payload")))
+      .withColumn("__rate", leU32(col("payload"), 24).cast("long"))
       .withColumn("duration_ms",
-        when(col("media_type") =!= "image", n * 8).otherwise(lit(null).cast("long")))
+        when(col("media_type") =!= "image",
+          when(col("__wav"), expr(
+            "((CAST(n_bytes AS BIGINT) - 44) div 2 * 1000) div __rate"))
+            .otherwise(n.cast("long") * 8L))
+          .otherwise(lit(null).cast("long")))
+      .drop("__wav", "__rate")
       .withColumn("frame_count",
         when(col("media_type") === "video", (floor(n / 100) + 1).cast("int"))
           .otherwise(lit(null).cast("int")))
@@ -168,10 +192,13 @@ object BinaryMedia {
   /** Mixed-type media table with REAL payloads where a codec exists:
     * image rows (id % 3 == 0) carry an actual encoded BMP (dimensions
     * and pixels closed-form in the id, identical to
-    * [[bmpMediaFromDocs]]); audio/video rows carry the document's
-    * UTF-8 bytes as the opaque stand-in. [[withMeta]] must then read
-    * image dimensions from the header bytes — the oracle predicts them
-    * from the generator's closed form without ever parsing a byte. */
+    * [[bmpMediaFromDocs]]); audio rows (id % 3 == 1) an actual mono
+    * PCM16 WAV ([[wavMediaFromDocs]]'s closed form); video rows keep
+    * the document's UTF-8 bytes as the opaque stand-in (no video codec
+    * ships in the container — declared). [[withMeta]] must then read
+    * image dimensions and audio duration from the header bytes — the
+    * oracle predicts them from the generators' closed forms without
+    * ever parsing a byte. */
   def typedMediaFromDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     val schema = StructType(Seq(
@@ -184,14 +211,57 @@ object BinaryMedia {
         val mt = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        val payload: Array[Byte] =
-          if (mt == "image") {
+        val payload: Array[Byte] = mt match {
+          case "image" =>
             val w = (id % 24 + 8).toInt
             val h = (id % 16 + 8).toInt
             BmpCodec.encodeGray(w, h,
               (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
-          } else r.getString(1).getBytes("UTF-8")
+          case "audio" =>
+            WavCodec.encodePcm16(8000, (id % 800 + 100).toInt,
+              i => (((id * 31 + i * 7) % 65536) - 32768).toInt)
+          case _ => r.getString(1).getBytes("UTF-8")
+        }
         Row(id, mt, payload)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Deterministic REAL-WAV media table: each doc becomes an 8 kHz mono
+    * PCM16 clip with sample count and samples closed-form in the id —
+    * the audio twin of [[bmpMediaFromDocs]]. */
+  def wavMediaFromDocs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, WavCodec.encodePcm16(8000, (id % 800 + 100).toInt,
+          i => (((id * 31 + i * 7) % 65536) - 32768).toInt))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Decode stats straight off real WAV bytes: rate/length from the
+    * header, exact sample sum and peak from the PCM payload. */
+  def decodeWavStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_ms", LongType),
+      StructField("sum_pcm", LongType),
+      StructField("peak_abs", LongType)))
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val d = WavCodec.decode(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), d.sampleRate, d.nSamples, d.durationMs,
+          d.sumPcm, d.peakAbs)
       }
     }
     spark.createDataFrame(rows, schema)
@@ -218,11 +288,13 @@ object BinaryMedia {
 
   // ---- query-map entries (#38, #39) ----
 
-  /** Image rows are REAL BMPs here: width/height in the Spark result
-    * come from [[withMeta]]'s expression-level header parse of the
-    * payload bytes, while the oracle derives the same numbers from the
-    * generator's closed form (and the exact BMP size formula,
-    * 54 + padded-row·h) — so a hash match proves the header read. */
+  /** Image rows are REAL BMPs and audio rows REAL WAVs here:
+    * width/height and duration in the Spark result come from
+    * [[withMeta]]'s expression-level header parses of the payload
+    * bytes, while the oracle derives the same numbers from the
+    * generators' closed forms (exact BMP size 54 + padded-row·h; exact
+    * WAV size 44 + 2·samples) — so a hash match proves both header
+    * reads. */
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
     withMeta(typedMediaFromDocs(Tables.documents(spark, dir), "doc_id", "text"))
       .select("media_id", "media_type", "n_bytes", "width", "height",
@@ -233,12 +305,36 @@ object BinaryMedia {
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
       |  CASE WHEN doc_id % 3 = 0
       |       THEN CAST(54 + ((3 * (doc_id % 24 + 8) + 3) // 4) * 4 * (doc_id % 16 + 8) AS INT)
+      |       WHEN doc_id % 3 = 1
+      |       THEN CAST(44 + 2 * (doc_id % 800 + 100) AS INT)
       |       ELSE CAST(octet_length(encode(text)) AS INT) END AS n_bytes,
       |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 24 + 8 AS INT) END AS width,
       |  CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 16 + 8 AS INT) END AS height,
-      |  CASE WHEN doc_id % 3 <> 0 THEN CAST(octet_length(encode(text)) * 8 AS BIGINT) END AS duration_ms,
+      |  CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 800 + 100) * 1000 // 8000 AS BIGINT)
+      |       WHEN doc_id % 3 = 2 THEN CAST(octet_length(encode(text)) * 8 AS BIGINT) END AS duration_ms,
       |  CASE WHEN doc_id % 3 = 2 THEN CAST(octet_length(encode(text)) // 100 + 1 AS INT) END AS frame_count
       |FROM documents""".stripMargin
+
+  /** Real audio-decode gate: encode every doc as an actual 8 kHz PCM16
+    * WAV, decode the BYTES back (header parse + sample walk), emit
+    * stats the oracle predicts from the generator's closed form — the
+    * audio twin of [[mmDecodeBmp]]. */
+  def mmDecodeWav(spark: SparkSession, dir: String): DataFrame =
+    decodeWavStats(wavMediaFromDocs(Tables.documents(spark, dir), "doc_id"))
+
+  def mmDecodeWavOracleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, CAST(doc_id % 800 + 100 AS BIGINT) AS n FROM documents
+      |), s AS (
+      |  SELECT doc_id, n, ((doc_id * 31 + i.v * 7) % 65536) - 32768 AS a
+      |  FROM p, unnest(generate_series(0, n - 1)) AS i(v)
+      |)
+      |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+      |  n AS n_samples,
+      |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(sum(a) AS BIGINT) AS sum_pcm,
+      |  CAST(max(abs(a)) AS BIGINT) AS peak_abs
+      |FROM s GROUP BY doc_id, n""".stripMargin
 
   def mmResize(spark: SparkSession, dir: String): DataFrame =
     resizePlan(
