@@ -33,17 +33,18 @@ import graft.functions.VectorFunctions.{dotQ, quantize}
   */
 object KmeansStep {
 
-  /** One iteration from planted seeds (the k lowest `idCol` rows —
-    * deterministic, shared with the oracle). Output long-form:
-    * (centroid, dim, n_assigned, sum_milli, mean_milli). */
-  def step(points: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    require(k >= 1, "k must be >= 1")
+  /** One iteration against EXPLICIT centroids `(centroid: long,
+    * cvec: array<bigint>)` in milli-quantized space — the library form
+    * callers iterate. Output long-form: (centroid, dim, n_assigned,
+    * sum_milli, mean_milli). */
+  def stepFrom(points: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame): DataFrame = {
     val pts = points.select(col(idCol).cast("long").as("__id"),
         quantize(col(vecCol)).as("__e"))
       .withColumn("__nrm", dotQ(col("__e"), col("__e")))
-    val cents = pts.filter(col("__id") < k)
-      .select(col("__id").as("__cid"), col("__e").as("__c"),
-        col("__nrm").as("__cnrm"))
+    val cents = centroids
+      .select(col("centroid").as("__cid"), col("cvec").as("__c"))
+      .withColumn("__cnrm", dotQ(col("__c"), col("__c")))
     val assigned = pts.crossJoin(broadcast(cents))
       .withColumn("__d2",
         col("__nrm") + col("__cnrm") - lit(2L) * dotQ(col("__e"), col("__c")))
@@ -55,6 +56,38 @@ object KmeansStep {
       .agg(count(lit(1)).as("n_assigned"), sum("__v").as("sum_milli"))
       .withColumn("mean_milli", expr("sum_milli div n_assigned"))
       .select("centroid", "dim", "n_assigned", "sum_milli", "mean_milli")
+  }
+
+  /** One iteration from planted seeds (the k lowest `idCol` rows —
+    * deterministic, shared with the oracle). */
+  def step(points: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val seeds = points.select(col(idCol).cast("long").as("centroid"),
+        quantize(col(vecCol)).as("cvec"))
+      .filter(col("centroid") < k)
+    stepFrom(points, idCol, vecCol, seeds)
+  }
+
+  /** Fold a step's long-form means back into `(centroid, cvec)` — the
+    * feedback edge of the Lloyd loop. k·d rows: bounded. */
+  def meansAsCentroids(stepOut: DataFrame): DataFrame =
+    stepOut.groupBy("centroid")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mean_milli)))," +
+        " x -> x.mean_milli)").as("cvec"))
+
+  /** `iters` full Lloyd iterations from the planted seeds; returns the
+    * final long-form step output. Each round's k·d centroid frame is
+    * localCheckpoint'ed so the plan stays one-iteration deep no matter
+    * how many rounds run (the corpus is re-scanned per round — the
+    * irreducible k-means access pattern). */
+  def iterate(points: DataFrame, idCol: String, vecCol: String,
+              k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    var out = step(points, idCol, vecCol, k)
+    for (_ <- 2 to iters)
+      out = stepFrom(points, idCol, vecCol,
+        meansAsCentroids(out).localCheckpoint())
+    out
   }
 
   // ---- query-map entry (hash-gated) ----

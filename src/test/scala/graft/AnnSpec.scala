@@ -51,6 +51,26 @@ class AnnSpec extends SparkSpec {
     assert(again == expected, "kmeans step not partitioning-invariant")
   }
 
+  test("kmeans iterate: bad seeds converge to the exact planted cluster means") {
+    import spark.implicits._
+    import graft.ann.KmeansStep
+    // both seeds (ids 0, 1) sit in the origin cluster; Lloyd must pull
+    // c1 across to the far cluster and converge to the exact means
+    val pts = Seq(
+      0L -> Array(0.0f, 0.0f), 1L -> Array(0.25f, 0.0f),
+      2L -> Array(0.0f, 0.25f), 3L -> Array(-0.25f, -0.25f),
+      4L -> Array(10.0f, 10.0f), 5L -> Array(10.25f, 10.0f),
+      6L -> Array(10.0f, 10.25f), 7L -> Array(9.75f, 9.75f))
+    val df = pts.toDF("vec_id", "embedding")
+    val got = KmeansStep.iterate(df, "vec_id", "embedding", k = 2, iters = 3)
+      .select("centroid", "dim", "n_assigned", "mean_milli")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (0L, 0L, 4L, 0L), (0L, 1L, 4L, 0L),
+      (1L, 0L, 4L, 10000L), (1L, 1L, 4L, 10000L))
+    assert(got == expected, s"did not converge to planted means: $got")
+  }
+
   test("brute-force knn ranks by cosine with deterministic tie-break") {
     val got = BruteForceKnn.topK(vecs, vecs.filter($"vec_id" === 0L),
         "vec_id", "embedding", k = 3)
