@@ -90,6 +90,59 @@ class CurationPipelineSpec extends SparkSpec {
     assert(curate(restored) == curate(docs.select("doc_id", "text")))
   }
 
+  test("sft export chain: decontaminate -> submix -> shard -> pack composes deterministically") {
+    import graft.dedup.Decontaminate
+    import graft.operators.TokenPack
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter($"doc_id" % 17 === 0)
+    val corpus = docs.filter($"doc_id" % 17 =!= 0)
+
+    // 1. scrub benchmark contamination (planted near-dups make real hits)
+    val clean = Decontaminate.decontaminate(corpus, bench, "doc_id", "text")
+    val nCorpus = corpus.count(); val nClean = clean.count()
+    assert(nClean < nCorpus, "no contamination found — scrub untested")
+    assert(clean.join(bench, Seq("doc_id")).count() == 0)
+
+    // 2. submix the clean corpus by source strata (monotone shrinkage)
+    val mixed = Sampling.submix(clean, "source", "doc_id", Sampling.DemoFracs)
+    val nMixed = mixed.count()
+    assert(nMixed > 0 && nMixed < nClean)
+
+    // 3. shard the mix: every shard full at 128 except the last,
+    //    positions dense inside each shard
+    val shards = Sampling.shardAssign(mixed, "doc_id", shardSize = 128L)
+      .select($"doc_id", $"shard", $"shard_pos").as[(Long, Long, Long)].collect()
+    assert(shards.length == nMixed)
+    val byShard = shards.groupBy(_._2)
+    val lastShard = byShard.keys.max
+    byShard.foreach { case (sh, rows) =>
+      assert(rows.length == 128 || sh == lastShard, s"shard $sh not full")
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+
+    // 4. pack the mix into 512-token sequences: offsets inside budget,
+    //    pack ids contiguous from 0, monotone in the layout order
+    val toks = mixed.select($"doc_id",
+      size(TextFunctions.words($"text")).cast("long").as("n_tokens"))
+    val packed = TokenPack.pack(toks, "doc_id", "n_tokens", budget = 512L)
+      .select($"doc_id", $"n_tokens", $"pack_id", $"pack_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.length == nMixed)
+    assert(packed.forall(r => r._4 >= 0 && r._4 < 512))
+    val packIds = packed.map(_._3)
+    assert(packIds.head == 0 && packIds.sameElements(packIds.sorted))
+    assert(packIds.distinct.length == packIds.max + 1, "pack ids not contiguous")
+    val totalTokens = packed.map(_._2).sum
+    assert(packIds.max == (totalTokens - packed.last._2) / 512,
+      "last pack id off the cumulative-token closed form")
+
+    // end-to-end determinism under a different input partitioning
+    val again = TokenPack.pack(toks.repartition(11), "doc_id", "n_tokens", 512L)
+      .select($"doc_id", $"pack_id", $"pack_offset")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == packed.map(r => (r._1, r._3, r._4)).toSet)
+  }
+
   test("shard export: full fixed-size shards in deterministic shuffled order") {
     // 1030 docs at shard size 100: shards 0..9 full, shard 10 holds 30
     val ids = (0L until 1030L).map(i => i * 7L + 3L) // arbitrary non-dense ids
