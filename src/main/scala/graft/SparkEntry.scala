@@ -195,6 +195,9 @@ object SparkEntry {
     // one distributed Lloyd iteration in exact integer arithmetic —
     // the IVF codebook-training primitive, hash-gated
     "kmeans_step"           -> (graft.ann.KmeansStep.kmeansStepEmbeddings(_, _)),
+    // two chained Lloyd rounds: the means->centroids feedback edge
+    // itself sits inside the hash gate
+    "kmeans_step2"          -> (graft.ann.KmeansStep.kmeansStep2Embeddings(_, _)),
     // full-probe IVF == exhaustive search: shares the bruteforce oracle,
     // hash-gating the whole IVF pipeline (train/assign/probe/score/rank)
     "ann_ivf_exhaustive"    -> (IvfAnn.annIvfExhaustive(_, _)),
@@ -416,6 +419,7 @@ object SparkEntry {
     "gbt_stump"             -> graft.ml.GbtStump.oracleSql,
     "stump_attribution"     -> graft.ml.GbtStump.attributionOracleSql,
     "kmeans_step"           -> graft.ann.KmeansStep.oracleSql,
+    "kmeans_step2"          -> graft.ann.KmeansStep.oracle2Sql,
     "forecast_intervals"    -> graft.operators.ForecastIntervals.oracleSql,
     "bpe_first_merge"       -> graft.functions.BpeMerges.firstMergeOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,

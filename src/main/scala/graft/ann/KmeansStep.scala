@@ -97,8 +97,10 @@ object KmeansStep {
   def kmeansStepEmbeddings(spark: SparkSession, dir: String): DataFrame =
     step(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8)
 
-  def oracleSql: String =
-    """WITH e AS (
+  /** Quantized-corpus + seed-centroid CTEs shared by both gated
+    * iterations. */
+  private val baseCtes: String =
+    """e AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS em
@@ -107,24 +109,61 @@ object KmeansStep {
       |  SELECT vec_id, em,
       |    CAST(list_sum(list_transform(em, v -> v * v)) AS BIGINT) AS nrm
       |  FROM e
-      |), c AS (
+      |), c1 AS (
       |  SELECT vec_id AS cid, em AS cm, nrm AS cnrm FROM n WHERE vec_id < 8
-      |), d AS (
-      |  SELECT n.vec_id, n.em, c.cid,
-      |    n.nrm + c.cnrm - 2 * CAST(list_sum(
+      |)""".stripMargin
+
+  /** One assignment + mean-update round against centroid CTE `c`,
+    * emitting long-form `o$sfx` — the SQL twin of [[stepFrom]],
+    * suffixed so iterations chain structurally. */
+  private def stepCtes(c: String, sfx: String): String =
+    s"""d$sfx AS (
+      |  SELECT n.vec_id, n.em, $c.cid,
+      |    n.nrm + $c.cnrm - 2 * CAST(list_sum(
       |      list_transform(generate_series(1, len(n.em)),
-      |        i -> n.em[i] * c.cm[i])) AS BIGINT) AS d2
-      |  FROM n, c
-      |), a AS (
+      |        i -> n.em[i] * $c.cm[i])) AS BIGINT) AS d2
+      |  FROM n, $c
+      |), a$sfx AS (
       |  SELECT vec_id, em, cid,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |  FROM d
-      |)
-      |SELECT cid AS centroid, CAST(i - 1 AS BIGINT) AS dim,
-      |  CAST(count(*) AS BIGINT) AS n_assigned,
-      |  CAST(sum(em[i]) AS BIGINT) AS sum_milli,
-      |  CAST(sum(em[i]) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_milli
-      |FROM a, unnest(generate_series(1, len(em))) t(i)
-      |WHERE rn = 1
-      |GROUP BY cid, i""".stripMargin
+      |  FROM d$sfx
+      |), o$sfx AS (
+      |  SELECT cid, CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(count(*) AS BIGINT) AS n_assigned,
+      |    CAST(sum(em[i]) AS BIGINT) AS sum_milli,
+      |    CAST(sum(em[i]) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_milli
+      |  FROM a$sfx, unnest(generate_series(1, len(em))) t(i)
+      |  WHERE rn = 1
+      |  GROUP BY cid, i
+      |)""".stripMargin
+
+  /** Fold `o$from`'s means into the next round's centroid CTE — the
+    * SQL twin of [[meansAsCentroids]]. */
+  private def centroidCte(from: String, out: String): String =
+    s"""$out AS (
+      |  SELECT cid, cm,
+      |    CAST(list_sum(list_transform(cm, v -> v * v)) AS BIGINT) AS cnrm
+      |  FROM (SELECT cid, list(mean_milli ORDER BY dim) AS cm
+      |        FROM o$from GROUP BY cid)
+      |)""".stripMargin
+
+  private val finalSelect: String =
+    """SELECT cid AS centroid, dim, n_assigned, sum_milli, mean_milli
+      |FROM o""".stripMargin
+
+  def oracleSql: String =
+    s"WITH $baseCtes,\n${stepCtes("c1", "1")}\n$finalSelect" + "1"
+
+  // ---- second-iteration gate (hash-gated) ----
+
+  /** Gated instance: TWO full Lloyd rounds — the second scores against
+    * centroids derived from the first round's means, so the feedback
+    * edge ([[meansAsCentroids]]) is itself inside the hash gate. */
+  def kmeansStep2Embeddings(spark: SparkSession, dir: String): DataFrame =
+    iterate(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      k = 8, iters = 2)
+
+  def oracle2Sql: String =
+    s"WITH $baseCtes,\n${stepCtes("c1", "1")},\n${centroidCte("1", "c2")},\n" +
+      s"${stepCtes("c2", "2")}\n$finalSelect" + "2"
 }

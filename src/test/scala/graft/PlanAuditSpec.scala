@@ -65,7 +65,10 @@ class PlanAuditSpec extends SparkSpec {
   private val allowed: Map[String, Int] = Map(
     "ann_bruteforce" -> 1, "ann_pq" -> 1, "ann_pq_exhaustive" -> 1,
     "dedup_embedding" -> 1, "conformal_calibrate" -> 1,
-    "audience_overlap" -> 1, "stump_attribution" -> 1, "kmeans_step" -> 1)
+    "audience_overlap" -> 1, "stump_attribution" -> 1, "kmeans_step" -> 1,
+    // round 2's bounded centroid broadcast; round 1 is behind iterate's
+    // eager checkpoint and never appears in the audited plan
+    "kmeans_step2" -> 1)
 
   // ONE plan sweep shared by both audits: query construction is not
   // plan-only for several keys (model fits, BPE argmax rounds, bloom
