@@ -20,7 +20,9 @@ object WavCodec {
 
   private val HeaderSize = 44
 
-  /** Encode mono 16-bit PCM: sample i = pcm(i) (clamped to short). */
+  /** Encode mono 16-bit PCM: sample i = pcm(i), truncated to its low
+    * 16 bits (callers pass values already in short range; the gated
+    * generator does by construction). */
   def encodePcm16(sampleRate: Int, n: Int, pcm: Int => Int): Array[Byte] = {
     require(sampleRate > 0 && n > 0, "positive rate and sample count")
     val dataSize = n * 2
