@@ -130,6 +130,30 @@ object UpsertSink {
     versionHistory(stateDir).filter(_.commitMillis <= tsMillis)
       .lastOption.map(v => spark.read.parquet(s"$stateDir/${v.dir}"))
 
+  /** Change-data feed between two committed versions: one row per
+    * natural key that was inserted, updated, deleted, or unchanged
+    * going from `fromBatchId`'s snapshot to `toBatchId`'s, with old/new
+    * values side by side — the CDF read shape incremental consumers
+    * tail instead of re-scanning snapshots (the reference's
+    * merge_generator classifies exactly these branches to BUILD a
+    * version; this reads the classification back out of the retained
+    * history). Runs on the CURRENT rows of each snapshot: the SCD
+    * history inside a snapshot is its own record, not a change.
+    *
+    * Scale: one full-outer join on the natural key between two bounded
+    * dimension snapshots — [[graft.operators.SnapshotDiff]]'s minimal
+    * two-sided shape; both endpoints must still be retained
+    * ([[pruneVersions]] sets the horizon). */
+  def changesBetween(spark: SparkSession, stateDir: String,
+                     fromBatchId: Long, toBatchId: Long,
+                     naturalKey: Seq[String],
+                     compareCols: Seq[String]): DataFrame = {
+    def current(b: Long) = stateAtVersion(spark, stateDir, b)
+      .filter(org.apache.spark.sql.functions.col("current_version") === 1)
+    graft.operators.SnapshotDiff.diff(
+      current(fromBatchId), current(toBatchId), naturalKey, compareCols)
+  }
+
   /** Drop the oldest committed snapshots, keeping the newest
     * `keepLast` (≥ 1 — the current version is never deleted). Returns
     * the dropped versions. Reads at pruned versions fail like reads of

@@ -89,4 +89,30 @@ class UpsertSinkSpec extends SparkSpec {
     assert(read(UpsertSink.stateAtVersion(spark, stateDir, 2L)) == s2)
     assert(read(UpsertSink.currentState(spark, stateDir).get) == s2)
   }
+
+  test("change feed between versions classifies insert/update/delete over current rows") {
+    val stateDir = Files.createTempDirectory("graft_cdf_state").toString
+    def write(batchId: Long, rows: Seq[(Long, String, Long)]): Unit =
+      UpsertSink.writeBatch(rows.toDF("k", "v", "seq"), batchId, stateDir,
+        Seq("k"), "seq", Seq("v"))
+    write(0L, Seq((1L, "a", 1L), (2L, "b", 1L)))
+    write(1L, Seq((1L, "a2", 2L), (3L, "c", 2L))) // update 1, insert 3
+
+    val feed = UpsertSink.changesBetween(spark, stateDir, 0L, 1L,
+        naturalKey = Seq("k"), compareCols = Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(feed == Map(
+      1L -> (("update", "a", "a2")),
+      2L -> (("unchanged", "b", "b")),
+      3L -> (("insert", null, "c"))), s"change feed wrong: $feed")
+
+    // the superseded SCD row for key 1 inside v1 is history, not a
+    // change — the feed above must not have emitted a delete for it;
+    // a same-version feed is all-unchanged
+    val self = UpsertSink.changesBetween(spark, stateDir, 1L, 1L,
+        Seq("k"), Seq("v"))
+      .select("change_type").distinct().collect().map(_.getString(0)).toSeq
+    assert(self == Seq("unchanged"))
+  }
 }
