@@ -102,6 +102,8 @@ object SparkEntry {
     "skew_salted_join"      -> (graft.operators.SkewJoin.skewJoinLineitem(_, _)),
     // deterministic k-per-group reservoir
     "sample_k_per_group"    -> (Sampling.sampleKPerSource(_, _)),
+    // deterministic LCG negative sampling for pointwise ranking data
+    "negative_sample"       -> (graft.operators.NegativeSample.negativeSampleOrders(_, _)),
     "row_serialize"         -> (Serialize.rowSerializeOrders(_, _)),
     "decontaminate"         -> (Decontaminate.decontaminateDocuments(_, _)),
     "submix_temperature"    -> (Sampling.submixTemperatureDocuments(_, _)),
@@ -432,6 +434,7 @@ object SparkEntry {
     "submix_sample"         -> Sampling.oracleSql,
     "hash_split"            -> Sampling.hashSplitOracleSql,
     "shard_assign"          -> Sampling.shardAssignOracleSql,
+    "negative_sample"       -> graft.operators.NegativeSample.oracleSql,
     "compaction"            -> Compaction.oracleSql,
     "zorder_values"         -> graft.operators.Zorder.oracleSql,
     "bucketed_join_agg"     -> graft.operators.BucketedJoin.oracleSql,

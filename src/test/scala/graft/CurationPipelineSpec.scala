@@ -171,6 +171,36 @@ class CurationPipelineSpec extends SparkSpec {
     assert(again == got.toSet, "shard assignment not partitioning-invariant")
   }
 
+  test("negative sampling: label-0 rows never collide with a user's positives") {
+    import graft.operators.NegativeSample
+    // user 1 owns most of a 5-item catalog (high collision pressure),
+    // user 2 owns one item
+    val pos = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L))
+      .toDF("user_id", "item_id")
+    val ds = NegativeSample.pointwiseDataset(pos, "user_id", "item_id",
+        nItems = 5L, k = 3)
+      .as[(Long, Long, Int)].collect()
+    val posSet = Set((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L))
+    val (p, n) = ds.partition(_._3 == 1)
+    assert(p.map(r => (r._1, r._2)).toSet == posSet, "positives mangled")
+    assert(n.nonEmpty, "no negatives survived")
+    n.foreach { case (u, i, _) =>
+      assert(!posSet.contains((u, i)), s"negative ($u, $i) collides with a positive")
+      assert(i >= 1 && i <= 5, s"negative item $i outside the catalog")
+    }
+    // <= k distinct negatives per user (dedup + rejection, no resampling)
+    n.groupBy(_._1).foreach { case (u, rows) =>
+      assert(rows.length <= 3 * posSet.count(_._1 == u),
+        s"user $u over-sampled: ${rows.length}")
+      assert(rows.map(_._2).distinct.length == rows.length)
+    }
+    // deterministic under repartitioning
+    val again = NegativeSample.pointwiseDataset(pos.repartition(7),
+        "user_id", "item_id", 5L, 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(again == ds.toSet, "sampling not partitioning-invariant")
+  }
+
   test("fold hygiene: k-fold splits keep the length distribution (PSI across folds ~ 0)") {
     import graft.operators.{Drift, KFold}
     // the check a CV pipeline runs after splitting: no fold may carry a
