@@ -112,5 +112,20 @@ class MedallionStreamSpec extends SparkSpec {
     assert(UpsertSink.versionHistory(gold).size > versionsAfterFirst,
       "gold dimension did not version forward")
     assert(reports.size >= 2, s"drift reports across restart: $reports")
+
+    // CDC read over the retained gold history: the restart window's
+    // change feed is exactly one insert (user 3), everything else
+    // unchanged — the throttled duplicate never surfaces as a change
+    val hist = UpsertSink.versionHistory(gold)
+    val feed = UpsertSink.changesBetween(spark, gold,
+        hist(versionsAfterFirst - 1).batchId, hist.last.batchId,
+        naturalKey = Seq("user_id", "event_type"), compareCols = Seq("value"))
+      .select("user_id", "event_type", "change_type")
+      .as[(Long, String, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(feed == Map(
+      (1L, "click") -> "unchanged",
+      (2L, "view") -> "unchanged",
+      (3L, "click") -> "insert"), s"restart change feed wrong: $feed")
   }
 }
