@@ -299,6 +299,8 @@ object SparkEntry {
     // Saabas node-delta attribution on the one-node tree, where the
     // ensemble-attribution principle is SQL-expressible and hash-gates
     "stump_attribution"     -> (graft.ml.GbtStump.stumpAttribution(_, _)),
+    // one full LEVEL of recursive tree growth: per-side histogram fit
+    "gbt_stump2"            -> (graft.ml.GbtStump.gbtStump2(_, _)),
     // per-row Saabas path contributions off the fitted RF (rows-gated;
     // exact additivity + signal concentration in RfAttributionSpec)
     "rf_attribution"        -> (graft.ml.RfAttribution.rfAttribution(_, _)),
@@ -420,6 +422,7 @@ object SparkEntry {
     "auto_forecast"         -> graft.operators.AutoForecast.oracleSql,
     "gbt_stump"             -> graft.ml.GbtStump.oracleSql,
     "stump_attribution"     -> graft.ml.GbtStump.attributionOracleSql,
+    "gbt_stump2"            -> graft.ml.GbtStump.oracle2Sql,
     "kmeans_step"           -> graft.ann.KmeansStep.oracleSql,
     "kmeans_step2"          -> graft.ann.KmeansStep.oracle2Sql,
     "forecast_intervals"    -> graft.operators.ForecastIntervals.oracleSql,

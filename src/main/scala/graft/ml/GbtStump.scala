@@ -45,34 +45,40 @@ object GbtStump {
 
   /** Best split per integerized feature, globally ranked. `features`
     * maps name → non-negative-range integer column (any int range;
-    * internally shifted by the observed min). Output one row per
-    * feature that admits a split: (rank, feature, split_bin, minv,
-    * maxv, n_left, pos_left, n_right, pos_right, score_num,
-    * score_den) — rank 1 is the stump's chosen split. */
+    * internally shifted by the observed min). With `byCols`, the whole
+    * fit runs independently PER GROUP (ranges, histogram, argmax) —
+    * the per-node form one level of recursive tree growth needs.
+    * Output one row per (group ×) feature that admits a split:
+    * (byCols…, rank, feature, split_bin, minv, maxv, n_left,
+    * pos_left, n_right, pos_right, score_num, score_den) — rank 1 is
+    * the group's chosen split. */
   def bestSplits(df: DataFrame, labelCol: String,
-                 features: Seq[(String, Column)], bins: Int = 32): DataFrame = {
+                 features: Seq[(String, Column)], bins: Int = 32,
+                 byCols: Seq[String] = Nil): DataFrame = {
     require(bins >= 2, "need at least 2 bins")
+    val by = byCols.map(col)
     val tall = df.select(
-        col(labelCol).cast("long").as("__y"),
+        by :+ col(labelCol).cast("long").as("__y") :+
         array(features.map { case (n, c) =>
           struct(lit(n).as("f"), c.cast("long").as("v"))
-        }: _*).as("__fs"))
-      .select(explode(col("__fs")).as("__fv"), col("__y"))
-      .select(col("__fv.f").as("feature"), col("__fv.v").as("v"), col("__y"))
+        }: _*).as("__fs"): _*)
+      .select(by :+ explode(col("__fs")).as("__fv") :+ col("__y"): _*)
+      .select(by :+ col("__fv.f").as("feature") :+ col("__fv.v").as("v") :+ col("__y"): _*)
 
-    val ranges = tall.groupBy("feature")
+    val grp = byCols :+ "feature"
+    val ranges = tall.groupBy(grp.map(col): _*)
       .agg(min("v").as("minv"), max("v").as("maxv"))
       .filter(col("maxv") > col("minv")) // constant features admit no split
 
-    val hist = tall.join(broadcast(ranges), "feature")
+    val hist = tall.join(broadcast(ranges), grp)
       .withColumn("bin",
         expr(s"((v - minv) * $bins) div (maxv - minv + 1)"))
-      .groupBy("feature", "minv", "maxv", "bin")
+      .groupBy((grp ++ Seq("minv", "maxv", "bin")).map(col): _*)
       .agg(count(lit(1)).as("n"), sum("__y").as("pos"))
 
-    val wCum = Window.partitionBy("feature").orderBy("bin")
+    val wCum = Window.partitionBy(grp.map(col): _*).orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy("feature")
+    val wTot = Window.partitionBy(grp.map(col): _*)
     val cand = hist
       .withColumn("n_left", sum("n").over(wCum))
       .withColumn("pos_left", sum("pos").over(wCum))
@@ -92,16 +98,18 @@ object GbtStump {
 
     val perFeature = cand
       .withColumn("__rn", row_number().over(
-        Window.partitionBy("feature").orderBy(desc("__score"), col("bin"))))
+        Window.partitionBy(grp.map(col): _*).orderBy(desc("__score"), col("bin"))))
       .filter(col("__rn") === 1)
 
-    // |features| rows remain — the single-partition rank window is bounded
+    // |groups|·|features| rows remain — the rank window is bounded
+    val wRank =
+      if (byCols.isEmpty) Window.orderBy(desc("__score"), col("feature"), col("bin"))
+      else Window.partitionBy(by: _*).orderBy(desc("__score"), col("feature"), col("bin"))
     perFeature
-      .withColumn("rank", row_number().over(
-        Window.orderBy(desc("__score"), col("feature"), col("bin"))).cast("long"))
-      .select(col("rank"), col("feature"), col("bin").as("split_bin"),
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .select(by ++ Seq(col("rank"), col("feature"), col("bin").as("split_bin"),
         col("minv"), col("maxv"), col("n_left"), col("pos_left"),
-        col("n_right"), col("pos_right"), col("score_num"), col("score_den"))
+        col("n_right"), col("pos_right"), col("score_num"), col("score_den")): _*)
   }
 
   // ---- query-map entry (hash-gated) ----
@@ -184,6 +192,105 @@ object GbtStump {
       |  feature, bin AS split_bin, minv, maxv, n_left, pos_left,
       |  n_right, pos_right, score_num, score_den
       |FROM best WHERE rn = 1""".stripMargin
+
+  // ---- second tree level (hash-gated) ----
+
+  /** One full LEVEL of recursive tree growth: tag every train row with
+    * its side of the winning root split, then run the per-node
+    * histogram-split fit independently on each side — depth recursion
+    * made relational, the way [[graft.ann.KmeansStep.kmeansStep2Embeddings]]
+    * gates Lloyd ITERATION. Output: the per-feature best splits of
+    * each child node, ranked within the node. */
+  def gbtStump2(spark: SparkSession, dir: String): DataFrame = {
+    val thr = (0.8 * Sampling.M).toLong
+    val win = gbtStump(spark, dir).filter(col("rank") === 1)
+    val train = Tables.orders(spark, dir)
+      .filter(Sampling.portableBucket(col("o_orderkey")) < thr)
+      .withColumn("label01",
+        when(col("o_totalprice") > 250000.0, 1L).otherwise(0L))
+      .withColumn("f_price_v", floor(col("o_totalprice") * lit(100.0)).cast("long"))
+      .withColumn("f_year_v", year(col("o_orderdate")).cast("long"))
+      .withColumn("f_month_v", month(col("o_orderdate")).cast("long"))
+      .withColumn("f_priority_v",
+        substring(col("o_orderpriority"), 1, 1).cast("long"))
+    // train values sit inside the root fit's [min, max] by construction.
+    // localCheckpoint: bestSplits reads its input twice (ranges pass +
+    // histogram pass); without it the root fit AND the side tagging are
+    // planned — and run — twice, the multi-consumer double-plan this
+    // repo materializes away everywhere (BowVectors/DistinctSketch).
+    val sided = train.crossJoin(broadcast(win))
+      .withColumn("__v", expr(
+        "CASE feature WHEN 'f_price' THEN f_price_v WHEN 'f_year' THEN f_year_v " +
+          "WHEN 'f_month' THEN f_month_v ELSE f_priority_v END"))
+      .withColumn("side", expr(
+        "CASE WHEN ((__v - minv) * 32) div (maxv - minv + 1) <= split_bin " +
+          "THEN 'L' ELSE 'R' END"))
+      .select("side", "label01", "f_price_v", "f_year_v", "f_month_v",
+        "f_priority_v")
+      .localCheckpoint()
+    bestSplits(sided, "label01", Seq(
+      "f_price" -> col("f_price_v"),
+      "f_year" -> col("f_year_v"),
+      "f_month" -> col("f_month_v"),
+      "f_priority" -> col("f_priority_v")), byCols = Seq("side"))
+  }
+
+  def oracle2Sql: String =
+    s"""WITH $fitCtes, win AS (
+      |  SELECT * FROM best WHERE rn = 1
+      |  ORDER BY score DESC, feature, bin LIMIT 1
+      |), t2 AS (
+      |  SELECT t.y, t.f_price, t.f_year, t.f_month, t.f_priority,
+      |    CASE WHEN ((CASE w.feature
+      |        WHEN 'f_price' THEN t.f_price WHEN 'f_year' THEN t.f_year
+      |        WHEN 'f_month' THEN t.f_month ELSE t.f_priority END
+      |      - w.minv) * 32) // (w.maxv - w.minv + 1) <= w.bin
+      |      THEN 'L' ELSE 'R' END AS side
+      |  FROM t, win w
+      |), tall2 AS (
+      |  SELECT side, 'f_price' AS feature, f_price AS v, y FROM t2
+      |  UNION ALL SELECT side, 'f_year', f_year, y FROM t2
+      |  UNION ALL SELECT side, 'f_month', f_month, y FROM t2
+      |  UNION ALL SELECT side, 'f_priority', f_priority, y FROM t2
+      |), rng2 AS (
+      |  SELECT side, feature, min(v) AS minv, max(v) AS maxv FROM tall2
+      |  GROUP BY side, feature HAVING max(v) > min(v)
+      |), hist2 AS (
+      |  SELECT tall2.side, tall2.feature, minv, maxv,
+      |    ((v - minv) * 32) // (maxv - minv + 1) AS bin,
+      |    count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+      |  FROM tall2 JOIN rng2
+      |    ON tall2.side = rng2.side AND tall2.feature = rng2.feature
+      |  GROUP BY tall2.side, tall2.feature, minv, maxv, bin
+      |), cum2 AS (
+      |  SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY side, feature ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_left,
+      |    CAST(sum(pos) OVER (PARTITION BY side, feature ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pos_left,
+      |    CAST(sum(n) OVER (PARTITION BY side, feature) AS BIGINT) AS n_tot,
+      |    CAST(sum(pos) OVER (PARTITION BY side, feature) AS BIGINT) AS pos_tot
+      |  FROM hist2
+      |), cand2 AS (
+      |  SELECT side, feature, bin, minv, maxv, n_left, pos_left,
+      |    n_tot - n_left AS n_right, pos_tot - pos_left AS pos_right,
+      |    (pos_left * pos_left + (n_left - pos_left) * (n_left - pos_left)) * (n_tot - n_left)
+      |      + ((pos_tot - pos_left) * (pos_tot - pos_left)
+      |         + (n_tot - n_left - (pos_tot - pos_left)) * (n_tot - n_left - (pos_tot - pos_left))) * n_left
+      |      AS score_num,
+      |    n_left * (n_tot - n_left) AS score_den
+      |  FROM cum2 WHERE n_left < n_tot
+      |), best2 AS (
+      |  SELECT *, CAST(score_num AS DOUBLE) / CAST(score_den AS DOUBLE) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY side, feature
+      |      ORDER BY CAST(score_num AS DOUBLE) / CAST(score_den AS DOUBLE) DESC, bin) AS rn
+      |  FROM cand2
+      |)
+      |SELECT side,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY side ORDER BY score DESC, feature, bin) AS BIGINT) AS rank,
+      |  feature, bin AS split_bin, minv, maxv, n_left, pos_left,
+      |  n_right, pos_right, score_num, score_den
+      |FROM best2 WHERE rn = 1""".stripMargin
 
   // ---- Saabas attribution over the stump (hash-gated) ----
 

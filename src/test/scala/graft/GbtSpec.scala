@@ -71,6 +71,41 @@ class GbtSpec extends SparkSpec {
     assert(gate(1L) == "f_price", s"stump chose ${gate(1L)} over f_price")
   }
 
+  test("level 2: each side refits independently and finds its own feature") {
+    import graft.ml.GbtStump
+    // y = 1 when x1 >= 50, else (x2 >= 45): the root must split on x1
+    // (cost 0.1875n vs x2's 0.375n), the LEFT child's signal then
+    // lives entirely in x2 (pure at the 44/45 bin boundary), and the
+    // RIGHT child is pure-positive (no split can improve; every
+    // candidate ties). This pins per-node independence of the level fit.
+    val rows = (0L until 1200L).map { i =>
+      val x1 = i % 100L
+      val x2 = (i * 7L) % 60L
+      (if (x1 >= 50 || x2 >= 45) 1L else 0L, x1, x2)
+    }.toDF("y", "x1", "x2")
+    val root = GbtStump.bestSplits(rows, "y",
+        Seq("x1" -> col("x1"), "x2" -> col("x2")), bins = 32)
+      .filter(col("rank") === 1).head()
+    assert(root.getAs[String]("feature") == "x1", s"root not on x1: $root")
+    val sided = rows.withColumn("side",
+      when(expr(s"((x1 - 0) * 32) div 100 <= ${root.getAs[Long]("split_bin")}"),
+        "L").otherwise("R"))
+    val lvl2 = GbtStump.bestSplits(sided, "y",
+        Seq("x1" -> col("x1"), "x2" -> col("x2")), bins = 32,
+        byCols = Seq("side"))
+      .collect().map(r => (r.getAs[String]("side"), r.getAs[Long]("rank")) ->
+        ((r.getAs[String]("feature"), r.getAs[Long]("pos_left"),
+          r.getAs[Long]("n_left"), r.getAs[Long]("pos_right"),
+          r.getAs[Long]("n_right"))).asInstanceOf[Any]).toMap
+    val (lf, lposL, _, lposR, lnR) =
+      lvl2(("L", 1L)).asInstanceOf[(String, Long, Long, Long, Long)]
+    assert(lf == "x2", s"left child not on x2: $lvl2")
+    assert(lposL == 0L && lposR == lnR, s"left child split not pure: $lvl2")
+    val (_, rposL, rnL, rposR, rnR) =
+      lvl2(("R", 1L)).asInstanceOf[(String, Long, Long, Long, Long)]
+    assert(rposL == rnL && rposR == rnR, "right child must be pure-positive")
+  }
+
   test("stump attribution: additive node deltas that separate the planted label") {
     import graft.ml.GbtStump
     val rows = GbtStump.stumpAttribution(spark, sfDir)

@@ -69,6 +69,9 @@ class PlanAuditSpec extends SparkSpec {
     // round 2's bounded centroid broadcast; round 1 is behind iterate's
     // eager checkpoint and never appears in the audited plan
     "kmeans_step2" -> 1)
+  // gbt_stump2 needs no entry: its side tagging (1-row root-split
+  // broadcast) is behind an eager localCheckpoint, so the audited
+  // level-2 plan starts at the materialized sided frame
 
   // ONE plan sweep shared by both audits: query construction is not
   // plan-only for several keys (model fits, BPE argmax rounds, bloom
