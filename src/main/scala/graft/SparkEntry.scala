@@ -345,6 +345,19 @@ object SparkEntry {
     "kfold_balance"         -> (graft.operators.KFold.kfoldOrders(_, _)),
     // view->purchase conversion-lag histogram over the forward as-of
     "conversion_lag"        -> (graft.operators.ConversionLag.viewPurchaseLag(_, _)),
+    // integer-exact CUSUM changepoint per event-type daily series
+    // (n·prefix − k·total needs no mean and no division)
+    "changepoint_cusum"     -> (graft.operators.Changepoint.changepointEvents(_, _)),
+    // top-V corpus vocab + per-doc OOV per-mille (tokenizer coverage)
+    "vocab_coverage"        -> (graft.functions.Vocab.vocabCoverageDocs(_, _)),
+    // word2vec-style forward-window co-occurrence pair counts, map-side
+    "skipgram_pairs"        -> (graft.functions.NgramStats.skipgramPairsDocs(_, _)),
+    // global quantile-rank ppm transform via domain-bounded cell table
+    "rank_transform"        -> (graft.operators.Ranks.rankTransformCustomer(_, _)),
+    // first-3 event-type journey distribution per user
+    "session_paths"         -> (graft.operators.SessionPaths.sessionPathsEvents(_, _)),
+    // two-feature OLS via exact DECIMAL(38) normal equations + Cramer
+    "linreg_normal_eq"      -> (graft.ml.LinReg.linregLineitem(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -537,6 +550,12 @@ object SparkEntry {
     "asof_next_click"       -> graft.operators.AsOfJoin.forwardOracleSql,
     "kfold_balance"         -> graft.operators.KFold.oracleSql,
     "conversion_lag"        -> graft.operators.ConversionLag.oracleSql,
+    "changepoint_cusum"     -> graft.operators.Changepoint.oracleSql,
+    "vocab_coverage"        -> graft.functions.Vocab.oracleSql,
+    "skipgram_pairs"        -> graft.functions.NgramStats.skipgramOracleSql,
+    "rank_transform"        -> graft.operators.Ranks.rankTransformOracleSql,
+    "session_paths"         -> graft.operators.SessionPaths.oracleSql,
+    "linreg_normal_eq"      -> graft.ml.LinReg.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

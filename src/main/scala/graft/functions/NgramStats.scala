@@ -38,6 +38,36 @@ object NgramStats {
           element_at(ts, i + lit(1)).as("w2"))))
       .otherwise(expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
 
+  /** Ordered skip-gram pairs (center token, context token ≤ `w` ahead)
+    * as array<struct<w1,w2>>, map-side — the word2vec/GloVe training-pair
+    * generation step, built like [[bigramArr]] (which is this with
+    * w = 1): a nested `transform` over index sequences, flattened, so
+    * pair generation never self-joins and stays linear in tokens · w.
+    * The inner sequence runs i+1 .. min(i+w, size) and i stops at
+    * size−1, so it is always ascending — the same guard discipline as
+    * [[bigramArr]]. */
+  private def skipgramArr(ts: Column, w: Int): Column =
+    when(size(ts) >= 2,
+      flatten(transform(sequence(lit(1), size(ts) - 1),
+        i => transform(sequence(i + lit(1), least(i + lit(w), size(ts))),
+          j => struct(element_at(ts, i).as("w1"),
+            element_at(ts, j).as("w2"))))))
+      .otherwise(expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+
+  /** Corpus skip-gram co-occurrence counts: (w1, w2, n_pairs) for
+    * ordered pairs within a forward window of `w` tokens, kept when
+    * `n_pairs >= minCount` — the count table word2vec's negative
+    * sampling and GloVe's objective both consume. One shuffle on the
+    * (w1, w2) key with map-side combine; output cardinality is bounded
+    * by surviving pair types, not corpus size. */
+  def skipgramPairs(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int, minCount: Long): DataFrame =
+    docs.select(toks(col(textCol)).as("__ts"))
+      .select(explode(skipgramArr(col("__ts"), w)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minCount)
+
   /** Corpus-level PMI collocations: (w1, w2, c_xy, pmi_micros) for
     * adjacent bigrams with `c_xy >= minCount`, where
     * `pmi = ln(c_xy · N_bigrams / (c_x · c_y))` over corpus unigram
@@ -145,6 +175,29 @@ object NgramStats {
 
   def bigramSurprisalDocs(spark: SparkSession, dir: String): DataFrame =
     docBigramSurprisal(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Gated instance: forward-window-3 skip-gram pairs seen ≥ 3 times. */
+  def skipgramPairsDocs(spark: SparkSession, dir: String): DataFrame =
+    skipgramPairs(Tables.documents(spark, dir), "doc_id", "text",
+      w = 3, minCount = 3L)
+
+  /** One UNION arm per distance d: DuckDB zips parallel `unnest`s
+    * positionally, so slicing the token list against itself shifted by
+    * d enumerates exactly the ordered pairs at that distance — the
+    * [[BigCte]] idiom generalized from d = 1 to d ≤ w. */
+  def skipgramOracleSql: String = {
+    val arms = (1 to 3).map { d =>
+      s"""  SELECT unnest(ts[1:len(ts)-$d]) AS w1,
+         |         unnest(ts[${d + 1}:len(ts)]) AS w2
+         |  FROM tok WHERE len(ts) >= ${d + 1}""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $TokCte,
+       |pairs AS (
+       |$arms
+       |)
+       |SELECT w1, w2, count(*) AS n_pairs FROM pairs
+       |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
+  }
 
   def pmiBigramsDocs(spark: SparkSession, dir: String): DataFrame =
     pmiBigrams(Tables.documents(spark, dir), "doc_id", "text", minCount = 3L)

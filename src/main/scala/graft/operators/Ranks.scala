@@ -73,6 +73,69 @@ object Ranks {
     ranked.withColumn(out, bucket.cast("int")).drop("__grn")
   }
 
+  /** Append `out` = global quantile rank of `valueCol` in exact ppm:
+    * `1e6 · (#rows strictly below) div (n − 1)` — the rank-based
+    * feature transform (the distribution-free cousin of
+    * [[Scaling.robustScale]]: monotone map onto [0, 1e6] that no
+    * outlier can stretch). Ties share a value cell and therefore a ppm.
+    *
+    * Scale shape: below-counts come from HISTOGRAM CUMULATION — one
+    * aggregate to (value, count) cells, a running sum over the CELL
+    * table, and a join back keyed on the value. The unpartitioned
+    * window runs over cells only, so callers choose a binning whose
+    * cell cardinality is DOMAIN-bounded (whole currency units, integer
+    * codes), not row-bounded — then the window input is fixed while
+    * the data grows 100×. Raw rows are touched exactly twice (cell agg,
+    * join back); n rides in from the cell table's own sum, not a
+    * separate count() job. */
+  def rankTransform(df: DataFrame, valueCol: Column, out: String): DataFrame = {
+    val cells = df.select(valueCol.as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val ranked = cells
+      .withColumn("__below", sum("__cnt").over(wCum) - col("__cnt"))
+      .withColumn("__n", sum("__cnt").over(wAll))
+      .withColumn(out,
+        when(col("__n") > 1, expr(s"(1000000 * __below) div (__n - 1)"))
+          .otherwise(lit(0L)))
+      .select(col("__v"), col(out))
+    // the cell table is domain-bounded — broadcast it so the fact side
+    // is never shuffled for this join
+    df.withColumn("__v", valueCol).join(broadcast(ranked), "__v").drop("__v")
+  }
+
+  /** Gated instance: whole-dollar account-balance quantile rank per
+    * customer. Flooring to dollars bounds the cell table by the BALANCE
+    * RANGE (~11k cells at any scale factor), which is what licenses the
+    * cell-table window — see [[rankTransform]]. */
+  def rankTransformCustomer(spark: SparkSession, dir: String): DataFrame =
+    rankTransform(
+      Tables.customer(spark, dir).select("c_custkey", "c_acctbal"),
+      floor(col("c_acctbal")).cast("long"), "bal_rank_ppm")
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("bal_rank_ppm"))
+
+  def rankTransformOracleSql: String =
+    """WITH v AS (
+      |  SELECT c_custkey, c_acctbal,
+      |    CAST(floor(c_acctbal) AS BIGINT) AS dollar
+      |  FROM customer
+      |), cells AS (
+      |  SELECT dollar, count(*) AS cnt FROM v GROUP BY 1
+      |), ranked AS (
+      |  SELECT dollar,
+      |    SUM(cnt) OVER (ORDER BY dollar) - cnt AS below,
+      |    SUM(cnt) OVER () AS n
+      |  FROM cells
+      |)
+      |SELECT v.c_custkey, round(v.c_acctbal, 2) AS c_acctbal,
+      |  CASE WHEN r.n > 1
+      |    THEN CAST((1000000 * r.below) // (r.n - 1) AS BIGINT)
+      |    ELSE 0 END AS bal_rank_ppm
+      |FROM v JOIN ranked r ON v.dollar = r.dollar""".stripMargin
+
   // ---- query-map entry (hash-gated) ----
 
   /** Equal-frequency decile of order spend, ties broken by key. */
