@@ -358,6 +358,14 @@ object SparkEntry {
     "session_paths"         -> (graft.operators.SessionPaths.sessionPathsEvents(_, _)),
     // two-feature OLS via exact DECIMAL(38) normal equations + Cramer
     "linreg_normal_eq"      -> (graft.ml.LinReg.linregLineitem(_, _)),
+    // interval UNION per key: the other sweep next to peak_concurrency
+    "interval_islands"      -> (graft.operators.Intervals.intervalIslandsEvents(_, _)),
+    // GloVe X_ij: distance-weighted skip-gram counts in exact micros
+    "glove_cooccur"         -> (graft.functions.NgramStats.gloveCooccurDocs(_, _)),
+    // per-group distribution mapped onto the global quantile function
+    "quantile_normalize"    -> (graft.operators.QuantileNormalize.quantileNormalizeCustomer(_, _)),
+    // one integer power-iteration step toward the principal component
+    "pca_power_step"        -> (graft.ann.PcaPowerStep.pcaPowerStepEmbeddings(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -556,6 +564,10 @@ object SparkEntry {
     "rank_transform"        -> graft.operators.Ranks.rankTransformOracleSql,
     "session_paths"         -> graft.operators.SessionPaths.oracleSql,
     "linreg_normal_eq"      -> graft.ml.LinReg.oracleSql,
+    "interval_islands"      -> graft.operators.Intervals.islandsOracleSql,
+    "glove_cooccur"         -> graft.functions.NgramStats.gloveOracleSql,
+    "quantile_normalize"    -> graft.operators.QuantileNormalize.oracleSql,
+    "pca_power_step"        -> graft.ann.PcaPowerStep.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

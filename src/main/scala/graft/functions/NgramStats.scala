@@ -68,6 +68,35 @@ object NgramStats {
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_pairs"))
       .filter(col("n_pairs") >= minCount)
 
+  /** [[skipgramArr]] with the pair distance kept:
+    * array<struct<w1,w2,d>>, d = j − i ∈ [1, w]. */
+  private def skipgramArrD(ts: Column, w: Int): Column =
+    when(size(ts) >= 2,
+      flatten(transform(sequence(lit(1), size(ts) - 1),
+        i => transform(sequence(i + lit(1), least(i + lit(w), size(ts))),
+          j => struct(element_at(ts, i).as("w1"),
+            element_at(ts, j).as("w2"), (j - i).as("d"))))))
+      .otherwise(expr(
+        "CAST(array() AS array<struct<w1:string,w2:string,d:int>>)"))
+
+  /** GloVe-style DISTANCE-WEIGHTED co-occurrence: each pair at distance
+    * d contributes weight 1/d, accumulated as the exact integer
+    * `1000000 div d` micros (d ≤ w, so the per-distance weights are a
+    * fixed small set of exact constants — no float sum ever forms).
+    * Output (w1, w2, n_pairs, x_micros) for pairs seen ≥ `minCount`
+    * times: the X_ij matrix GloVe's objective weights and factorizes,
+    * one step up from [[skipgramPairs]]' unweighted counts. Same cost
+    * envelope: map-side pair explode, one shuffle on the pair key. */
+  def gloveCooccur(docs: DataFrame, idCol: String, textCol: String,
+                   w: Int, minCount: Long): DataFrame =
+    docs.select(toks(col(textCol)).as("__ts"))
+      .select(explode(skipgramArrD(col("__ts"), w)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"),
+        expr("1000000 div p.d").as("__wt"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_pairs"), sum("__wt").as("x_micros"))
+      .filter(col("n_pairs") >= minCount)
+
   /** Corpus-level PMI collocations: (w1, w2, c_xy, pmi_micros) for
     * adjacent bigrams with `c_xy >= minCount`, where
     * `pmi = ln(c_xy · N_bigrams / (c_x · c_y))` over corpus unigram
@@ -197,6 +226,30 @@ object NgramStats {
        |)
        |SELECT w1, w2, count(*) AS n_pairs FROM pairs
        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
+  }
+
+  /** Gated instance: window-3 distance-weighted co-occurrence ≥ 3. */
+  def gloveCooccurDocs(spark: SparkSession, dir: String): DataFrame =
+    gloveCooccur(Tables.documents(spark, dir), "doc_id", "text",
+      w = 3, minCount = 3L)
+
+  /** The [[skipgramOracleSql]] arms with each arm's exact per-distance
+    * weight constant riding along (1000000 div d, computed here so both
+    * engines share the identical integer). */
+  def gloveOracleSql: String = {
+    val arms = (1 to 3).map { d =>
+      s"""  SELECT unnest(ts[1:len(ts)-$d]) AS w1,
+         |         unnest(ts[${d + 1}:len(ts)]) AS w2,
+         |         CAST(${1000000L / d} AS BIGINT) AS wt
+         |  FROM tok WHERE len(ts) >= ${d + 1}""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $TokCte,
+       |pairs AS (
+       |$arms
+       |)
+       |SELECT w1, w2, count(*) AS n_pairs,
+       |  CAST(sum(wt) AS BIGINT) AS x_micros
+       |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
   }
 
   def pmiBigramsDocs(spark: SparkSession, dir: String): DataFrame =

@@ -46,7 +46,41 @@ object Intervals {
       .agg(max("__open").as("peak"))
   }
 
-  // ---- query-map entry (hash-gated) ----
+  /** Merge strictly-overlapping [start, end) intervals per key into
+    * maximal islands: (key, island_start, island_end, n_intervals) —
+    * interval UNION, the other classic sweep question next to
+    * [[peakConcurrency]]'s max-occupancy (total covered time, merged
+    * availability/blackout windows). Half-open discipline throughout:
+    * back-to-back intervals ([0,10) then [10,20)) do NOT merge.
+    *
+    * Same cost envelope as the peak sweep: one shuffle on the key, one
+    * ordered window pass. An island breaks where a row's start clears
+    * the running max end of everything before it; rows tied on
+    * (start, end) are value-identical, so the break flags — and
+    * therefore the island aggregates — are tie-order-free and safe to
+    * hash cross-engine. */
+  def mergeIslands(df: DataFrame, keyCol: String,
+                   startCol: String, endCol: String): DataFrame = {
+    val wPrev = Window.partitionBy("key")
+      .orderBy(col("__s").asc, col("__e").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("key")
+      .orderBy(col("__s").asc, col("__e").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol).as("key"),
+        col(startCol).as("__s"), col(endCol).as("__e"))
+      .withColumn("__prev_max", max(col("__e")).over(wPrev))
+      .withColumn("__brk",
+        when(col("__prev_max").isNull || col("__s") >= col("__prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(wRun))
+      .groupBy(col("key"), col("__island"))
+      .agg(min("__s").as("island_start"), max("__e").as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
+  }
+
+  // ---- query-map entries (hash-gated) ----
 
   /** Gated instance: each event opens a dwell interval of
     * `round(value·100)` SECONDS (exact cents reread as a duration);
@@ -79,4 +113,41 @@ object Intervals {
       |)
       |SELECT user_id, CAST(max(c) AS BIGINT) AS peak
       |FROM run GROUP BY user_id""".stripMargin
+
+  /** Gated instance: the same dwell intervals as
+    * [[peakConcurrentEvents]], merged into maximal busy islands per
+    * user — the two sweeps share one interval derivation so the pair
+    * (peak occupancy, union coverage) reads off the same feed. */
+  def intervalIslandsEvents(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("__s"),
+        round(col("value") * 100).cast("long").as("__dur"))
+      .filter(col("__dur") > 0)
+      .withColumn("__e", col("__s") + col("__dur") * lit(1000000L))
+    mergeIslands(iv, "user_id", "__s", "__e")
+      .withColumnRenamed("key", "user_id")
+  }
+
+  def islandsOracleSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 1000000 AS e
+      |  FROM events WHERE round(value * 100) > 0
+      |), flagged AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR s >= max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM iv
+      |), isl AS (
+      |  SELECT user_id, s, e,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged
+      |)
+      |SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+      |  count(*) AS n_intervals
+      |FROM isl GROUP BY user_id, island""".stripMargin
 }

@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Changepoint, Ranks, SessionPaths}
+import graft.operators.{Changepoint, Intervals, QuantileNormalize, Ranks, SessionPaths}
 import graft.functions.{NgramStats, Vocab}
 import graft.ml.LinReg
+import graft.ann.PcaPowerStep
 
 /** Round-13 continuation operators: CUSUM changepoint, vocab coverage,
   * skip-gram pairs, quantile-rank transform, first-k session paths, and
@@ -92,6 +93,54 @@ class Round13bOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("b1_micros") == 3000000L)
     assert(row.getAs[Long]("b2_micros") == 5000000L)
     assert(row.getAs[Long]("yhat_probe_micros") == 117000000L)
+  }
+
+  test("interval islands: overlaps merge, half-open back-to-back stays split") {
+    val iv = Seq(("k1", 0L, 10L), ("k1", 5L, 15L), ("k1", 20L, 30L),
+      ("k1", 30L, 40L), ("k2", 1L, 2L))
+      .toDF("k", "s", "e")
+    val got = Intervals.mergeIslands(iv, "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // k1: [0,10)+[5,15) merge; [20,30) and [30,40) touch only at 30
+    assert(got == Map(("k1", 0L) -> ((15L, 2L)), ("k1", 20L) -> ((30L, 1L)),
+      ("k1", 30L) -> ((40L, 1L)), ("k2", 1L) -> ((2L, 1L))))
+  }
+
+  test("glove cooccur: same pair at mixed distances sums exact per-distance micros") {
+    val docs = Seq((1L, "a b a b")).toDF("id", "text")
+    val got = NgramStats.gloveCooccur(docs, "id", "text", w = 3, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // (a,b): d=1 (pos1-2), d=3 (pos1-4), d=1 (pos3-4) -> 1e6+333333+1e6
+    assert(got(("a", "b")) == ((3L, 2333333L)))
+    assert(got(("a", "a")) == ((1L, 500000L))) // d=2
+    assert(got(("b", "a")) == ((1L, 1000000L)))
+    assert(got(("b", "b")) == ((1L, 500000L)))
+  }
+
+  test("quantile normalize: groups map onto global order stats; singleton goes to the median") {
+    val df = Seq((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L),
+      (4L, "B", 10L), (5L, "B", 20L), (6L, "B", 30L), (7L, "C", 100L))
+      .toDF("id", "grp", "v")
+    val got = QuantileNormalize.quantileNormalize(df, "grp", col("v"), "qn")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("qn")).toMap
+    // global sorted: [1,2,3,10,20,30,100], N=7; within-group p in {0,1/2,1}
+    // -> gidx {0, 3, 6} for both 3-row groups; singleton C -> (N-1) div 2 = 3
+    assert(got == Map(1L -> 1L, 2L -> 10L, 3L -> 100L,
+      4L -> 1L, 5L -> 10L, 6L -> 100L, 7L -> 10L))
+  }
+
+  test("pca power step: hand-computed n²-covariance times ones on exact binary fractions") {
+    val df = Seq((1L, Array(0.25f, 0.5f)), (2L, Array(0.75f, 1.0f)),
+      (3L, Array(1.25f, 3.0f))).toDF("vec_id", "embedding")
+    val got = PcaPowerStep.powerStep(df, "embedding")
+      .collect().map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Long]("n_points"), r.getAs[Long]("sum_milli"),
+          r.getAs[Long]("var_n2"), r.getAs[Long]("cv1"))).toMap
+    // millis (250,500),(750,1000),(1250,3000); row sums 750,1750,4250; T=6750
+    assert(got(0L) == ((3L, 2250L, 1500000L, 5250000L)))
+    assert(got(1L) == ((3L, 4500L, 10500000L, 14250000L)))
   }
 
   test("linreg: collinear features yield NULL coefficients, not garbage") {
