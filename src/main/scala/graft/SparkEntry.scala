@@ -366,6 +366,10 @@ object SparkEntry {
     "quantile_normalize"    -> (graft.operators.QuantileNormalize.quantileNormalizeCustomer(_, _)),
     // one integer power-iteration step toward the principal component
     "pca_power_step"        -> (graft.ann.PcaPowerStep.pcaPowerStepEmbeddings(_, _)),
+    // two chained steps: the rescaled-iterate feedback edge in the gate
+    "pca_power_step2"       -> (graft.ann.PcaPowerStep.pcaPowerStep2Embeddings(_, _)),
+    // nDCG@10 / MRR / P@10 with a precomputed integer discount table
+    "ndcg_eval"             -> (graft.operators.RankMetrics.ndcgEvents(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -568,6 +572,8 @@ object SparkEntry {
     "glove_cooccur"         -> graft.functions.NgramStats.gloveOracleSql,
     "quantile_normalize"    -> graft.operators.QuantileNormalize.oracleSql,
     "pca_power_step"        -> graft.ann.PcaPowerStep.oracleSql,
+    "pca_power_step2"       -> graft.ann.PcaPowerStep.oracle2Sql,
+    "ndcg_eval"             -> graft.operators.RankMetrics.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

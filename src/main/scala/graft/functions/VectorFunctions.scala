@@ -34,6 +34,12 @@ object VectorFunctions {
     Native.call("graft_long_array_dot",
       exprs => LongArrayDot(exprs(0), exprs(1)), a, b)
 
+  /** Exact integer element sum of a quantized vector — the native
+    * codegen'd [[LongArraySum]]. */
+  def sumQ(a: Column): Column =
+    Native.call("graft_long_array_sum",
+      exprs => LongArraySum(exprs.head), a)
+
   /** Cosine similarity from quantized vectors (deterministic doubles). */
   def cosineQ(a: Column, b: Column): Column =
     dotQ(a, b).cast("double") /

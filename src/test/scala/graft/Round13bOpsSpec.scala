@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Changepoint, Intervals, QuantileNormalize, Ranks, SessionPaths}
+import graft.operators.{Changepoint, Intervals, QuantileNormalize, RankMetrics, Ranks, SessionPaths}
 import graft.functions.{NgramStats, Vocab}
 import graft.ml.LinReg
 import graft.ann.PcaPowerStep
@@ -141,6 +141,88 @@ class Round13bOpsSpec extends SparkSpec {
     // millis (250,500),(750,1000),(1250,3000); row sums 750,1750,4250; T=6750
     assert(got(0L) == ((3L, 2250L, 1500000L, 5250000L)))
     assert(got(1L) == ((3L, 4500L, 10500000L, 14250000L)))
+  }
+
+  test("pca power step2: rescaled iterate feeds step 2 and concentrates on the dominant axis") {
+    // variance dominated by dim 0; dims are centered (S = 0) so
+    // cv1_j = n*sum(x_j*rowsum) exactly; all values binary-exact floats
+    val df = Seq(
+      (1L, Array(2.0f, 0.5f, 0.0f)), (2L, Array(-2.0f, -0.5f, 0.0f)),
+      (3L, Array(2.0f, -0.5f, 0.0f)), (4L, Array(-2.0f, 0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = PcaPowerStep.powerStep2(df, "embedding")
+      .collect().map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Long]("v1"), r.getAs[Long]("cv2"))).toMap
+    // hand-computed: cv1 = (64e6, 4e6, 0) -> v1 = (500, 31, 0);
+    // p = (1015500, -1015500, 984500, -984500) -> cv2 below
+    assert(got(0L) == ((500L, 32000000000L)))
+    assert(got(1L) == ((31L, 124000000L)))
+    assert(got(2L) == ((0L, 0L)))
+    // two steps concentrate harder than one: 258x vs 16x dominance
+    assert(got(0L)._2 / got(1L)._2 > 250L)
+  }
+
+  test("ranking metrics: hand-computed nDCG@3/MRR/P@3; no-relevant group gets NULL ndcg") {
+    val df = Seq(
+      ("g1", 1L, 100L, 0L), ("g1", 2L, 90L, 3L), ("g1", 3L, 80L, 2L),
+      ("g1", 4L, 70L, 0L), ("g1", 5L, 60L, 1L),
+      ("g2", 6L, 50L, 0L), ("g2", 7L, 40L, 0L))
+      .toDF("g", "item", "score", "rel")
+    val rows = RankMetrics.rankingMetrics(df, "g", "item", "score", "rel",
+      k = 3, relevant = 2).collect().map(r => r.getString(0) -> r).toMap
+    val g1 = rows("g1")
+    // discounts [1e6, 630930, 500000]; model order 1,2,3: rel 0,3,2
+    assert(g1.getAs[Long]("dcg_micros") == 3L * 630930 + 2L * 500000)
+    assert(g1.getAs[Long]("idcg_micros") == 3L * 1000000 + 2L * 630930 + 1L * 500000)
+    assert(g1.getAs[Long]("ndcg_permicro") == 607491L)
+    assert(g1.getAs[Long]("rr_micros") == 500000L)     // first rel>=2 at pos 2
+    assert(g1.getAs[Long]("prec_at_k_permicro") == 666666L) // 2 hits in top 3
+    val g2 = rows("g2")
+    assert(g2.isNullAt(g2.fieldIndex("ndcg_permicro")))
+    assert(g2.getAs[Long]("rr_micros") == 0L)
+    assert(g2.getAs[Long]("prec_at_k_permicro") == 0L)
+  }
+
+  test("LongArraySum equals the aggregate-HOF definition, negatives and empties included") {
+    val df = Seq(
+      (1L, Array(1L, 2L, 3L)), (2L, Array(-5L, 5L, -7L)),
+      (3L, Array.empty[Long]), (4L, Array(Long.MaxValue / 2, Long.MaxValue / 2)))
+      .toDF("id", "xs")
+    val got = df.select(col("id"),
+        graft.functions.VectorFunctions.sumQ(col("xs")).as("s"),
+        aggregate(col("xs"), lit(0L), (a, x) => a + x).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), s"row ${r.getLong(0)}"))
+  }
+
+  test("cusum monitor: evidence accumulates across micro-batches; alarms reset the side") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CusumMonitor
+    import graft.streaming.CusumMonitor.{Alarm, Obs}
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Obs]
+    val chk = java.nio.file.Files.createTempDirectory("graft_cusum_chk").toString
+    // mu0 = 10.0, slack 1.0, threshold 5.0 (all micros)
+    val q = CusumMonitor.alarms(in.toDS(), 10000000L, 1000000L, 5000000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_alarms").option("checkpointLocation", chk).start()
+    def obs(id: Long, v: Double): Obs =
+      Obs("k", new java.sql.Timestamp(1700000000000L + id * 1000), id, (v * 1e6).toLong)
+    in.addData((1L to 3L).map(obs(_, 10.0)): _*)   // in control
+    q.processAllAvailable()
+    in.addData((4L to 9L).map(obs(_, 11.5)): _*)   // +0.5e6/obs -> hi = 3e6
+    q.processAllAvailable()
+    in.addData((10L to 14L).map(obs(_, 11.5)): _*) // crosses 5e6 at obs 14
+    q.processAllAvailable()
+    in.addData((15L to 17L).map(obs(_, 7.0)): _*)  // low side: +2e6/obs
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val alarms = spark.table("cusum_alarms").as[Alarm].collect().sortBy(_.event_id)
+    assert(alarms.length == 2, s"expected 2 alarms: ${alarms.mkString(";")}")
+    // sustained small drift alarms only once state spans three batches
+    assert(alarms(0) == Alarm("k", alarms(0).ts, 14L, "high", 5500000L, 14L))
+    assert(alarms(1) == Alarm("k", alarms(1).ts, 17L, "low", 6000000L, 3L))
   }
 
   test("linreg: collinear features yield NULL coefficients, not garbage") {
