@@ -370,6 +370,14 @@ object SparkEntry {
     "pca_power_step2"       -> (graft.ann.PcaPowerStep.pcaPowerStep2Embeddings(_, _)),
     // nDCG@10 / MRR / P@10 with a precomputed integer discount table
     "ndcg_eval"             -> (graft.operators.RankMetrics.ndcgEvents(_, _)),
+    // triangles + degree on the bounded top-K co-supply graph
+    "triangle_count"        -> (graft.operators.GraphMetrics.triangleCoSupply(_, _)),
+    // one synchronous majority label-propagation round, same graph
+    "label_prop_step"       -> (graft.operators.GraphMetrics.labelPropCoSupply(_, _)),
+    // 1.5 HITS power iterations (integer hub/authority) on the trade graph
+    "hits_scores"           -> (graft.operators.GraphMetrics.hitsTrade(_, _)),
+    // exact n²-scaled ACF at lags 1..7 per event-type daily series
+    "acf_lags"              -> (graft.operators.Autocorr.acfEvents(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -574,6 +582,10 @@ object SparkEntry {
     "pca_power_step"        -> graft.ann.PcaPowerStep.oracleSql,
     "pca_power_step2"       -> graft.ann.PcaPowerStep.oracle2Sql,
     "ndcg_eval"             -> graft.operators.RankMetrics.oracleSql,
+    "triangle_count"        -> graft.operators.GraphMetrics.triangleOracleSql,
+    "label_prop_step"       -> graft.operators.GraphMetrics.labelPropOracleSql,
+    "hits_scores"           -> graft.operators.GraphMetrics.hitsOracleSql,
+    "acf_lags"              -> graft.operators.Autocorr.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
