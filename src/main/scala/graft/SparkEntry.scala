@@ -378,6 +378,10 @@ object SparkEntry {
     "hits_scores"           -> (graft.operators.GraphMetrics.hitsTrade(_, _)),
     // exact n²-scaled ACF at lags 1..7 per event-type daily series
     "acf_lags"              -> (graft.operators.Autocorr.acfEvents(_, _)),
+    // directed association rules (confidence/lift permicro) over baskets
+    "assoc_rules"           -> (graft.operators.Basket.assocRulesLineitem(_, _)),
+    // cumulative gains/lift table over exact score deciles
+    "lift_deciles"          -> (graft.operators.Calibration.liftEvents(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -586,6 +590,8 @@ object SparkEntry {
     "label_prop_step"       -> graft.operators.GraphMetrics.labelPropOracleSql,
     "hits_scores"           -> graft.operators.GraphMetrics.hitsOracleSql,
     "acf_lags"              -> graft.operators.Autocorr.oracleSql,
+    "assoc_rules"           -> graft.operators.Basket.rulesOracleSql,
+    "lift_deciles"          -> graft.operators.Calibration.liftOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
