@@ -382,6 +382,10 @@ object SparkEntry {
     "assoc_rules"           -> (graft.operators.Basket.assocRulesLineitem(_, _)),
     // cumulative gains/lift table over exact score deciles
     "lift_deciles"          -> (graft.operators.Calibration.liftEvents(_, _)),
+    // k-NN majority-vote label transfer over the ANN neighbor lists
+    "knn_classify"          -> (graft.ann.KnnClassify.knnClassifyEmbeddings(_, _)),
+    // truncation-class near-dup: strict-prefix detection by sorted adjacency
+    "dedup_prefix"          -> (graft.dedup.PrefixDedup.prefixDupDocs(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -592,6 +596,8 @@ object SparkEntry {
     "acf_lags"              -> graft.operators.Autocorr.oracleSql,
     "assoc_rules"           -> graft.operators.Basket.rulesOracleSql,
     "lift_deciles"          -> graft.operators.Calibration.liftOracleSql,
+    "knn_classify"          -> graft.ann.KnnClassify.oracleSql,
+    "dedup_prefix"          -> graft.dedup.PrefixDedup.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
