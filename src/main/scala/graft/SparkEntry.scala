@@ -386,6 +386,10 @@ object SparkEntry {
     "knn_classify"          -> (graft.ann.KnnClassify.knnClassifyEmbeddings(_, _)),
     // truncation-class near-dup: strict-prefix detection by sorted adjacency
     "dedup_prefix"          -> (graft.dedup.PrefixDedup.prefixDupDocs(_, _)),
+    // Hamilton largest-remainder training-mix allocation (Σ = budget exact)
+    "mixture_plan"          -> (graft.operators.MixturePlan.mixtureDocs(_, _)),
+    // directional shingle-containment near-dup (df-capped candidates)
+    "dedup_containment"     -> (graft.dedup.NGramJaccard.containmentDocs(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -598,6 +602,8 @@ object SparkEntry {
     "lift_deciles"          -> graft.operators.Calibration.liftOracleSql,
     "knn_classify"          -> graft.ann.KnnClassify.oracleSql,
     "dedup_prefix"          -> graft.dedup.PrefixDedup.oracleSql,
+    "mixture_plan"          -> graft.operators.MixturePlan.oracleSql,
+    "dedup_containment"     -> graft.dedup.NGramJaccard.containmentOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

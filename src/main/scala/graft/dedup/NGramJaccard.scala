@@ -126,4 +126,94 @@ object NGramJaccard {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
       |    / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.5""".stripMargin
+
+  /** DIRECTIONAL containment pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥
+    * t‰ — the asymmetric near-dup relation Jaccard misses: a fragment
+    * inside a much longer page has tiny Jaccard but containment ≈ 1.
+    * The unordered generalization of [[PrefixDedup]] (which catches only
+    * contiguous head truncations).
+    *
+    * Candidates come from a shared-rare-shingle postings join with a
+    * DOCUMENT-FREQUENCY CAP: shingles appearing in more than `dfCap`
+    * docs are dropped from candidate generation (stop-shingle removal —
+    * the boilerplate phrases that would otherwise quadratically blow up
+    * the posting self-join). That bounds per-shingle join work to dfCap²
+    * — linear overall — at a DECLARED recall bound: a pair sharing ONLY
+    * ultra-common shingles is not surfaced (such pairs are boilerplate
+    * overlap, not containment, at any realistic cap). Verification
+    * intersects the FULL shingle sets, so surfaced pairs carry exact
+    * counts. Threshold compare and permille are integer-exact.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       thresholdPermille: Int, dfCap: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"), hashedShingles(col(textCol)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .localCheckpoint()
+    val ex = sh.select(col("__id"), explode(col("__sh")).as("__tok"))
+    val rareTok = ex.groupBy("__tok").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap)
+    val rare = ex.join(rareTok.select("__tok"), "__tok")
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.__tok") === col("b.__tok") && col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
+      .distinct()
+    cand
+      .join(sh.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
+      .join(sh.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
+      .withColumn("n_common", size(array_intersect(col("__sha"), col("__shb"))))
+      .withColumn("n_a", size(col("__sha")))
+      .filter(col("n_common") * 1000 >= col("n_a") * thresholdPermille)
+      .select(col("a_id"), col("b_id"), col("n_common").cast("long").as("n_common"),
+        col("n_a").cast("long").as("n_a"),
+        expr("(1000 * CAST(n_common AS BIGINT)) div n_a").as("containment_permille"))
+  }
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** Gated instance: containment ≥ 60% over the corpus plus the SAME
+    * planted half-text truncations [[PrefixDedup]] injects (id+10⁹,
+    * every 10th doc) — each plant is contained in its source, so the
+    * directional output is non-degenerate by construction. */
+  def containmentDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        expr("substr(text, 1, length(text) div 2)").as("text"))
+      .filter(length(col("text")) >= 1)
+    containmentPairs(docs.unionByName(planted), "doc_id", "text",
+      thresholdPermille = 600, dfCap = 50)
+  }
+
+  def containmentOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, substr(text, 1, length(text) // 2)
+      |  FROM documents
+      |  WHERE doc_id % 10 = 0 AND length(text) // 2 >= 1
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws)-2),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) sg
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') ws FROM corpus)
+      |  WHERE len(ws) >= 3
+      |), ex AS (
+      |  SELECT doc_id, unnest(sg) AS tok FROM sh
+      |), rare AS (
+      |  SELECT tok FROM ex GROUP BY tok HAVING count(*) <= 50
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM ex a JOIN rare USING (tok) JOIN ex b USING (tok)
+      |  WHERE a.doc_id <> b.doc_id
+      |), scored AS (
+      |  SELECT c.a_id, c.b_id,
+      |    CAST(len(list_intersect(sa.sg, sb.sg)) AS BIGINT) AS n_common,
+      |    CAST(len(sa.sg) AS BIGINT) AS n_a
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.a_id
+      |  JOIN sh sb ON sb.doc_id = c.b_id
+      |)
+      |SELECT a_id, b_id, n_common, n_a,
+      |  (1000 * n_common) // n_a AS containment_permille
+      |FROM scored
+      |WHERE 1000 * n_common >= 600 * n_a""".stripMargin
 }
