@@ -390,6 +390,10 @@ object SparkEntry {
     "mixture_plan"          -> (graft.operators.MixturePlan.mixtureDocs(_, _)),
     // directional shingle-containment near-dup (df-capped candidates)
     "dedup_containment"     -> (graft.dedup.NGramJaccard.containmentDocs(_, _)),
+    // one exact PAVA pooling pass over ranked score bins (isotonic fit)
+    "isotonic_step"         -> (graft.ml.Isotonic.isotonicStepEvents(_, _)),
+    // exact ROC/PR curve points by histogram cumulation over score cells
+    "roc_points"            -> (graft.operators.RocCurve.rocEvents(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -604,6 +608,8 @@ object SparkEntry {
     "dedup_prefix"          -> graft.dedup.PrefixDedup.oracleSql,
     "mixture_plan"          -> graft.operators.MixturePlan.oracleSql,
     "dedup_containment"     -> graft.dedup.NGramJaccard.containmentOracleSql,
+    "isotonic_step"         -> graft.ml.Isotonic.oracleSql,
+    "roc_points"            -> graft.operators.RocCurve.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
