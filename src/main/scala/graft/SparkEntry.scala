@@ -394,6 +394,10 @@ object SparkEntry {
     "isotonic_step"         -> (graft.ml.Isotonic.isotonicStepEvents(_, _)),
     // exact ROC/PR curve points by histogram cumulation over score cells
     "roc_points"            -> (graft.operators.RocCurve.rocEvents(_, _)),
+    // integer-exact additive decomposition (trend/weekly season/residual)
+    "seasonal_decompose"    -> (graft.operators.SeasonalDecompose.decomposeEvents(_, _)),
+    // Gini coefficient + 20-cell Lorenz curve of customer revenue
+    "gini_lorenz"           -> (graft.operators.Gini.giniCustomerRevenue(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -610,6 +614,8 @@ object SparkEntry {
     "dedup_containment"     -> graft.dedup.NGramJaccard.containmentOracleSql,
     "isotonic_step"         -> graft.ml.Isotonic.oracleSql,
     "roc_points"            -> graft.operators.RocCurve.oracleSql,
+    "seasonal_decompose"    -> graft.operators.SeasonalDecompose.oracleSql,
+    "gini_lorenz"           -> graft.operators.Gini.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

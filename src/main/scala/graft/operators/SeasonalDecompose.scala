@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Additive seasonal decomposition (trend / weekly seasonal / residual)
+  * in EXACT integer arithmetic — the classical-decomposition companion
+  * of [[HoltWinters]]/[[Theta]]/[[Autocorr]]: the reference's forecast
+  * tuning (/root/reference/MachineLearning/Kubernetes/src/
+  * stats_forecast_tune.py) presumes exactly this structure (ETS's
+  * error/trend/season), and decomposition is how a pipeline INSPECTS it.
+  *
+  * Exactness discipline — no division until the final permicro: the
+  * centered 7-day moving average rides as its SUM (trend_sum7); the
+  * detrended series as detr7 = 7·x − trend_sum7 (the ×7-scaled exact
+  * value); the day-of-week seasonal mean as (seas_num, seas_cnt) with
+  * implicit denominator 7·cnt; the residual as the exact rational
+  * resid_num/resid_den = (detr7·cnt − seas_num)/(7·cnt). Reported
+  * permicro values use sign-split truncating division (identical in
+  * both engines). Edge days without a full 7-day window carry NULL
+  * trend/detrended/residual — the honest classical-MA convention.
+  *
+  * Scale: one fact aggregation to calendar-bounded (group, day) cells;
+  * every window partitions by group over those cells; the seasonal
+  * aggregate has ≤ 7 rows per group. Nothing after the rollup is
+  * fact-sized.
+  */
+object SeasonalDecompose {
+
+  /** Decompose per-group daily integer series (groupCol, idx 1.., x). */
+  def decompose(cells: DataFrame, groupCol: String, idxCol: String,
+                valueCol: String): DataFrame = {
+    val g = col(groupCol)
+    val wMa = Window.partitionBy(g).orderBy(col(idxCol)).rowsBetween(-3, 3)
+    val base = cells.select(g, col(idxCol).as("idx"), col(valueCol).as("x"))
+      .withColumn("__w7", count(lit(1)).over(wMa))
+      .withColumn("trend_sum7",
+        when(col("__w7") === 7, sum("x").over(wMa)))
+      .withColumn("detr7", lit(7) * col("x") - col("trend_sum7"))
+      .withColumn("dow", (col("idx") - 1) % 7)
+    val seas = base.filter(col("detr7").isNotNull)
+      .groupBy(g, col("dow"))
+      .agg(sum("detr7").as("seas_num"), count(lit(1)).as("seas_cnt"))
+    base.join(seas, Seq(groupCol, "dow"), "left")
+      .select(g, col("idx"), col("dow"), col("x"), col("trend_sum7"),
+        col("detr7"), col("seas_num"), col("seas_cnt"),
+        expr("detr7 * seas_cnt - seas_num").as("resid_num"),
+        expr("CASE WHEN detr7 IS NOT NULL THEN 7 * seas_cnt END").as("resid_den"),
+        expr("""CASE WHEN seas_cnt > 0 THEN
+                  (CASE WHEN seas_num < 0 THEN -1L ELSE 1L END)
+                    * ((1000000 * abs(seas_num)) div (7 * seas_cnt))
+                END""").as("seasonal_permicro"),
+        expr("""CASE WHEN detr7 IS NOT NULL AND seas_cnt > 0 THEN
+                  (CASE WHEN detr7 * seas_cnt - seas_num < 0 THEN -1L ELSE 1L END)
+                    * ((1000000 * abs(detr7 * seas_cnt - seas_num))
+                        div (7 * seas_cnt))
+                END""").as("residual_permicro"))
+  }
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** Gated instance: each event type's daily revenue-cents series
+    * decomposed against a weekly season. */
+  def decomposeEvents(spark: SparkSession, dir: String): DataFrame = {
+    val wIdx = Window.partitionBy("event_type").orderBy("day")
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("idx", row_number().over(wIdx))
+    decompose(daily, "event_type", "idx", "cents")
+  }
+
+  def oracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT event_type,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx,
+      |    cents AS x
+      |  FROM daily
+      |), ma AS (
+      |  SELECT event_type, idx, x,
+      |    count(*) OVER w7 AS w7,
+      |    CASE WHEN count(*) OVER w7 = 7
+      |      THEN CAST(sum(x) OVER w7 AS BIGINT) END AS trend_sum7
+      |  FROM cells
+      |  WINDOW w7 AS (PARTITION BY event_type ORDER BY idx
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), detr AS (
+      |  SELECT event_type, idx, (idx - 1) % 7 AS dow, x, trend_sum7,
+      |    7 * x - trend_sum7 AS detr7
+      |  FROM ma
+      |), seas AS (
+      |  SELECT event_type, dow,
+      |    CAST(sum(detr7) AS BIGINT) AS seas_num,
+      |    count(*) AS seas_cnt
+      |  FROM detr WHERE detr7 IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT d.event_type, d.idx, CAST(d.dow AS BIGINT) AS dow, d.x,
+      |  d.trend_sum7, d.detr7, s.seas_num, s.seas_cnt,
+      |  d.detr7 * s.seas_cnt - s.seas_num AS resid_num,
+      |  CASE WHEN d.detr7 IS NOT NULL THEN 7 * s.seas_cnt END AS resid_den,
+      |  CASE WHEN s.seas_cnt > 0 THEN
+      |    (CASE WHEN s.seas_num < 0 THEN -1 ELSE 1 END)
+      |      * ((1000000 * abs(s.seas_num)) // (7 * s.seas_cnt)) END
+      |    AS seasonal_permicro,
+      |  CASE WHEN d.detr7 IS NOT NULL AND s.seas_cnt > 0 THEN
+      |    (CASE WHEN d.detr7 * s.seas_cnt - s.seas_num < 0 THEN -1 ELSE 1 END)
+      |      * ((1000000 * abs(d.detr7 * s.seas_cnt - s.seas_num))
+      |          // (7 * s.seas_cnt)) END
+      |    AS residual_permicro
+      |FROM detr d LEFT JOIN seas s
+      |  ON s.event_type = d.event_type AND s.dow = d.dow""".stripMargin
+}
