@@ -398,6 +398,10 @@ object SparkEntry {
     "seasonal_decompose"    -> (graft.operators.SeasonalDecompose.decomposeEvents(_, _)),
     // Gini coefficient + 20-cell Lorenz curve of customer revenue
     "gini_lorenz"           -> (graft.operators.Gini.giniCustomerRevenue(_, _)),
+    // exact Kendall tau-a + tie decomposition over domain-bounded cells
+    "kendall_tau"           -> (graft.operators.Kendall.kendallLineitem(_, _)),
+    // reciprocal top-k pairs: the hub-resistant near-dup clustering edges
+    "ann_mutual_knn"        -> (graft.ann.MutualKnn.mutualKnnEmbeddings(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -616,6 +620,8 @@ object SparkEntry {
     "roc_points"            -> graft.operators.RocCurve.oracleSql,
     "seasonal_decompose"    -> graft.operators.SeasonalDecompose.oracleSql,
     "gini_lorenz"           -> graft.operators.Gini.oracleSql,
+    "kendall_tau"           -> graft.operators.Kendall.oracleSql,
+    "ann_mutual_knn"        -> graft.ann.MutualKnn.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
