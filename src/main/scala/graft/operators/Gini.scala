@@ -61,9 +61,13 @@ object Gini {
       .withColumn("__tot", sum("__mass").over(wAll))
       .select(col("cell"), col("n_entities"), col("cum_entities"),
         col("cum_mass"),
-        expr("(1000000 * cum_entities) div __nl").as("pop_permicro"),
-        expr("CASE WHEN __tot > 0 THEN (1000000 * cum_mass) div __tot END")
-          .as("mass_permicro"),
+        // ratios in DECIMAL(38,0): 10⁶·cum_mass outgrows BIGINT once
+        // total mass passes ~9·10¹² (hit at the sf1 sweep)
+        expr("""CAST((1000000 * CAST(cum_entities AS DECIMAL(38,0)))
+                 div __nl AS BIGINT)""").as("pop_permicro"),
+        expr("""CASE WHEN __tot > 0 THEN
+                  CAST((1000000 * CAST(cum_mass AS DECIMAL(38,0)))
+                    div __tot AS BIGINT) END""").as("mass_permicro"),
         col("gini_permicro"))
   }
 
@@ -120,8 +124,10 @@ object Gini {
       |  FROM rolled
       |)
       |SELECT cell, n_entities, cum_entities, cum_mass,
-      |  (1000000 * cum_entities) // nl AS pop_permicro,
-      |  CASE WHEN tot > 0 THEN (1000000 * cum_mass) // tot END
+      |  CAST((1000000 * CAST(cum_entities AS HUGEINT)) // nl AS BIGINT)
+      |    AS pop_permicro,
+      |  CASE WHEN tot > 0 THEN
+      |    CAST((1000000 * CAST(cum_mass AS HUGEINT)) // tot AS BIGINT) END
       |    AS mass_permicro,
       |  gini_permicro
       |FROM cum""".stripMargin

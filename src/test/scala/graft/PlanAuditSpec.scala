@@ -61,14 +61,23 @@ class PlanAuditSpec extends SparkSpec {
     *    through a filter.
     *  - `kmeans_step` broadcasts the k seed centroids (filter id < k)
     *    against the corpus: the N×k assignment score is the
-    *    irreducible cost of a Lloyd pass — bounded by k, not by data. */
+    *    irreducible cost of a Lloyd pass — bounded by k, not by data.
+    *  - `knn_classify` rides [[graft.ann.BruteForceKnn.topK]]'s bounded
+    *    query-subset broadcast — the same single nested loop
+    *    `ann_bruteforce` is allowed (ann_mutual_knn's copy sits behind
+    *    an eager localCheckpoint and never reaches the audited plan).
+    *  - `kendall_tau` pair-joins the DOMAIN-bounded value-cell histogram
+    *    with itself under a lexicographic `<` — |cells|² is fixed by the
+    *    value domains (≤ 51·11 cells) while data grows, the
+    *    audience_overlap pattern. */
   private val allowed: Map[String, Int] = Map(
     "ann_bruteforce" -> 1, "ann_pq" -> 1, "ann_pq_exhaustive" -> 1,
     "dedup_embedding" -> 1, "conformal_calibrate" -> 1,
     "audience_overlap" -> 1, "stump_attribution" -> 1, "kmeans_step" -> 1,
     // round 2's bounded centroid broadcast; round 1 is behind iterate's
     // eager checkpoint and never appears in the audited plan
-    "kmeans_step2" -> 1)
+    "kmeans_step2" -> 1,
+    "knn_classify" -> 1, "kendall_tau" -> 1)
   // gbt_stump2 needs no entry: its side tagging (1-row root-split
   // broadcast) is behind an eager localCheckpoint, so the audited
   // level-2 plan starts at the materialized sided frame
