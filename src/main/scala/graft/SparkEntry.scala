@@ -402,6 +402,10 @@ object SparkEntry {
     "kendall_tau"           -> (graft.operators.Kendall.kendallLineitem(_, _)),
     // reciprocal top-k pairs: the hub-resistant near-dup clustering edges
     "ann_mutual_knn"        -> (graft.ann.MutualKnn.mutualKnnEmbeddings(_, _)),
+    // exact Mann-Whitney 2U + rank-biserial over bounded value cells
+    "mann_whitney"          -> (graft.operators.MannWhitney.mannWhitneyLineitem(_, _)),
+    // CUPED variance reduction: integer theta fit + adjusted-metric SS
+    "cuped_adjust"          -> (graft.operators.Cuped.cupedOrders(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -622,6 +626,8 @@ object SparkEntry {
     "gini_lorenz"           -> graft.operators.Gini.oracleSql,
     "kendall_tau"           -> graft.operators.Kendall.oracleSql,
     "ann_mutual_knn"        -> graft.ann.MutualKnn.oracleSql,
+    "mann_whitney"          -> graft.operators.MannWhitney.oracleSql,
+    "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
