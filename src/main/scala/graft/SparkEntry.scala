@@ -406,6 +406,10 @@ object SparkEntry {
     "mann_whitney"          -> (graft.operators.MannWhitney.mannWhitneyLineitem(_, _)),
     // CUPED variance reduction: integer theta fit + adjusted-metric SS
     "cuped_adjust"          -> (graft.operators.Cuped.cupedOrders(_, _)),
+    // grid-bucketed exact DBSCAN core/border/noise on 2-D milli points
+    "dbscan_classify"       -> (graft.operators.Dbscan.dbscanEmbeddings(_, _)),
+    // dense-phase HLL: engine-identical registers + corrected estimate
+    "hll_registers"         -> (graft.functions.Hll.hllOrders(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -628,6 +632,8 @@ object SparkEntry {
     "ann_mutual_knn"        -> graft.ann.MutualKnn.oracleSql,
     "mann_whitney"          -> graft.operators.MannWhitney.oracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
+    "dbscan_classify"       -> graft.operators.Dbscan.oracleSql,
+    "hll_registers"         -> graft.functions.Hll.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
