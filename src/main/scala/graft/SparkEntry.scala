@@ -410,6 +410,10 @@ object SparkEntry {
     "dbscan_classify"       -> (graft.operators.Dbscan.dbscanEmbeddings(_, _)),
     // dense-phase HLL: engine-identical registers + corrected estimate
     "hll_registers"         -> (graft.functions.Hll.hllOrders(_, _)),
+    // Kaplan-Meier product-limit curve, integer permicro recursion
+    "survival_km"           -> (graft.operators.Survival.survivalEvents(_, _)),
+    // hashing-trick signed feature vectors (no fit, no vocabulary)
+    "feature_hash"          -> (graft.functions.FeatureHash.featureHashDocs(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -634,6 +638,8 @@ object SparkEntry {
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
     "dbscan_classify"       -> graft.operators.Dbscan.oracleSql,
     "hll_registers"         -> graft.functions.Hll.oracleSql,
+    "survival_km"           -> graft.operators.Survival.oracleSql,
+    "feature_hash"          -> graft.functions.FeatureHash.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

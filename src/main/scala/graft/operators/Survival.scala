@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Kaplan-Meier product-limit survival curve in exact integer permicro
+  * — right-censored time-to-event analysis over the event feed
+  * (/root/reference/DataEngineering/DataBricks/spark_stream.py events):
+  * how long from first touch until conversion, with users who never
+  * convert CENSORED at their last observed event, not dropped — the
+  * estimator conversion_lag's complete-case mean cannot replace.
+  *
+  * The product Π (1 − dᵢ/nᵢ) is a RECURSION, so it runs under the
+  * [[HoltWinters]] discipline: aggregate the per-user frame to
+  * duration cells (calendar-bounded — durations live inside the
+  * observation window), then ONE `aggregate` HOF fold over the sorted
+  * cell array carrying (surv_permicro, at-risk remaining), with the
+  * per-step update surv = (surv·(n−d)) div n — floor division on
+  * non-negative integers, bit-identical to the DuckDB recursive CTE.
+  * Censor-only steps multiply by n/n and keep surv EXACTLY (no drift).
+  * The corpus is touched once by the per-user aggregate; the fold is
+  * O(window days) at any scale.
+  */
+object Survival {
+
+  /** KM curve rows (dur_days, n_risk, d_events, c_censored,
+    * surv_permicro) from per-subject (durCol, eventCol: boolean). */
+  def kaplanMeier(subjects: DataFrame, durCol: String, eventCol: String): DataFrame = {
+    val cells = subjects.groupBy(col(durCol).cast("int").as("dur"))
+      .agg(
+        sum(when(col(eventCol), 1L).otherwise(0L)).as("d"),
+        sum(when(col(eventCol), 0L).otherwise(1L)).as("c"))
+    // bounded cells → one row: sorted array; the fold carries the
+    // risk-set countdown so no window pass is needed at all
+    cells
+      .agg(expr("sort_array(collect_list(struct(dur, d, c)))").as("__cells"),
+        sum(col("d") + col("c")).as("__n0"))
+      .select(explode(expr(
+        """aggregate(__cells,
+          |  named_struct('surv', CAST(1000000 AS BIGINT), 'remaining', __n0,
+          |    'out', CAST(array() AS ARRAY<STRUCT<dur: INT, n_risk: BIGINT,
+          |      d_events: BIGINT, c_censored: BIGINT, surv_permicro: BIGINT>>)),
+          |  (st, x) -> named_struct(
+          |    'surv', (st.surv * (st.remaining - x.d)) div st.remaining,
+          |    'remaining', st.remaining - x.d - x.c,
+          |    'out', concat(st.out, array(named_struct(
+          |      'dur', x.dur, 'n_risk', st.remaining,
+          |      'd_events', x.d, 'c_censored', x.c,
+          |      'surv_permicro',
+          |        (st.surv * (st.remaining - x.d)) div st.remaining)))),
+          |  st -> st.out)""".stripMargin)).as("__r"))
+      .select(col("__r.dur").as("dur_days"), col("__r.n_risk"),
+        col("__r.d_events"), col("__r.c_censored"), col("__r.surv_permicro"))
+  }
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** Gated instance: days from a user's first event to their first
+    * high-value purchase (value > 150); users without one are censored
+    * at their last observed event. */
+  def survivalEvents(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("ts").cast("date")).as("start"),
+        min(when(col("event_type") === "purchase" && col("value") > 150,
+          col("ts").cast("date"))).as("conv"),
+        max(col("ts").cast("date")).as("last"))
+      .select(
+        datediff(coalesce(col("conv"), col("last")), col("start")).as("dur"),
+        col("conv").isNotNull.as("ev"))
+    kaplanMeier(per, "dur", "ev")
+  }
+
+  def oracleSql: String =
+    """WITH RECURSIVE per AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS start,
+      |    min(CASE WHEN event_type = 'purchase' AND value > 150
+      |      THEN CAST(ts AS DATE) END) AS conv,
+      |    max(CAST(ts AS DATE)) AS last_d
+      |  FROM events GROUP BY 1
+      |), subj AS (
+      |  SELECT CAST(date_diff('day', start, coalesce(conv, last_d)) AS INT) AS dur,
+      |    conv IS NOT NULL AS ev
+      |  FROM per
+      |), cells AS (
+      |  SELECT dur, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM subj GROUP BY 1
+      |), ord AS (
+      |  SELECT dur, d, c, row_number() OVER (ORDER BY dur) AS rn FROM cells
+      |), tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n0 FROM cells),
+      |km AS (
+      |  SELECT o.rn, o.dur, t.n0 AS n_risk, o.d, o.c,
+      |    (1000000 * (t.n0 - o.d)) // t.n0 AS surv
+      |  FROM ord o CROSS JOIN tot t WHERE o.rn = 1
+      |  UNION ALL
+      |  SELECT o.rn, o.dur, km.n_risk - km.d - km.c AS n_risk, o.d, o.c,
+      |    (km.surv * (km.n_risk - km.d - km.c - o.d))
+      |      // (km.n_risk - km.d - km.c) AS surv
+      |  FROM km JOIN ord o ON o.rn = km.rn + 1
+      |)
+      |SELECT dur AS dur_days, n_risk, d AS d_events, c AS c_censored,
+      |  surv AS surv_permicro
+      |FROM km""".stripMargin
+}
