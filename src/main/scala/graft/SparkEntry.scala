@@ -414,6 +414,10 @@ object SparkEntry {
     "survival_km"           -> (graft.operators.Survival.survivalEvents(_, _)),
     // hashing-trick signed feature vectors (no fit, no vocabulary)
     "feature_hash"          -> (graft.functions.FeatureHash.featureHashDocs(_, _)),
+    // deterministic Poisson bootstrap CI (inverse-CDF by shared table)
+    "bootstrap_ci"          -> (graft.operators.Bootstrap.bootstrapOrders(_, _)),
+    // stratified ATE: exact per-stratum deltas + n_s-weighted pooling
+    "strat_ate"             -> (graft.operators.StratifiedAte.stratifiedAteEvents(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -640,6 +644,8 @@ object SparkEntry {
     "hll_registers"         -> graft.functions.Hll.oracleSql,
     "survival_km"           -> graft.operators.Survival.oracleSql,
     "feature_hash"          -> graft.functions.FeatureHash.oracleSql,
+    "bootstrap_ci"          -> graft.operators.Bootstrap.oracleSql,
+    "strat_ate"             -> graft.operators.StratifiedAte.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
