@@ -418,6 +418,8 @@ object SparkEntry {
     "bootstrap_ci"          -> (graft.operators.Bootstrap.bootstrapOrders(_, _)),
     // stratified ATE: exact per-stratum deltas + n_s-weighted pooling
     "strat_ate"             -> (graft.operators.StratifiedAte.stratifiedAteEvents(_, _)),
+    // one ALS half-step: per-user 2x2 ridge Cramer solve, all integer
+    "als_step"              -> (graft.ml.AlsStep.alsStepOrders(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -646,6 +648,7 @@ object SparkEntry {
     "feature_hash"          -> graft.functions.FeatureHash.oracleSql,
     "bootstrap_ci"          -> graft.operators.Bootstrap.oracleSql,
     "strat_ate"             -> graft.operators.StratifiedAte.oracleSql,
+    "als_step"              -> graft.ml.AlsStep.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
