@@ -420,6 +420,10 @@ object SparkEntry {
     "strat_ate"             -> (graft.operators.StratifiedAte.stratifiedAteEvents(_, _)),
     // one ALS half-step: per-user 2x2 ridge Cramer solve, all integer
     "als_step"              -> (graft.ml.AlsStep.alsStepOrders(_, _)),
+    // first logistic Newton step from w=0: fully rational, one scan
+    "logreg_newton_step"    -> (graft.ml.LogRegStep.logregLineitem(_, _)),
+    // k-anonymity / l-diversity audit with global risk summary
+    "k_anonymity"           -> (graft.operators.KAnonymity.kAnonymityCustomer(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -649,6 +653,8 @@ object SparkEntry {
     "bootstrap_ci"          -> graft.operators.Bootstrap.oracleSql,
     "strat_ate"             -> graft.operators.StratifiedAte.oracleSql,
     "als_step"              -> graft.ml.AlsStep.oracleSql,
+    "logreg_newton_step"    -> graft.ml.LogRegStep.oracleSql,
+    "k_anonymity"           -> graft.operators.KAnonymity.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
