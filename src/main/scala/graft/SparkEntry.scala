@@ -424,6 +424,10 @@ object SparkEntry {
     "logreg_newton_step"    -> (graft.ml.LogRegStep.logregLineitem(_, _)),
     // k-anonymity / l-diversity audit with global risk summary
     "k_anonymity"           -> (graft.operators.KAnonymity.kAnonymityCustomer(_, _)),
+    // real zlib-PNG decode: chunk walk + inflate + all five un-filters
+    "mm_decode_png"         -> (graft.multimodal.BinaryMedia.mmDecodePng(_, _)),
+    // zone-map pruning audit: min/max skip decisions + zero-miss proof
+    "zonemap_prune"         -> (graft.sources.ZoneMap.zonemapLineitem(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -655,6 +659,8 @@ object SparkEntry {
     "als_step"              -> graft.ml.AlsStep.oracleSql,
     "logreg_newton_step"    -> graft.ml.LogRegStep.oracleSql,
     "k_anonymity"           -> graft.operators.KAnonymity.oracleSql,
+    "mm_decode_png"         -> graft.multimodal.BinaryMedia.mmDecodePngOracleSql,
+    "zonemap_prune"         -> graft.sources.ZoneMap.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

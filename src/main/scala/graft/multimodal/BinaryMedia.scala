@@ -336,6 +336,70 @@ object BinaryMedia {
       |  CAST(max(abs(a)) AS BIGINT) AS peak_abs
       |FROM s GROUP BY doc_id, n""".stripMargin
 
+  /** Deterministic REAL-PNG media table: same closed-form dimensions
+    * and pixels as [[bmpMediaFromDocs]], but encoded through the full
+    * PNG chunk grammar with zlib deflate and per-row filter rotation
+    * ([[PngCodec]]) — the compressed-format sibling of the BMP gate. */
+  def pngMediaFromDocs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 24 + 8).toInt
+        val h = (id % 16 + 8).toInt
+        Row(id, PngCodec.encodeGray(w, h,
+          (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Decode stats straight off real PNG bytes: chunk walk, inflate,
+    * all five un-filters — dimensions and the exact gray sum. */
+  def decodePngStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_px", LongType),
+      StructField("sum_gray", LongType)))
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val d = PngCodec.decode(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), d.width, d.height, d.nPx, d.sumGray)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Real compressed-image decode gate: every doc an actual zlib-PNG
+    * with the per-row filter rotation, decoded back byte-level; the
+    * oracle predicts every stat from the generator's closed form — a
+    * hash match proves signature/chunk/CRC handling, inflate, and all
+    * five filter reconstructions at once. */
+  def mmDecodePng(spark: SparkSession, dir: String): DataFrame =
+    decodePngStats(pngMediaFromDocs(Tables.documents(spark, dir), "doc_id"))
+
+  def mmDecodePngOracleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) AS w,
+      |         CAST(doc_id % 16 + 8 AS INT) AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h,
+      |    CAST((doc_id * 31 + x.v * 7 + y.v * 13) % 256 AS BIGINT) AS g
+      |  FROM p, unnest(generate_series(0, w - 1)) AS x(v),
+      |       unnest(generate_series(0, h - 1)) AS y(v)
+      |)
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  CAST(w AS BIGINT) * h AS n_px,
+      |  CAST(sum(g) AS BIGINT) AS sum_gray
+      |FROM px GROUP BY doc_id, w, h""".stripMargin
+
   def mmResize(spark: SparkSession, dir: String): DataFrame =
     resizePlan(
       withMeta(mediaFromDocs(Tables.documents(spark, dir), "doc_id", "text")),
