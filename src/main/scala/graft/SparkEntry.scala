@@ -428,6 +428,10 @@ object SparkEntry {
     "mm_decode_png"         -> (graft.multimodal.BinaryMedia.mmDecodePng(_, _)),
     // zone-map pruning audit: min/max skip decisions + zero-miss proof
     "zonemap_prune"         -> (graft.sources.ZoneMap.zonemapLineitem(_, _)),
+    // Fellegi-Sunter linkage: precomputed log-odds over blocked pairs
+    "fs_linkage"            -> (graft.dedup.FsLinkage.linkageDocs(_, _)),
+    // seeded discrete-Laplace DP count release (memoized noise)
+    "dp_counts"             -> (graft.operators.DpRelease.dpCustomerCounts(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -661,6 +665,8 @@ object SparkEntry {
     "k_anonymity"           -> graft.operators.KAnonymity.oracleSql,
     "mm_decode_png"         -> graft.multimodal.BinaryMedia.mmDecodePngOracleSql,
     "zonemap_prune"         -> graft.sources.ZoneMap.oracleSql,
+    "fs_linkage"            -> graft.dedup.FsLinkage.oracleSql,
+    "dp_counts"             -> graft.operators.DpRelease.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hll
+
+/** Seeded discrete-Laplace (two-sided geometric) count release — the
+  * MECHANISM layer of differential privacy next to [[KAnonymity]]'s
+  * structural audit: each released count is n + Z where Z follows the
+  * discrete Laplace with parameter α = e^(−ε/Δ) (ε = 1, sensitivity
+  * Δ = 1 for counting queries). Production DP systems pin the noise
+  * seed for reproducible releases and tests; here the draw is the
+  * inverse-CDF of a ppm-uniform from the repo's validated xorshift
+  * mixer over the GROUP KEY — deterministic, engine-identical, and
+  * every release of the same group draws the same noise (so repeated
+  * queries cannot average the noise away, the memoized-noise
+  * discipline). The privacy column a curated export publishes
+  * (the reference's medallion exports; k_anonymity says what not to
+  * release, this is HOW to release the rest).
+  *
+  * The CDF is a PRECOMPUTED ±15-step ppm table (covers 1−6e-7 of the
+  * mass at ε=1; tail draws clamp — declared), embedded as the same
+  * literals in both engines: no RNG, no libm at query time. Exact
+  * counts appear NOWHERE in the output. One aggregate to group
+  * cardinality; noise attachment is O(groups).
+  */
+object DpRelease {
+  val EpsilonMicro = 1000000L // ε = 1, documented in the release
+  /** P(Z ≤ k) in ppm for k = −15..15, discrete Laplace α = e⁻¹. */
+  val CumPpm: Seq[(Long, Long)] = {
+    val alpha = math.exp(-1.0)
+    val p0 = (1 - alpha) / (1 + alpha)
+    // P(Z = k) = p0·α^|k|; cumulative from the left
+    val ks = (-15 to 15).map(_.toLong)
+    var cum = 0.0
+    // mass below −15 (clamped into k = −15's bucket)
+    cum = p0 * math.pow(alpha, 16) / (1 - alpha)
+    ks.map { k =>
+      cum += p0 * math.pow(alpha, math.abs(k).toDouble)
+      (k, math.min(1000000L, math.round(cum * 1e6)))
+    }
+  }
+
+  /** Noisy counts per group of `keyCol`: (group, n_noisy, epsilon_micro).
+    * The noise key is the group value itself — same group, same noise,
+    * forever (memoized-noise discipline). */
+  def noisyCounts(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("long").as("grp"))
+      .agg(count(lit(1)).as("n"))
+      // group key → validated mixer → uniform ppm
+      .withColumn("h1", pmod(lit(Hll.A).cast("decimal(38,0)") * col("grp")
+        + lit(Hll.B), lit(Hll.P)).cast("long"))
+      .withColumn("h2", pmod(lit(Hll.A2).cast("decimal(38,0)")
+        * expr("h1 ^ shiftright(h1, 30)"), lit(Hll.P)).cast("long"))
+      .withColumn("u", expr("(h2 ^ shiftright(h2, 27)) % 1000000"))
+      // inverse CDF: smallest k with u < cum(k) == −15 + #{k: cum(k) ≤ u}
+      .withColumn("z", CumPpm.foldLeft(lit(-15L)) {
+        case (acc, (_, c)) => acc + when(col("u") >= c, 1L).otherwise(0L) })
+    counts.select(col("grp"), (col("n") + col("z")).as("n_noisy"),
+      lit(EpsilonMicro).as("epsilon_micro"))
+  }
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** Gated instance: DP release of customers-per-nation. */
+  def dpCustomerCounts(spark: SparkSession, dir: String): DataFrame =
+    noisyCounts(Tables.customer(spark, dir).select(col("c_nationkey")),
+      "c_nationkey")
+
+  def oracleSql: String = {
+    val steps = CumPpm.map { case (_, c) => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)" }
+      .mkString(" + ")
+    s"""WITH counts AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS grp,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1
+      |), h1s AS (
+      |  SELECT grp, n, CAST((CAST(${Hll.A} AS HUGEINT) * grp + ${Hll.B})
+      |    % ${Hll.P} AS BIGINT) AS h1
+      |  FROM counts
+      |), h2s AS (
+      |  SELECT grp, n, CAST((CAST(${Hll.A2} AS HUGEINT) * xor(h1, h1 >> 30))
+      |    % ${Hll.P} AS BIGINT) AS h2
+      |  FROM h1s
+      |), uni AS (
+      |  SELECT grp, n, xor(h2, h2 >> 27) % 1000000 AS u FROM h2s
+      |)
+      |SELECT grp, CAST(n + (-15 + $steps) AS BIGINT) AS n_noisy,
+      |  CAST($EpsilonMicro AS BIGINT) AS epsilon_micro
+      |FROM uni""".stripMargin
+  }
+}
