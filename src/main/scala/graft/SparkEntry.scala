@@ -432,6 +432,8 @@ object SparkEntry {
     "fs_linkage"            -> (graft.dedup.FsLinkage.linkageDocs(_, _)),
     // seeded discrete-Laplace DP count release (memoized noise)
     "dp_counts"             -> (graft.operators.DpRelease.dpCustomerCounts(_, _)),
+    // exact Shapley channel attribution in 1/24 units (no division)
+    "shapley_attribution"   -> (graft.operators.Shapley.shapleyEvents(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -667,6 +669,7 @@ object SparkEntry {
     "zonemap_prune"         -> graft.sources.ZoneMap.oracleSql,
     "fs_linkage"            -> graft.dedup.FsLinkage.oracleSql,
     "dp_counts"             -> graft.operators.DpRelease.oracleSql,
+    "shapley_attribution"   -> graft.operators.Shapley.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

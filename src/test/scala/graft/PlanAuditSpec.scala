@@ -69,7 +69,13 @@ class PlanAuditSpec extends SparkSpec {
     *  - `kendall_tau` pair-joins the DOMAIN-bounded value-cell histogram
     *    with itself under a lexicographic `<` — |cells|² is fixed by the
     *    value domains (≤ 51·11 cells) while data grows, the
-    *    audience_overlap pattern. */
+    *    audience_overlap pattern.
+    *  - `shapley_attribution` runs its two lattice joins as bounded
+    *    nested loops: the 16-coalition × 16-mask submask probe and the
+    *    4-channel × 16-coalition marginal sweep — both sides fixed by
+    *    2^|channels|, independent of data volume (the fact is touched
+    *    once, upstream, by the per-user mask aggregate behind a
+    *    checkpoint). */
   private val allowed: Map[String, Int] = Map(
     "ann_bruteforce" -> 1, "ann_pq" -> 1, "ann_pq_exhaustive" -> 1,
     "dedup_embedding" -> 1, "conformal_calibrate" -> 1,
@@ -77,7 +83,7 @@ class PlanAuditSpec extends SparkSpec {
     // round 2's bounded centroid broadcast; round 1 is behind iterate's
     // eager checkpoint and never appears in the audited plan
     "kmeans_step2" -> 1,
-    "knn_classify" -> 1, "kendall_tau" -> 1)
+    "knn_classify" -> 1, "kendall_tau" -> 1, "shapley_attribution" -> 2)
   // gbt_stump2 needs no entry: its side tagging (1-row root-split
   // broadcast) is behind an eager localCheckpoint, so the audited
   // level-2 plan starts at the materialized sided frame
