@@ -434,6 +434,8 @@ object SparkEntry {
     "dp_counts"             -> (graft.operators.DpRelease.dpCustomerCounts(_, _)),
     // exact Shapley channel attribution in 1/24 units (no division)
     "shapley_attribution"   -> (graft.operators.Shapley.shapleyEvents(_, _)),
+    // greedy MMR re-rank over a bounded candidate window, all integer
+    "mmr_rerank"            -> (graft.ann.MmrRerank.mmrEmbeddings(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -670,6 +672,7 @@ object SparkEntry {
     "fs_linkage"            -> graft.dedup.FsLinkage.oracleSql,
     "dp_counts"             -> graft.operators.DpRelease.oracleSql,
     "shapley_attribution"   -> graft.operators.Shapley.oracleSql,
+    "mmr_rerank"            -> graft.ann.MmrRerank.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -75,7 +75,11 @@ class PlanAuditSpec extends SparkSpec {
     *    4-channel × 16-coalition marginal sweep — both sides fixed by
     *    2^|channels|, independent of data volume (the fact is touched
     *    once, upstream, by the per-user mask aggregate behind a
-    *    checkpoint). */
+    *    checkpoint).
+    *  - `mmr_rerank` operates ENTIRELY on the bounded 20-candidate
+    *    re-rank window (service semantics): the 1-row probe relevance
+    *    cross and the 20×20 pairwise-similarity inequality join —
+    *    window size is a parameter, never the corpus. */
   private val allowed: Map[String, Int] = Map(
     "ann_bruteforce" -> 1, "ann_pq" -> 1, "ann_pq_exhaustive" -> 1,
     "dedup_embedding" -> 1, "conformal_calibrate" -> 1,
@@ -83,7 +87,8 @@ class PlanAuditSpec extends SparkSpec {
     // round 2's bounded centroid broadcast; round 1 is behind iterate's
     // eager checkpoint and never appears in the audited plan
     "kmeans_step2" -> 1,
-    "knn_classify" -> 1, "kendall_tau" -> 1, "shapley_attribution" -> 2)
+    "knn_classify" -> 1, "kendall_tau" -> 1, "shapley_attribution" -> 2,
+    "mmr_rerank" -> 2)
   // gbt_stump2 needs no entry: its side tagging (1-row root-split
   // broadcast) is behind an eager localCheckpoint, so the audited
   // level-2 plan starts at the materialized sided frame
