@@ -436,6 +436,10 @@ object SparkEntry {
     "shapley_attribution"   -> (graft.operators.Shapley.shapleyEvents(_, _)),
     // greedy MMR re-rank over a bounded candidate window, all integer
     "mmr_rerank"            -> (graft.ann.MmrRerank.mmrEmbeddings(_, _)),
+    // conditional next-token table: the bigram LM as a relation
+    "bigram_next"           -> (graft.functions.NgramStats.bigramNextDocs(_, _)),
+    // exact trimmed mean via histogram cumulation, per group
+    "trimmed_mean"          -> (graft.operators.Robust.trimmedMeanLineitem(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -673,6 +677,8 @@ object SparkEntry {
     "dp_counts"             -> graft.operators.DpRelease.oracleSql,
     "shapley_attribution"   -> graft.operators.Shapley.oracleSql,
     "mmr_rerank"            -> graft.ann.MmrRerank.oracleSql,
+    "bigram_next"           -> graft.functions.NgramStats.bigramNextOracleSql,
+    "trimmed_mean"          -> graft.operators.Robust.trimmedMeanOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -336,4 +336,49 @@ object NgramStats {
        |    * 1e6) AS BIGINT)) // count(*) AS BIGINT) AS nll_per_token_micros
        |FROM t JOIN uni USING (t) CROSS JOIN tot
        |GROUP BY doc_id""".stripMargin
+
+  /** Conditional next-token table — the language model AS A TABLE: for
+    * each of the corpus's top-`v` first tokens (count DESC, token ASC
+    * total order, the [[Vocab]] TakeOrdered discipline), the argmax
+    * continuation under (pair count DESC, token ASC) with its exact
+    * per-mille conditional probability. The GENERATION-side twin of
+    * [[pmiBigrams]] (PMI scores association; this answers "what comes
+    * next"), feeding the same greedy-decode shape the reference's
+    * fine-tuned models serve. The argmax is a `min(struct(-n, w2))`
+    * aggregate — no per-key window, one pair-keyed shuffle. */
+  def bigramNext(docs: DataFrame, idCol: String, textCol: String,
+                 v: Int): DataFrame = {
+    val withToks = docs.select(toks(col(textCol)).as("__ts"))
+    val big = withToks.select(explode(bigramArr(col("__ts"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // consumed by totals AND the argmax pass
+    val w1Tot = big.groupBy("w1").agg(sum(col("n")).as("w1_n"))
+      .orderBy(col("w1_n").desc, col("w1").asc).limit(v)
+    val best = big.groupBy("w1")
+      .agg(min(struct((-col("n")).as("nn"), col("w2"))).as("__b"))
+      .select(col("w1"), col("__b.w2").as("next_tok"),
+        (-col("__b.nn")).as("pair_n"))
+    w1Tot.join(best, "w1")
+      .select(col("w1"), col("w1_n"), col("next_tok"), col("pair_n"),
+        expr("(1000 * pair_n) div w1_n").as("cond_permille"))
+  }
+
+  def bigramNextDocs(spark: SparkSession, dir: String): DataFrame =
+    bigramNext(graft.Tables.documents(spark, dir), "doc_id", "text", v = 200)
+
+  def bigramNextOracleSql: String =
+    s"""WITH $TokCte, $BigCte,
+       |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+       |       FROM big GROUP BY 1, 2),
+       |w1tot AS (SELECT w1, CAST(sum(n) AS BIGINT) AS w1_n FROM bc
+       |          GROUP BY 1 ORDER BY sum(n) DESC, w1 ASC LIMIT 200),
+       |best AS (
+       |  SELECT w1, min(struct_pack(nn := -n, w2 := w2)) AS b
+       |  FROM bc GROUP BY 1
+       |)
+       |SELECT t.w1, t.w1_n, b.b.w2 AS next_tok,
+       |  CAST(-b.b.nn AS BIGINT) AS pair_n,
+       |  CAST((1000 * -b.b.nn) // t.w1_n AS BIGINT) AS cond_permille
+       |FROM w1tot t JOIN best b ON t.w1 = b.w1""".stripMargin
 }

@@ -89,4 +89,71 @@ object Robust {
       |    AS BIGINT) AS n_outliers
       |FROM cells JOIN med USING (g) JOIN mad USING (g) JOIN tot USING (g)
       |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** Exact trimmed mean per group — the outlier-resistant location
+    * estimate beside the MAD flagger above: drop exactly
+    * k = ⌊n·trim‰/1000⌋ rows from EACH end of the value order and
+    * average the rest, with cell-boundary partial takes computed
+    * exactly from the histogram cumulation (one aggregate to the
+    * domain-bounded value-cell table, windows at cell cardinality —
+    * the rank_transform cost envelope; raw rows are never sorted).
+    * All integer: sums in DECIMAL(38,0), the mean one truncating
+    * micros division. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  trimPermille: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(groupCol).as("grp"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"), sum(col(valueCol)).cast("decimal(38,0)").as("vs"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val cum = cells
+      .withColumn("cumc", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+      .withColumn("k", expr(s"(n * $trimPermille) div 1000"))
+      // rows taken from the low end / high end inside THIS cell
+      .withColumn("lowc", expr("least(c, greatest(0L, k - (cumc - c)))"))
+      .withColumn("highc", expr("least(c, greatest(0L, cumc - (n - k)))"))
+    cum.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k_trim"),
+        sum(col("vs")).as("__tot"),
+        sum(col("lowc").cast("decimal(38,0)") * col("v")).as("__lo"),
+        sum(col("highc").cast("decimal(38,0)") * col("v")).as("__hi"))
+      .select(col("grp"), col("n"), col("k_trim"),
+        expr("""CASE WHEN n - 2 * k_trim > 0 THEN
+            (1000000 * (__tot - __lo - __hi)) div (n - 2 * k_trim)
+          END""").as("trimmed_mean_micros"))
+  }
+
+  /** Gated instance: extendedprice whole units per return flag, 5%
+    * trimmed from each end. */
+  def trimmedMeanLineitem(spark: SparkSession, dir: String): DataFrame =
+    trimmedMean(
+      graft.Tables.lineitem(spark, dir).select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice")).cast("long").as("price")),
+      "flag", "price", trimPermille = 50L)
+
+  def trimmedMeanOracleSql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(round(l_extendedprice) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS HUGEINT) AS vs
+      |  FROM lineitem GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT grp, v, c, vs,
+      |    sum(c) OVER (PARTITION BY grp ORDER BY v) AS cumc,
+      |    sum(c) OVER (PARTITION BY grp) AS n
+      |  FROM cells
+      |), marked AS (
+      |  SELECT grp, v, c, vs, cumc, n, (n * 50) // 1000 AS k,
+      |    least(c, greatest(0, (n * 50) // 1000 - (cumc - c))) AS lowc,
+      |    least(c, greatest(0, cumc - (n - (n * 50) // 1000))) AS highc
+      |  FROM cum
+      |)
+      |SELECT grp, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max(k) AS BIGINT) AS k_trim,
+      |  CASE WHEN max(n) - 2 * max(k) > 0 THEN CAST(
+      |    (1000000 * (sum(vs) - sum(CAST(lowc AS HUGEINT) * v)
+      |                 - sum(CAST(highc AS HUGEINT) * v)))
+      |      // (max(n) - 2 * max(k)) AS BIGINT) END AS trimmed_mean_micros
+      |FROM marked GROUP BY grp""".stripMargin
 }
