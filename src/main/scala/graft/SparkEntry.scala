@@ -440,6 +440,10 @@ object SparkEntry {
     "bigram_next"           -> (graft.functions.NgramStats.bigramNextDocs(_, _)),
     // exact trimmed mean via histogram cumulation, per group
     "trimmed_mean"          -> (graft.operators.Robust.trimmedMeanLineitem(_, _)),
+    // one Huber IRLS step: OLS -> capped weights -> weighted refit
+    "huber_irls_step"       -> (graft.ml.HuberStep.huberLineitem(_, _)),
+    // Poisson-bootstrap CI for a difference of arm means (A/B)
+    "bootstrap_ab"          -> (graft.operators.Bootstrap.bootstrapAbLineitem(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -679,6 +683,8 @@ object SparkEntry {
     "mmr_rerank"            -> graft.ann.MmrRerank.oracleSql,
     "bigram_next"           -> graft.functions.NgramStats.bigramNextOracleSql,
     "trimmed_mean"          -> graft.operators.Robust.trimmedMeanOracleSql,
+    "huber_irls_step"       -> graft.ml.HuberStep.oracleSql,
+    "bootstrap_ab"          -> graft.operators.Bootstrap.abOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
