@@ -444,6 +444,10 @@ object SparkEntry {
     "huber_irls_step"       -> (graft.ml.HuberStep.huberLineitem(_, _)),
     // Poisson-bootstrap CI for a difference of arm means (A/B)
     "bootstrap_ab"          -> (graft.operators.Bootstrap.bootstrapAbLineitem(_, _)),
+    // exact equi-join size estimate from per-key count tables
+    "join_size_estimate"    -> (graft.operators.JoinEstimate.joinSizeEventsOrders(_, _)),
+    // sample-ratio-mismatch gate: exact chi-square vs the 3.84 literal
+    "srm_check"             -> (graft.operators.SrmCheck.srmLineitem(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -685,6 +689,8 @@ object SparkEntry {
     "trimmed_mean"          -> graft.operators.Robust.trimmedMeanOracleSql,
     "huber_irls_step"       -> graft.ml.HuberStep.oracleSql,
     "bootstrap_ab"          -> graft.operators.Bootstrap.abOracleSql,
+    "join_size_estimate"    -> graft.operators.JoinEstimate.oracleSql,
+    "srm_check"             -> graft.operators.SrmCheck.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
