@@ -52,14 +52,13 @@ object Hll {
   def sketch(df: DataFrame, keyCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the codegen'd [[MixMod61]] pipeline (two affine-mod-P rounds with
+    // xorshift mixing — plain affine trailing-zero geometry is too
+    // structured for HLL ranks); bit-identical to the oracle's
+    // HUGEINT chain for the non-negative keys here
     val hashed = df.select(
-      pmod(lit(A).cast("decimal(38,0)") * col(keyCol) + lit(B), lit(P))
-        .cast("long").as("h1"))
-      // xorshift between the two mod-P affine rounds: trailing-zero
-      // geometry of plain affine hashes is too structured for HLL ranks
-      .select(pmod(lit(A2).cast("decimal(38,0)")
-        * expr("h1 ^ shiftright(h1, 30)"), lit(P)).cast("long").as("h2"))
-      .select(expr("h2 ^ shiftright(h2, 27)").as("h"))
+        Native.call("graft_mix_mod61",
+          exprs => MixMod61(exprs.head), col(keyCol).cast("long")).as("h"))
       .select(expr(s"h % $M").as("bucket"), expr(s"h div $M").as("w"))
     val ranks = RankTable.toDF("lowbit", "rank")
     val withRank = hashed

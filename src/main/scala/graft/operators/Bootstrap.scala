@@ -45,12 +45,10 @@ object Bootstrap {
     val reps = df.select(col(idCol).cast("long").as("i"),
         col(valueCol).cast("long").as("x"))
       .withColumn("b", explode(expr(s"sequence(1, $B)")))
-      // (i,b) → validated mixer → uniform ppm → inverse-CDF weight
-      .withColumn("h1", pmod(lit(Hll.A).cast("decimal(38,0)")
-        * (col("i") * lit(64L) + col("b")) + lit(Hll.B), lit(Hll.P)).cast("long"))
-      .withColumn("h2", pmod(lit(Hll.A2).cast("decimal(38,0)")
-        * expr("h1 ^ shiftright(h1, 30)"), lit(Hll.P)).cast("long"))
-      .withColumn("u", expr("(h2 ^ shiftright(h2, 27)) % 1000000"))
+      // (i,b) → codegen'd mixer → uniform ppm → inverse-CDF weight
+      .withColumn("u", graft.functions.Native.call("graft_mix_mod61",
+        exprs => graft.functions.MixMod61(exprs.head),
+        col("i") * lit(64L) + col("b")) % lit(1000000L))
       .withColumn("w", PoissonCumPpm.foldLeft(lit(0L)) {
         case (acc, t) => acc + when(col("u") >= t, 1L).otherwise(0L) })
     val means = reps.groupBy(col("b"))
@@ -89,11 +87,9 @@ object Bootstrap {
       .localCheckpoint() // consumed by the replicate AND full-sample pass
     val reps = base
       .withColumn("b", explode(expr(s"sequence(1, $B)")))
-      .withColumn("h1", pmod(lit(Hll.A).cast("decimal(38,0)")
-        * (col("i") * lit(64L) + col("b")) + lit(Hll.B), lit(Hll.P)).cast("long"))
-      .withColumn("h2", pmod(lit(Hll.A2).cast("decimal(38,0)")
-        * expr("h1 ^ shiftright(h1, 30)"), lit(Hll.P)).cast("long"))
-      .withColumn("u", expr("(h2 ^ shiftright(h2, 27)) % 1000000"))
+      .withColumn("u", graft.functions.Native.call("graft_mix_mod61",
+        exprs => graft.functions.MixMod61(exprs.head),
+        col("i") * lit(64L) + col("b")) % lit(1000000L))
       .withColumn("w", PoissonCumPpm.foldLeft(lit(0L)) {
         case (acc, t) => acc + when(col("u") >= t, 1L).otherwise(0L) })
     val diffs = reps.groupBy(col("b"))

@@ -48,12 +48,10 @@ object DpRelease {
   def noisyCounts(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol).cast("long").as("grp"))
       .agg(count(lit(1)).as("n"))
-      // group key → validated mixer → uniform ppm
-      .withColumn("h1", pmod(lit(Hll.A).cast("decimal(38,0)") * col("grp")
-        + lit(Hll.B), lit(Hll.P)).cast("long"))
-      .withColumn("h2", pmod(lit(Hll.A2).cast("decimal(38,0)")
-        * expr("h1 ^ shiftright(h1, 30)"), lit(Hll.P)).cast("long"))
-      .withColumn("u", expr("(h2 ^ shiftright(h2, 27)) % 1000000"))
+      // group key → codegen'd mixer → uniform ppm
+      .withColumn("u", graft.functions.Native.call("graft_mix_mod61",
+        exprs => graft.functions.MixMod61(exprs.head), col("grp"))
+        % lit(1000000L))
       // inverse CDF: smallest k with u < cum(k) == −15 + #{k: cum(k) ≤ u}
       .withColumn("z", CumPpm.foldLeft(lit(-15L)) {
         case (acc, (_, c)) => acc + when(col("u") >= c, 1L).otherwise(0L) })
