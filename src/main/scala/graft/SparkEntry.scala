@@ -448,6 +448,10 @@ object SparkEntry {
     "join_size_estimate"    -> (graft.operators.JoinEstimate.joinSizeEventsOrders(_, _)),
     // sample-ratio-mismatch gate: exact chi-square vs the 3.84 literal
     "srm_check"             -> (graft.operators.SrmCheck.srmLineitem(_, _)),
+    // real GIF-LZW decode: variable-width codes, dict growth, resets
+    "mm_decode_gif"         -> (graft.multimodal.BinaryMedia.mmDecodeGif(_, _)),
+    // mixed-script homoglyph spoof audit with planted positives
+    "script_spoof_audit"    -> (graft.functions.ScriptAudit.scriptAuditDocs(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -691,6 +695,8 @@ object SparkEntry {
     "bootstrap_ab"          -> graft.operators.Bootstrap.abOracleSql,
     "join_size_estimate"    -> graft.operators.JoinEstimate.oracleSql,
     "srm_check"             -> graft.operators.SrmCheck.oracleSql,
+    "mm_decode_gif"         -> graft.multimodal.BinaryMedia.mmDecodeGifOracleSql,
+    "script_spoof_audit"    -> graft.functions.ScriptAudit.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -400,6 +400,54 @@ object BinaryMedia {
       |  CAST(sum(g) AS BIGINT) AS sum_gray
       |FROM px GROUP BY doc_id, w, h""".stripMargin
 
+  /** Deterministic REAL-GIF media table: same closed-form dimensions
+    * and pixels as [[bmpMediaFromDocs]]/[[pngMediaFromDocs]], through
+    * the genuine LZW pipeline ([[GifCodec]]). */
+  def gifMediaFromDocs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 24 + 8).toInt
+        val h = (id % 16 + 8).toInt
+        Row(id, GifCodec.encodeGray(w, h,
+          (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Decode stats off real GIF bytes: header walk, LZW inflate with
+    * full dictionary growth, palette readout. */
+  def decodeGifStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_px", LongType),
+      StructField("sum_gray", LongType)))
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val d = GifCodec.decode(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), d.width, d.height, d.nPx, d.sumGray)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Real LZW decode gate: the oracle predicts every stat from the
+    * generator's closed form; a hash match proves the header walk, the
+    * variable-width LSB bit unpacking, the dictionary growth (incl.
+    * the w+w[0] case and CLEAR resets), and the palette readout. */
+  def mmDecodeGif(spark: SparkSession, dir: String): DataFrame =
+    decodeGifStats(gifMediaFromDocs(Tables.documents(spark, dir), "doc_id"))
+
+  def mmDecodeGifOracleSql: String = mmDecodePngOracleSql // same closed form
+
   def mmResize(spark: SparkSession, dir: String): DataFrame =
     resizePlan(
       withMeta(mediaFromDocs(Tables.documents(spark, dir), "doc_id", "text")),

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.{BinaryMedia, GifCodec}
+import graft.functions.ScriptAudit
+
+class GifScriptSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gif: byte-level LZW round trip on a repetitive image") {
+    // constant rows compress hard: dictionary growth + long matches
+    val px = (x: Int, y: Int) => (y * 3) % 256
+    val bytes = GifCodec.encodeGray(40, 30, px)
+    assert(new String(bytes, 0, 6, "US-ASCII") === "GIF89a")
+    val d = GifCodec.decode(bytes)
+    assert(d.width === 40 && d.height === 30 && d.nPx === 1200L)
+    val want = (for (y <- 0 until 30; x <- 0 until 40) yield px(x, y).toLong).sum
+    assert(d.sumGray === want)
+    // LZW actually compressed the repetitive rows
+    assert(bytes.length < 13 + 768 + 1200)
+  }
+
+  test("gif: large noisy image exercises width growth and CLEAR resets") {
+    val px = (x: Int, y: Int) => (x * 31 + y * 17 + (x * y) % 13) % 256
+    val d = GifCodec.decode(GifCodec.encodeGray(200, 120, px))
+    val want = (for (y <- 0 until 120; x <- 0 until 200) yield px(x, y).toLong).sum
+    assert(d.nPx === 24000L && d.sumGray === want)
+  }
+
+  test("gif: non-GIF magic and truncated streams are rejected") {
+    val ok = GifCodec.encodeGray(8, 8, (x, y) => x + y)
+    val bad = ok.clone(); bad(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](GifCodec.decode(bad))
+    assertThrows[Exception](GifCodec.decode(ok.take(40)))
+  }
+
+  test("gif gated instance: decode matches the generator closed form") {
+    val got = BinaryMedia.mmDecodeGif(spark, sfDir)
+      .select($"media_id", $"width", $"height", $"sum_gray")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(got.nonEmpty)
+    got.take(10).foreach { case (id, w, h, s) =>
+      assert(w === (id % 24 + 8).toInt && h === (id % 16 + 8).toInt)
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(s === want, s"id $id")
+    }
+  }
+
+  test("script audit: hand spoof flagged, pure-Latin and pure-Cyrillic clean") {
+    val docs = Seq(
+      (1L, "hello wоrld plain"),   // wоrld carries Cyrillic о → mixed
+      (2L, "all latin text"),
+      (3L, "чисто русский текст")  // single-script: NOT a spoof
+    ).toDF("doc_id", "text")
+    val got = ScriptAudit.audit(docs, "doc_id", "text")
+      .select($"doc_id", $"n_mixed", $"n_confusable_chars",
+        $"n_docs_flagged").as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 1)
+    assert(got.head === ((1L, 1L, 1L, 1L)))
+  }
+
+  test("script audit gated instance: exactly the planted set flagged") {
+    val got = ScriptAuditResultFixture.flaggedIds(spark, sfDir)
+    assert(got.nonEmpty)
+    assert(got.forall(_ % 50 === 0))
+  }
+}
+
+object ScriptAuditResultFixture {
+  import org.apache.spark.sql.SparkSession
+  def flaggedIds(spark: SparkSession, dir: String): Seq[Long] = {
+    import spark.implicits._
+    ScriptAudit.scriptAuditDocs(spark, dir)
+      .select($"doc_id").as[Long].collect().toSeq
+  }
+}
