@@ -452,6 +452,8 @@ object SparkEntry {
     "mm_decode_gif"         -> (graft.multimodal.BinaryMedia.mmDecodeGif(_, _)),
     // mixed-script homoglyph spoof audit with planted positives
     "script_spoof_audit"    -> (graft.functions.ScriptAudit.scriptAuditDocs(_, _)),
+    // real multi-frame video decode: animated GIF, per-frame stats
+    "mm_video_frames"       -> (graft.multimodal.BinaryMedia.mmVideoFrames(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -697,6 +699,7 @@ object SparkEntry {
     "srm_check"             -> graft.operators.SrmCheck.oracleSql,
     "mm_decode_gif"         -> graft.multimodal.BinaryMedia.mmDecodeGifOracleSql,
     "script_spoof_audit"    -> graft.functions.ScriptAudit.oracleSql,
+    "mm_video_frames"       -> graft.multimodal.BinaryMedia.mmVideoFramesOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

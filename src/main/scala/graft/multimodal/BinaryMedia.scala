@@ -448,6 +448,76 @@ object BinaryMedia {
 
   def mmDecodeGifOracleSql: String = mmDecodePngOracleSql // same closed form
 
+  /** Deterministic REAL animated-GIF media table — the video slot's
+    * upgrade from opaque stand-in bytes: (id % 5 + 2) full frames per
+    * doc, per-frame pixels closed-form in (id, frame, x, y), genuine
+    * LZW per frame. */
+  def videoMediaFromDocs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 24 + 8).toInt
+        val h = (id % 16 + 8).toInt
+        Row(id, GifCodec.encodeAnimation(w, h, (id % 5 + 2).toInt,
+          (f, x, y) => ((id * 31 + f * 97 + x * 7 + y * 13) % 256).toInt))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Per-frame decode stats off the real animated GIF: one row per
+    * (media_id, frame_idx). */
+  def decodeVideoFrameStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_gray", LongType)))
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        GifCodec.decodeFrames(r.getAs[Array[Byte]]("payload"))
+          .zipWithIndex.map { case (d, i) =>
+            Row(id, i, d.width, d.height, d.sumGray)
+          }
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Real VIDEO decode gate: every doc an actual multi-frame animated
+    * GIF, each frame LZW-decoded; the oracle predicts every per-frame
+    * stat from the generator's closed form — frame count, dimensions,
+    * and pixel sums all proven by the hash match. Retires the last
+    * media type whose decode was a declared stand-in. */
+  def mmVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    decodeVideoFrameStats(
+      videoMediaFromDocs(Tables.documents(spark, dir), "doc_id"))
+
+  def mmVideoFramesOracleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, CAST(doc_id % 24 + 8 AS INT) AS w,
+      |         CAST(doc_id % 16 + 8 AS INT) AS h,
+      |         CAST(doc_id % 5 + 2 AS INT) AS nf
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h, f.v AS frame_idx,
+      |    CAST((doc_id * 31 + f.v * 97 + x.v * 7 + y.v * 13) % 256 AS BIGINT) AS g
+      |  FROM p, unnest(generate_series(0, nf - 1)) AS f(v),
+      |       unnest(generate_series(0, w - 1)) AS x(v),
+      |       unnest(generate_series(0, h - 1)) AS y(v)
+      |)
+      |SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+      |  w AS width, h AS height,
+      |  CAST(sum(g) AS BIGINT) AS sum_gray
+      |FROM px GROUP BY doc_id, frame_idx, w, h""".stripMargin
+
   def mmResize(spark: SparkSession, dir: String): DataFrame =
     resizePlan(
       withMeta(mediaFromDocs(Tables.documents(spark, dir), "doc_id", "text")),

@@ -47,6 +47,30 @@ class GifScriptSpec extends SparkSpec {
     }
   }
 
+
+  test("gif animation: every frame round-trips independently") {
+    val px = (f: Int, x: Int, y: Int) => (f * 50 + x * 3 + y * 11) % 256
+    val bytes = GifCodec.encodeAnimation(12, 9, frames = 4, px)
+    val frames = GifCodec.decodeFrames(bytes)
+    assert(frames.length === 4)
+    frames.zipWithIndex.foreach { case (d, f) =>
+      assert(d.width === 12 && d.height === 9)
+      val want = (for (y <- 0 until 9; x <- 0 until 12)
+        yield px(f, x, y).toLong).sum
+      assert(d.sumGray === want, s"frame $f")
+    }
+    // single-frame decode still reads frame 0 of an animation
+    assert(GifCodec.decode(bytes).sumGray === frames.head.sumGray)
+  }
+
+  test("gif video gated instance: frame counts follow the generator") {
+    val got = BinaryMedia.mmVideoFrames(spark, sfDir)
+      .groupBy($"media_id").agg(count(lit(1)).as("nf"))
+      .as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.take(20).foreach { case (id, nf) => assert(nf === id % 5 + 2) }
+  }
+
   test("script audit: hand spoof flagged, pure-Latin and pure-Cyrillic clean") {
     val docs = Seq(
       (1L, "hello wоrld plain"),   // wоrld carries Cyrillic о → mixed
