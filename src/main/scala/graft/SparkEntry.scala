@@ -454,6 +454,10 @@ object SparkEntry {
     "script_spoof_audit"    -> (graft.functions.ScriptAudit.scriptAuditDocs(_, _)),
     // real multi-frame video decode: animated GIF, per-frame stats
     "mm_video_frames"       -> (graft.multimodal.BinaryMedia.mmVideoFrames(_, _)),
+    // expanding-window time-series CV schedule (no future leakage)
+    "ts_cv_splits"          -> (graft.operators.TsCvSplits.tsCvEvents(_, _)),
+    // Hyndman seasonal strength from the exact decomposition
+    "seasonal_strength"     -> (graft.operators.SeasonalDecompose.seasonalStrength(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -700,6 +704,8 @@ object SparkEntry {
     "mm_decode_gif"         -> graft.multimodal.BinaryMedia.mmDecodeGifOracleSql,
     "script_spoof_audit"    -> graft.functions.ScriptAudit.oracleSql,
     "mm_video_frames"       -> graft.multimodal.BinaryMedia.mmVideoFramesOracleSql,
+    "ts_cv_splits"          -> graft.operators.TsCvSplits.oracleSql,
+    "seasonal_strength"     -> graft.operators.SeasonalDecompose.strengthOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -115,4 +115,68 @@ object SeasonalDecompose {
       |    AS residual_permicro
       |FROM detr d LEFT JOIN seas s
       |  ON s.event_type = d.event_type AND s.dow = d.dow""".stripMargin
+
+  /** Seasonal STRENGTH per group — the one-number readout of the
+    * decomposition (Hyndman's F_s = 1 − Var(remainder)/Var(detrended),
+    * the forecast-tuning screen for "is there a season worth
+    * modeling"): both variances are computed over the DETERMINISTIC
+    * permicro quantizations the gated decomposition already emits
+    * (detrended = sign-split (10⁶·detr7) div 7), as n²-scaled
+    * DECIMAL(38) sums of squares — so the ratio is engine-exact; a
+    * near-zero residual SS ⇒ strength → 10⁶. Rows without a full MA
+    * window are excluded on both engines identically. */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val d = decomposeEvents(spark, dir)
+      .filter(col("detr7").isNotNull && col("seas_cnt") > 0)
+      .select(col("event_type"),
+        expr("""(CASE WHEN detr7 < 0 THEN -1L ELSE 1L END)
+            * ((1000000 * abs(detr7)) div 7)""").as("dp"),
+        col("residual_permicro").as("rp"))
+    d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days_used"),
+        sum(col("dp").cast("decimal(38,0)") * col("dp")).as("sdd"),
+        sum(col("dp")).cast("decimal(38,0)").as("sd"),
+        sum(col("rp").cast("decimal(38,0)") * col("rp")).as("srr"),
+        sum(col("rp")).cast("decimal(38,0)").as("sr"))
+      .select(col("event_type"), col("n_days_used"),
+        (col("n_days_used") * col("sdd") - col("sd") * col("sd")).as("ss_detrended"),
+        (col("n_days_used") * col("srr") - col("sr") * col("sr")).as("ss_residual"))
+      .withColumn("strength_permicro", expr(
+        """CASE WHEN ss_detrended > 0 THEN
+             (CASE WHEN ss_detrended < ss_residual THEN -1L ELSE 1L END)
+               * ((1000000 * abs(ss_detrended - ss_residual)) div ss_detrended)
+           END"""))
+  }
+
+  def strengthOracleSql: String = {
+    val base = oracleSql
+    // reuse the decomposition chain verbatim as a subquery
+    s"""WITH decomp AS (
+      |${base.linesIterator.map("  " + _).mkString("\n")}
+      |), q AS (
+      |  SELECT event_type,
+      |    (CASE WHEN detr7 < 0 THEN -1 ELSE 1 END)
+      |      * ((1000000 * abs(detr7)) // 7) AS dp,
+      |    residual_permicro AS rp
+      |  FROM decomp WHERE detr7 IS NOT NULL AND seas_cnt > 0
+      |), agg AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_used,
+      |    CAST(sum(CAST(dp AS HUGEINT) * dp) AS HUGEINT) AS sdd,
+      |    CAST(sum(dp) AS HUGEINT) AS sd,
+      |    CAST(sum(CAST(rp AS HUGEINT) * rp) AS HUGEINT) AS srr,
+      |    CAST(sum(rp) AS HUGEINT) AS sr
+      |  FROM q GROUP BY 1
+      |)
+      |SELECT event_type, n_days_used,
+      |  CAST(n_days_used * sdd - sd * sd AS DECIMAL(38,0)) AS ss_detrended,
+      |  CAST(n_days_used * srr - sr * sr AS DECIMAL(38,0)) AS ss_residual,
+      |  CASE WHEN n_days_used * sdd - sd * sd > 0 THEN CAST(
+      |    (CASE WHEN n_days_used * sdd - sd * sd < n_days_used * srr - sr * sr
+      |      THEN -1 ELSE 1 END)
+      |    * ((1000000 * abs((n_days_used * sdd - sd * sd)
+      |          - (n_days_used * srr - sr * sr)))
+      |        // (n_days_used * sdd - sd * sd)) AS BIGINT) END
+      |    AS strength_permicro
+      |FROM agg""".stripMargin
+  }
 }
