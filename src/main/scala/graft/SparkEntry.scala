@@ -458,6 +458,10 @@ object SparkEntry {
     "ts_cv_splits"          -> (graft.operators.TsCvSplits.tsCvEvents(_, _)),
     // Hyndman seasonal strength from the exact decomposition
     "seasonal_strength"     -> (graft.operators.SeasonalDecompose.seasonalStrength(_, _)),
+    // perceptual image aHash clusters off real decoded BMP bytes
+    "image_phash"           -> (graft.multimodal.Perceptual.imagePhashClusters(_, _)),
+    // audio energy-delta fingerprints off real decoded WAV bytes
+    "audio_fingerprint"     -> (graft.multimodal.Perceptual.audioFingerprint(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -706,6 +710,8 @@ object SparkEntry {
     "mm_video_frames"       -> graft.multimodal.BinaryMedia.mmVideoFramesOracleSql,
     "ts_cv_splits"          -> graft.operators.TsCvSplits.oracleSql,
     "seasonal_strength"     -> graft.operators.SeasonalDecompose.strengthOracleSql,
+    "image_phash"           -> graft.multimodal.Perceptual.imagePhashOracleSql,
+    "audio_fingerprint"     -> graft.multimodal.Perceptual.audioFingerprintOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

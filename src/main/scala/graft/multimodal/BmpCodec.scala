@@ -98,4 +98,30 @@ object BmpCodec {
     }
     Decoded(w, h, w.toLong * h, sum)
   }
+
+  /** Decode to the row-major TOP-DOWN gray pixel array (encoder's
+    * (x, y) indexing): rows un-reversed from the bottom-up storage,
+    * gray read from the B channel (all three are equal for the gray
+    * encoder; a color BMP would need a weighting policy — out of
+    * scope, the strict structural check still applies). */
+  def decodeGrayPixels(bytes: Array[Byte]): Array[Int] = {
+    require(isBmp(bytes), "not a 24-bit BI_RGB BMP payload")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val rowStart = HeaderSize + (h - 1 - y) * (rowBytes + pad)
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = bytes(rowStart + x * 3) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
 }

@@ -89,4 +89,12 @@ object WavCodec {
     }
     Decoded(rate, n.toLong, n.toLong * 1000L / rate, sum, peak)
   }
+
+  /** Decode to the raw PCM16 sample array (encoder's index order). */
+  def decodeSamples(bytes: Array[Byte]): Array[Short] = {
+    require(isWav(bytes), "not a canonical mono PCM16 WAV payload")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n = (bytes.length - HeaderSize) / 2
+    Array.tabulate(n)(i => buf.getShort(HeaderSize + i * 2))
+  }
 }
