@@ -462,6 +462,10 @@ object SparkEntry {
     "image_phash"           -> (graft.multimodal.Perceptual.imagePhashClusters(_, _)),
     // audio energy-delta fingerprints off real decoded WAV bytes
     "audio_fingerprint"     -> (graft.multimodal.Perceptual.audioFingerprint(_, _)),
+    // token-multiset span F1 (the extractive-QA eval metric)
+    "span_f1"               -> (graft.operators.EvalMetrics.spanF1Docs(_, _)),
+    // exact pass@k via factorial-table binomial ratios
+    "pass_at_k"             -> (graft.operators.EvalMetrics.passAtKEvents(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -712,6 +716,8 @@ object SparkEntry {
     "seasonal_strength"     -> graft.operators.SeasonalDecompose.strengthOracleSql,
     "image_phash"           -> graft.multimodal.Perceptual.imagePhashOracleSql,
     "audio_fingerprint"     -> graft.multimodal.Perceptual.audioFingerprintOracleSql,
+    "span_f1"               -> graft.operators.EvalMetrics.spanF1OracleSql,
+    "pass_at_k"             -> graft.operators.EvalMetrics.passAtKOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

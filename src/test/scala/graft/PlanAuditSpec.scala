@@ -79,7 +79,11 @@ class PlanAuditSpec extends SparkSpec {
     *  - `mmr_rerank` operates ENTIRELY on the bounded 20-candidate
     *    re-rank window (service semantics): the 1-row probe relevance
     *    cross and the 20×20 pairwise-similarity inequality join —
-    *    window size is a parameter, never the corpus. */
+    *    window size is a parameter, never the corpus.
+    *  - `pass_at_k` crosses the per-user trial table with the |ks|-row
+    *    k list (3 rows, a parameter) — the factorial lookups are plain
+    *    broadcast equi-joins; only the k expansion is a bounded
+    *    nested loop. */
   private val allowed: Map[String, Int] = Map(
     "ann_bruteforce" -> 1, "ann_pq" -> 1, "ann_pq_exhaustive" -> 1,
     "dedup_embedding" -> 1, "conformal_calibrate" -> 1,
@@ -88,7 +92,7 @@ class PlanAuditSpec extends SparkSpec {
     // eager checkpoint and never appears in the audited plan
     "kmeans_step2" -> 1,
     "knn_classify" -> 1, "kendall_tau" -> 1, "shapley_attribution" -> 2,
-    "mmr_rerank" -> 2)
+    "mmr_rerank" -> 2, "pass_at_k" -> 1)
   // gbt_stump2 needs no entry: its side tagging (1-row root-split
   // broadcast) is behind an eager localCheckpoint, so the audited
   // level-2 plan starts at the materialized sided frame
