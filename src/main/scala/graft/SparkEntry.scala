@@ -466,6 +466,10 @@ object SparkEntry {
     "span_f1"               -> (graft.operators.EvalMetrics.spanF1Docs(_, _)),
     // exact pass@k via factorial-table binomial ratios
     "pass_at_k"             -> (graft.operators.EvalMetrics.passAtKEvents(_, _)),
+    // weekly-cohort cumulative LTV curve (money over retention counts)
+    "cohort_ltv"            -> (graft.operators.GrowthAnalytics.cohortLtv(_, _)),
+    // Pareto/ABC classes via the salted two-phase global cumsum
+    "abc_classification"    -> (graft.operators.GrowthAnalytics.abcParts(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -718,6 +722,8 @@ object SparkEntry {
     "audio_fingerprint"     -> graft.multimodal.Perceptual.audioFingerprintOracleSql,
     "span_f1"               -> graft.operators.EvalMetrics.spanF1OracleSql,
     "pass_at_k"             -> graft.operators.EvalMetrics.passAtKOracleSql,
+    "cohort_ltv"            -> graft.operators.GrowthAnalytics.cohortLtvOracleSql,
+    "abc_classification"    -> graft.operators.GrowthAnalytics.abcOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
