@@ -470,6 +470,10 @@ object SparkEntry {
     "cohort_ltv"            -> (graft.operators.GrowthAnalytics.cohortLtv(_, _)),
     // Pareto/ABC classes via the salted two-phase global cumsum
     "abc_classification"    -> (graft.operators.GrowthAnalytics.abcParts(_, _)),
+    // missing-partition backfill plan as coalesced gap ranges
+    "backfill_plan"         -> (graft.operators.OpsAudit.backfillPlan(_, _)),
+    // referential-integrity orphan audit per fact->dim relationship
+    "fk_orphans"            -> (graft.operators.OpsAudit.fkOrphans(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -724,6 +728,8 @@ object SparkEntry {
     "pass_at_k"             -> graft.operators.EvalMetrics.passAtKOracleSql,
     "cohort_ltv"            -> graft.operators.GrowthAnalytics.cohortLtvOracleSql,
     "abc_classification"    -> graft.operators.GrowthAnalytics.abcOracleSql,
+    "backfill_plan"         -> graft.operators.OpsAudit.backfillPlanOracleSql,
+    "fk_orphans"            -> graft.operators.OpsAudit.fkOrphansOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)
