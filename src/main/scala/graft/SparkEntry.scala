@@ -474,6 +474,10 @@ object SparkEntry {
     "backfill_plan"         -> (graft.operators.OpsAudit.backfillPlan(_, _)),
     // referential-integrity orphan audit per fact->dim relationship
     "fk_orphans"            -> (graft.operators.OpsAudit.fkOrphans(_, _)),
+    // exact Wasserstein-1 drift via cross-scaled CDFs on bounded cells
+    "wasserstein_drift"     -> (graft.operators.Drift.wassersteinLineitem(_, _)),
+    // Cramer's V-squared effect size over the chi-square cells
+    "cramers_v_sq"          -> (graft.operators.Contingency.cramersV2Orders(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -730,6 +734,8 @@ object SparkEntry {
     "abc_classification"    -> graft.operators.GrowthAnalytics.abcOracleSql,
     "backfill_plan"         -> graft.operators.OpsAudit.backfillPlanOracleSql,
     "fk_orphans"            -> graft.operators.OpsAudit.fkOrphansOracleSql,
+    "wasserstein_drift"     -> graft.operators.Drift.wassersteinOracleSql,
+    "cramers_v_sq"          -> graft.operators.Contingency.cramersOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

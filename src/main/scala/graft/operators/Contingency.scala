@@ -80,4 +80,50 @@ object Contingency {
       |    * 1e6) AS BIGINT) AS chi2_micros
       |FROM cells JOIN rt USING (priority) JOIN ct USING (status)
       |CROSS JOIN tot""".stripMargin
+
+  /** Cramér's V² — the [0,1]-normalized effect size over the χ² test
+    * (V itself needs a sqrt; V² is the exact-integer form): V² =
+    * χ²/(N·min(r−1, c−1)), computed as one integer division over the
+    * ALREADY-QUANTIZED per-cell micros contributions (identical in
+    * both engines), so association strength is comparable across
+    * differently-sized tables — the normalization the raw χ² lacks. */
+  def cramersV2(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = chiSquare(df, aCol, bCol).localCheckpoint()
+    cells.agg(
+        sum(col("n")).as("grand_n"),
+        countDistinct(col("a")).as("n_rows"),
+        countDistinct(col("b")).as("n_cols"),
+        // observed cells alone UNDERSTATE chi-square: every zero cell
+        // contributes its expected count e, and Σ_all e = N, so the
+        // missing mass is exactly N − Σ_observed e (in micros)
+        (sum(col("chi2_micros"))
+          + (sum(col("n")) * lit(1000000L) - sum(col("exp_micros"))))
+          .as("chi2_micros_total"))
+      .withColumn("cramers_v2_micro", expr(
+        """CASE WHEN least(n_rows - 1, n_cols - 1) > 0 THEN
+             chi2_micros_total div (grand_n * least(n_rows - 1, n_cols - 1))
+           END"""))
+  }
+
+  /** Gated instance: effect size of priority × status. */
+  def cramersV2Orders(spark: SparkSession, dir: String): DataFrame =
+    cramersV2(Tables.orders(spark, dir), "o_orderpriority", "o_orderstatus")
+
+  def cramersOracleSql: String =
+    s"""WITH base AS (
+      |${oracleSql.linesIterator.map("  " + _).mkString("\n")}
+      |), agg AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS grand_n,
+      |    CAST(count(DISTINCT priority) AS BIGINT) AS n_rows,
+      |    CAST(count(DISTINCT status) AS BIGINT) AS n_cols,
+      |    CAST(sum(chi2_micros)
+      |      + (sum(n) * 1000000 - sum(exp_micros)) AS BIGINT)
+      |      AS chi2_micros_total
+      |  FROM base
+      |)
+      |SELECT grand_n, n_rows, n_cols, chi2_micros_total,
+      |  CASE WHEN least(n_rows - 1, n_cols - 1) > 0 THEN
+      |    CAST(chi2_micros_total // (grand_n * least(n_rows - 1, n_cols - 1))
+      |      AS BIGINT) END AS cramers_v2_micro
+      |FROM agg""".stripMargin
 }

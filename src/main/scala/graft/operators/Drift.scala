@@ -104,4 +104,81 @@ object Drift {
       |       / (CAST(n_cur + 1 AS DOUBLE) / (nb + 10)))
       |    * 1e6) AS BIGINT) AS psi_micros
       |FROM j CROSS JOIN t""".stripMargin
+
+  /** Exact Wasserstein-1 (earth-mover) distance between two arms'
+    * integer-valued distributions — the drift metric PSI's binning
+    * cannot give (W1 sees HOW FAR mass moved, not just that bins
+    * changed): over the domain-bounded value-cell table,
+    * W1 = Σ_x |F_A(x) − F_B(x)| · Δx with unit steps, kept exact by
+    * cross-scaling the two CDFs to the common denominator n_A·n_B —
+    * every term |cumA·nB − cumB·nA| is an integer, one truncating
+    * micros division at the end. One fact aggregate, windows at cell
+    * cardinality (the mann_whitney cost envelope). */
+  def wasserstein1(df: DataFrame, valueCol: String, armCol: String,
+                   g1: String, g2: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.filter(col(armCol) === g1 || col(armCol) === g2)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(col(armCol) === g1, 1L).otherwise(0L)).as("na"),
+        sum(when(col(armCol) === g2, 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.orderBy(col("v"))
+    val wAll = Window.partitionBy() // cell table is domain-bounded
+    cells
+      .withColumn("cuma", sum(col("na")).over(w))
+      .withColumn("cumb", sum(col("nb")).over(w))
+      // each CDF step holds until the NEXT observed value: weight the
+      // term by that gap (sparse domains are not unit-spaced; the last
+      // cell has no gap and its term is 0 anyway)
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(wLead) - col("v"), lit(0L)))
+      .withColumn("ta", sum(col("na")).over(wAll))
+      .withColumn("tb", sum(col("nb")).over(wAll))
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        sum(abs(col("cuma").cast("decimal(38,0)") * col("tb")
+          - col("cumb").cast("decimal(38,0)") * col("ta")) * col("gap"))
+          .as("__terms"))
+      .select(col("n_a"), col("n_b"),
+        expr("""CASE WHEN n_a > 0 AND n_b > 0 THEN
+            (1000000 * __terms) div (CAST(n_a AS DECIMAL(38,0)) * n_b)
+          END""").as("w1_micro"))
+  }
+
+
+  /** Gated W1 instance: quantity distributions, returned vs
+    * never-returned lineitems (mann_whitney's arms — U asks about
+    * dominance, W1 about transport cost). */
+  def wassersteinLineitem(spark: SparkSession, dir: String): DataFrame =
+    wasserstein1(
+      Tables.lineitem(spark, dir).select(
+        round(col("l_quantity")).cast("long").as("q"),
+        col("l_returnflag").as("flag")),
+      "q", "flag", "R", "N")
+
+  def wassersteinOracleSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(round(l_quantity) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nb
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+      |), cum AS (
+      |  SELECT v, na, nb,
+      |    sum(na) OVER (ORDER BY v) AS cuma,
+      |    sum(nb) OVER (ORDER BY v) AS cumb,
+      |    coalesce(lead(v, 1) OVER (ORDER BY v) - v, 0) AS gap,
+      |    sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+      |  FROM cells
+      |), agg AS (
+      |  SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+      |    CAST(sum(abs(CAST(cuma AS HUGEINT) * tb
+      |      - CAST(cumb AS HUGEINT) * ta) * gap) AS HUGEINT) AS terms
+      |  FROM cum
+      |)
+      |SELECT n_a, n_b,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(
+      |    (1000000 * terms) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+      |  END AS w1_micro
+      |FROM agg""".stripMargin
 }
