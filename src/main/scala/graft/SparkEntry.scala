@@ -478,6 +478,8 @@ object SparkEntry {
     "wasserstein_drift"     -> (graft.operators.Drift.wassersteinLineitem(_, _)),
     // Cramer's V-squared effect size over the chi-square cells
     "cramers_v_sq"          -> (graft.operators.Contingency.cramersV2Orders(_, _)),
+    // pinball (quantile) loss of the seasonal-naive forecast
+    "pinball_loss"          -> (graft.operators.Forecast.pinballLoss(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -736,6 +738,7 @@ object SparkEntry {
     "fk_orphans"            -> graft.operators.OpsAudit.fkOrphansOracleSql,
     "wasserstein_drift"     -> graft.operators.Drift.wassersteinOracleSql,
     "cramers_v_sq"          -> graft.operators.Contingency.cramersOracleSql,
+    "pinball_loss"          -> graft.operators.Forecast.pinballOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -78,4 +78,62 @@ object Forecast {
       |  CAST(sum(abs(cents - hcents)) AS DOUBLE) / count(*) AS mae_cents,
       |  CAST(sum(cents - hcents) AS DOUBLE) / count(*) AS bias_cents
       |FROM j GROUP BY user_id""".stripMargin
+
+  /** Pinball (quantile) loss over the seasonal-naive eval frame — the
+    * metric that grades a forecast AS A QUANTILE (MAE only grades the
+    * median; τ = 0.9 punishes under-forecasting 9× harder than over):
+    * pinball_τ(d) with d = actual − forecast, kept exact by the ×10
+    * scale (τ10 ∈ {1, 5, 9} ⇒ loss10 = τ10·d if d ≥ 0 else
+    * (10−τ10)·(−d), all BIGINT); τ = 0.5 recovers MAE/2 bit-exactly
+    * (spec-asserted). One eval-frame pass × a 3-row τ list. */
+  def pinballLoss(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val wDesc = Window.partitionBy(col("user_id")).orderBy(col("day").desc)
+    val eval = daily
+      .withColumn("__recency", row_number().over(wDesc))
+      .filter(col("__recency") <= 7)
+    val hist = daily.select(col("user_id").as("__hu"), col("day").as("__hday"),
+      col("cents").as("__hcents"))
+    val diffs = eval.join(hist,
+        col("user_id") === col("__hu") &&
+          col("day") === date_add(col("__hday"), 7))
+      .select((col("cents") - col("__hcents")).as("d"))
+    val taus = Seq(1L, 5L, 9L).toDF("tau10")
+    diffs.crossJoin(broadcast(taus))
+      .withColumn("loss10", expr(
+        "CASE WHEN d >= 0 THEN tau10 * d ELSE (10 - tau10) * (-d) END"))
+      .groupBy(col("tau10"))
+      .agg(count(lit(1)).as("n_eval"), sum(col("loss10")).as("total_loss10"))
+      .withColumn("mean_loss_micros", expr("(100000 * total_loss10) div n_eval"))
+  }
+
+  def pinballOracleSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), ev AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY day DESC) AS recency
+      |  FROM daily
+      |), diffs AS (
+      |  SELECT e.cents - h.cents AS d
+      |  FROM ev e JOIN daily h
+      |    ON e.user_id = h.user_id AND e.day = h.day + INTERVAL 7 DAY
+      |  WHERE e.recency <= 7
+      |), taus(tau10) AS (VALUES (1), (5), (9)),
+      |scored AS (
+      |  SELECT t.tau10,
+      |    CASE WHEN d >= 0 THEN t.tau10 * d ELSE (10 - t.tau10) * (-d) END
+      |      AS loss10
+      |  FROM diffs CROSS JOIN taus t
+      |)
+      |SELECT CAST(tau10 AS BIGINT) AS tau10,
+      |  CAST(count(*) AS BIGINT) AS n_eval,
+      |  CAST(sum(loss10) AS BIGINT) AS total_loss10,
+      |  CAST((100000 * sum(loss10)) // count(*) AS BIGINT) AS mean_loss_micros
+      |FROM scored GROUP BY 1""".stripMargin
 }

@@ -56,4 +56,17 @@ class DriftEffectSpec extends SparkSpec {
       .select($"cramers_v2_micro").as[Long].collect()
     assert(r.length === 1 && r.head >= 0L && r.head <= 1000000L)
   }
+
+  test("pinball: the quantile losses recombine to the absolute loss") {
+    import graft.operators.Forecast
+    val pin = Forecast.pinballLoss(spark, sfDir)
+      .select($"tau10", $"n_eval", $"total_loss10")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(pin.keySet === Set(1L, 5L, 9L))
+    // every τ scores the same eval frame
+    assert(pin.values.map(_._2).toSet.size === 1)
+    // L(τ) + L(1−τ) = Σ|d| at any τ ⇒ L(.1) + L(.9) = 2·L(.5), exactly
+    assert(pin(1L)._3 + pin(9L)._3 === 2L * pin(5L)._3)
+    assert(pin(5L)._3 > 0L)
+  }
 }

@@ -83,7 +83,9 @@ class PlanAuditSpec extends SparkSpec {
     *  - `pass_at_k` crosses the per-user trial table with the |ks|-row
     *    k list (3 rows, a parameter) — the factorial lookups are plain
     *    broadcast equi-joins; only the k expansion is a bounded
-    *    nested loop. */
+    *    nested loop.
+    *  - `pinball_loss` crosses the eval diff frame with the 3-row τ
+    *    list — the same parameter-bounded expansion. */
   private val allowed: Map[String, Int] = Map(
     "ann_bruteforce" -> 1, "ann_pq" -> 1, "ann_pq_exhaustive" -> 1,
     "dedup_embedding" -> 1, "conformal_calibrate" -> 1,
@@ -92,7 +94,7 @@ class PlanAuditSpec extends SparkSpec {
     // eager checkpoint and never appears in the audited plan
     "kmeans_step2" -> 1,
     "knn_classify" -> 1, "kendall_tau" -> 1, "shapley_attribution" -> 2,
-    "mmr_rerank" -> 2, "pass_at_k" -> 1)
+    "mmr_rerank" -> 2, "pass_at_k" -> 1, "pinball_loss" -> 1)
   // gbt_stump2 needs no entry: its side tagging (1-row root-split
   // broadcast) is behind an eager localCheckpoint, so the audited
   // level-2 plan starts at the materialized sided frame
