@@ -18,9 +18,10 @@ import graft.operators.Graph
   * records by key equality; this is the fuzzy generalization).
   *
   * Scale: both stages are already 100 TB-shaped — the match join never
-  * goes quadratic (equi-join on half-prefix blocks, verify in place)
-  * and the closure runs O(log D) label-propagation rounds on the
-  * narrow (id, label) table, never touching the documents again.
+  * goes quadratic (equi-join on half-prefix blocks with the declared
+  * `blockCap` on boilerplate-hot blocks, verify in place) and the
+  * closure runs O(log D) label-propagation rounds on the narrow
+  * (id, label) table, never touching the documents again.
   */
 object EntityResolution {
 
@@ -28,8 +29,8 @@ object EntityResolution {
     * the record's transitive fuzzy-match cluster; unmatched docs are
     * their own entity. */
   def resolve(docs: DataFrame, idCol: String, textCol: String,
-              prefixLen: Int = 16): DataFrame = {
-    val edges = EditDistance.nearPairs(docs, idCol, textCol, prefixLen)
+              prefixLen: Int = 16, blockCap: Int = 1000): DataFrame = {
+    val edges = EditDistance.nearPairs(docs, idCol, textCol, prefixLen, blockCap)
     val nodes = docs.select(col(idCol).as("__id"))
     Graph.connectedComponents(nodes, "__id", edges, "a_id", "b_id")
       .select(col("__id").as(idCol), col("component").as("entity"))
@@ -44,10 +45,25 @@ object EntityResolution {
     """WITH p AS (
       |  SELECT doc_id, substr(text, 1, 16) AS pfx FROM documents
       |  WHERE length(text) >= 16
+      |), b1 AS (
+      |  SELECT doc_id, pfx, substr(pfx, 1, 8) AS b FROM p
+      |), b2 AS (
+      |  SELECT doc_id, pfx, substr(pfx, 9, 8) AS b FROM p
+      |), k1 AS (
+      |  SELECT * FROM b1 WHERE b IN (
+      |    SELECT b FROM b1 GROUP BY b HAVING count(*) <= 1000)
+      |), k2 AS (
+      |  SELECT * FROM b2 WHERE b IN (
+      |    SELECT b FROM b2 GROUP BY b HAVING count(*) <= 1000)
+      |), cand AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pfx AS pa, b.pfx AS pb
+      |  FROM k1 a JOIN k1 b ON a.b = b.b AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id, a.pfx, b.pfx
+      |  FROM k2 a JOIN k2 b ON a.b = b.b AND a.doc_id < b.doc_id
       |), e AS (
-      |  SELECT a.doc_id AS src, b.doc_id AS dst
-      |  FROM p a JOIN p b ON a.doc_id < b.doc_id
-      |  WHERE levenshtein(a.pfx, b.pfx) <= 1
+      |  SELECT a_id AS src, b_id AS dst FROM cand
+      |  WHERE levenshtein(pa, pb) <= 1
       |), und AS (
       |  SELECT src, dst FROM e UNION SELECT dst, src FROM e
       |), reach AS (

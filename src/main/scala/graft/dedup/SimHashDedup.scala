@@ -24,8 +24,11 @@ import graft.Tables
   * size. The combination keys carry ~32-33 bits of fingerprint (hashed
   * to 64), so buckets stay ~2^16× smaller and only near-agreeing
   * fingerprints collide. The cost is a 20× (vs 4×) explode of the
-  * narrow (id, fp, key) table — linear, shuffle-friendly, and the price
-  * of guaranteed recall at 1B+ docs.
+  * narrow DISTINCT-fingerprint table — linear, shuffle-friendly, and
+  * the price of guaranteed recall at 1B+ docs. Exact duplicates
+  * (identical fingerprints) are collapsed to one banding row per
+  * fingerprint BEFORE the explode, so dup-cluster size never inflates
+  * band buckets (see [[fpCandidatePairs]]).
   *
   * The vote aggregation is the compiled [[graft.functions.SimHash64]] —
   * one O(|tokens|·64) loop per row, the pass that runs once per corpus
@@ -71,21 +74,55 @@ object SimHashDedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     nearDupPairsFromFp(fingerprints(docs, idCol, textCol))
 
-  /** CANDIDATE pairs (pre-verification, deduped): ids that share at
-    * least one 3-block combination key. Exposed so specs can assert the
-    * candidate volume the banding admits, separately from recall. */
-  def candidatePairs(fp: DataFrame): DataFrame = {
+  /** CANDIDATE pairs at the FINGERPRINT level, banding over DISTINCT
+    * fingerprints only: (\_\_fpa, \_\_fpb) with \_\_fpa < \_\_fpb that
+    * share at least one 3-block combination key. This is the
+    * exact-dup-collapse discipline: identical texts (common at corpus
+    * scale — mirrors, reposts) all carry the SAME fingerprint, and
+    * banding the raw (id, fp) table would re-discover every
+    * within-cluster pair in all 20 band buckets — a 20·m²/2 blowup per
+    * m-sized dup cluster inside single band buckets. Banding the
+    * distinct-fp table instead keeps every bucket's occupancy bounded
+    * by DISTINCT near-identical fingerprints, independent of how many
+    * exact copies each has. */
+  def fpCandidatePairs(fp: DataFrame): DataFrame = {
+    val dfp = fp.select("__fp").distinct()
     // shiftright needs literal amounts, so the 20 tables unroll statically
     val keyCols = Combos.zipWithIndex.map { case (c, idx) =>
       xxhash64(lit(idx) +: c.map(block(col("__fp"), _)): _*)
     }
-    val exploded = fp.select(col("__id"), col("__fp"),
-      explode(array(keyCols: _*)).as("__k"))
+    val exploded = dfp.select(col("__fp"), explode(array(keyCols: _*)).as("__k"))
     exploded.as("a").join(exploded.as("b"),
-        col("a.__k") === col("b.__k") && col("a.__id") < col("b.__id"))
+        col("a.__k") === col("b.__k") && col("a.__fp") < col("b.__fp"))
+      .select(col("a.__fp").as("__fpa"), col("b.__fp").as("__fpb"))
+      .distinct()
+  }
+
+  /** CANDIDATE id pairs (pre-verification, deduped): ids that share at
+    * least one 3-block combination key. Exposed so specs can assert the
+    * candidate volume the banding admits, separately from recall.
+    * Generated via [[fpCandidatePairs]] + member expansion: the band
+    * JOIN never sees duplicate fingerprints; within-identical-fp pairs
+    * (candidates by definition — they agree on every band) are emitted
+    * directly once, not 20× through band buckets. Pair OUTPUT for an
+    * m-sized identical-fp cluster is still m(m−1)/2 — intrinsic to the
+    * pair contract; the gated component path ([[dedupSimhash]]) avoids
+    * even that via linear member→representative edges. */
+  def candidatePairs(fp: DataFrame): DataFrame = {
+    val cross = fpCandidatePairs(fp)
+      .join(fp.select(col("__fp").as("__fpa"), col("__id").as("__ida")), "__fpa")
+      .join(fp.select(col("__fp").as("__fpb"), col("__id").as("__idb")), "__fpb")
+      .select(
+        least(col("__ida"), col("__idb")).as("a_id"),
+        greatest(col("__ida"), col("__idb")).as("b_id"),
+        // fps ride along for verification; hamming is symmetric so the
+        // id swap needn't reorder them
+        col("__fpa"), col("__fpb"))
+    val within = fp.as("a").join(fp.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
         col("a.__fp").as("__fpa"), col("b.__fp").as("__fpb"))
-      .distinct()
+    cross.unionByName(within)
   }
 
   /** Pair generation over a precomputed (\_\_id, \_\_fp) table. */
@@ -97,12 +134,29 @@ object SimHashDedup {
 
   // ---- query-map entry (#29, rows-gated; semantics asserted in ScalaTest) ----
 
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val fp = fingerprints(docs, "doc_id", "text")
-    val pairs = nearDupPairsFromFp(fp)
-    MinHashLsh.assignReps(docs, "doc_id", pairs.select("a_id", "b_id"))
-      .join(fp.select(col("__id").as("doc_id"), col("__fp").as("simhash")), "doc_id")
-      .select("doc_id", "simhash", "rep_id", "is_dup")
+  /** Per-doc near-dup components. The edge set is LINEAR in the corpus:
+    * member→fp-representative edges (hamming 0 by construction) plus
+    * verified representative↔representative edges from the distinct-fp
+    * banding — transitively identical components to the full pair
+    * graph (every full-graph edge a–b is covered by a–repA–repB–b),
+    * with no quadratic within-cluster pair expansion anywhere. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    components(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** The same component assignment over an arbitrary corpus frame. */
+  def components(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = fingerprints(docs, idCol, textCol)
+    val reps = fp.groupBy("__fp").agg(min("__id").as("__rep")).localCheckpoint()
+    val memberEdges = fp.join(reps, "__fp")
+      .filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("a_id"), col("__id").as("b_id"))
+    val repEdges = fpCandidatePairs(fp)
+      .filter(bit_count(col("__fpa").bitwiseXOR(col("__fpb"))) <= HammingMax)
+      .join(reps.select(col("__fp").as("__fpa"), col("__rep").as("a_id")), "__fpa")
+      .join(reps.select(col("__fp").as("__fpb"), col("__rep").as("b_id")), "__fpb")
+      .select("a_id", "b_id")
+    MinHashLsh.assignReps(docs, idCol, memberEdges.unionByName(repEdges))
+      .join(fp.select(col("__id").as(idCol), col("__fp").as("simhash")), idCol)
+      .select(idCol, "simhash", "rep_id", "is_dup")
   }
 }

@@ -75,7 +75,12 @@ object Autocorr {
         col("nd") * col("nd") * col("qd") - col("nd") * col("sd") * col("sd"))
       .select(g, col("lag"),
         col("nd").cast("long").as("n"),
-        col("num").as("num_scaled"), col("den").as("den_scaled"),
+        // n²-scaled integers report as VARCHAR: DECIMAL(38,0) is the
+        // internal accumulator; the gate's value-hash canonicalizes
+        // decimals engine-specifically, so the digit string is the
+        // bit-exact cross-engine contract.
+        col("num").cast("string").as("num_scaled"),
+        col("den").cast("string").as("den_scaled"),
         // sign split keeps both engines on non-negative truncating
         // division (Spark `div` ≡ DuckDB `//` only then)
         expr("""CASE WHEN den > 0 THEN
@@ -130,8 +135,8 @@ object Autocorr {
       |  FROM per
       |)
       |SELECT event_type, CAST(lag AS INT) AS lag, CAST(nd AS BIGINT) AS n,
-      |  CAST(num AS DECIMAL(38,0)) AS num_scaled,
-      |  CAST(den AS DECIMAL(38,0)) AS den_scaled,
+      |  CAST(num AS VARCHAR) AS num_scaled,
+      |  CAST(den AS VARCHAR) AS den_scaled,
       |  CASE WHEN den > 0 THEN CAST(
       |    (CASE WHEN num < 0 THEN -1 ELSE 1 END)
       |      * ((1000000 * abs(num)) // den) AS BIGINT) END AS acf_permicro

@@ -69,6 +69,13 @@ object Cuped {
       .withColumn("reduction_permicro", expr(
         """CASE WHEN ss_y > 0 THEN
              (1000000 * (ss_y - ss_adj)) div ss_y END"""))
+      // ss_* report as VARCHAR: DECIMAL(38,0) is internal-only — the
+      // gate's value-hash canonicalizes decimals engine-specifically,
+      // so the digit string is the bit-exact cross-engine contract.
+      .select(col("n"), col("theta_micro"),
+        col("ss_y").cast("string").as("ss_y"),
+        col("ss_adj").cast("string").as("ss_adj"),
+        col("reduction_permicro"))
   }
 
   // ---- query-map entry (hash-gated) ----
@@ -121,8 +128,8 @@ object Cuped {
       |)
       |SELECT CAST(t.n AS BIGINT) AS n,
       |  CAST(t.theta_micro AS BIGINT) AS theta_micro,
-      |  CAST(t.n * t.syy - t.sy * t.sy AS DECIMAL(38,0)) AS ss_y,
-      |  CAST(a.an * a.svv - a.sv * a.sv AS DECIMAL(38,0)) AS ss_adj,
+      |  CAST(t.n * t.syy - t.sy * t.sy AS VARCHAR) AS ss_y,
+      |  CAST(a.an * a.svv - a.sv * a.sv AS VARCHAR) AS ss_adj,
       |  CASE WHEN t.n * t.syy - t.sy * t.sy > 0 THEN CAST(
       |    (1000000 * ((t.n * t.syy - t.sy * t.sy)
       |                 - (a.an * a.svv - a.sv * a.sv)))

@@ -36,8 +36,16 @@ object JoinEstimate {
     val summary = keys.agg(
       sum(col("pairs")).as("est_rows"),
       count(lit(1)).as("n_matching_keys"))
+    // pairs/est_rows report as VARCHAR (ordering happens on the
+    // DECIMAL first): the gate's value-hash canonicalizes decimals
+    // engine-specifically, so the digit string is the bit-exact
+    // cross-engine contract.
     keys.orderBy(col("pairs").desc, col("key").asc).limit(show)
       .crossJoin(broadcast(summary))
+      .select(col("key"), col("c_a"), col("c_b"),
+        col("pairs").cast("string").as("pairs"),
+        col("est_rows").cast("string").as("est_rows"),
+        col("n_matching_keys"))
   }
 
   // ---- query-map entry (hash-gated) ----
@@ -64,8 +72,8 @@ object JoinEstimate {
       |    CAST(count(*) AS BIGINT) AS n_matching_keys
       |  FROM keys
       |)
-      |SELECT k.key, k.c_a, k.c_b, CAST(k.pairs AS DECIMAL(38,0)) AS pairs,
-      |  s.est_rows, s.n_matching_keys
+      |SELECT k.key, k.c_a, k.c_b, CAST(k.pairs AS VARCHAR) AS pairs,
+      |  CAST(s.est_rows AS VARCHAR) AS est_rows, s.n_matching_keys
       |FROM (SELECT * FROM keys ORDER BY pairs DESC, key ASC LIMIT 5) k
       |CROSS JOIN summary s""".stripMargin
 }

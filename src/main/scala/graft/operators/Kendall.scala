@@ -52,10 +52,18 @@ object Kendall {
       sum(col("n")).cast("decimal(38,0)").as("__nr"),
       // div (not /): integral division keeps every term integer-typed
       sum(expr("(n * (n - 1)) div 2").cast("decimal(38,0)")).as("ties_xy"))
+    // Final pair counts report as VARCHAR: DECIMAL(38,0) stays the
+    // internal accumulator (C ≈ n²/2), but the gate's value-hash
+    // canonicalizes decimals engine-specifically — the digit string is
+    // the bit-exact cross-engine contract (scale-0 decimals render as
+    // plain integers in both Spark and DuckDB).
     counted.crossJoin(broadcast(within))
       .select(col("__nr").cast("long").as("n"),
-        col("concordant"), col("discordant"),
-        col("ties_x"), col("ties_y"), col("ties_xy"),
+        col("concordant").cast("string").as("concordant"),
+        col("discordant").cast("string").as("discordant"),
+        col("ties_x").cast("string").as("ties_x"),
+        col("ties_y").cast("string").as("ties_y"),
+        col("ties_xy").cast("string").as("ties_xy"),
         expr("""CASE WHEN __nr > 1 THEN
             (CASE WHEN concordant < discordant THEN -1L ELSE 1L END)
               * ((1000000 * abs(concordant - discordant))
@@ -99,11 +107,11 @@ object Kendall {
       |  FROM cells
       |)
       |SELECT CAST(nr AS BIGINT) AS n,
-      |  CAST(concordant AS DECIMAL(38,0)) AS concordant,
-      |  CAST(discordant AS DECIMAL(38,0)) AS discordant,
-      |  CAST(ties_x AS DECIMAL(38,0)) AS ties_x,
-      |  CAST(ties_y AS DECIMAL(38,0)) AS ties_y,
-      |  CAST(ties_xy AS DECIMAL(38,0)) AS ties_xy,
+      |  CAST(concordant AS VARCHAR) AS concordant,
+      |  CAST(discordant AS VARCHAR) AS discordant,
+      |  CAST(ties_x AS VARCHAR) AS ties_x,
+      |  CAST(ties_y AS VARCHAR) AS ties_y,
+      |  CAST(ties_xy AS VARCHAR) AS ties_xy,
       |  CASE WHEN nr > 1 THEN CAST(
       |    (CASE WHEN concordant < discordant THEN -1 ELSE 1 END)
       |      * ((1000000 * abs(concordant - discordant))

@@ -48,8 +48,13 @@ object MannWhitney {
       .select(
         col("__n1").cast("long").as("n1"),
         col("__n2").cast("long").as("n2"),
-        col("__u2").as("u2_g1"),
-        (lit(2) * col("__n1") * col("__n2") - col("__u2")).as("u2_g2"),
+        // 2U values report as VARCHAR: DECIMAL(38,0) is the internal
+        // accumulator; the gate's value-hash canonicalizes decimals
+        // engine-specifically, so the digit string is the bit-exact
+        // cross-engine contract.
+        col("__u2").cast("string").as("u2_g1"),
+        (lit(2) * col("__n1") * col("__n2") - col("__u2"))
+          .cast("string").as("u2_g2"),
         expr("""CASE WHEN __n1 > 0 AND __n2 > 0 THEN
             (CASE WHEN __u2 < __n1 * __n2 THEN -1L ELSE 1L END)
               * ((1000000 * abs(__u2 - __n1 * __n2)) div (__n1 * __n2))
@@ -86,8 +91,8 @@ object MannWhitney {
       |  FROM cum
       |)
       |SELECT CAST(tn1 AS BIGINT) AS n1, CAST(tn2 AS BIGINT) AS n2,
-      |  CAST(u2 AS DECIMAL(38,0)) AS u2_g1,
-      |  CAST(2 * tn1 * tn2 - u2 AS DECIMAL(38,0)) AS u2_g2,
+      |  CAST(u2 AS VARCHAR) AS u2_g1,
+      |  CAST(2 * tn1 * tn2 - u2 AS VARCHAR) AS u2_g2,
       |  CASE WHEN tn1 > 0 AND tn2 > 0 THEN CAST(
       |    (CASE WHEN u2 < tn1 * tn2 THEN -1 ELSE 1 END)
       |      * ((1000000 * abs(u2 - tn1 * tn2)) // (tn1 * tn2))

@@ -146,6 +146,14 @@ object SeasonalDecompose {
              (CASE WHEN ss_detrended < ss_residual THEN -1L ELSE 1L END)
                * ((1000000 * abs(ss_detrended - ss_residual)) div ss_detrended)
            END"""))
+      // ss_* report as VARCHAR: DECIMAL(38,0) is the internal
+      // accumulator; the gate's value-hash canonicalizes decimals
+      // engine-specifically, so the digit string is the bit-exact
+      // cross-engine contract.
+      .select(col("event_type"), col("n_days_used"),
+        col("ss_detrended").cast("string").as("ss_detrended"),
+        col("ss_residual").cast("string").as("ss_residual"),
+        col("strength_permicro"))
   }
 
   def strengthOracleSql: String = {
@@ -168,8 +176,8 @@ object SeasonalDecompose {
       |  FROM q GROUP BY 1
       |)
       |SELECT event_type, n_days_used,
-      |  CAST(n_days_used * sdd - sd * sd AS DECIMAL(38,0)) AS ss_detrended,
-      |  CAST(n_days_used * srr - sr * sr AS DECIMAL(38,0)) AS ss_residual,
+      |  CAST(n_days_used * sdd - sd * sd AS VARCHAR) AS ss_detrended,
+      |  CAST(n_days_used * srr - sr * sr AS VARCHAR) AS ss_residual,
       |  CASE WHEN n_days_used * sdd - sd * sd > 0 THEN CAST(
       |    (CASE WHEN n_days_used * sdd - sd * sd < n_days_used * srr - sr * sr
       |      THEN -1 ELSE 1 END)
