@@ -269,6 +269,9 @@ object SparkEntry {
     // dynamic partition overwrite (replaceWhere analogue): only batch
     // partitions rewritten, others physically untouched
     "partition_overwrite"   -> (graft.sources.PartitionedLayout.partitionOverwrite(_, _)),
+    // versioned-table commit log: append/upsert/overwrite commits,
+    // then time-travel reads of all four retained versions
+    "table_time_travel"     -> (graft.sources.VersionedTable.tableTimeTravel(_, _)),
     // event-sequence behavioral stats: lead-window transition pairs;
     // exact power-of-two recency decay (no libm in the gate)
     "markov_transitions"    -> (graft.operators.BehaviorStats.markovEvents(_, _)),
@@ -650,6 +653,7 @@ object SparkEntry {
     "corr_lineitem"         -> graft.operators.GroupStats.oracleSql,
     "partitioned_roundtrip" -> graft.sources.PartitionedLayout.oracleSql,
     "partition_overwrite"   -> graft.sources.PartitionedLayout.overwriteOracleSql,
+    "table_time_travel"     -> graft.sources.VersionedTable.oracleSql,
     "markov_transitions"    -> graft.operators.BehaviorStats.markovOracleSql,
     "decay_user_value"      -> graft.operators.BehaviorStats.decayOracleSql,
     "benford_totalprice"    -> graft.operators.DigitProfile.oracleSql,

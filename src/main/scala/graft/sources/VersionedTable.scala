@@ -1,0 +1,341 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Versioned parquet table with a JSON commit log — the portable slice
+  * of the Delta-table contract the reference leans on
+  * (/root/reference/DataEngineering/Python/delta_table_rs.py:10-25 reads
+  * a Delta table AT A VERSION with pushed filters;
+  * /root/reference/DataEngineering/DataBricks/merge_generator.py runs
+  * MERGE against such a table; autocompact_delta.py relies on its
+  * transaction log): append / overwrite / keyed-upsert commits, time
+  * travel via `readVersion(n)`, history, and vacuum with a version
+  * retention horizon.
+  *
+  * Layout:
+  * {{{
+  *   <table>/_commits/00000000000000000007.json   // one per version
+  *   <table>/_commits/_vacuum.json                // min readable version
+  *   <table>/data/<uuid>/part-*.parquet           // immutable file groups
+  * }}}
+  *
+  * A commit is the ATOMIC APPEARANCE of `_commits/<padded-version>.json`
+  * (content written to a `_tmp-*` file first, then renamed — a reader
+  * never observes partial JSON, and a crashed writer leaves only
+  * ignorable tmp litter plus an unreferenced data dir for vacuum). Each
+  * commit records the file groups it ADDS and the file groups it
+  * REMOVES from the live set; the snapshot at version v is the replay
+  * of commits 0..v — exactly Delta's add/remove action replay, at
+  * directory granularity. Data file groups are immutable and
+  * uuid-named, so writers never contend on data paths; only the commit
+  * rename decides who owns a version number.
+  *
+  * Concurrency contract: in-process writers are serialized by a
+  * JVM-striped table lock (the [[graft.ml.ModelStore]] discipline) and
+  * a lost version race is detected (commit file already exists) and
+  * retried against the refreshed snapshot. CROSS-process exclusion
+  * inherits the filesystem's create-if-absent atomicity — the same
+  * place Delta plugs per-store LogStore implementations; on an object
+  * store without atomic rename you'd bring the same coordinator Delta
+  * does. Readers need no coordination ever: commits are immutable once
+  * visible.
+  *
+  * Scale: the log is O(commits), never data-sized; replay is
+  * driver-side over tiny JSON; reads hand Spark the exact live file
+  * groups, so partition pruning / filter pushdown / column pruning on
+  * the parquet scan are untouched. Copy-on-write upsert rewrites only
+  * through [[graft.operators.MergeUpsert]]-style plans at 100 TB you'd
+  * bound with key-range skipping (see `upsert` notes).
+  */
+object VersionedTable {
+
+  /** One replayed commit-log entry. `add`/`remove` are data-dir names
+    * relative to `<table>/data/`. */
+  final case class Commit(version: Long, op: String,
+                          add: Seq[String], remove: Seq[String])
+
+  private val mapper = new ObjectMapper()
+  private val Pad = 20
+
+  private def commitsDir(table: String) = new Path(table, "_commits")
+  private def dataDir(table: String) = new Path(table, "data")
+  private def commitPath(table: String, v: Long) =
+    new Path(commitsDir(table), ("%0" + Pad + "d").format(v) + ".json")
+  private def vacuumPath(table: String) =
+    new Path(commitsDir(table), "_vacuum.json")
+
+  private def fs(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // in-process writer exclusion, striped by table path (ModelStore's
+  // lock discipline — cross-process safety is the FS rename's job)
+  private val locks = Array.fill(64)(new Object)
+  private def lockFor(table: String) =
+    locks(math.floorMod(table.hashCode, locks.length))
+
+  private def renderCommit(c: Commit): String = {
+    def arr(xs: Seq[String]) = xs.map(graft.Json.str).mkString("[", ",", "]")
+    s"""{"version":${c.version},"op":${graft.Json.str(c.op)},""" +
+      s""""add":${arr(c.add)},"remove":${arr(c.remove)}}"""
+  }
+
+  private def parseCommit(bytes: Array[Byte]): Commit = {
+    val n = mapper.readTree(bytes)
+    def strs(field: String): Seq[String] =
+      n.get(field).elements().asScala.map(_.asText()).toSeq
+    Commit(n.get("version").asLong(), n.get("op").asText(),
+      strs("add"), strs("remove"))
+  }
+
+  private def readFully(f: FileSystem, p: Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  private def writeAtomic(f: FileSystem, dir: Path, finalPath: Path,
+                          content: String): Boolean = {
+    val tmp = new Path(dir, s"_tmp-${java.util.UUID.randomUUID()}.json")
+    val out = f.create(tmp, false)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(finalPath)) { f.delete(tmp, false); false }
+    else {
+      val ok = f.rename(tmp, finalPath)
+      if (!ok) f.delete(tmp, false)
+      ok
+    }
+  }
+
+  /** All commits, version-ascending. Tmp litter and the vacuum marker
+    * are ignored; a commit file that fails to parse (a writer crashed
+    * mid-rename on a non-atomic FS) ends the readable prefix. */
+  def history(spark: SparkSession, table: String): Seq[Commit] = {
+    val f = fs(spark, table)
+    val dir = commitsDir(table)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("_"))
+      .sorted
+      .map(n => parseCommit(readFully(f, new Path(dir, n))))
+  }
+
+  def latestVersion(spark: SparkSession, table: String): Option[Long] =
+    history(spark, table).lastOption.map(_.version)
+
+  /** Oldest version still reconstructable (vacuum advances this). */
+  def minReadableVersion(spark: SparkSession, table: String): Long = {
+    val f = fs(spark, table)
+    val p = vacuumPath(table)
+    if (!f.exists(p)) 0L
+    else mapper.readTree(readFully(f, p)).get("min_readable_version").asLong()
+  }
+
+  /** Live data-dir names after replaying commits 0..v. */
+  private def liveDirs(commits: Seq[Commit], v: Long): Seq[String] =
+    commits.filter(_.version <= v).foldLeft(Vector.empty[String]) {
+      (live, c) => live.filterNot(c.remove.contains) ++ c.add
+    }
+
+  /** Snapshot at `version` (time travel). Fails loudly for a version
+    * past the head or behind the vacuum horizon. */
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val commits = history(spark, table)
+    require(commits.nonEmpty, s"no commits at $table")
+    val head = commits.last.version
+    require(version <= head, s"version $version > head $head")
+    require(version >= minReadableVersion(spark, table),
+      s"version $version vacuumed (min readable " +
+        s"${minReadableVersion(spark, table)})")
+    val dirs = liveDirs(commits, version)
+    // every commit op adds exactly one file group, so a readable
+    // version always has at least one live dir
+    require(dirs.nonEmpty, s"version $version has no live file groups")
+    spark.read.parquet(dirs.map(d => new Path(dataDir(table), d).toString): _*)
+  }
+
+  /** Latest snapshot. */
+  def read(spark: SparkSession, table: String): DataFrame =
+    readVersion(spark, table, latestVersion(spark, table)
+      .getOrElse(sys.error(s"no commits at $table")))
+
+  /** Write df as a new immutable file group; returns its dir name. */
+  private def writeGroup(spark: SparkSession, table: String, df: DataFrame): String = {
+    val name = java.util.UUID.randomUUID().toString
+    df.write.parquet(new Path(dataDir(table), name).toString)
+    name
+  }
+
+  /** Commit with version-race retry: `mkCommit` sees the refreshed
+    * history each attempt (an overwrite must recompute its remove set
+    * if it lost the race). */
+  private def commit(spark: SparkSession, table: String,
+                     mkCommit: Seq[Commit] => Commit): Long =
+    lockFor(table).synchronized {
+      val f = fs(spark, table)
+      f.mkdirs(commitsDir(table))
+      var attempt = 0
+      while (attempt < 20) {
+        val c = mkCommit(history(spark, table))
+        if (writeAtomic(f, commitsDir(table), commitPath(table, c.version),
+            renderCommit(c)))
+          return c.version
+        attempt += 1
+      }
+      sys.error(s"lost the commit race 20 times at $table")
+    }
+
+  /** Append-commit; returns the new version. */
+  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val grp = writeGroup(spark, table, df)
+    commit(spark, table, h =>
+      Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "append",
+        Seq(grp), Nil))
+  }
+
+  /** Overwrite-commit: the new snapshot is exactly `df`. */
+  def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val grp = writeGroup(spark, table, df)
+    commit(spark, table, h =>
+      Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "overwrite",
+        Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L))))
+  }
+
+  /** Copy-on-write keyed MERGE (upsert): rows of the current snapshot
+    * whose key matches a change row are replaced; unmatched change rows
+    * insert. Committed as one atomic version. At 100 TB the rewrite
+    * narrows the same way [[graft.operators.MergeUpsert]] does — the
+    * anti-join's key-range filter reaches the parquet scan — and a
+    * file-level optimization would rewrite only overlapping groups;
+    * richer changeset semantics (ordered dedup, deletes, evolution)
+    * compose as `overwrite(MergeUpsert.apply(read(...), ...))`. */
+  def upsert(spark: SparkSession, table: String, changes: DataFrame,
+             keyCols: Seq[String]): Long = {
+    val merged = read(spark, table)
+      .join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(changes)
+    // materialize BEFORE the commit decides: the merged plan reads the
+    // current snapshot, which the overwrite commit is about to retire
+    val grp = writeGroup(spark, table, merged)
+    commit(spark, table, h =>
+      Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "upsert",
+        Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L))))
+  }
+
+  /** Drop history: keep the last `retainVersions` versions readable,
+    * delete every data dir no retained version references, and advance
+    * the vacuum horizon. Returns the deleted dir names. Commit JSONs
+    * are kept (the log stays an audit trail, Delta-style); reads below
+    * the horizon fail loudly. */
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the head version")
+    lockFor(table).synchronized {
+      val f = fs(spark, table)
+      val commits = history(spark, table)
+      if (commits.isEmpty) return Nil
+      val head = commits.last.version
+      val horizon = math.max(minReadableVersion(spark, table),
+        head - retainVersions + 1)
+      val needed = (horizon to head)
+        .flatMap(v => liveDirs(commits, v)).toSet
+      val all = if (f.exists(dataDir(table)))
+        f.listStatus(dataDir(table)).toSeq.map(_.getPath.getName) else Nil
+      val doomed = all.filterNot(needed.contains)
+      doomed.foreach(d => f.delete(new Path(dataDir(table), d), true))
+      // marker replaced via tmp+rename like a commit (readers never
+      // see partial JSON); horizon only ever advances, so a stale
+      // marker under-reports and stays safe
+      val marker = vacuumPath(table)
+      if (f.exists(marker)) f.delete(marker, false)
+      writeAtomic(f, commitsDir(table), marker,
+        s"""{"min_readable_version":$horizon}""")
+      doomed
+    }
+  }
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** Gated time-travel instance: builds a 4-version table from orders
+    * and reads EVERY version back — v0 append (pre-1995), v1 append
+    * (1995–96), v2 keyed upsert (doubles cents for o_orderkey%97==0
+    * keys, inserts 1997+), v3 overwrite (1998 slice only) — one output
+    * row per version with exact aggregates. Any cross-version leakage
+    * (time travel reconstructing the wrong live set) breaks the hash;
+    * the DuckDB oracle recomputes each snapshot's content directly
+    * from orders. The table is rebuilt deterministically per call
+    * under java.io.tmpdir, so the query also exercises the write path
+    * (reference anchor: delta_table_rs.py's `load_version`). */
+  def tableTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_vtable_${math.abs(dir.hashCode.toLong)}").toString
+    fs(spark, table).delete(new Path(table), true)
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderdate").as("d"))
+    val d95 = lit("1995-01-01").cast("date")
+    val d97 = lit("1997-01-01").cast("date")
+    val d98 = lit("1998-01-01").cast("date")
+    append(spark, table, o.filter(col("d") < d95))
+    append(spark, table, o.filter(col("d") >= d95 && col("d") < d97))
+    val changes = o.filter(col("d") < d97 && col("k") % 97 === 0)
+        .withColumn("cents", col("cents") * 2)
+      .unionByName(o.filter(col("d") >= d97))
+    upsert(spark, table, changes, Seq("k"))
+    overwrite(spark, table, o.filter(col("d") >= d98))
+    (0L to 3L).map { v =>
+      readVersion(spark, table, v).agg(
+        count(lit(1)).as("n_rows"),
+        sum("cents").cast("long").as("sum_cents"),
+        min("k").cast("long").as("min_key"),
+        max("k").cast("long").as("max_key"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+          col("min_key"), col("max_key"))
+    }.reduce(_ unionByName _)
+  }
+
+  def oracleSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderdate AS d
+      |  FROM orders
+      |), s0 AS (
+      |  SELECT * FROM o WHERE d < DATE '1995-01-01'
+      |), s1 AS (
+      |  SELECT * FROM o WHERE d < DATE '1997-01-01'
+      |), s2 AS (
+      |  SELECT k, CASE WHEN k % 97 = 0 THEN 2 * cents ELSE cents END AS cents
+      |  FROM o WHERE d < DATE '1997-01-01'
+      |  UNION ALL
+      |  SELECT k, cents FROM o WHERE d >= DATE '1997-01-01'
+      |), s3 AS (
+      |  SELECT * FROM o WHERE d >= DATE '1998-01-01'
+      |)
+      |SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+      |FROM s0
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+      |  CAST(sum(cents) AS BIGINT), CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT)
+      |FROM s1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+      |  CAST(sum(cents) AS BIGINT), CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT)
+      |FROM s2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+      |  CAST(sum(cents) AS BIGINT), CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT)
+      |FROM s3""".stripMargin
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** Contracts of the versioned parquet table (the Delta-semantics
+  * mini-layer): commit replay, time travel, upsert semantics, vacuum
+  * retention, commit atomicity (tmp litter is invisible), and
+  * in-process concurrent writers getting distinct versions. */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("vtable").resolve("t").toString
+
+  test("append/overwrite/upsert commits replay into correct snapshots") {
+    val t = freshTable()
+    val v0 = VersionedTable.append(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "v"))
+    val v1 = VersionedTable.append(spark, t,
+      Seq((3L, "c", 30L)).toDF("k", "s", "v"))
+    val v2 = VersionedTable.upsert(spark, t,
+      Seq((2L, "B", 99L), (4L, "d", 40L)).toDF("k", "s", "v"), Seq("k"))
+    val v3 = VersionedTable.overwrite(spark, t,
+      Seq((9L, "z", 1L)).toDF("k", "s", "v"))
+    assert(Seq(v0, v1, v2, v3) == Seq(0L, 1L, 2L, 3L))
+
+    def snap(v: Long) = VersionedTable.readVersion(spark, t, v)
+      .as[(Long, String, Long)].collect().toSet
+    assert(snap(0) == Set((1L, "a", 10L), (2L, "b", 20L)))
+    assert(snap(1) == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    assert(snap(2) == Set((1L, "a", 10L), (2L, "B", 99L), (3L, "c", 30L),
+      (4L, "d", 40L)), "upsert must replace matched keys and insert new ones")
+    assert(snap(3) == Set((9L, "z", 1L)))
+    assert(VersionedTable.read(spark, t).count() == 1L)
+    assert(VersionedTable.history(spark, t).map(_.op) ==
+      Seq("append", "append", "upsert", "overwrite"))
+  }
+
+  test("vacuum deletes unreferenced file groups and fences old reads") {
+    val t = freshTable()
+    (0 to 4).foreach(i => VersionedTable.overwrite(spark, t,
+      Seq((i.toLong, i.toLong)).toDF("k", "v")))
+    val dataDirs = new java.io.File(s"$t/data").list().toSet
+    assert(dataDirs.size == 5)
+    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 2)
+    // versions 3 and 4 each reference exactly one overwrite group
+    assert(deleted.size == 3)
+    assert(VersionedTable.minReadableVersion(spark, t) == 3L)
+    assert(VersionedTable.readVersion(spark, t, 3).as[(Long, Long)]
+      .collect().toSet == Set((3L, 3L)))
+    assert(VersionedTable.readVersion(spark, t, 4).as[(Long, Long)]
+      .collect().toSet == Set((4L, 4L)))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, t, 2)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // history is retained as an audit trail even below the horizon
+    assert(VersionedTable.history(spark, t).size == 5)
+  }
+
+  test("tmp litter in the commit dir is invisible to readers") {
+    val t = freshTable()
+    VersionedTable.append(spark, t, Seq((1L, 1L)).toDF("k", "v"))
+    // a crashed writer's leftovers: a tmp commit file + an orphan group
+    Files.writeString(java.nio.file.Paths.get(t, "_commits", "_tmp-dead.json"),
+      """{"version":99,"op":"append","add":["dead"],"remove":[]}""")
+    Files.createDirectories(java.nio.file.Paths.get(t, "data", "orphan"))
+    assert(VersionedTable.latestVersion(spark, t).contains(0L))
+    assert(VersionedTable.read(spark, t).count() == 1L)
+    // vacuum reclaims the orphan group (referenced by no version)
+    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 10)
+    assert(deleted.contains("orphan"))
+  }
+
+  test("concurrent in-process appends commit distinct consecutive versions") {
+    val t = freshTable()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val vs = Await.result(
+      Future.sequence((1 to 4).map(i => Future {
+        VersionedTable.append(spark, t, Seq((i.toLong, i.toLong)).toDF("k", "v"))
+      })), 2.minutes).toList.sorted
+    assert(vs == List(0L, 1L, 2L, 3L))
+    assert(VersionedTable.read(spark, t).count() == 4L,
+      "all four appends must be present in the final snapshot")
+  }
+
+  test("gated time-travel query matches per-era recomputation") {
+    val out = VersionedTable.tableTimeTravel(spark, sfDir)
+      .select("version", "n_rows").as[(Long, Long)].collect().toMap
+    val o = Tables.orders(spark, sfDir)
+    val pre95 = o.filter(col("o_orderdate") < lit("1995-01-01").cast("date")).count()
+    val pre97 = o.filter(col("o_orderdate") < lit("1997-01-01").cast("date")).count()
+    val all = o.count()
+    val late98 = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("date")).count()
+    assert(out(0L) == pre95)
+    assert(out(1L) == pre97)
+    assert(out(2L) == all, "upsert snapshot covers every order exactly once")
+    assert(out(3L) == late98)
+  }
+}
