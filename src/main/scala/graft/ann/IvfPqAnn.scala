@@ -29,16 +29,16 @@ object IvfPqAnn {
   // standalone variants keeps the per-run build cost proportionate
   val TrainIters = 3
 
-  /** Approximate top-k via probed-list ADC + exact re-rank. */
-  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
-           vecCol: String, k: Int): DataFrame = {
-    // coarse quantizer + codebooks over residuals, all in unit space
-    // (integer L2 there is a monotone proxy for cosine). ONE bounded
-    // TakeOrdered job collects the shared training sample; coarse
-    // k-means, per-point residuals, and the per-subspace codebooks all
-    // run in the driver over it — the whole index TRAINING costs one
-    // bounded job regardless of corpus size (the FAISS shape), and only
-    // the corpus ENCODING below is distributed.
+  /** Train the composite index: (coarse centroids, residual codebooks).
+    * Coarse quantizer + codebooks over residuals, all in unit space
+    * (integer L2 there is a monotone proxy for cosine). ONE bounded
+    * TakeOrdered job collects the shared training sample; coarse
+    * k-means, per-point residuals, and the per-subspace codebooks all
+    * run in the driver over it — the whole index TRAINING costs one
+    * bounded job regardless of corpus size (the FAISS shape); only
+    * corpus ENCODING is distributed. */
+  def trainIndex(corpus: DataFrame, idCol: String, vecCol: String)
+      : (Seq[(Int, Seq[Long])], Seq[Seq[Seq[Long]]]) = {
     val pts = Kmeans.sampleQ(
       corpus.select(col(idCol).as("__id"), quantizeUnit(col(vecCol)).as("__q")),
       "__id", "__q",
@@ -46,13 +46,6 @@ object IvfPqAnn {
     val centsArr = Kmeans.fit(pts, IvfAnn.NList, TrainIters)
     val centroids: Seq[(Int, Seq[Long])] =
       centsArr.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-    val centArr = centroids.sortBy(_._1).map(_._2)
-    // compiled v − centroids[cid] (ResidualQ): runs per corpus row in the
-    // index build, so it must not be an interpreted zip_with lambda
-    def residual(vec: Column, cid: Column): Column =
-      graft.functions.Native.call(s"graft_residual_q_${graft.functions.Native.contentHash(centArr)}",
-        exprs => graft.functions.ResidualQ(exprs(0), exprs(1), centArr), vec, cid)
-
     val resPts = pts.map { p =>
       val c = centsArr(Kmeans.nearest(p, centsArr))
       val out = new Array[Long](p.length)
@@ -60,7 +53,47 @@ object IvfPqAnn {
       while (i < p.length) { out(i) = p(i) - c(i); i += 1 }
       out
     }
-    val books = PqAnn.trainCodebooksFromPoints(resPts, PqAnn.Codes, TrainIters)
+    (centroids, PqAnn.trainCodebooksFromPoints(resPts, PqAnn.Codes, TrainIters))
+  }
+
+  /** Train-or-load the composite index through [[graft.ml.ModelStore]]
+    * (performant_faiss.py's build-once discipline): grp 0 carries the
+    * coarse centroids, grp 1+s the residual codebook of subspace s.
+    * Second invocation in a session runs zero training scans. */
+  def trainIndexCached(spark: SparkSession, dir: String, table: String,
+                       corpus: DataFrame, idCol: String, vecCol: String)
+      : (Seq[(Int, Seq[Long])], Seq[Seq[Seq[Long]]]) = {
+    val fp = graft.ml.ModelStore.fingerprint(dir, Seq(table))
+    val key = s"ann_ivfpq_index|$dir|$table|$fp|nlist=${IvfAnn.NList}|" +
+      s"codes=${PqAnn.Codes}|iters=$TrainIters|v1"
+    val rows = graft.ml.ModelStore.vectorsOrCompute(spark, key) {
+      val (cents, books) = trainIndex(corpus, idCol, vecCol)
+      cents.map { case (i, c) => (0, i, c) } ++
+        books.zipWithIndex.flatMap { case (book, s) =>
+          book.zipWithIndex.map { case (c, i) => (s + 1, i, c) }
+        }
+    }
+    val byGrp = rows.groupBy(_._1)
+    (byGrp(0).sortBy(_._2).map(r => (r._2, r._3)),
+      byGrp.toSeq.filter(_._1 > 0).sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3)))
+  }
+
+  /** Approximate top-k via probed-list ADC + exact re-rank.
+    * `indexOpt` supplies a pre-trained (typically [[trainIndexCached]])
+    * index; None trains inline. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+           vecCol: String, k: Int,
+           indexOpt: Option[(Seq[(Int, Seq[Long])], Seq[Seq[Seq[Long]]])] = None)
+      : DataFrame = {
+    val (centroids, books) =
+      indexOpt.getOrElse(trainIndex(corpus, idCol, vecCol))
+    val centArr = centroids.sortBy(_._1).map(_._2)
+    // compiled v − centroids[cid] (ResidualQ): runs per corpus row in the
+    // index build, so it must not be an interpreted zip_with lambda
+    def residual(vec: Column, cid: Column): Column =
+      graft.functions.Native.call(s"graft_residual_q_${graft.functions.Native.contentHash(centArr)}",
+        exprs => graft.functions.ResidualQ(exprs(0), exprs(1), centArr), vec, cid)
 
     // the stored index: (neighbor_id, list id, residual PQ codes)
     val cq = corpus.select(col(idCol).as("neighbor_id"), quantizeUnit(col(vecCol)).as("__q"))
@@ -108,6 +141,8 @@ object IvfPqAnn {
 
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
-    topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding", k = 5)
+    topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding", k = 5,
+      indexOpt = Some(trainIndexCached(spark, dir, "embeddings",
+        vecs, "vec_id", "embedding")))
   }
 }

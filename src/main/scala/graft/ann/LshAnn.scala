@@ -35,7 +35,11 @@ object LshAnn {
 
   /** Deterministic hyperplanes: unit-free weights from a fixed-seed
     * splitmix64 stream (shared [[graft.functions.Mix64]] finalizer) —
-    * stable across JVMs/runs. */
+    * stable across JVMs/runs. Unlike the IVF/PQ quantizers there is
+    * nothing to persist through ModelStore: the planes are
+    * DATA-INDEPENDENT (no training scan exists to save), and
+    * regenerating them is a few thousand driver-side multiplies —
+    * cheaper than any artifact read. */
   private[ann] def hyperplanes(tables: Int, bits: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
     var state = graft.functions.Mix64.Golden
     def next(): Double = {

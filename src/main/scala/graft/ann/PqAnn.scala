@@ -45,6 +45,26 @@ object PqAnn {
       vecs.select(col(idCol).as("__id"), quantizeUnit(col(vecCol)).as("__qfull")),
       codes)
 
+  /** Train-or-load the codebooks through [[graft.ml.ModelStore]] — the
+    * reference's build-once index discipline (performant_faiss.py's
+    * PQ8x8 is trained once and reused across query batches). Keyed by
+    * the backing files' fingerprint + params; a second invocation in
+    * one session runs zero training scans. Rows persist as
+    * (subspace, code, centroid) — exact integers, bit-exact roundtrip. */
+  def trainCodebooksCached(spark: SparkSession, dir: String, table: String,
+                           vecs: DataFrame, idCol: String, vecCol: String,
+                           codes: Int = Codes): Seq[Seq[Seq[Long]]] = {
+    val fp = graft.ml.ModelStore.fingerprint(dir, Seq(table))
+    val key = s"ann_pq_codebooks|$dir|$table|$fp|codes=$codes|sub=$SubSpaces|v1"
+    val rows = graft.ml.ModelStore.vectorsOrCompute(spark, key) {
+      trainCodebooks(vecs, idCol, vecCol, codes).zipWithIndex.flatMap {
+        case (book, s) => book.zipWithIndex.map { case (c, i) => (s, i, c) }
+      }
+    }
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+  }
+
   /** Codebook training over a prepared (`__id`, `__qfull` array<bigint>)
     * frame. */
   private[ann] def trainCodebooksFromQ(qIn: DataFrame, codes: Int,
@@ -96,8 +116,9 @@ object PqAnn {
     * re-rank candidate pool past the default RerankFactor·k (≥ corpus
     * size ⇒ the scan degenerates to exhaustive exact search). */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
-           vecCol: String, k: Int, poolOverride: Int = 0): DataFrame = {
-    val books = trainCodebooks(corpus, idCol, vecCol)
+           vecCol: String, k: Int, poolOverride: Int = 0,
+           booksOpt: Option[Seq[Seq[Seq[Long]]]] = None): DataFrame = {
+    val books = booksOpt.getOrElse(trainCodebooks(corpus, idCol, vecCol))
     val codes = encode(corpus, idCol, vecCol, books)
       .withColumnRenamed(idCol, "neighbor_id")
     val qt = queries.select(col(idCol).as("query_id"),
@@ -136,7 +157,9 @@ object PqAnn {
 
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
-    topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding", k = 5)
+    topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding", k = 5,
+      booksOpt = Some(trainCodebooksCached(spark, dir, "embeddings",
+        vecs, "vec_id", "embedding")))
   }
 
   // ---- query-map entry (hash-gated via degeneracy) ----
@@ -149,6 +172,8 @@ object PqAnn {
   def annPqExhaustive(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
     topK(vecs, BruteForceKnn.querySubset(vecs), "vec_id", "embedding",
-      k = 5, poolOverride = Int.MaxValue)
+      k = 5, poolOverride = Int.MaxValue,
+      booksOpt = Some(trainCodebooksCached(spark, dir, "embeddings",
+        vecs, "vec_id", "embedding")))
   }
 }

@@ -101,6 +101,34 @@ object ModelStore {
     }
   }
 
+  /** Persist-or-load for small driver-side index tables — ANN coarse
+    * centroids and PQ codebooks, the artifacts the reference's FAISS
+    * workflow builds once and reuses across query batches
+    * (/root/reference/MachineLearning/ML/performant_faiss.py:1-22
+    * trains `IVF65536,PQ8x8` once, then serves many queries). Same
+    * key/lock/marker discipline as [[fitOrLoad]]; the artifact is a
+    * parquet of (grp, idx, vec array<bigint>) rows and the returned
+    * value is ALWAYS the loaded copy, so the roundtrip is exercised on
+    * every use. Quantized-integer vectors roundtrip bit-exactly, which
+    * keeps the exhaustive-degeneracy hash gates valid under caching. */
+  def vectorsOrCompute(spark: org.apache.spark.sql.SparkSession, key: String)
+                      (compute: => Seq[(Int, Int, Seq[Long])]): Seq[(Int, Int, Seq[Long])] = {
+    import spark.implicits._
+    val p = pathFor(key)
+    val lock = locks.computeIfAbsent(p, _ => new Object)
+    lock.synchronized {
+      val data = s"$p/vectors"
+      if (!marker(p).exists()) {
+        compute.toDF("grp", "idx", "vec")
+          .coalesce(1).write.mode("overwrite").parquet(data)
+        if (!marker(p).createNewFile())
+          sys.error(s"ModelStore: could not commit marker for $p")
+      }
+      spark.read.parquet(data).as[(Int, Int, Seq[Long])].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    }
+  }
+
   /** Drop a persisted model (specs use this to force a refit). */
   def invalidate(key: String): Unit = {
     val p = pathFor(key)
