@@ -55,11 +55,13 @@ object GifCodec {
     var dict = mutable.HashMap.empty[List[Int], Int]
     var next = 0
     var width = 0
+    var addsSinceReset = 0
     def reset(): Unit = {
       dict = mutable.HashMap.empty
       for (i <- 0 until clear) dict(List(i)) = i
       next = eoi + 1
       width = minCodeSize + 1
+      addsSinceReset = 0
     }
     reset()
     bits.write(clear, width)
@@ -71,6 +73,7 @@ object GifCodec {
         bits.write(dict(cur), width)
         dict(cand) = next
         next += 1
+        addsSinceReset += 1
         if (next == (1 << width) + 1) {
           // GIF increments width when next exceeds the current range
           if (width < 12) width += 1
@@ -79,7 +82,19 @@ object GifCodec {
         cur = List(p)
       }
     }
-    if (cur.nonEmpty) bits.write(dict(cur), width)
+    if (cur.nonEmpty) {
+      bits.write(dict(cur), width)
+      // mirror the decoder's post-code accounting: unless this is the
+      // first code since a reset (decoder prev==null ⇒ no entry), the
+      // decoder defines one more dict entry after reading it and
+      // widens when the dict fills — EOI must be written at THAT
+      // width, or a byte-aligned stream ends with EOI read wide and
+      // the decode throws on a valid image.
+      if (addsSinceReset > 0) {
+        next += 1
+        if (next == (1 << width) + 1 && width < 12) width += 1
+      }
+    }
     bits.write(eoi, width)
     blockify(bits.toBytes)
   }

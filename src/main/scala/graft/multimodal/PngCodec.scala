@@ -121,8 +121,14 @@ object PngCodec {
     inflater.setInput(idat.toByteArray)
     val raw = new Array[Byte]((w + 1) * h)
     var got = 0
-    while (got < raw.length && !inflater.finished())
-      got += inflater.inflate(raw, got, raw.length - got)
+    // inflate() returning 0 (needs more input) on a truncated IDAT
+    // must BREAK, not spin — the require below then reports the
+    // truncation instead of the task hanging
+    var made = 1
+    while (got < raw.length && !inflater.finished() && made > 0) {
+      made = inflater.inflate(raw, got, raw.length - got)
+      got += made
+    }
     inflater.end()
     require(got == raw.length, s"inflated $got bytes, expected ${raw.length}")
     var sum = 0L

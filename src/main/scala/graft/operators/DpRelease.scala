@@ -21,9 +21,20 @@ import graft.functions.Hll
   *
   * The CDF is a PRECOMPUTED ±15-step ppm table (covers 1−6e-7 of the
   * mass at ε=1; tail draws clamp — declared), embedded as the same
-  * literals in both engines: no RNG, no libm at query time. Exact
-  * counts appear NOWHERE in the output. One aggregate to group
-  * cardinality; noise attachment is O(groups).
+  * literals in both engines: no RNG, no libm at query time. One
+  * aggregate to group cardinality; noise attachment is O(groups).
+  *
+  * SECRECY CAVEAT (what the determinism costs): the noise is a
+  * function of (group key ⊕ seed) through the mixer. With a PUBLIC or
+  * default seed the draw is recomputable by any consumer — the release
+  * is then a reproducibility/plumbing demonstration, NOT a privacy
+  * guarantee, because n = n_noisy − z is recoverable. Memoized-noise
+  * DP systems get both properties by keeping the seed SECRET: pass a
+  * caller-supplied secret `seed` and the release is ε-DP against
+  * everyone who doesn't hold it, while staying reproducible for the
+  * publisher. The GATED instance uses the default seed precisely so
+  * the DuckDB oracle can recompute it — it demonstrates the mechanism,
+  * and this caveat is the honest label on that choice.
   */
 object DpRelease {
   val EpsilonMicro = 1000000L // ε = 1, documented in the release
@@ -43,14 +54,17 @@ object DpRelease {
   }
 
   /** Noisy counts per group of `keyCol`: (group, n_noisy, epsilon_micro).
-    * The noise key is the group value itself — same group, same noise,
-    * forever (memoized-noise discipline). */
-  def noisyCounts(df: DataFrame, keyCol: String): DataFrame = {
+    * The noise key is (group value ⊕ `seed`) — same group, same seed,
+    * same noise, forever (memoized-noise discipline). `seed` must be
+    * SECRET for the release to carry privacy (see the object caveat);
+    * the default 0 is the oracle-recomputable demo configuration. */
+  def noisyCounts(df: DataFrame, keyCol: String, seed: Long = 0L): DataFrame = {
     val counts = df.groupBy(col(keyCol).cast("long").as("grp"))
       .agg(count(lit(1)).as("n"))
-      // group key → codegen'd mixer → uniform ppm
+      // (group key ⊕ seed) → codegen'd mixer → uniform ppm
       .withColumn("u", graft.functions.Native.call("graft_mix_mod61",
-        exprs => graft.functions.MixMod61(exprs.head), col("grp"))
+        exprs => graft.functions.MixMod61(exprs.head),
+        col("grp").bitwiseXOR(lit(seed)))
         % lit(1000000L))
       // inverse CDF: smallest k with u < cum(k) == −15 + #{k: cum(k) ≤ u}
       .withColumn("z", CumPpm.foldLeft(lit(-15L)) {

@@ -26,8 +26,12 @@ object SrmCheck {
         sum(when(col(armCol) === g1, 1L).otherwise(0L)).as("n1"),
         sum(when(col(armCol) === g2, 1L).otherwise(0L)).as("n2"))
       .select(col("n1"), col("n2"),
+        // the squared difference accumulates in DECIMAL(38,0):
+        // 10⁶·(n1−n2)² overflows BIGINT near sf10 under TPC-H's R/N
+        // imbalance; the divided-out chi2_micro itself stays BIGINT
         expr("""CASE WHEN n1 + n2 > 0 THEN
-            (1000000 * (n1 - n2) * (n1 - n2)) div (n1 + n2) END""")
+            (1000000 * CAST(n1 - n2 AS DECIMAL(38,0))
+              * CAST(n1 - n2 AS DECIMAL(38,0))) div (n1 + n2) END""")
           .as("chi2_micro"))
       .withColumn("srm_flag", col("chi2_micro") > Chi2CritMicro)
 
@@ -50,10 +54,12 @@ object SrmCheck {
       |)
       |SELECT n1, n2,
       |  CASE WHEN n1 + n2 > 0 THEN CAST(
-      |    (1000000 * (n1 - n2) * (n1 - n2)) // (n1 + n2) AS BIGINT)
+      |    (1000000 * CAST(n1 - n2 AS HUGEINT) * (n1 - n2)) // (n1 + n2)
+      |    AS BIGINT)
       |  END AS chi2_micro,
       |  CASE WHEN n1 + n2 > 0 THEN
-      |    ((1000000 * (n1 - n2) * (n1 - n2)) // (n1 + n2)) > $Chi2CritMicro
+      |    ((1000000 * CAST(n1 - n2 AS HUGEINT) * (n1 - n2)) // (n1 + n2))
+      |      > $Chi2CritMicro
       |  END AS srm_flag
       |FROM s""".stripMargin
 }

@@ -34,6 +34,29 @@ class GifScriptSpec extends SparkSpec {
     assertThrows[Exception](GifCodec.decode(ok.take(40)))
   }
 
+  test("gif: EOI width stays synced across a size sweep (stream-end bump)") {
+    // the decoder defines a dict entry for the FINAL data code and may
+    // widen before reading EOI; the encoder must mirror that bump or a
+    // byte-aligned stream end throws on a valid image. Sweep many
+    // shapes/patterns so dictionary fill lands at varied bit offsets,
+    // including right at width-bump boundaries.
+    for {
+      w <- Seq(1, 2, 3, 5, 7, 13, 31, 64, 97)
+      h <- Seq(1, 2, 9, 17)
+      pat <- 0 to 2
+    } {
+      val px = (x: Int, y: Int) => pat match {
+        case 0 => (x * 31 + y * 7) % 256 // high-entropy: fast dict growth
+        case 1 => (x / 3) % 2 * 255      // runs: long matches
+        case _ => (x + y) % 3            // tiny alphabet
+      }
+      val d = GifCodec.decode(GifCodec.encodeGray(w, h, px))
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield px(x, y).toLong).sum
+      assert(d.sumGray === want, s"w=$w h=$h pat=$pat")
+    }
+  }
+
   test("gif gated instance: decode matches the generator closed form") {
     val got = BinaryMedia.mmDecodeGif(spark, sfDir)
       .select($"media_id", $"width", $"height", $"sum_gray")
