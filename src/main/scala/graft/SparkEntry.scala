@@ -272,6 +272,10 @@ object SparkEntry {
     // versioned-table commit log: append/upsert/overwrite commits,
     // then time-travel reads of all four retained versions
     "table_time_travel"     -> (graft.sources.VersionedTable.tableTimeTravel(_, _)),
+    // Delta-CDF-style change feed: file-group-granular diff per commit
+    "table_change_feed"     -> (graft.sources.VersionedTable.tableChangeFeed(_, _)),
+    // compaction commit: physical consolidation, logical no-op
+    "table_compact"         -> (graft.sources.VersionedTable.tableCompact(_, _)),
     // event-sequence behavioral stats: lead-window transition pairs;
     // exact power-of-two recency decay (no libm in the gate)
     "markov_transitions"    -> (graft.operators.BehaviorStats.markovEvents(_, _)),
@@ -654,6 +658,8 @@ object SparkEntry {
     "partitioned_roundtrip" -> graft.sources.PartitionedLayout.oracleSql,
     "partition_overwrite"   -> graft.sources.PartitionedLayout.overwriteOracleSql,
     "table_time_travel"     -> graft.sources.VersionedTable.oracleSql,
+    "table_change_feed"     -> graft.sources.VersionedTable.changeFeedOracleSql,
+    "table_compact"         -> graft.sources.VersionedTable.compactOracleSql,
     "markov_transitions"    -> graft.operators.BehaviorStats.markovOracleSql,
     "decay_user_value"      -> graft.operators.BehaviorStats.decayOracleSql,
     "benford_totalprice"    -> graft.operators.DigitProfile.oracleSql,

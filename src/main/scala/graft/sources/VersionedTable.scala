@@ -220,16 +220,80 @@ object VersionedTable {
     * richer changeset semantics (ordered dedup, deletes, evolution)
     * compose as `overwrite(MergeUpsert.apply(read(...), ...))`. */
   def upsert(spark: SparkSession, table: String, changes: DataFrame,
-             keyCols: Seq[String]): Long = {
-    val merged = read(spark, table)
-      .join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(changes)
-    // materialize BEFORE the commit decides: the merged plan reads the
-    // current snapshot, which the overwrite commit is about to retire
-    val grp = writeGroup(spark, table, merged)
-    commit(spark, table, h =>
-      Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "upsert",
-        Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L))))
+             keyCols: Seq[String]): Long =
+    // read-modify-write: hold the table lock across read + write +
+    // commit (reentrant), or two concurrent upserts could both merge
+    // against the same base and the second would silently drop the
+    // first's changes. Cross-process, this is where Delta's optimistic
+    // conflict detection would sit.
+    lockFor(table).synchronized {
+      val merged = read(spark, table)
+        .join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(changes)
+      // materialize BEFORE the commit decides: the merged plan reads the
+      // current snapshot, which the overwrite commit is about to retire
+      val grp = writeGroup(spark, table, merged)
+      commit(spark, table, h =>
+        Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "upsert",
+          Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L))))
+    }
+
+  /** Compaction commit: rewrite the live snapshot into ONE file group —
+    * a logical no-op, physical consolidation (the reference's
+    * autocompact job, DataEngineering/DataBricks/autocompact_delta.py:
+    * OPTIMIZE on a cadence). Serialized with other read-modify-write
+    * commits by the table lock (intrinsic locks are reentrant, so the
+    * inner commit's lock nests); earlier versions still time-travel —
+    * their groups are only reclaimed by [[vacuum]]. */
+  def compact(spark: SparkSession, table: String): Long =
+    lockFor(table).synchronized {
+      val grp = writeGroup(spark, table, read(spark, table))
+      commit(spark, table, h =>
+        Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "compact",
+          Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L))))
+    }
+
+  /** Row-level change feed between two versions — Delta CDF's read
+    * side, computed at FILE-GROUP granularity: only groups that
+    * entered or left the live set between the versions are scanned
+    * (a pure-append range reads just the appended groups and emits
+    * them as inserts with ZERO diff work; the full-snapshot-diff
+    * alternative would rescan the table). Multiset semantics via
+    * exceptAll: an upserted key shows as delete(old row) +
+    * insert(new row); a compaction (same rows, different groups)
+    * correctly shows as no change. Output = data columns +
+    * `_change_type` ('insert' | 'delete'). */
+  def changesBetween(spark: SparkSession, table: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, "change feed runs forward")
+    val commits = history(spark, table)
+    val before = liveDirs(commits, fromVersion).toSet
+    val after = liveDirs(commits, toVersion).toSet
+    def readDirs(dirs: Set[String]): Option[DataFrame] =
+      if (dirs.isEmpty) None
+      else Some(spark.read.parquet(
+        dirs.toSeq.sorted.map(d => new Path(dataDir(table), d).toString): _*))
+    val added = readDirs(after -- before)
+    val removed = readDirs(before -- after)
+    val inserts = (added, removed) match {
+      case (Some(a), Some(r)) => Some(a.exceptAll(r))
+      case (Some(a), None)    => Some(a)
+      case _                  => None
+    }
+    val deletes = (added, removed) match {
+      case (Some(a), Some(r)) => Some(r.exceptAll(a))
+      case (None, Some(r))    => Some(r)
+      case _                  => None
+    }
+    val tagged =
+      inserts.map(_.withColumn("_change_type", lit("insert"))).toSeq ++
+        deletes.map(_.withColumn("_change_type", lit("delete"))).toSeq
+    require(tagged.nonEmpty || fromVersion == toVersion,
+      s"no commits between $fromVersion and $toVersion")
+    tagged.reduceOption(_ unionByName _).getOrElse {
+      readVersion(spark, table, toVersion).limit(0)
+        .withColumn("_change_type", lit(""))
+    }
   }
 
   /** Drop history: keep the last `retainVersions` versions readable,
@@ -275,14 +339,24 @@ object VersionedTable {
     * from orders. The table is rebuilt deterministically per call
     * under java.io.tmpdir, so the query also exercises the write path
     * (reference anchor: delta_table_rs.py's `load_version`). */
-  def tableTimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_vtable_${math.abs(dir.hashCode.toLong)}").toString
-    fs(spark, table).delete(new Path(table), true)
-    val o = graft.Tables.orders(spark, dir).select(
+  private def ordersFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"),
       round(col("o_totalprice") * 100).cast("long").as("cents"),
       col("o_orderdate").as("d"))
+
+  /** Build the canonical 4-version demo table (append pre-1995, append
+    * 1995–96, upsert doubling %97 keys + inserting 1997+, overwrite
+    * with the 1998 slice) under a deterministic per-(dir, suffix) tmp
+    * path, deleted and rebuilt each call so every gated run exercises
+    * the whole write path. Distinct suffixes keep the gated keys
+    * independent under the concurrent runner. */
+  private def buildOrdersTable(spark: SparkSession, dir: String,
+                               suffix: String): String = {
+    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_vtable_${suffix}_${math.abs(dir.hashCode.toLong)}").toString
+    fs(spark, table).delete(new Path(table), true)
+    val o = ordersFrame(spark, dir)
     val d95 = lit("1995-01-01").cast("date")
     val d97 = lit("1997-01-01").cast("date")
     val d98 = lit("1998-01-01").cast("date")
@@ -293,6 +367,11 @@ object VersionedTable {
       .unionByName(o.filter(col("d") >= d97))
     upsert(spark, table, changes, Seq("k"))
     overwrite(spark, table, o.filter(col("d") >= d98))
+    table
+  }
+
+  def tableTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val table = buildOrdersTable(spark, dir, "tt")
     (0L to 3L).map { v =>
       readVersion(spark, table, v).agg(
         count(lit(1)).as("n_rows"),
@@ -338,4 +417,115 @@ object VersionedTable {
       |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
       |  CAST(sum(cents) AS BIGINT), CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT)
       |FROM s3""".stripMargin
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** Gated change-feed instance: the CDC read over each transition of
+    * the 4-version demo table, aggregated per change type. The v1→v2
+    * upsert must surface as delete(old)+insert(new) for the doubled
+    * keys plus inserts for the new era; v2→v3's overwrite as the
+    * retirement of everything pre-1998. Group-granular diff: the
+    * append transition scans ONLY the appended group. The DuckDB
+    * oracle recomputes each diff with EXCEPT ALL over the same
+    * snapshots. */
+  def tableChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val table = buildOrdersTable(spark, dir, "cdc")
+    Seq((0L, 1L), (1L, 2L), (2L, 3L)).map { case (f, t) =>
+      changesBetween(spark, table, f, t)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").cast("long").as("sum_cents"))
+        .select(lit(f).as("from_version"), lit(t).as("to_version"),
+          col("change_type"), col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionByName _)
+  }
+
+  def changeFeedOracleSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderdate AS d
+      |  FROM orders
+      |), s1 AS (
+      |  SELECT * FROM o WHERE d < DATE '1997-01-01'
+      |), s2 AS (
+      |  SELECT k, CASE WHEN k % 97 = 0 THEN 2 * cents ELSE cents END AS cents, d
+      |  FROM o WHERE d < DATE '1997-01-01'
+      |  UNION ALL
+      |  SELECT k, cents, d FROM o WHERE d >= DATE '1997-01-01'
+      |), s3 AS (
+      |  SELECT * FROM o WHERE d >= DATE '1998-01-01'
+      |), t01 AS (
+      |  SELECT 'insert' AS ct, k, cents, d FROM o
+      |  WHERE d >= DATE '1995-01-01' AND d < DATE '1997-01-01'
+      |), t12 AS (
+      |  SELECT 'insert' AS ct, * FROM (
+      |    SELECT * FROM s2 EXCEPT ALL SELECT * FROM s1)
+      |  UNION ALL
+      |  SELECT 'delete' AS ct, * FROM (
+      |    SELECT * FROM s1 EXCEPT ALL SELECT * FROM s2)
+      |), t23 AS (
+      |  SELECT 'insert' AS ct, * FROM (
+      |    SELECT * FROM s3 EXCEPT ALL SELECT * FROM s2)
+      |  UNION ALL
+      |  SELECT 'delete' AS ct, * FROM (
+      |    SELECT * FROM s2 EXCEPT ALL SELECT * FROM s3)
+      |)
+      |SELECT CAST(0 AS BIGINT) AS from_version, CAST(1 AS BIGINT) AS to_version,
+      |  ct AS change_type, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM t01 GROUP BY ct
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), ct,
+      |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+      |FROM t12 GROUP BY ct
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), ct,
+      |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+      |FROM t23 GROUP BY ct""".stripMargin
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** Gated compaction instance: three era appends, then a compact
+    * commit — the head snapshot's aggregates must be IDENTICAL before
+    * (v2) and after (v3) compaction; a lost or duplicated row breaks
+    * the hash. Physical consolidation (group count → 1) is pinned in
+    * VersionedTableSpec. */
+  def tableCompact(spark: SparkSession, dir: String): DataFrame = {
+    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_vtable_cmp_${math.abs(dir.hashCode.toLong)}").toString
+    fs(spark, table).delete(new Path(table), true)
+    val o = ordersFrame(spark, dir)
+    append(spark, table, o.filter(col("k") % 3 === 0))
+    append(spark, table, o.filter(col("k") % 3 === 1))
+    append(spark, table, o.filter(col("k") % 3 === 2))
+    compact(spark, table)
+    Seq(2L, 3L).map { v =>
+      readVersion(spark, table, v).agg(
+        count(lit(1)).as("n_rows"),
+        sum("cents").cast("long").as("sum_cents"),
+        min("k").cast("long").as("min_key"),
+        max("k").cast("long").as("max_key"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+          col("min_key"), col("max_key"))
+    }.reduce(_ unionByName _)
+  }
+
+  def compactOracleSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |    CAST(min(k) AS BIGINT) AS min_key,
+      |    CAST(max(k) AS BIGINT) AS max_key
+      |  FROM o
+      |)
+      |SELECT CAST(2 AS BIGINT) AS version, n_rows, sum_cents, min_key, max_key
+      |FROM agg
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), n_rows, sum_cents, min_key, max_key
+      |FROM agg""".stripMargin
 }

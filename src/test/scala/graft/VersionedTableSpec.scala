@@ -38,6 +38,49 @@ class VersionedTableSpec extends SparkSpec {
       Seq("append", "append", "upsert", "overwrite"))
   }
 
+  test("change feed: upsert shows delete+insert, appends show inserts only") {
+    val t = freshTable()
+    VersionedTable.append(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "v"))
+    VersionedTable.append(spark, t, Seq((3L, "c", 30L)).toDF("k", "s", "v"))
+    VersionedTable.upsert(spark, t,
+      Seq((2L, "B", 99L), (4L, "d", 40L)).toDF("k", "s", "v"), Seq("k"))
+    def feed(f: Long, to: Long) =
+      VersionedTable.changesBetween(spark, t, f, to)
+        .select("_change_type", "k", "s", "v")
+        .as[(String, Long, String, Long)].collect().toSet
+    assert(feed(0, 1) == Set(("insert", 3L, "c", 30L)),
+      "append transition must emit only the appended rows")
+    assert(feed(1, 2) == Set(
+      ("insert", 2L, "B", 99L), ("insert", 4L, "d", 40L),
+      ("delete", 2L, "b", 20L)),
+      "upsert must emit delete(old)+insert(new) for replaced keys")
+    assert(feed(0, 2) == Set(
+      ("insert", 3L, "c", 30L), ("insert", 2L, "B", 99L),
+      ("insert", 4L, "d", 40L), ("delete", 2L, "b", 20L)))
+  }
+
+  test("compact consolidates groups, changes nothing logically") {
+    val t = freshTable()
+    (0 to 3).foreach(i => VersionedTable.append(spark, t,
+      Seq((i.toLong, i.toLong)).toDF("k", "v")))
+    val before = VersionedTable.read(spark, t)
+      .as[(Long, Long)].collect().toSet
+    val v = VersionedTable.compact(spark, t)
+    assert(v == 4L)
+    val last = VersionedTable.history(spark, t).last
+    assert(last.op == "compact" && last.add.size == 1 && last.remove.size == 4)
+    assert(VersionedTable.read(spark, t)
+      .as[(Long, Long)].collect().toSet == before)
+    // compaction is invisible to the change feed (same rows, new group)
+    assert(VersionedTable.changesBetween(spark, t, 3, 4).count() == 0L)
+    // pre-compact versions still time-travel until vacuumed
+    assert(VersionedTable.readVersion(spark, t, 1).count() == 2L)
+    // vacuum to head leaves exactly the one compacted group on disk
+    VersionedTable.vacuum(spark, t, retainVersions = 1)
+    assert(new java.io.File(s"$t/data").list().length == 1)
+  }
+
   test("vacuum deletes unreferenced file groups and fences old reads") {
     val t = freshTable()
     (0 to 4).foreach(i => VersionedTable.overwrite(spark, t,
