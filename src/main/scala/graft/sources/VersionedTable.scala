@@ -4,6 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Versioned parquet table with a JSON commit log — the portable slice
@@ -54,9 +55,15 @@ import scala.jdk.CollectionConverters._
 object VersionedTable {
 
   /** One replayed commit-log entry. `add`/`remove` are data-dir names
-    * relative to `<table>/data/`. */
+    * relative to `<table>/data/`; `ts` is the commit wall-clock
+    * (epoch millis, stamped at the rename that makes it visible);
+    * `schema` is the table schema AS OF this commit (JSON, Delta's
+    * metaData action) — reads apply it instead of merging parquet
+    * footers, so schema resolution is O(1) in file count and older
+    * groups surface nulls for later-added columns. */
   final case class Commit(version: Long, op: String,
-                          add: Seq[String], remove: Seq[String])
+                          add: Seq[String], remove: Seq[String],
+                          ts: Long = 0L, schema: String = "")
 
   private val mapper = new ObjectMapper()
   private val Pad = 20
@@ -80,7 +87,8 @@ object VersionedTable {
   private def renderCommit(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(graft.Json.str).mkString("[", ",", "]")
     s"""{"version":${c.version},"op":${graft.Json.str(c.op)},""" +
-      s""""add":${arr(c.add)},"remove":${arr(c.remove)}}"""
+      s""""add":${arr(c.add)},"remove":${arr(c.remove)},"ts":${c.ts},""" +
+      s""""schema":${graft.Json.str(c.schema)}}"""
   }
 
   private def parseCommit(bytes: Array[Byte]): Commit = {
@@ -88,7 +96,9 @@ object VersionedTable {
     def strs(field: String): Seq[String] =
       n.get(field).elements().asScala.map(_.asText()).toSeq
     Commit(n.get("version").asLong(), n.get("op").asText(),
-      strs("add"), strs("remove"))
+      strs("add"), strs("remove"),
+      Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
+      Option(n.get("schema")).map(_.asText()).getOrElse(""))
   }
 
   private def readFully(f: FileSystem, p: Path): Array[Byte] = {
@@ -147,6 +157,26 @@ object VersionedTable {
       (live, c) => live.filterNot(c.remove.contains) ++ c.add
     }
 
+  /** Declared table schema as of version v (the latest commit carrying
+    * one). Reads apply THIS schema rather than merging parquet footers:
+    * O(1) in file count, and file groups written before a column was
+    * added surface NULL for it — the Delta metaData-action discipline. */
+  private def schemaAt(commits: Seq[Commit], v: Long): Option[StructType] =
+    commits.filter(c => c.version <= v && c.schema.nonEmpty).lastOption
+      .map(c => DataType.fromJson(c.schema).asInstanceOf[StructType])
+
+  /** Same (name → type) mapping, order-free — plain `append` must not
+    * silently fork the schema; widening goes through [[appendEvolving]]. */
+  private def requireCompatible(current: Option[StructType],
+                                incoming: StructType): Unit =
+    current.foreach { cur =>
+      val a = cur.fields.map(f => f.name -> f.dataType).toMap
+      val b = incoming.fields.map(f => f.name -> f.dataType).toMap
+      require(a == b,
+        s"append schema mismatch: table has ${a.keySet.toSeq.sorted}, " +
+          s"incoming ${b.keySet.toSeq.sorted} (use appendEvolving to add columns)")
+    }
+
   /** Snapshot at `version` (time travel). Fails loudly for a version
     * past the head or behind the vacuum horizon. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
@@ -161,7 +191,26 @@ object VersionedTable {
     // every commit op adds exactly one file group, so a readable
     // version always has at least one live dir
     require(dirs.nonEmpty, s"version $version has no live file groups")
-    spark.read.parquet(dirs.map(d => new Path(dataDir(table), d).toString): _*)
+    val reader = schemaAt(commits, version)
+      .map(spark.read.schema).getOrElse(spark.read)
+    reader.parquet(dirs.map(d => new Path(dataDir(table), d).toString): _*)
+  }
+
+  /** Snapshot as of a wall-clock instant — the reference's
+    * `load_with_datetime` (delta_table_rs.py:16-25): the LAST commit
+    * whose (monotonicized) timestamp is ≤ `tsMillis`. Commit clocks
+    * are stamped under the table lock but a skewed clock could still
+    * regress, so the effective timestamp is the running max across
+    * versions — Delta's own commit-time monotonicization. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
+    val commits = history(spark, table)
+    require(commits.nonEmpty, s"no commits at $table")
+    var eff = Long.MinValue
+    val stamped = commits.map { c => eff = math.max(eff, c.ts); (c.version, eff) }
+    val at = stamped.takeWhile(_._2 <= tsMillis).lastOption.getOrElse(
+      sys.error(s"no version at or before ts=$tsMillis " +
+        s"(earliest commit ts=${stamped.head._2})"))
+    readVersion(spark, table, at._1)
   }
 
   /** Latest snapshot. */
@@ -187,6 +236,7 @@ object VersionedTable {
       var attempt = 0
       while (attempt < 20) {
         val c = mkCommit(history(spark, table))
+          .copy(ts = System.currentTimeMillis())
         if (writeAtomic(f, commitsDir(table), commitPath(table, c.version),
             renderCommit(c)))
           return c.version
@@ -195,20 +245,49 @@ object VersionedTable {
       sys.error(s"lost the commit race 20 times at $table")
     }
 
-  /** Append-commit; returns the new version. */
+  /** Append-commit; returns the new version. Schema must match the
+    * table's (order-free) — additive widening is [[appendEvolving]]. */
   def append(spark: SparkSession, table: String, df: DataFrame): Long = {
     val grp = writeGroup(spark, table, df)
-    commit(spark, table, h =>
+    commit(spark, table, { h =>
+      val cur = schemaAt(h, h.lastOption.map(_.version).getOrElse(-1L))
+      requireCompatible(cur, df.schema)
       Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "append",
-        Seq(grp), Nil))
+        Seq(grp), Nil, schema = cur.getOrElse(df.schema).json)
+    })
   }
 
-  /** Overwrite-commit: the new snapshot is exactly `df`. */
+  /** Schema-evolving append (Delta addNewColumns / the reference's
+    * merge-with-evolution): incoming NEW columns widen the declared
+    * schema; incoming may also omit existing columns. Existing rows
+    * read NULL for added columns (schema-at-version read, no rewrite);
+    * a type CONFLICT on a shared column fails loudly. */
+  def appendEvolving(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val grp = writeGroup(spark, table, df)
+    commit(spark, table, { h =>
+      val cur = schemaAt(h, h.lastOption.map(_.version).getOrElse(-1L))
+      val evolved = cur match {
+        case None => df.schema
+        case Some(c) =>
+          val have = c.fields.map(f => f.name -> f.dataType).toMap
+          df.schema.fields.foreach(f => have.get(f.name).foreach(t =>
+            require(t == f.dataType,
+              s"column ${f.name}: incoming ${f.dataType} conflicts with $t")))
+          StructType(c.fields ++
+            df.schema.fields.filterNot(f => have.contains(f.name)))
+      }
+      Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "append",
+        Seq(grp), Nil, schema = evolved.json)
+    })
+  }
+
+  /** Overwrite-commit: the new snapshot (and schema) is exactly `df`. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
     val grp = writeGroup(spark, table, df)
     commit(spark, table, h =>
       Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "overwrite",
-        Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L))))
+        Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L)),
+        schema = df.schema.json))
   }
 
   /** Copy-on-write keyed MERGE (upsert): rows of the current snapshot
@@ -235,7 +314,8 @@ object VersionedTable {
       val grp = writeGroup(spark, table, merged)
       commit(spark, table, h =>
         Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "upsert",
-          Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L))))
+          Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L)),
+          schema = merged.schema.json))
     }
 
   /** Compaction commit: rewrite the live snapshot into ONE file group —
@@ -247,10 +327,12 @@ object VersionedTable {
     * their groups are only reclaimed by [[vacuum]]. */
   def compact(spark: SparkSession, table: String): Long =
     lockFor(table).synchronized {
-      val grp = writeGroup(spark, table, read(spark, table))
+      val snap = read(spark, table)
+      val grp = writeGroup(spark, table, snap)
       commit(spark, table, h =>
         Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "compact",
-          Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L))))
+          Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L)),
+          schema = snap.schema.json))
     }
 
   /** Row-level change feed between two versions — Delta CDF's read
@@ -269,9 +351,13 @@ object VersionedTable {
     val commits = history(spark, table)
     val before = liveDirs(commits, fromVersion).toSet
     val after = liveDirs(commits, toVersion).toSet
+    // both sides read under the TO-version schema so exceptAll stays
+    // well-typed across schema evolution (old groups surface nulls)
+    val reader = schemaAt(commits, toVersion)
+      .map(spark.read.schema).getOrElse(spark.read)
     def readDirs(dirs: Set[String]): Option[DataFrame] =
       if (dirs.isEmpty) None
-      else Some(spark.read.parquet(
+      else Some(reader.parquet(
         dirs.toSeq.sorted.map(d => new Path(dataDir(table), d).toString): _*))
     val added = readDirs(after -- before)
     val removed = readDirs(before -- after)
@@ -510,6 +596,68 @@ object VersionedTable {
           col("min_key"), col("max_key"))
     }.reduce(_ unionByName _)
   }
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** Gated schema-evolution instance: v0 appends (k, cents); v1
+    * appendEvolving adds a `prio` column. Reading v0 yields the
+    * original two-column schema; reading v1 yields the widened schema
+    * with NULL prio on every v0-era row — no rewrite of old groups.
+    * The hash breaks if evolution rewrites, drops, or misaligns
+    * columns. */
+  def tableSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_vtable_evo_${math.abs(dir.hashCode.toLong)}").toString
+    fs(spark, table).delete(new Path(table), true)
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("prio"))
+    // key-modulo split (not dates): both eras provably non-empty on any
+    // testdata generation, so the oracle's additive decomposition never
+    // trips NULL-sum propagation over an empty era
+    append(spark, table, o.filter(col("k") % 3 === 0).select("k", "cents"))
+    appendEvolving(spark, table,
+      o.filter(col("k") % 3 =!= 0).select("k", "cents", "prio"))
+    val v0 = readVersion(spark, table, 0).agg(
+      count(lit(1)).as("n_rows"), sum("cents").cast("long").as("sum_cents"))
+      .select(lit(0L).as("version"), col("n_rows"), col("sum_cents"),
+        lit(null).cast("long").as("n_prio_null"),
+        lit(null).cast("long").as("sum_prio"))
+    val v1 = readVersion(spark, table, 1).agg(
+      count(lit(1)).as("n_rows"), sum("cents").cast("long").as("sum_cents"),
+      sum(when(col("prio").isNull, 1L).otherwise(0L)).as("n_prio_null"),
+      sum("prio").cast("long").as("sum_prio"))
+      .select(lit(1L).as("version"), col("n_rows"), col("sum_cents"),
+        col("n_prio_null"), col("sum_prio"))
+    v0.unionByName(v1)
+  }
+
+  def schemaEvolutionOracleSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio
+      |  FROM orders
+      |), pre AS (
+      |  SELECT * FROM o WHERE k % 3 = 0
+      |), mid AS (
+      |  SELECT * FROM o WHERE k % 3 <> 0
+      |)
+      |SELECT CAST(0 AS BIGINT) AS version,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(NULL AS BIGINT) AS n_prio_null,
+      |  CAST(NULL AS BIGINT) AS sum_prio
+      |FROM pre
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pre)
+      |    + (SELECT CAST(count(*) AS BIGINT) FROM mid),
+      |  (SELECT CAST(sum(cents) AS BIGINT) FROM pre)
+      |    + (SELECT CAST(sum(cents) AS BIGINT) FROM mid),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pre),
+      |  (SELECT CAST(sum(prio) AS BIGINT) FROM mid)""".stripMargin
 
   def compactOracleSql: String =
     """WITH o AS (

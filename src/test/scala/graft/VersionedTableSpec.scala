@@ -131,6 +131,68 @@ class VersionedTableSpec extends SparkSpec {
       "all four appends must be present in the final snapshot")
   }
 
+  test("schema evolution: new column widens, old groups read NULL, no rewrite") {
+    val t = freshTable()
+    VersionedTable.append(spark, t, Seq((1L, 10L)).toDF("k", "v"))
+    val groupsBefore = new java.io.File(s"$t/data").list().toSet
+    VersionedTable.appendEvolving(spark, t,
+      Seq((2L, 20L, "x")).toDF("k", "v", "tag"))
+    // old group untouched on disk (no rewrite)
+    assert(new java.io.File(s"$t/data").list().toSet.intersect(groupsBefore)
+      == groupsBefore)
+    // v0 read keeps the original schema; v1 read widens with nulls
+    assert(VersionedTable.readVersion(spark, t, 0).columns.toSeq == Seq("k", "v"))
+    val head = VersionedTable.read(spark, t)
+      .select("k", "v", "tag").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(head == Set((1L, 10L, None), (2L, 20L, Some("x"))))
+    // plain append with a diverging schema fails loudly
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, t, Seq((3L, "oops")).toDF("k", "other"))
+    }
+    assert(e.getMessage.contains("appendEvolving"))
+    // evolving with a conflicting TYPE on a shared column fails loudly
+    assertThrows[IllegalArgumentException] {
+      VersionedTable.appendEvolving(spark, t,
+        Seq((4L, "not-a-long", "y")).toDF("k", "v", "tag"))
+    }
+  }
+
+  test("readAsOf picks the last commit at or before the instant") {
+    val t = freshTable()
+    VersionedTable.append(spark, t, Seq((1L, 1L)).toDF("k", "v"))
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    VersionedTable.overwrite(spark, t, Seq((2L, 2L)).toDF("k", "v"))
+    assert(VersionedTable.readAsOf(spark, t, between)
+      .as[(Long, Long)].collect().toSet == Set((1L, 1L)))
+    assert(VersionedTable.readAsOf(spark, t, System.currentTimeMillis())
+      .as[(Long, Long)].collect().toSet == Set((2L, 2L)))
+    val e = intercept[RuntimeException] {
+      VersionedTable.readAsOf(spark, t, 1L) // before the first commit
+    }
+    assert(e.getMessage.contains("no version at or before"))
+  }
+
+  test("versioned reads keep parquet pushdown and column pruning") {
+    // the delta_table_rs.py read shape: a version read WITH pushed
+    // filters — time travel must hand Spark plain file groups so the
+    // scan-level optimizations survive
+    val t = freshTable()
+    VersionedTable.append(spark, t,
+      (1L to 100L).map(i => (i, s"s$i", i * 10)).toDF("k", "s", "v"))
+    VersionedTable.append(spark, t,
+      (101L to 200L).map(i => (i, s"s$i", i * 10)).toDF("k", "s", "v"))
+    val plan = VersionedTable.readVersion(spark, t, 1)
+      .filter($"k" > 150L).select("k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,150)]"),
+      s"filter must reach the parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<k:bigint>"),
+      s"projection must prune to the selected column:\n$plan")
+  }
+
   test("gated time-travel query matches per-era recomputation") {
     val out = VersionedTable.tableTimeTravel(spark, sfDir)
       .select("version", "n_rows").as[(Long, Long)].collect().toMap
