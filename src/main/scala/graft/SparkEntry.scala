@@ -383,6 +383,8 @@ object SparkEntry {
     "triangle_count"        -> (graft.operators.GraphMetrics.triangleCoSupply(_, _)),
     // one synchronous majority label-propagation round, same graph
     "label_prop_step"       -> (graft.operators.GraphMetrics.labelPropCoSupply(_, _)),
+    // Resource-Allocation link prediction: top missing co-supply links
+    "link_predict"          -> (graft.operators.GraphMetrics.linkPredictCoSupply(_, _)),
     // 1.5 HITS power iterations (integer hub/authority) on the trade graph
     "hits_scores"           -> (graft.operators.GraphMetrics.hitsTrade(_, _)),
     // exact n²-scaled ACF at lags 1..7 per event-type daily series
@@ -421,6 +423,14 @@ object SparkEntry {
     "hll_registers"         -> (graft.functions.Hll.hllOrders(_, _)),
     // Kaplan-Meier product-limit curve, integer permicro recursion
     "survival_km"           -> (graft.operators.Survival.survivalEvents(_, _)),
+    // Nelson-Aalen cumulative hazard, window-sum risk-set walk
+    "nelson_aalen"          -> (graft.operators.Survival.nelsonAalenEvents(_, _)),
+    // Theil-Sen median-of-slopes robust trend per event series
+    "theil_sen"             -> (graft.operators.TheilSen.theilSenEvents(_, _)),
+    // RFM quintile segmentation over cell tables (no global ntile)
+    "rfm_segment"           -> (graft.operators.RfmSegment.rfmOrders(_, _)),
+    // Neyman-optimal stratified allocation w/ exact integer sqrt
+    "neyman_alloc"          -> (graft.operators.Allocation.neymanOrders(_, _)),
     // hashing-trick signed feature vectors (no fit, no vocabulary)
     "feature_hash"          -> (graft.functions.FeatureHash.featureHashDocs(_, _)),
     // deterministic Poisson bootstrap CI (inverse-CDF by shared table)
@@ -699,6 +709,11 @@ object SparkEntry {
     "ndcg_eval"             -> graft.operators.RankMetrics.oracleSql,
     "triangle_count"        -> graft.operators.GraphMetrics.triangleOracleSql,
     "label_prop_step"       -> graft.operators.GraphMetrics.labelPropOracleSql,
+    "link_predict"          -> graft.operators.GraphMetrics.linkPredictOracleSql,
+    "nelson_aalen"          -> graft.operators.Survival.nelsonAalenOracleSql,
+    "theil_sen"             -> graft.operators.TheilSen.oracleSql,
+    "rfm_segment"           -> graft.operators.RfmSegment.oracleSql,
+    "neyman_alloc"          -> graft.operators.Allocation.oracleSql,
     "hits_scores"           -> graft.operators.GraphMetrics.hitsOracleSql,
     "acf_lags"              -> graft.operators.Autocorr.oracleSql,
     "assoc_rules"           -> graft.operators.Basket.rulesOracleSql,

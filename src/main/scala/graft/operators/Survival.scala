@@ -54,13 +54,47 @@ object Survival {
         col("__r.d_events"), col("__r.c_censored"), col("__r.surv_permicro"))
   }
 
-  // ---- query-map entry (hash-gated) ----
+  /** Nelson-Aalen cumulative hazard H(t) = Σ_{s≤t} d_s/n_s — the
+    * hazard-scale companion of [[kaplanMeier]] (same risk-set walk,
+    * additive instead of multiplicative). Unlike the KM product, the
+    * SUM needs no recursion at all: n_risk at each duration is
+    * n₀ − (prior events + prior censors), a plain window cumulative
+    * over the bounded cell table, and the permicro increment
+    * (10⁶·d) div n_risk accumulates with a second window sum. The
+    * per-step truncating div IS the declared contract (bit-identical
+    * cross-engine); error vs the true rational is < steps/10⁶. */
+  def nelsonAalen(subjects: DataFrame, durCol: String, eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = subjects.groupBy(col(durCol).cast("int").as("dur"))
+      .agg(
+        sum(when(col(eventCol), 1L).otherwise(0L)).as("d"),
+        sum(when(col(eventCol), 0L).otherwise(1L)).as("c"))
+    // partition-less windows over the duration cell table only
+    // (calendar-bounded, the rank_transform precedent)
+    val wAll = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrior = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wUpTo = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("n_risk",
+        sum(col("d") + col("c")).over(wAll) -
+          coalesce(sum(col("d") + col("c")).over(wPrior), lit(0L)))
+      .withColumn("na_permicro",
+        sum(expr("(1000000 * d) div n_risk")).over(wUpTo))
+      .select(col("dur").as("dur_days"), col("n_risk"),
+        col("d").as("d_events"), col("c").as("c_censored"),
+        col("na_permicro"))
+  }
 
-  /** Gated instance: days from a user's first event to their first
-    * high-value purchase (value > 150); users without one are censored
-    * at their last observed event. */
-  def survivalEvents(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.events(spark, dir)
+  // ---- query-map entries (hash-gated) ----
+
+  /** Per-user (duration, converted?) frame: days from a user's first
+    * event to their first high-value purchase (value > 150); users
+    * without one are censored at their last observed event. */
+  private def subjectsEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(
         min(col("ts").cast("date")).as("start"),
@@ -70,8 +104,14 @@ object Survival {
       .select(
         datediff(coalesce(col("conv"), col("last")), col("start")).as("dur"),
         col("conv").isNotNull.as("ev"))
-    kaplanMeier(per, "dur", "ev")
-  }
+
+  /** Gated KM instance over the high-value-purchase cohort. */
+  def survivalEvents(spark: SparkSession, dir: String): DataFrame =
+    kaplanMeier(subjectsEvents(spark, dir), "dur", "ev")
+
+  /** Gated Nelson-Aalen instance over the same cohort. */
+  def nelsonAalenEvents(spark: SparkSession, dir: String): DataFrame =
+    nelsonAalen(subjectsEvents(spark, dir), "dur", "ev")
 
   def oracleSql: String =
     """WITH RECURSIVE per AS (
@@ -104,4 +144,33 @@ object Survival {
       |SELECT dur AS dur_days, n_risk, d AS d_events, c AS c_censored,
       |  surv AS surv_permicro
       |FROM km""".stripMargin
+
+  def nelsonAalenOracleSql: String =
+    """WITH per AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS start,
+      |    min(CASE WHEN event_type = 'purchase' AND value > 150
+      |      THEN CAST(ts AS DATE) END) AS conv,
+      |    max(CAST(ts AS DATE)) AS last_d
+      |  FROM events GROUP BY 1
+      |), subj AS (
+      |  SELECT CAST(date_diff('day', start, coalesce(conv, last_d)) AS INT) AS dur,
+      |    conv IS NOT NULL AS ev
+      |  FROM per
+      |), cells AS (
+      |  SELECT dur, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM subj GROUP BY 1
+      |), risk AS (
+      |  SELECT dur, d, c,
+      |    sum(d + c) OVER () -
+      |      coalesce(sum(d + c) OVER (ORDER BY dur
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM cells
+      |)
+      |SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+      |  d AS d_events, c AS c_censored,
+      |  CAST(sum((1000000 * d) // n_risk) OVER (ORDER BY dur
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS na_permicro
+      |FROM risk""".stripMargin
 }
