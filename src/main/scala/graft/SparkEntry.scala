@@ -278,6 +278,8 @@ object SparkEntry {
     "table_compact"         -> (graft.sources.VersionedTable.tableCompact(_, _)),
     // schema evolution: additive column, old groups read NULL, no rewrite
     "table_schema_evolution" -> (graft.sources.VersionedTable.tableSchemaEvolution(_, _)),
+    // log checkpoint: O(tail) snapshot resolution, reads bit-identical
+    "table_checkpoint"      -> (graft.sources.VersionedTable.tableCheckpoint(_, _)),
     // event-sequence behavioral stats: lead-window transition pairs;
     // exact power-of-two recency decay (no libm in the gate)
     "markov_transitions"    -> (graft.operators.BehaviorStats.markovEvents(_, _)),
@@ -673,6 +675,7 @@ object SparkEntry {
     "table_change_feed"     -> graft.sources.VersionedTable.changeFeedOracleSql,
     "table_compact"         -> graft.sources.VersionedTable.compactOracleSql,
     "table_schema_evolution" -> graft.sources.VersionedTable.schemaEvolutionOracleSql,
+    "table_checkpoint"      -> graft.sources.VersionedTable.checkpointOracleSql,
     "markov_transitions"    -> graft.operators.BehaviorStats.markovOracleSql,
     "decay_user_value"      -> graft.operators.BehaviorStats.decayOracleSql,
     "benford_totalprice"    -> graft.operators.DigitProfile.oracleSql,

@@ -74,6 +74,17 @@ object VersionedTable {
     new Path(commitsDir(table), ("%0" + Pad + "d").format(v) + ".json")
   private def vacuumPath(table: String) =
     new Path(commitsDir(table), "_vacuum.json")
+  private def checkpointsDir(table: String) = new Path(table, "_checkpoints")
+  private def checkpointPath(table: String, v: Long) =
+    new Path(checkpointsDir(table), ("%0" + Pad + "d").format(v) + ".json")
+  private def lastCheckpointPath(table: String) =
+    new Path(checkpointsDir(table), "_last.json")
+
+  /** Materialized snapshot state at a version: the full live file-group
+    * set + declared schema, so resolution needs only the log TAIL
+    * after it (Delta's `_last_checkpoint` discipline). */
+  final case class Checkpoint(version: Long, live: Seq[String],
+                              schema: String, ts: Long)
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -141,7 +152,7 @@ object VersionedTable {
   }
 
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
-    history(spark, table).lastOption.map(_.version)
+    commitVersions(fs(spark, table), table).lastOption
 
   /** Oldest version still reconstructable (vacuum advances this). */
   def minReadableVersion(spark: SparkSession, table: String): Long = {
@@ -155,6 +166,97 @@ object VersionedTable {
   private def liveDirs(commits: Seq[Commit], v: Long): Seq[String] =
     commits.filter(_.version <= v).foldLeft(Vector.empty[String]) {
       (live, c) => live.filterNot(c.remove.contains) ++ c.add
+    }
+
+  // ---- log checkpointing (O(tail) snapshot resolution) ----
+
+  private def renderCheckpoint(k: Checkpoint): String = {
+    val arr = k.live.map(graft.Json.str).mkString("[", ",", "]")
+    s"""{"version":${k.version},"live":$arr,""" +
+      s""""schema":${graft.Json.str(k.schema)},"ts":${k.ts}}"""
+  }
+
+  private def parseCheckpoint(bytes: Array[Byte]): Checkpoint = {
+    val n = mapper.readTree(bytes)
+    Checkpoint(n.get("version").asLong(),
+      n.get("live").elements().asScala.map(_.asText()).toSeq,
+      n.get("schema").asText(), n.get("ts").asLong())
+  }
+
+  /** Latest materialized checkpoint, if any. */
+  def latestCheckpoint(spark: SparkSession, table: String): Option[Checkpoint] = {
+    val f = fs(spark, table)
+    val last = lastCheckpointPath(table)
+    if (!f.exists(last)) None
+    else {
+      val v = mapper.readTree(readFully(f, last)).get("version").asLong()
+      Some(parseCheckpoint(readFully(f, checkpointPath(table, v))))
+    }
+  }
+
+  /** Commit versions present in the log, from file NAMES only — no
+    * content reads (one directory listing at any log length). */
+  private def commitVersions(f: FileSystem, table: String): Seq[Long] = {
+    val dir = commitsDir(table)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("_"))
+      .map(n => n.stripSuffix(".json").toLong).sorted
+  }
+
+  /** Parse ONLY the commits in [from, to] — with a checkpoint at
+    * from−1 this is the entire read cost of the log, independent of
+    * total history length. */
+  private def commitsInRange(f: FileSystem, table: String,
+                             from: Long, to: Long): Seq[Commit] =
+    commitVersions(f, table).filter(v => v >= from && v <= to)
+      .map(v => parseCommit(readFully(f, commitPath(table, v))))
+
+  /** Snapshot state (live dirs, schema JSON) at `version`: latest
+    * checkpoint at-or-below it plus the log tail; full replay only
+    * when no checkpoint covers the version. */
+  private def resolveState(spark: SparkSession, table: String,
+                           version: Long): (Seq[String], Option[String]) = {
+    val f = fs(spark, table)
+    latestCheckpoint(spark, table).filter(_.version <= version) match {
+      case Some(k) =>
+        val tail = commitsInRange(f, table, k.version + 1, version)
+        val live = tail.foldLeft(k.live.toVector) {
+          (l, c) => l.filterNot(c.remove.contains) ++ c.add
+        }
+        val schema = tail.filter(_.schema.nonEmpty).lastOption.map(_.schema)
+          .orElse(Option(k.schema).filter(_.nonEmpty))
+        (live, schema)
+      case None =>
+        val commits = history(spark, table)
+        (liveDirs(commits, version), schemaAt(commits, version).map(_.json))
+    }
+  }
+
+  /** Materialize a checkpoint at the current head; returns its version.
+    * After this, every read at-or-above the head parses only commits
+    * AFTER it — at 10⁶-commit logs that is the difference between one
+    * JSON read and a million. The `_last` pointer is replaced via
+    * tmp+rename (readers never see partial JSON); a stale pointer
+    * under-reports and stays safe, like the vacuum marker. Checkpoints
+    * also make the log PREFIX disposable for current reads (an
+    * aggressive log retention could drop it, Delta-style). */
+  def checkpoint(spark: SparkSession, table: String): Long =
+    lockFor(table).synchronized {
+      val f = fs(spark, table)
+      val head = latestVersion(spark, table)
+        .getOrElse(sys.error(s"no commits at $table"))
+      val (live, schema) = resolveState(spark, table, head)
+      val k = Checkpoint(head, live, schema.getOrElse(""),
+        System.currentTimeMillis())
+      f.mkdirs(checkpointsDir(table))
+      writeAtomic(f, checkpointsDir(table), checkpointPath(table, head),
+        renderCheckpoint(k))
+      val marker = lastCheckpointPath(table)
+      if (f.exists(marker)) f.delete(marker, false)
+      writeAtomic(f, checkpointsDir(table), marker,
+        s"""{"version":$head}""")
+      head
     }
 
   /** Declared table schema as of version v (the latest commit carrying
@@ -180,19 +282,20 @@ object VersionedTable {
   /** Snapshot at `version` (time travel). Fails loudly for a version
     * past the head or behind the vacuum horizon. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
-    val commits = history(spark, table)
-    require(commits.nonEmpty, s"no commits at $table")
-    val head = commits.last.version
+    val head = latestVersion(spark, table)
+      .getOrElse(sys.error(s"no commits at $table"))
     require(version <= head, s"version $version > head $head")
     require(version >= minReadableVersion(spark, table),
       s"version $version vacuumed (min readable " +
         s"${minReadableVersion(spark, table)})")
-    val dirs = liveDirs(commits, version)
+    val (dirs, schemaJson) = resolveState(spark, table, version)
     // every commit op adds exactly one file group, so a readable
     // version always has at least one live dir
     require(dirs.nonEmpty, s"version $version has no live file groups")
-    val reader = schemaAt(commits, version)
-      .map(spark.read.schema).getOrElse(spark.read)
+    val reader = schemaJson
+      .map(s => spark.read.schema(
+        DataType.fromJson(s).asInstanceOf[StructType]))
+      .getOrElse(spark.read)
     reader.parquet(dirs.map(d => new Path(dataDir(table), d).toString): _*)
   }
 
@@ -225,17 +328,34 @@ object VersionedTable {
     name
   }
 
+  /** What a committer needs to know about the current log — resolved
+    * checkpoint-aware, so the write path is also O(tail). */
+  private final case class LogState(head: Option[Long], live: Seq[String],
+                                    schemaJson: Option[String]) {
+    def next: Long = head.map(_ + 1).getOrElse(0L)
+    def schemaStruct: Option[StructType] =
+      schemaJson.map(s => DataType.fromJson(s).asInstanceOf[StructType])
+  }
+
+  private def logState(spark: SparkSession, table: String): LogState =
+    latestVersion(spark, table) match {
+      case None => LogState(None, Nil, None)
+      case h @ Some(v) =>
+        val (live, sch) = resolveState(spark, table, v)
+        LogState(h, live, sch)
+    }
+
   /** Commit with version-race retry: `mkCommit` sees the refreshed
-    * history each attempt (an overwrite must recompute its remove set
-    * if it lost the race). */
+    * log state each attempt (an overwrite must recompute its remove
+    * set if it lost the race). */
   private def commit(spark: SparkSession, table: String,
-                     mkCommit: Seq[Commit] => Commit): Long =
+                     mkCommit: LogState => Commit): Long =
     lockFor(table).synchronized {
       val f = fs(spark, table)
       f.mkdirs(commitsDir(table))
       var attempt = 0
       while (attempt < 20) {
-        val c = mkCommit(history(spark, table))
+        val c = mkCommit(logState(spark, table))
           .copy(ts = System.currentTimeMillis())
         if (writeAtomic(f, commitsDir(table), commitPath(table, c.version),
             renderCommit(c)))
@@ -249,11 +369,11 @@ object VersionedTable {
     * table's (order-free) — additive widening is [[appendEvolving]]. */
   def append(spark: SparkSession, table: String, df: DataFrame): Long = {
     val grp = writeGroup(spark, table, df)
-    commit(spark, table, { h =>
-      val cur = schemaAt(h, h.lastOption.map(_.version).getOrElse(-1L))
+    commit(spark, table, { s =>
+      val cur = s.schemaStruct
       requireCompatible(cur, df.schema)
-      Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "append",
-        Seq(grp), Nil, schema = cur.getOrElse(df.schema).json)
+      Commit(s.next, "append", Seq(grp), Nil,
+        schema = cur.getOrElse(df.schema).json)
     })
   }
 
@@ -264,8 +384,8 @@ object VersionedTable {
     * a type CONFLICT on a shared column fails loudly. */
   def appendEvolving(spark: SparkSession, table: String, df: DataFrame): Long = {
     val grp = writeGroup(spark, table, df)
-    commit(spark, table, { h =>
-      val cur = schemaAt(h, h.lastOption.map(_.version).getOrElse(-1L))
+    commit(spark, table, { s =>
+      val cur = s.schemaStruct
       val evolved = cur match {
         case None => df.schema
         case Some(c) =>
@@ -276,17 +396,15 @@ object VersionedTable {
           StructType(c.fields ++
             df.schema.fields.filterNot(f => have.contains(f.name)))
       }
-      Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "append",
-        Seq(grp), Nil, schema = evolved.json)
+      Commit(s.next, "append", Seq(grp), Nil, schema = evolved.json)
     })
   }
 
   /** Overwrite-commit: the new snapshot (and schema) is exactly `df`. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): Long = {
     val grp = writeGroup(spark, table, df)
-    commit(spark, table, h =>
-      Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "overwrite",
-        Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L)),
+    commit(spark, table, s =>
+      Commit(s.next, "overwrite", Seq(grp), s.live,
         schema = df.schema.json))
   }
 
@@ -312,9 +430,8 @@ object VersionedTable {
       // materialize BEFORE the commit decides: the merged plan reads the
       // current snapshot, which the overwrite commit is about to retire
       val grp = writeGroup(spark, table, merged)
-      commit(spark, table, h =>
-        Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "upsert",
-          Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L)),
+      commit(spark, table, s =>
+        Commit(s.next, "upsert", Seq(grp), s.live,
           schema = merged.schema.json))
     }
 
@@ -329,9 +446,8 @@ object VersionedTable {
     lockFor(table).synchronized {
       val snap = read(spark, table)
       val grp = writeGroup(spark, table, snap)
-      commit(spark, table, h =>
-        Commit(h.lastOption.map(_.version + 1).getOrElse(0L), "compact",
-          Seq(grp), liveDirs(h, h.lastOption.map(_.version).getOrElse(-1L)),
+      commit(spark, table, s =>
+        Commit(s.next, "compact", Seq(grp), s.live,
           schema = snap.schema.json))
     }
 
@@ -348,13 +464,16 @@ object VersionedTable {
   def changesBetween(spark: SparkSession, table: String,
                      fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, "change feed runs forward")
-    val commits = history(spark, table)
-    val before = liveDirs(commits, fromVersion).toSet
-    val after = liveDirs(commits, toVersion).toSet
+    val (beforeDirs, _) = resolveState(spark, table, fromVersion)
+    val (afterDirs, afterSchema) = resolveState(spark, table, toVersion)
+    val before = beforeDirs.toSet
+    val after = afterDirs.toSet
     // both sides read under the TO-version schema so exceptAll stays
     // well-typed across schema evolution (old groups surface nulls)
-    val reader = schemaAt(commits, toVersion)
-      .map(spark.read.schema).getOrElse(spark.read)
+    val reader = afterSchema
+      .map(s => spark.read.schema(
+        DataType.fromJson(s).asInstanceOf[StructType]))
+      .getOrElse(spark.read)
     def readDirs(dirs: Set[String]): Option[DataFrame] =
       if (dirs.isEmpty) None
       else Some(reader.parquet(
@@ -455,6 +574,44 @@ object VersionedTable {
     overwrite(spark, table, o.filter(col("d") >= d98))
     table
   }
+
+  /** Gated checkpoint instance: same 4-version table, but a checkpoint
+    * is materialized at v1 — so v0/v1 resolve by full replay (below /
+    * at the checkpoint is the degenerate tail) and v2/v3 resolve as
+    * checkpoint + 1-commit and + 2-commit tails. Every version must
+    * read back IDENTICALLY to the no-checkpoint table (the oracle is
+    * the same per-era recomputation) — the hash breaks if checkpoint
+    * state capture or tail replay diverges from log replay in any way. */
+  def tableCheckpoint(spark: SparkSession, dir: String): DataFrame = {
+    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_vtable_ck_${math.abs(dir.hashCode.toLong)}").toString
+    fs(spark, table).delete(new Path(table), true)
+    val o = ordersFrame(spark, dir)
+    val d95 = lit("1995-01-01").cast("date")
+    val d97 = lit("1997-01-01").cast("date")
+    val d98 = lit("1998-01-01").cast("date")
+    append(spark, table, o.filter(col("d") < d95))
+    append(spark, table, o.filter(col("d") >= d95 && col("d") < d97))
+    checkpoint(spark, table)
+    val changes = o.filter(col("d") < d97 && col("k") % 97 === 0)
+        .withColumn("cents", col("cents") * 2)
+      .unionByName(o.filter(col("d") >= d97))
+    upsert(spark, table, changes, Seq("k"))
+    overwrite(spark, table, o.filter(col("d") >= d98))
+    (0L to 3L).map { v =>
+      readVersion(spark, table, v).agg(
+        count(lit(1)).as("n_rows"),
+        sum("cents").cast("long").as("sum_cents"),
+        min("k").cast("long").as("min_key"),
+        max("k").cast("long").as("max_key"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+          col("min_key"), col("max_key"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Same per-era recomputation as the time-travel oracle — a
+    * checkpointed table must read identically. */
+  def checkpointOracleSql: String = oracleSql
 
   def tableTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val table = buildOrdersTable(spark, dir, "tt")

@@ -206,4 +206,66 @@ class VersionedTableSpec extends SparkSpec {
     assert(out(2L) == all, "upsert snapshot covers every order exactly once")
     assert(out(3L) == late98)
   }
+
+  test("checkpoint: every version reads identically through the checkpoint") {
+    val t = freshTable()
+    VersionedTable.append(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "v"))
+    VersionedTable.append(spark, t, Seq((3L, "c", 30L)).toDF("k", "s", "v"))
+    def snap(v: Long) = VersionedTable.readVersion(spark, t, v)
+      .as[(Long, String, Long)].collect().toSet
+    val before = (0L to 1L).map(snap)
+    val ckv = VersionedTable.checkpoint(spark, t)
+    assert(ckv == 1L)
+    // commits AFTER the checkpoint replay as tail on top of it
+    VersionedTable.upsert(spark, t,
+      Seq((2L, "B", 99L), (4L, "d", 40L)).toDF("k", "s", "v"), Seq("k"))
+    VersionedTable.overwrite(spark, t, Seq((9L, "z", 1L)).toDF("k", "s", "v"))
+    assert((0L to 1L).map(snap) == before)
+    assert(snap(2) == Set((1L, "a", 10L), (2L, "B", 99L), (3L, "c", 30L),
+      (4L, "d", 40L)))
+    assert(snap(3) == Set((9L, "z", 1L)))
+    assert(VersionedTable.latestCheckpoint(spark, t).map(_.version)
+      .contains(1L))
+  }
+
+  test("checkpoint makes the log prefix disposable for covered reads") {
+    val t = freshTable()
+    VersionedTable.append(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "v"))
+    VersionedTable.append(spark, t, Seq((3L, "c", 30L)).toDF("k", "s", "v"))
+    VersionedTable.checkpoint(spark, t)
+    VersionedTable.append(spark, t, Seq((4L, "d", 40L)).toDF("k", "s", "v"))
+    // destroy commit JSONs 0 and 1 — everything the checkpoint covers
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(0L, 1L).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(t,
+        f"_commits/$v%020d.json")
+      assert(f.delete(p, false))
+    }
+    // reads at and above the checkpoint never touch the dead prefix
+    assert(VersionedTable.readVersion(spark, t, 1L)
+      .as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    assert(VersionedTable.readVersion(spark, t, 2L).count() == 4L)
+    // below the checkpoint there is nothing to replay: loud failure
+    intercept[Exception] {
+      VersionedTable.readVersion(spark, t, 0L).collect()
+    }
+  }
+
+  test("checkpoint: schema evolution state is captured and applied") {
+    val t = freshTable()
+    VersionedTable.append(spark, t, Seq((1L, 10L)).toDF("k", "v"))
+    VersionedTable.appendEvolving(spark, t,
+      Seq((2L, 20L, "x")).toDF("k", "v", "tag"))
+    VersionedTable.checkpoint(spark, t)
+    VersionedTable.appendEvolving(spark, t, Seq((3L, 30L)).toDF("k", "v"))
+    val got = VersionedTable.readVersion(spark, t, 2L)
+      .select("k", "v", "tag").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(got == Set((1L, 10L, None), (2L, 20L, Some("x")),
+      (3L, 30L, None)))
+  }
 }
