@@ -175,6 +175,8 @@ object SparkEntry {
     "text_normalize"        -> (graft.functions.TextClean.textNormalize(_, _)),
     "quality_filter"        -> (graft.functions.TextClean.qualityFilterDocs(_, _)),
     "doc_fingerprint"       -> (TextFunctions.docFingerprint(_, _)),
+    // MOSS winnowing: rightmost-min k-gram fingerprints per window
+    "winnow_fingerprints"   -> (TextFunctions.winnowFingerprints(_, _)),
     "corpus_stats"          -> (TextFunctions.corpusStats(_, _)),
     "topk_per_group"        -> (graft.functions.TopKAgg.topkPerGroup(_, _)),
     "dedup_exact"           -> (ExactDedup.dedupExact(_, _)),
@@ -417,6 +419,10 @@ object SparkEntry {
     "ann_mutual_knn"        -> (graft.ann.MutualKnn.mutualKnnEmbeddings(_, _)),
     // exact Mann-Whitney 2U + rank-biserial over bounded value cells
     "mann_whitney"          -> (graft.operators.MannWhitney.mannWhitneyLineitem(_, _)),
+    // Spearman rho on centered doubled ranks, exact isqrt permicro
+    "spearman_rho"          -> (graft.operators.Spearman.spearmanLineitem(_, _)),
+    // Kruskal-Wallis H: k-sample rank ANOVA in staged exact division
+    "kruskal_wallis"        -> (graft.operators.KruskalWallis.kruskalLineitem(_, _)),
     // CUPED variance reduction: integer theta fit + adjusted-metric SS
     "cuped_adjust"          -> (graft.operators.Cuped.cupedOrders(_, _)),
     // grid-bucketed exact DBSCAN core/border/noise on 2-D milli points
@@ -634,6 +640,7 @@ object SparkEntry {
     "text_quality"          -> TextFunctions.textQualityOracleSql,
     "text_langid"           -> TextFunctions.textLangidOracleSql,
     "doc_fingerprint"       -> TextFunctions.docFingerprintOracleSql,
+    "winnow_fingerprints"   -> TextFunctions.winnowOracleSql,
     "corpus_stats"          -> TextFunctions.corpusStatsOracleSql,
     "topk_per_group"        -> graft.functions.TopKAgg.oracleSql,
     "dedup_exact"           -> ExactDedup.oracleSql,
@@ -732,6 +739,8 @@ object SparkEntry {
     "kendall_tau"           -> graft.operators.Kendall.oracleSql,
     "ann_mutual_knn"        -> graft.ann.MutualKnn.oracleSql,
     "mann_whitney"          -> graft.operators.MannWhitney.oracleSql,
+    "spearman_rho"          -> graft.operators.Spearman.oracleSql,
+    "kruskal_wallis"        -> graft.operators.KruskalWallis.oracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
     "dbscan_classify"       -> graft.operators.Dbscan.oracleSql,
     "hll_registers"         -> graft.functions.Hll.oracleSql,

@@ -214,6 +214,47 @@ object TextFunctions {
       size(words(col("text"))).cast("int").as("n_tokens"),
       fingerprint(col("text")).as("fingerprint"))
 
+  /** #37b winnow_fingerprints: MOSS winnowing selection (k=3 token
+    * grams, window w=4) — guaranteed-coverage local fingerprints via
+    * [[WinnowSelect]], exploded to (doc_id, pos, hash) rows. */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      explode(Native.call("graft_winnow_3_4",
+        exprs => WinnowSelect(exprs.head, 3, 4), col("text"))).as("enc"))
+      .select(col("doc_id"),
+        expr("CAST(enc div 1000000007 AS BIGINT)").as("pos"),
+        expr("CAST(enc % 1000000007 AS BIGINT)").as("hash"))
+      .distinct()
+
+  def winnowOracleSql: String =
+    """WITH th AS (
+      |  SELECT doc_id, list_transform(string_split_regex(text, '\s+'),
+      |    w -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(generate_series(1, len(w)),
+      |             i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
+      |         (a, c) -> (a*131 + c) % 1000000007) AS BIGINT)) AS th
+      |  FROM documents
+      |), kg AS (
+      |  SELECT doc_id, list_transform(generate_series(1, len(th) - 2),
+      |    i -> CAST((((th[i]*31 + th[i+1]) % 1000000007) * 31 + th[i+2])
+      |      % 1000000007 AS BIGINT)) AS kg
+      |  FROM th WHERE len(th) >= 3
+      |), win AS (
+      |  SELECT doc_id, kg, least(4, len(kg)) AS ww,
+      |    unnest(generate_series(1, len(kg) - least(4, len(kg)) + 1)) AS j
+      |  FROM kg
+      |), pick AS (
+      |  SELECT doc_id, kg,
+      |    j + ww - list_position(
+      |      list_reverse(list_slice(kg, j, j + ww - 1)),
+      |      list_min(list_slice(kg, j, j + ww - 1))) AS pos
+      |  FROM win
+      |)
+      |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+      |  kg[pos] AS hash
+      |FROM pick""".stripMargin
+
   def docFingerprintOracleSql: String =
     """SELECT doc_id,
       |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,

@@ -33,8 +33,10 @@ import graft.Tables
 object Allocation {
 
   /** Exact integer sqrt of a non-negative DECIMAL(38,0) SQL column
-    * expression (emits a nested CASE over Newton iterates). */
-  private def isqrtSql(x: String): String = {
+    * expression (emits a nested CASE over Newton iterates). Shared by
+    * the rank-correlation family ([[Spearman]]); the DuckDB twin is
+    * [[Allocation.isqrtDuckSql]]. */
+  private[operators] def isqrtSql(x: String): String = {
     val s0 = s"CAST(greatest(floor(sqrt(CAST($x AS DOUBLE))), 1.0) AS DECIMAL(38,0))"
     val s1 = s"(($s0 + $x div $s0) div 2)"
     val s2 = s"(($s1 + $x div $s1) div 2)"
@@ -93,16 +95,19 @@ object Allocation {
       .select(col("stratum").as("prio"), col("n_stratum"), col("ss"),
         col("w_sigma"), col("alloc"))
 
-  def oracleSql: String = {
-    val x = "ss"
+  /** DuckDB (HUGEINT) twin of [[isqrtSql]]. */
+  private[operators] def isqrtDuckSql(x: String): String = {
     val s0 = s"CAST(greatest(floor(sqrt(CAST($x AS DOUBLE))), 1.0) AS HUGEINT)"
     val s1 = s"(($s0 + $x // $s0) // 2)"
     val s2 = s"(($s1 + $x // $s1) // 2)"
-    val isqrt =
-      s"""(CASE WHEN $x = 0 THEN CAST(0 AS HUGEINT)
-         |  WHEN ($s2 + 1) * ($s2 + 1) <= $x THEN $s2 + 1
-         |  WHEN $s2 * $s2 > $x THEN $s2 - 1
-         |  ELSE $s2 END)""".stripMargin
+    s"""(CASE WHEN $x = 0 THEN CAST(0 AS HUGEINT)
+       |  WHEN ($s2 + 1) * ($s2 + 1) <= $x THEN $s2 + 1
+       |  WHEN $s2 * $s2 > $x THEN $s2 - 1
+       |  ELSE $s2 END)""".stripMargin
+  }
+
+  def oracleSql: String = {
+    val isqrt = isqrtDuckSql("ss")
     s"""WITH o AS (
        |  SELECT o_orderpriority AS prio,
        |    CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS dollars
