@@ -451,6 +451,8 @@ object SparkEntry {
     "logreg_newton_step"    -> (graft.ml.LogRegStep.logregLineitem(_, _)),
     // k-anonymity / l-diversity audit with global risk summary
     "k_anonymity"           -> (graft.operators.KAnonymity.kAnonymityCustomer(_, _)),
+    // GDPR delete sizing: FK-cascade counts + partition rewrite amp
+    "rtbf_cascade"          -> (graft.operators.RtbfCascade.rtbfOrders(_, _)),
     // real zlib-PNG decode: chunk walk + inflate + all five un-filters
     "mm_decode_png"         -> (graft.multimodal.BinaryMedia.mmDecodePng(_, _)),
     // zone-map pruning audit: min/max skip decisions + zero-miss proof
@@ -751,6 +753,7 @@ object SparkEntry {
     "als_step"              -> graft.ml.AlsStep.oracleSql,
     "logreg_newton_step"    -> graft.ml.LogRegStep.oracleSql,
     "k_anonymity"           -> graft.operators.KAnonymity.oracleSql,
+    "rtbf_cascade"          -> graft.operators.RtbfCascade.oracleSql,
     "mm_decode_png"         -> graft.multimodal.BinaryMedia.mmDecodePngOracleSql,
     "zonemap_prune"         -> graft.sources.ZoneMap.oracleSql,
     "fs_linkage"            -> graft.dedup.FsLinkage.oracleSql,
