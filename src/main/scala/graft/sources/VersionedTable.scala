@@ -63,7 +63,8 @@ object VersionedTable {
     * groups surface nulls for later-added columns. */
   final case class Commit(version: Long, op: String,
                           add: Seq[String], remove: Seq[String],
-                          ts: Long = 0L, schema: String = "")
+                          ts: Long = 0L, schema: String = "",
+                          txn: Long = -1L)
 
   private val mapper = new ObjectMapper()
   private val Pad = 20
@@ -99,7 +100,7 @@ object VersionedTable {
     def arr(xs: Seq[String]) = xs.map(graft.Json.str).mkString("[", ",", "]")
     s"""{"version":${c.version},"op":${graft.Json.str(c.op)},""" +
       s""""add":${arr(c.add)},"remove":${arr(c.remove)},"ts":${c.ts},""" +
-      s""""schema":${graft.Json.str(c.schema)}}"""
+      s""""schema":${graft.Json.str(c.schema)},"txn":${c.txn}}"""
   }
 
   private def parseCommit(bytes: Array[Byte]): Commit = {
@@ -109,7 +110,8 @@ object VersionedTable {
     Commit(n.get("version").asLong(), n.get("op").asText(),
       strs("add"), strs("remove"),
       Option(n.get("ts")).map(_.asLong()).getOrElse(0L),
-      Option(n.get("schema")).map(_.asText()).getOrElse(""))
+      Option(n.get("schema")).map(_.asText()).getOrElse(""),
+      Option(n.get("txn")).map(_.asLong()).getOrElse(-1L))
   }
 
   private def readFully(f: FileSystem, p: Path): Array[Byte] = {
@@ -375,6 +377,42 @@ object VersionedTable {
       Commit(s.next, "append", Seq(grp), Nil,
         schema = cur.getOrElse(df.schema).json)
     })
+  }
+
+  /** Highest transaction id recorded in the log, scanning NEWEST-first
+    * and stopping at the first hit — a streaming sink commits txns on
+    * every batch, so the scan is O(1) in steady state (worst case one
+    * pass over the log tail for a table that never saw a txn). */
+  def lastTxn(spark: SparkSession, table: String): Long = {
+    val f = fs(spark, table)
+    commitVersions(f, table).reverseIterator
+      .map(v => parseCommit(readFully(f, commitPath(table, v))).txn)
+      .find(_ >= 0L)
+      .getOrElse(-1L)
+  }
+
+  /** Idempotent append keyed by a monotone transaction id (Delta's
+    * `txn` action — the exactly-once contract a Structured Streaming
+    * foreachBatch sink needs): if `txn` is at or below the last
+    * recorded txn the batch is a REPLAY and nothing is committed
+    * (returns None); otherwise appends and records the txn in the
+    * commit. The check and the commit share the table lock, so two
+    * in-process replays cannot both pass the gate. */
+  def appendOnce(spark: SparkSession, table: String, df: DataFrame,
+                 txn: Long): Option[Long] = {
+    require(txn >= 0L, "txn ids are non-negative and monotone")
+    lockFor(table).synchronized {
+      if (txn <= lastTxn(spark, table)) None
+      else {
+        val grp = writeGroup(spark, table, df)
+        Some(commit(spark, table, { s =>
+          val cur = s.schemaStruct
+          requireCompatible(cur, df.schema)
+          Commit(s.next, "append", Seq(grp), Nil,
+            schema = cur.getOrElse(df.schema).json, txn = txn)
+        }))
+      }
+    }
   }
 
   /** Schema-evolving append (Delta addNewColumns / the reference's
