@@ -425,6 +425,10 @@ object SparkEntry {
     "kruskal_wallis"        -> (graft.operators.KruskalWallis.kruskalLineitem(_, _)),
     // CUPED variance reduction: integer theta fit + adjusted-metric SS
     "cuped_adjust"          -> (graft.operators.Cuped.cupedOrders(_, _)),
+    // MDE sizing per arm: Z·isqrt(2·SS div n) div n, exact integers
+    "power_mde"             -> (graft.operators.ExperimentDesign.powerMdeOrders(_, _)),
+    // 2x2 difference-in-differences on exact truncated cell means
+    "diff_in_diff"          -> (graft.operators.ExperimentDesign.didEvents(_, _)),
     // grid-bucketed exact DBSCAN core/border/noise on 2-D milli points
     "dbscan_classify"       -> (graft.operators.Dbscan.dbscanEmbeddings(_, _)),
     // dense-phase HLL: engine-identical registers + corrected estimate
@@ -744,6 +748,8 @@ object SparkEntry {
     "spearman_rho"          -> graft.operators.Spearman.oracleSql,
     "kruskal_wallis"        -> graft.operators.KruskalWallis.oracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
+    "power_mde"             -> graft.operators.ExperimentDesign.powerMdeOracleSql,
+    "diff_in_diff"          -> graft.operators.ExperimentDesign.didOracleSql,
     "dbscan_classify"       -> graft.operators.Dbscan.oracleSql,
     "hll_registers"         -> graft.functions.Hll.oracleSql,
     "survival_km"           -> graft.operators.Survival.oracleSql,
