@@ -37,9 +37,13 @@ object Allocation {
     * the rank-correlation family ([[Spearman]]); the DuckDB twin is
     * [[Allocation.isqrtDuckSql]]. */
   private[operators] def isqrtSql(x: String): String = {
-    val s0 = s"CAST(greatest(floor(sqrt(CAST($x AS DOUBLE))), 1.0) AS DECIMAL(38,0))"
-    val s1 = s"(($s0 + $x div $s0) div 2)"
-    val s2 = s"(($s1 + $x div $s1) div 2)"
+    // Spark's `div` ALWAYS returns BIGINT — every iterate must be cast
+    // back to DECIMAL(38,0) or the clamp's s² multiply runs (and
+    // overflows) in long arithmetic once √x passes ~3·10⁹
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    val s0 = dec(s"greatest(floor(sqrt(CAST($x AS DOUBLE))), 1.0)")
+    val s1 = dec(s"(($s0 + ${dec(s"$x div $s0")}) div 2)")
+    val s2 = dec(s"(($s1 + ${dec(s"$x div $s1")}) div 2)")
     s"""(CASE WHEN $x = 0 THEN CAST(0 AS DECIMAL(38,0))
        |  WHEN ($s2 + 1) * ($s2 + 1) <= $x THEN $s2 + 1
        |  WHEN $s2 * $s2 > $x THEN $s2 - 1

@@ -50,8 +50,13 @@ object Kendall {
         .otherwise(lit(0).cast("decimal(38,0)"))).as("ties_y"))
     val within = cells.agg(
       sum(col("n")).cast("decimal(38,0)").as("__nr"),
-      // div (not /): integral division keeps every term integer-typed
-      sum(expr("(n * (n - 1)) div 2").cast("decimal(38,0)")).as("ties_xy"))
+      // exact n(n-1)/2 WITHOUT a div whose quotient outgrows BIGINT
+      // (Spark's div returns long; n²/2 passes 2⁶³ at ~4·10⁹-row
+      // cells): halve the even factor first, then multiply in decimal
+      sum(expr("""CASE WHEN n % 2 = 0
+          THEN CAST(n div 2 AS DECIMAL(38,0)) * (n - 1)
+          ELSE n * CAST((n - 1) div 2 AS DECIMAL(38,0)) END""")
+        .cast("decimal(38,0)")).as("ties_xy"))
     // Final pair counts report as VARCHAR: DECIMAL(38,0) stays the
     // internal accumulator (C ≈ n²/2), but the gate's value-hash
     // canonicalizes decimals engine-specifically — the digit string is
@@ -64,10 +69,14 @@ object Kendall {
         col("ties_x").cast("string").as("ties_x"),
         col("ties_y").cast("string").as("ties_y"),
         col("ties_xy").cast("string").as("ties_xy"),
+        // same even-factor halving for the pair-count denominator
         expr("""CASE WHEN __nr > 1 THEN
             (CASE WHEN concordant < discordant THEN -1L ELSE 1L END)
               * ((1000000 * abs(concordant - discordant))
-                  div ((__nr * (__nr - 1)) div 2))
+                  div (CASE WHEN __nr % 2 = 0
+                    THEN CAST(__nr div 2 AS DECIMAL(38,0)) * (__nr - 1)
+                    ELSE __nr * CAST((__nr - 1) div 2 AS DECIMAL(38,0))
+                    END))
           END""").as("tau_a_permicro"))
   }
 

@@ -51,9 +51,16 @@ object KruskalWallis {
     val grp = cells.join(broadcast(vm), "v")
       .groupBy(col("g"))
       .agg(sum(col("c")).as("n_g"), sum(col("c") * col("__r2")).as("r2_sum"))
+      // T = q²n + 2qr + (r²) div n (≡ q·R2 + (r·R2) div n, but every
+      // div quotient here FITS BIGINT — Spark's div returns long, so
+      // the naive form's (r·R2) div n quotient ≈ R2 ≈ 2N² would
+      // overflow the result type itself past ~3·10⁹ rows)
       .withColumn("tj", expr(
-        """(r2_sum div n_g) * r2_sum
-          | + ((r2_sum % n_g) * r2_sum) div n_g""".stripMargin))
+        """CAST(r2_sum div n_g AS DECIMAL(38,0))
+          |   * CAST(r2_sum div n_g AS DECIMAL(38,0)) * n_g
+          | + 2 * CAST(r2_sum div n_g AS DECIMAL(38,0)) * (r2_sum % n_g)
+          | + CAST(((r2_sum % n_g) * (r2_sum % n_g)) div n_g
+          |     AS DECIMAL(38,0))""".stripMargin))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     grp
@@ -63,9 +70,14 @@ object KruskalWallis {
         col("n_g").cast("long").as("n_g"),
         col("r2_sum").cast("string").as("r2_sum"),
         col("__N").cast("long").as("n"),
-        expr("""CAST(3 * ((__S div (__N * (__N + 1))) * 1000000
-            + ((__S % (__N * (__N + 1))) * 1000000) div (__N * (__N + 1)))
-          - 3000000 * (__N + 1) AS BIGINT)""").as("h_permicro"))
+        // div yields BIGINT in Spark: re-cast before the ·10⁶·3
+        // rescale, which exceeds long range past ~10¹² rows
+        expr("""CAST(3 * (CAST(__S div (__N * (__N + 1)) AS DECIMAL(38,0))
+              * 1000000
+            + CAST(((__S % (__N * (__N + 1))) * 1000000)
+                div (__N * (__N + 1)) AS DECIMAL(38,0)))
+          - CAST(3000000 AS DECIMAL(38,0)) * (__N + 1)
+          AS BIGINT)""").as("h_permicro"))
   }
 
   // ---- query-map entry (hash-gated) ----

@@ -78,10 +78,13 @@ object Spearman {
       // truncated split-isqrt denominator underestimates by up to
       // (1/sx + 1/sy) relative — visible only on tiny inputs, where
       // the clamp restores the exact ±1 for perfect monotone data
+      // each div result re-cast to DECIMAL(38,0): Spark's div yields
+      // BIGINT and the ·10⁶ rescale would overflow long past ~10¹² rows
       expr(s"""CASE WHEN varx > 0 AND vary > 0 THEN
           CAST((CASE WHEN cov < 0 THEN -1 ELSE 1 END)
-            * least((((abs(cov) div $sx) * 1000000
-                + ((abs(cov) % $sx) * 1000000) div $sx) div $sy),
+            * least(CAST((CAST(abs(cov) div $sx AS DECIMAL(38,0)) * 1000000
+                + CAST((abs(cov) % $sx) * 1000000 div $sx AS DECIMAL(38,0)))
+                div $sy AS DECIMAL(38,0)),
               CAST(1000000 AS DECIMAL(38,0)))
             AS BIGINT) END""").as("rho_permicro"))
   }
