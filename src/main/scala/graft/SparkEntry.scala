@@ -282,6 +282,8 @@ object SparkEntry {
     "table_schema_evolution" -> (graft.sources.VersionedTable.tableSchemaEvolution(_, _)),
     // log checkpoint: O(tail) snapshot resolution, reads bit-identical
     "table_checkpoint"      -> (graft.sources.VersionedTable.tableCheckpoint(_, _)),
+    // zonemap-pruned MERGE: only key-overlapping groups rewritten
+    "table_merge_pruned"    -> (graft.sources.VersionedTable.tableMergePruned(_, _)),
     // event-sequence behavioral stats: lead-window transition pairs;
     // exact power-of-two recency decay (no libm in the gate)
     "markov_transitions"    -> (graft.operators.BehaviorStats.markovEvents(_, _)),
@@ -689,6 +691,7 @@ object SparkEntry {
     "table_compact"         -> graft.sources.VersionedTable.compactOracleSql,
     "table_schema_evolution" -> graft.sources.VersionedTable.schemaEvolutionOracleSql,
     "table_checkpoint"      -> graft.sources.VersionedTable.checkpointOracleSql,
+    "table_merge_pruned"    -> graft.sources.VersionedTable.mergePrunedOracleSql,
     "markov_transitions"    -> graft.operators.BehaviorStats.markovOracleSql,
     "decay_user_value"      -> graft.operators.BehaviorStats.decayOracleSql,
     "benford_totalprice"    -> graft.operators.DigitProfile.oracleSql,

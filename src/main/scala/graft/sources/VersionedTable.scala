@@ -330,6 +330,48 @@ object VersionedTable {
     name
   }
 
+  // ---- per-group key statistics (zonemap sidecars) ----
+
+  private def statsPath(table: String, grp: String) =
+    new Path(new Path(dataDir(table), grp), "_key_stats.json")
+
+  /** Write df as a file group AND a `_key_stats.json` sidecar holding
+    * the min/max of `keyCol` — the group is self-describing, so no
+    * commit-log or checkpoint format change is needed and pruning
+    * reads are O(live groups). An empty df writes no stats (reads as
+    * always-overlapping, the safe default). */
+  private def writeGroupWithStats(spark: SparkSession, table: String,
+                                  df: DataFrame, keyCol: String): String = {
+    val name = writeGroup(spark, table, df)
+    // min/max from the group just written (group-sized scan of its
+    // own parquet footers), not by re-running df's arbitrary plan
+    val mm = spark.read.parquet(new Path(dataDir(table), name).toString)
+      .agg(min(col(keyCol)).cast("long"),
+        max(col(keyCol)).cast("long")).collect()(0)
+    if (!mm.isNullAt(0)) {
+      val f = fs(spark, table)
+      writeAtomic(f, new Path(dataDir(table), name),
+        statsPath(table, name),
+        s"""{"key":${graft.Json.str(keyCol)},""" +
+          s""""min":${mm.getLong(0)},"max":${mm.getLong(1)}}""")
+    }
+    name
+  }
+
+  /** (min, max) of the declared key for a live group, if the group
+    * carries a sidecar FOR THAT KEY; None = unknown = must rewrite. */
+  def groupKeyRange(spark: SparkSession, table: String, grp: String,
+                    keyCol: String): Option[(Long, Long)] = {
+    val f = fs(spark, table)
+    val p = statsPath(table, grp)
+    if (!f.exists(p)) None
+    else {
+      val n = mapper.readTree(readFully(f, p))
+      if (n.get("key").asText() != keyCol) None
+      else Some((n.get("min").asLong(), n.get("max").asLong()))
+    }
+  }
+
   /** What a committer needs to know about the current log — resolved
     * checkpoint-aware, so the write path is also O(tail). */
   private final case class LogState(head: Option[Long], live: Seq[String],
@@ -471,6 +513,66 @@ object VersionedTable {
       commit(spark, table, s =>
         Commit(s.next, "upsert", Seq(grp), s.live,
           schema = merged.schema.json))
+    }
+
+  /** Keyed append that also writes the group's `_key_stats.json`
+    * zonemap sidecar, making it prunable by [[upsertPruned]]. */
+  def appendKeyed(spark: SparkSession, table: String, df: DataFrame,
+                  keyCol: String): Long = {
+    val grp = writeGroupWithStats(spark, table, df, keyCol)
+    commit(spark, table, { s =>
+      val cur = s.schemaStruct
+      requireCompatible(cur, df.schema)
+      Commit(s.next, "append", Seq(grp), Nil,
+        schema = cur.getOrElse(df.schema).json)
+    })
+  }
+
+  /** File-group-pruned MERGE — the optimization [[upsert]]'s docstring
+    * promises: only live groups whose key ZONEMAP overlaps the
+    * changeset's [min, max] are rewritten; disjoint groups stay in the
+    * live set byte-identical (no read, no write). On a key-clustered
+    * 100 TB table an incremental batch therefore costs
+    * O(overlapping groups + changes), not O(table) — Delta's
+    * file-skipping MERGE, with the group sidecars playing the role of
+    * per-file stats. Groups WITHOUT a sidecar for `keyCol` (written by
+    * plain [[append]], schema evolution, or a different key) count as
+    * always-overlapping — pruning can only skip provably-disjoint
+    * groups, never change the result. Returns
+    * (version, rewrittenGroups, skippedGroups). */
+  def upsertPruned(spark: SparkSession, table: String, changes: DataFrame,
+                   keyCol: String): (Long, Int, Int) =
+    lockFor(table).synchronized {
+      val ch = changes.localCheckpoint() // range scan + merge, one eval
+      val mm = ch.agg(min(col(keyCol)).cast("long"),
+        max(col(keyCol)).cast("long")).collect()(0)
+      require(!mm.isNullAt(0), "empty or all-null-key changeset")
+      val (clo, chi) = (mm.getLong(0), mm.getLong(1))
+      val st = logState(spark, table)
+      val (overlap, skip) = st.live.partition { g =>
+        groupKeyRange(spark, table, g, keyCol) match {
+          case Some((lo, hi)) => hi >= clo && lo <= chi
+          case None           => true // unknown stats: must rewrite
+        }
+      }
+      val reader = st.schemaJson
+        .map(s => spark.read.schema(
+          DataType.fromJson(s).asInstanceOf[StructType]))
+        .getOrElse(spark.read)
+      val base = if (overlap.isEmpty) None
+        else Some(reader.parquet(
+          overlap.map(d => new Path(dataDir(table), d).toString): _*))
+      val merged = base match {
+        case Some(b) =>
+          b.join(ch.select(col(keyCol)), Seq(keyCol), "left_anti")
+            .unionByName(ch)
+        case None => ch
+      }
+      val grp = writeGroupWithStats(spark, table, merged, keyCol)
+      val v = commit(spark, table, s =>
+        Commit(s.next, "upsert", Seq(grp), overlap,
+          schema = s.schemaJson.getOrElse(merged.schema.json)))
+      (v, overlap.size, skip.size)
     }
 
   /** Compaction commit: rewrite the live snapshot into ONE file group —
@@ -650,6 +752,58 @@ object VersionedTable {
   /** Same per-era recomputation as the time-travel oracle — a
     * checkpointed table must read identically. */
   def checkpointOracleSql: String = oracleSql
+
+  /** Gated pruned-MERGE instance: three keyed appends of DISJOINT
+    * orderkey thirds, then a changeset confined to the middle third
+    * (double cents where k % 7 == 0). The zonemap sidecars must prune
+    * exactly the outer thirds — `groups_rewritten`/`groups_skipped`
+    * are IN the hashed output (1 and 2), so the gate breaks if pruning
+    * ever rewrites a disjoint group or skips an overlapping one — and
+    * the final snapshot must equal the SQL recomputation per third. */
+  def tableMergePruned(spark: SparkSession, dir: String): DataFrame = {
+    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_vtable_mp_${math.abs(dir.hashCode.toLong)}").toString
+    fs(spark, table).delete(new Path(table), true)
+    val o = ordersFrame(spark, dir).select(col("k"), col("cents"))
+    val m = o.agg(max(col("k"))).collect()(0).getLong(0)
+    val (t1, t2) = (m / 3, 2 * m / 3)
+    appendKeyed(spark, table, o.filter(col("k") <= t1), "k")
+    appendKeyed(spark, table,
+      o.filter(col("k") > t1 && col("k") <= t2), "k")
+    appendKeyed(spark, table, o.filter(col("k") > t2), "k")
+    val changes = o.filter(col("k") > t1 && col("k") <= t2
+        && col("k") % 7 === 0)
+      .withColumn("cents", col("cents") * 2)
+    val (_, rewritten, skipped) = upsertPruned(spark, table, changes, "k")
+    read(spark, table)
+      .select(
+        when(col("k") <= t1, 1).when(col("k") <= t2, 2).otherwise(3)
+          .as("third"),
+        col("cents"))
+      .groupBy("third")
+      .agg(count(lit(1)).as("n_rows"), sum("cents").cast("long").as("sum_cents"))
+      .withColumn("groups_rewritten", lit(rewritten))
+      .withColumn("groups_skipped", lit(skipped))
+  }
+
+  def mergePrunedOracleSql: String =
+    """WITH b AS (SELECT max(o_orderkey) AS m FROM orders),
+      |o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), fin AS (
+      |  SELECT k,
+      |    CASE WHEN k > b.m // 3 AND k <= 2 * b.m // 3 AND k % 7 = 0
+      |      THEN 2 * cents ELSE cents END AS cents,
+      |    CASE WHEN k <= b.m // 3 THEN 1
+      |      WHEN k <= 2 * b.m // 3 THEN 2 ELSE 3 END AS third
+      |  FROM o CROSS JOIN b
+      |)
+      |SELECT third, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  1 AS groups_rewritten, 2 AS groups_skipped
+      |FROM fin GROUP BY third""".stripMargin
 
   def tableTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val table = buildOrdersTable(spark, dir, "tt")

@@ -255,6 +255,46 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("pruned merge: disjoint groups are skipped byte-identical") {
+    val t = freshTable()
+    VersionedTable.appendKeyed(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), "k")
+    VersionedTable.appendKeyed(spark, t,
+      Seq((10L, "x"), (11L, "y")).toDF("k", "s"), "k")
+    VersionedTable.appendKeyed(spark, t,
+      Seq((20L, "p")).toDF("k", "s"), "k")
+    // remember the middle group's physical files
+    val before = VersionedTable.history(spark, t).flatMap(_.add)
+    val (_, rewritten, skipped) = VersionedTable.upsertPruned(spark, t,
+      Seq((11L, "Y"), (12L, "z")).toDF("k", "s"), "k")
+    assert(rewritten == 1 && skipped == 2)
+    val snap = VersionedTable.read(spark, t)
+      .as[(Long, String)].collect().toSet
+    assert(snap == Set((1L, "a"), (2L, "b"), (10L, "x"), (11L, "Y"),
+      (12L, "z"), (20L, "p")))
+    // the two disjoint groups are still the ORIGINAL dirs in the live
+    // set (no rewrite), and time travel to pre-merge still works
+    val liveNow = VersionedTable.history(spark, t)
+      .foldLeft(Vector.empty[String]) { (l, c) =>
+        l.filterNot(c.remove.contains) ++ c.add
+      }
+    assert(liveNow.count(before.contains) == 2)
+    assert(VersionedTable.readVersion(spark, t, 2L).count() == 5L)
+  }
+
+  test("pruned merge: stats-less groups always count as overlapping") {
+    val t = freshTable()
+    VersionedTable.append(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    VersionedTable.appendKeyed(spark, t,
+      Seq((100L, "q")).toDF("k", "s"), "k")
+    // changes far from BOTH ranges: the keyed group prunes, the plain
+    // append (no sidecar) must be rewritten anyway — safe default
+    val (_, rewritten, skipped) = VersionedTable.upsertPruned(spark, t,
+      Seq((500L, "w")).toDF("k", "s"), "k")
+    assert(rewritten == 1 && skipped == 1)
+    assert(VersionedTable.read(spark, t).count() == 3L)
+  }
+
   test("checkpoint: schema evolution state is captured and applied") {
     val t = freshTable()
     VersionedTable.append(spark, t, Seq((1L, 10L)).toDF("k", "v"))
