@@ -459,6 +459,8 @@ object SparkEntry {
     "k_anonymity"           -> (graft.operators.KAnonymity.kAnonymityCustomer(_, _)),
     // GDPR delete sizing: FK-cascade counts + partition rewrite amp
     "rtbf_cascade"          -> (graft.operators.RtbfCascade.rtbfOrders(_, _)),
+    // Catalyst column lineage: analyzed-plan walk, literal oracle
+    "lineage_extract"       -> (graft.plans.ColumnLineage.lineageRevenueQuery(_, _)),
     // real zlib-PNG decode: chunk walk + inflate + all five un-filters
     "mm_decode_png"         -> (graft.multimodal.BinaryMedia.mmDecodePng(_, _)),
     // zone-map pruning audit: min/max skip decisions + zero-miss proof
@@ -763,6 +765,7 @@ object SparkEntry {
     "logreg_newton_step"    -> graft.ml.LogRegStep.oracleSql,
     "k_anonymity"           -> graft.operators.KAnonymity.oracleSql,
     "rtbf_cascade"          -> graft.operators.RtbfCascade.oracleSql,
+    "lineage_extract"       -> graft.plans.ColumnLineage.oracleSql,
     "mm_decode_png"         -> graft.multimodal.BinaryMedia.mmDecodePngOracleSql,
     "zonemap_prune"         -> graft.sources.ZoneMap.oracleSql,
     "fs_linkage"            -> graft.dedup.FsLinkage.oracleSql,
