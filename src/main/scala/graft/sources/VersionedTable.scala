@@ -389,9 +389,23 @@ object VersionedTable {
         LogState(h, live, sch)
     }
 
+  /** Thrown by a read-modify-write committer when the log head moved
+    * under its feet — the DATA it wrote derives from a stale base, so
+    * rebasing the version number alone would silently drop the
+    * interleaved commit (a lost update). The caller re-derives. */
+  private final class CommitConflict extends RuntimeException
+
+  /** Test seam: invoked by read-modify-write ops between materializing
+    * their output group and committing — a spec injects an interleaved
+    * commit here to exercise the conflict-redo path (the in-process
+    * lock is reentrant, so the injection can commit from the same
+    * thread, exactly like another process would from outside). */
+  private[graft] var raceInjection: () => Unit = () => ()
+
   /** Commit with version-race retry: `mkCommit` sees the refreshed
     * log state each attempt (an overwrite must recompute its remove
-    * set if it lost the race). */
+    * set if it lost the race). A [[CommitConflict]] thrown by
+    * `mkCommit` propagates — data-level conflicts redo OUTSIDE. */
   private def commit(spark: SparkSession, table: String,
                      mkCommit: LogState => Commit): Long =
     lockFor(table).synchronized {
@@ -498,21 +512,31 @@ object VersionedTable {
     * compose as `overwrite(MergeUpsert.apply(read(...), ...))`. */
   def upsert(spark: SparkSession, table: String, changes: DataFrame,
              keyCols: Seq[String]): Long =
-    // read-modify-write: hold the table lock across read + write +
-    // commit (reentrant), or two concurrent upserts could both merge
-    // against the same base and the second would silently drop the
-    // first's changes. Cross-process, this is where Delta's optimistic
-    // conflict detection would sit.
+    // read-modify-write: the table lock serializes in-process writers;
+    // ACROSS processes the optimistic redo below detects an
+    // interleaved commit (head moved since the merge read its base)
+    // and re-derives the merge — Delta's conflict-detection discipline.
+    // A lost race's orphan group is reclaimed by vacuum.
     lockFor(table).synchronized {
-      val merged = read(spark, table)
-        .join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .unionByName(changes)
-      // materialize BEFORE the commit decides: the merged plan reads the
-      // current snapshot, which the overwrite commit is about to retire
-      val grp = writeGroup(spark, table, merged)
-      commit(spark, table, s =>
-        Commit(s.next, "upsert", Seq(grp), s.live,
-          schema = merged.schema.json))
+      var attempt = 0
+      while (attempt < 5) {
+        val baseHead = latestVersion(spark, table)
+        val merged = read(spark, table)
+          .join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(changes)
+        // materialize BEFORE the commit decides: the merged plan reads
+        // the current snapshot, which the commit is about to retire
+        val grp = writeGroup(spark, table, merged)
+        raceInjection(); raceInjection = () => ()
+        try {
+          return commit(spark, table, { s =>
+            if (s.head != baseHead) throw new CommitConflict
+            Commit(s.next, "upsert", Seq(grp), s.live,
+              schema = merged.schema.json)
+          })
+        } catch { case _: CommitConflict => attempt += 1 }
+      }
+      sys.error(s"upsert lost the data race 5 times at $table")
     }
 
   /** Keyed append that also writes the group's `_key_stats.json`
@@ -548,31 +572,40 @@ object VersionedTable {
         max(col(keyCol)).cast("long")).collect()(0)
       require(!mm.isNullAt(0), "empty or all-null-key changeset")
       val (clo, chi) = (mm.getLong(0), mm.getLong(1))
-      val st = logState(spark, table)
-      val (overlap, skip) = st.live.partition { g =>
-        groupKeyRange(spark, table, g, keyCol) match {
-          case Some((lo, hi)) => hi >= clo && lo <= chi
-          case None           => true // unknown stats: must rewrite
+      var attempt = 0
+      while (attempt < 5) {
+        val st = logState(spark, table)
+        val (overlap, skip) = st.live.partition { g =>
+          groupKeyRange(spark, table, g, keyCol) match {
+            case Some((lo, hi)) => hi >= clo && lo <= chi
+            case None           => true // unknown stats: must rewrite
+          }
         }
+        val reader = st.schemaJson
+          .map(s => spark.read.schema(
+            DataType.fromJson(s).asInstanceOf[StructType]))
+          .getOrElse(spark.read)
+        val base = if (overlap.isEmpty) None
+          else Some(reader.parquet(
+            overlap.map(d => new Path(dataDir(table), d).toString): _*))
+        val merged = base match {
+          case Some(b) =>
+            b.join(ch.select(col(keyCol)), Seq(keyCol), "left_anti")
+              .unionByName(ch)
+          case None => ch
+        }
+        val grp = writeGroupWithStats(spark, table, merged, keyCol)
+        raceInjection(); raceInjection = () => ()
+        try {
+          val v = commit(spark, table, { s =>
+            if (s.head != st.head) throw new CommitConflict
+            Commit(s.next, "upsert", Seq(grp), overlap,
+              schema = s.schemaJson.getOrElse(merged.schema.json))
+          })
+          return (v, overlap.size, skip.size)
+        } catch { case _: CommitConflict => attempt += 1 }
       }
-      val reader = st.schemaJson
-        .map(s => spark.read.schema(
-          DataType.fromJson(s).asInstanceOf[StructType]))
-        .getOrElse(spark.read)
-      val base = if (overlap.isEmpty) None
-        else Some(reader.parquet(
-          overlap.map(d => new Path(dataDir(table), d).toString): _*))
-      val merged = base match {
-        case Some(b) =>
-          b.join(ch.select(col(keyCol)), Seq(keyCol), "left_anti")
-            .unionByName(ch)
-        case None => ch
-      }
-      val grp = writeGroupWithStats(spark, table, merged, keyCol)
-      val v = commit(spark, table, s =>
-        Commit(s.next, "upsert", Seq(grp), overlap,
-          schema = s.schemaJson.getOrElse(merged.schema.json)))
-      (v, overlap.size, skip.size)
+      sys.error(s"pruned merge lost the data race 5 times at $table")
     }
 
   /** Compaction commit: rewrite the live snapshot into ONE file group —
@@ -584,11 +617,21 @@ object VersionedTable {
     * their groups are only reclaimed by [[vacuum]]. */
   def compact(spark: SparkSession, table: String): Long =
     lockFor(table).synchronized {
-      val snap = read(spark, table)
-      val grp = writeGroup(spark, table, snap)
-      commit(spark, table, s =>
-        Commit(s.next, "compact", Seq(grp), s.live,
-          schema = snap.schema.json))
+      var attempt = 0
+      while (attempt < 5) {
+        val baseHead = latestVersion(spark, table)
+        val snap = read(spark, table)
+        val grp = writeGroup(spark, table, snap)
+        raceInjection(); raceInjection = () => ()
+        try {
+          return commit(spark, table, { s =>
+            if (s.head != baseHead) throw new CommitConflict
+            Commit(s.next, "compact", Seq(grp), s.live,
+              schema = snap.schema.json)
+          })
+        } catch { case _: CommitConflict => attempt += 1 }
+      }
+      sys.error(s"compact lost the data race 5 times at $table")
     }
 
   /** Row-level change feed between two versions — Delta CDF's read

@@ -295,6 +295,43 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t).count() == 3L)
   }
 
+  test("optimistic concurrency: an interleaved commit forces a merge redo") {
+    val t = freshTable()
+    VersionedTable.append(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    // simulate another process committing BETWEEN the upsert's merge
+    // materialization and its commit: the interleaved append must
+    // survive (no lost update) — the upsert detects the moved head,
+    // throws away its stale merge, and re-derives against v1
+    VersionedTable.raceInjection = () =>
+      VersionedTable.append(spark, t, Seq((3L, "late")).toDF("k", "s"))
+    VersionedTable.upsert(spark, t,
+      Seq((2L, "B")).toDF("k", "s"), Seq("k"))
+    val snap = VersionedTable.read(spark, t)
+      .as[(Long, String)].collect().toSet
+    assert(snap == Set((1L, "a"), (2L, "B"), (3L, "late")),
+      "the interleaved append must not be clobbered by the stale merge")
+    assert(VersionedTable.history(spark, t).map(_.op) ==
+      Seq("append", "append", "upsert"))
+  }
+
+  test("optimistic concurrency: pruned merge and compact also redo") {
+    val t = freshTable()
+    VersionedTable.appendKeyed(spark, t, Seq((1L, "a")).toDF("k", "s"), "k")
+    VersionedTable.raceInjection = () =>
+      VersionedTable.appendKeyed(spark, t,
+        Seq((50L, "mid")).toDF("k", "s"), "k")
+    VersionedTable.upsertPruned(spark, t,
+      Seq((1L, "A")).toDF("k", "s"), "k")
+    assert(VersionedTable.read(spark, t).as[(Long, String)].collect().toSet
+      == Set((1L, "A"), (50L, "mid")))
+    VersionedTable.raceInjection = () =>
+      VersionedTable.append(spark, t, Seq((60L, "x")).toDF("k", "s"))
+    VersionedTable.compact(spark, t)
+    assert(VersionedTable.read(spark, t).count() == 3L,
+      "compact must not erase a commit that landed during its rewrite")
+  }
+
   test("checkpoint: schema evolution state is captured and applied") {
     val t = freshTable()
     VersionedTable.append(spark, t, Seq((1L, 10L)).toDF("k", "v"))
