@@ -475,6 +475,8 @@ object SparkEntry {
     "mmr_rerank"            -> (graft.ann.MmrRerank.mmrEmbeddings(_, _)),
     // conditional next-token table: the bigram LM as a relation
     "bigram_next"           -> (graft.functions.NgramStats.bigramNextDocs(_, _)),
+    // interpolated Kneser-Ney bigram LM, d=3/4 exact rational permicro
+    "kneser_ney_bigrams"    -> (graft.functions.NgramStats.kneserNeyDocs(_, _)),
     // exact trimmed mean via histogram cumulation, per group
     "trimmed_mean"          -> (graft.operators.Robust.trimmedMeanLineitem(_, _)),
     // one Huber IRLS step: OLS -> capped weights -> weighted refit
@@ -773,6 +775,7 @@ object SparkEntry {
     "shapley_attribution"   -> graft.operators.Shapley.oracleSql,
     "mmr_rerank"            -> graft.ann.MmrRerank.oracleSql,
     "bigram_next"           -> graft.functions.NgramStats.bigramNextOracleSql,
+    "kneser_ney_bigrams"    -> graft.functions.NgramStats.kneserNeyOracleSql,
     "trimmed_mean"          -> graft.operators.Robust.trimmedMeanOracleSql,
     "huber_irls_step"       -> graft.ml.HuberStep.oracleSql,
     "bootstrap_ab"          -> graft.operators.Bootstrap.abOracleSql,

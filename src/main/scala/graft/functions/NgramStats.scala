@@ -367,6 +367,71 @@ object NgramStats {
   def bigramNextDocs(spark: SparkSession, dir: String): DataFrame =
     bigramNext(graft.Tables.documents(spark, dir), "doc_id", "text", v = 200)
 
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1998's interpolated form) with the standard
+    * discount d = 0.75 — the LM-quality upgrade of [[bigramNext]]'s
+    * raw conditional: P(w2|w1) = (c12−d)/c1 + d·N1+(w1·)/c1 ·
+    * N1+(·w2)/N1+(··). The continuation factor is what makes "francisco"
+    * improbable outside "san francisco" — the distinguishing KN
+    * behavior, pinned by the spec.
+    *
+    * d = 3/4 keeps everything RATIONAL: multiply through by 4 and the
+    * permicro report is two truncating integer divisions,
+    *   (10⁶·(4·c12−3)) div (4·c1)  +  (3·10⁶·nf·nb) div (4·c1·nAll),
+    * all in DECIMAL(38,0) (3·10⁶·nf·nb ≤ ~10²⁷ at 10¹⁰ bigram types).
+    * One corpus pass to bigram cells; everything after is type-table
+    * sized. Reported for bigrams with c12 ≥ minCount. */
+  def kneserNeyBigrams(docs: DataFrame, idCol: String, textCol: String,
+                       minCount: Long): DataFrame = {
+    val withToks = docs.select(toks(col(textCol)).as("__ts"))
+    val bc = withToks.select(explode(bigramArr(col("__ts"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c12"))
+      .localCheckpoint() // feeds both marginals, the total, and the report
+    val fwd = bc.groupBy("w1").agg(sum(col("c12")).as("c1"),
+      count(lit(1)).cast("decimal(38,0)").as("nf"))
+    val bwd = bc.groupBy("w2").agg(
+      count(lit(1)).cast("decimal(38,0)").as("nb"))
+    val tot = bc.agg(count(lit(1)).cast("decimal(38,0)").as("nall"))
+    bc.filter(col("c12") >= minCount)
+      .join(fwd, "w1")
+      .join(bwd, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        col("c12").cast("long").as("c12"),
+        col("c1").cast("long").as("c1"),
+        col("nf").cast("long").as("nf"),
+        col("nb").cast("long").as("nb"),
+        expr("""CAST((1000000 * (4 * c12 - 3)) div (4 * c1)
+            + (3000000 * nf * nb) div (4 * c1 * nall)
+          AS BIGINT)""").as("pkn_permicro"))
+  }
+
+  def kneserNeyDocs(spark: SparkSession, dir: String): DataFrame =
+    kneserNeyBigrams(graft.Tables.documents(spark, dir), "doc_id", "text",
+      minCount = 5L)
+
+  def kneserNeyOracleSql: String =
+    s"""WITH $TokCte, $BigCte,
+       |bc AS (SELECT w1, w2, CAST(count(*) AS HUGEINT) AS c12
+       |       FROM big GROUP BY 1, 2),
+       |fwd AS (SELECT w1, sum(c12) AS c1, CAST(count(*) AS HUGEINT) AS nf
+       |        FROM bc GROUP BY 1),
+       |bwd AS (SELECT w2, CAST(count(*) AS HUGEINT) AS nb FROM bc GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS HUGEINT) AS nall FROM bc)
+       |SELECT bc.w1, bc.w2, CAST(c12 AS BIGINT) AS c12,
+       |  CAST(c1 AS BIGINT) AS c1, CAST(nf AS BIGINT) AS nf,
+       |  CAST(nb AS BIGINT) AS nb,
+       |  CAST((1000000 * (4 * c12 - 3)) // (4 * c1)
+       |    + (3000000 * nf * nb) // (4 * c1 * nall) AS BIGINT)
+       |    AS pkn_permicro
+       |FROM bc
+       |JOIN fwd USING (w1)
+       |JOIN bwd USING (w2)
+       |CROSS JOIN tot
+       |WHERE c12 >= 5""".stripMargin
+
   def bigramNextOracleSql: String =
     s"""WITH $TokCte, $BigCte,
        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n

@@ -7,6 +7,39 @@ import graft.operators.Robust
 class BigramTrimSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Kneser-Ney: hand-walked probabilities on 'a b a b a c'") {
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = NgramStats.kneserNeyBigrams(docs, "doc_id", "text", 1L)
+      .select($"w1", $"w2", $"pkn_permicro").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // bc: (a,b)=2 (b,a)=2 (a,c)=1; c1(a)=3 nf(a)=2; nb all 1; nAll=3
+    // P(b|a) = (2-3/4)/3 + (3/4)(2/3)(1/3) = 5/12 + 1/6
+    assert(got(("a", "b")) === 416666L + 166666L)
+    // P(c|a) = (1-3/4)/3 + 1/6 = 1/12 + 1/6
+    assert(got(("a", "c")) === 83333L + 166666L)
+    // P(a|b) = (2-3/4)/2 + (3/4)(1/2)(1/3) = 5/8 + 1/8
+    assert(got(("b", "a")) === 625000L + 125000L)
+  }
+
+  test("Kneser-Ney: continuation probability penalizes one-context words") {
+    // z1 follows ONLY q; z2 follows q the same number of times but
+    // also appears after three other contexts -> same raw conditional,
+    // HIGHER KN probability for z2 (the san-francisco effect)
+    val docs = Seq(
+      (1L, Seq.fill(5)("q z1").mkString(" . ")),
+      (2L, Seq.fill(5)("q z2").mkString(" . ")),
+      (3L, "u z2 . v z2 . w z2")
+    ).toDF("doc_id", "text")
+    val got = NgramStats.kneserNeyBigrams(docs, "doc_id", "text", 1L)
+      .select($"w1", $"w2", $"c12", $"pkn_permicro")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val (c1, p1) = got(("q", "z1"))
+    val (c2, p2) = got(("q", "z2"))
+    assert(c1 == c2, "raw bigram counts identical by construction")
+    assert(p2 > p1, "more continuation contexts must raise the KN prob")
+  }
+
   test("bigram next: argmax continuation with count-then-token order") {
     val docs = Seq(
       (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat"),
