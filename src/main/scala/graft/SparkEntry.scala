@@ -157,6 +157,8 @@ object SparkEntry {
     "schema_shrink"         -> (SchemaTools.shrinkPlanLineitem(_, _)),
     "column_classify"       -> (SchemaTools.classifyOrders(_, _)),
     "numeric_profile"       -> (SchemaTools.numericProfileLineitem(_, _)),
+    // exact pivot-centered skewness/kurtosis per group
+    "skew_kurtosis"         -> (graft.operators.Moments.momentsLineitem(_, _)),
     "class_weights"         -> (SchemaTools.classWeightsOrders(_, _)),
     "dim_date"              -> (DimDate.dimDate(_, _)),
     "hierarchy_flatten"     -> (Hierarchy.customerHierarchy(_, _)),
@@ -636,6 +638,7 @@ object SparkEntry {
     "schema_shrink"         -> SchemaTools.shrinkPlanOracleSql,
     "column_classify"       -> SchemaTools.classifyOracleSql,
     "numeric_profile"       -> SchemaTools.numericProfileOracleSql,
+    "skew_kurtosis"         -> graft.operators.Moments.oracleSql,
     "class_weights"         -> SchemaTools.classWeightsOracleSql,
     "dim_date"              -> DimDate.oracleSql,
     "concurrent_table_stats" -> Concurrent.oracleSql,
