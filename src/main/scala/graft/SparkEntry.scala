@@ -159,6 +159,8 @@ object SparkEntry {
     "numeric_profile"       -> (SchemaTools.numericProfileLineitem(_, _)),
     // exact pivot-centered skewness/kurtosis per group
     "skew_kurtosis"         -> (graft.operators.Moments.momentsLineitem(_, _)),
+    // revenue-weighted median quantity per group, division-free walk
+    "weighted_median"       -> (graft.operators.WeightedMedian.weightedMedianLineitem(_, _)),
     "class_weights"         -> (SchemaTools.classWeightsOrders(_, _)),
     "dim_date"              -> (DimDate.dimDate(_, _)),
     "hierarchy_flatten"     -> (Hierarchy.customerHierarchy(_, _)),
@@ -639,6 +641,7 @@ object SparkEntry {
     "column_classify"       -> SchemaTools.classifyOracleSql,
     "numeric_profile"       -> SchemaTools.numericProfileOracleSql,
     "skew_kurtosis"         -> graft.operators.Moments.oracleSql,
+    "weighted_median"       -> graft.operators.WeightedMedian.oracleSql,
     "class_weights"         -> SchemaTools.classWeightsOracleSql,
     "dim_date"              -> DimDate.oracleSql,
     "concurrent_table_stats" -> Concurrent.oracleSql,
