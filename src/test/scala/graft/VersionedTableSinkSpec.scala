@@ -52,6 +52,30 @@ class VersionedTableSinkSpec extends SparkSpec {
       Seq((3L, "c")).toDF("k", "s"), 2L).isDefined)
   }
 
+  test("consumer: polls exactly the new versions, cursor survives restarts") {
+    import graft.streaming.VersionedTableConsumer
+    val t = freshTable()
+    val cursor = Files.createTempDirectory("vtcur").resolve("cursor").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    def drain(): Unit =
+      VersionedTableConsumer.poll(spark, t, cursor) { (feed, v) =>
+        seen += ((v, feed.filter($"_change_type" === "insert")
+          .select("k").as[Long].collect().toSet))
+      }
+    VersionedTable.append(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    drain()
+    assert(seen.toList == List((0L, Set(1L))))
+    // nothing new: poll is a no-op, cursor untouched
+    drain()
+    assert(seen.size == 1)
+    // two more commits, one poll: feed covers BOTH versions at once
+    VersionedTable.append(spark, t, Seq((2L, "b")).toDF("k", "s"))
+    VersionedTable.append(spark, t, Seq((3L, "c")).toDF("k", "s"))
+    drain()
+    assert(seen.toList == List((0L, Set(1L)), (2L, Set(2L, 3L))))
+    assert(VersionedTableConsumer.position(spark, cursor) == 2L)
+  }
+
   test("committed batches are incrementally consumable via the change feed") {
     val t = freshTable()
     VersionedTable.appendOnce(spark, t, Seq((1L, "a")).toDF("k", "s"), 0L)
