@@ -53,12 +53,16 @@ object GraftFunctions {
 
 /** `spark.sql.extensions` entry point (`--conf
   * spark.sql.extensions=graft.GraftExtensions`): injects every
-  * [[GraftFunctions.builders]] function into sessions at build time. */
+  * [[GraftFunctions.builders]] function AND the
+  * [[graft.plans.RewriteDotProduct]] optimizer rule into sessions at
+  * build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo("graft.GraftFunctions", name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+  }
 }

@@ -55,6 +55,38 @@ class GraftFunctionsSpec extends SparkSpec {
         "SELECT graft_long_array_dot(array(2L, 3L), array(10L, 10L)) AS d")
         .head().getLong(0)
       assert(dot == 50L)
+
+      // the injected optimizer rule rewrites the textbook HOF dot
+      // product to the compiled expression — plan AND value. The
+      // vectors must come from a non-foldable SOURCE: over literals or
+      // a local relation the optimizer evaluates the whole projection
+      // before user rules see it (which is fine — nothing left to
+      // speed up)
+      import s.implicits._
+      val vecDir = java.nio.file.Files.createTempDirectory("graftvec")
+        .resolve("v.parquet").toString
+      Seq((Seq(2L, 3L, 4L), Seq(5L, 6L, 7L))).toDF("a", "b")
+        .write.parquet(vecDir)
+      s.read.parquet(vecDir).createOrReplaceTempView("__vecs")
+      def fired(q: org.apache.spark.sql.DataFrame): Boolean =
+        q.queryExecution.optimizedPlan.expressions.exists(
+          _.exists(_.isInstanceOf[graft.functions.LongArrayDot]))
+      val hof = s.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0L,
+          |  (acc, v) -> acc + v) AS d FROM __vecs""".stripMargin)
+      assert(fired(hof), "RewriteDotProduct must fire on the canonical pattern")
+      assert(hof.head().getLong(0) == 2 * 5 + 3 * 6 + 4 * 7)
+
+      // near-miss shapes must NOT rewrite: wrong init, non-sum merge
+      val wrongInit = s.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 1L,
+          |  (acc, v) -> acc + v) AS d FROM __vecs""".stripMargin)
+      assert(!fired(wrongInit))
+      assert(wrongInit.head().getLong(0) == 57L)
+      val nonSum = s.sql(
+        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0L,
+          |  (acc, v) -> acc + v + 1L) AS d FROM __vecs""".stripMargin)
+      assert(!fired(nonSum))
     } finally {
       prev.foreach { p =>
         SparkSession.setDefaultSession(p)
