@@ -181,6 +181,8 @@ object SparkEntry {
     "doc_fingerprint"       -> (TextFunctions.docFingerprint(_, _)),
     // MOSS winnowing: rightmost-min k-gram fingerprints per window
     "winnow_fingerprints"   -> (TextFunctions.winnowFingerprints(_, _)),
+    // incremental dedup vs a versioned fingerprint registry
+    "dedup_incremental"     -> (graft.dedup.IncrementalDedup.incrementalDocs(_, _)),
     "corpus_stats"          -> (TextFunctions.corpusStats(_, _)),
     "topk_per_group"        -> (graft.functions.TopKAgg.topkPerGroup(_, _)),
     "dedup_exact"           -> (ExactDedup.dedupExact(_, _)),
@@ -659,6 +661,7 @@ object SparkEntry {
     "text_langid"           -> TextFunctions.textLangidOracleSql,
     "doc_fingerprint"       -> TextFunctions.docFingerprintOracleSql,
     "winnow_fingerprints"   -> TextFunctions.winnowOracleSql,
+    "dedup_incremental"     -> graft.dedup.IncrementalDedup.oracleSql,
     "corpus_stats"          -> TextFunctions.corpusStatsOracleSql,
     "topk_per_group"        -> graft.functions.TopKAgg.oracleSql,
     "dedup_exact"           -> ExactDedup.oracleSql,
