@@ -208,6 +208,8 @@ object SparkEntry {
     // two chained Lloyd rounds: the means->centroids feedback edge
     // itself sits inside the hash gate
     "kmeans_step2"          -> (graft.ann.KmeansStep.kmeansStep2Embeddings(_, _)),
+    // CH index parts + simplified silhouette over the same clustering
+    "cluster_validity"      -> (graft.ann.ClusterValidity.clusterValidityEmbeddings(_, _)),
     // full-probe IVF == exhaustive search: shares the bruteforce oracle,
     // hash-gating the whole IVF pipeline (train/assign/probe/score/rank)
     "ann_ivf_exhaustive"    -> (IvfAnn.annIvfExhaustive(_, _)),
@@ -605,6 +607,7 @@ object SparkEntry {
     "gbt_stump2"            -> graft.ml.GbtStump.oracle2Sql,
     "kmeans_step"           -> graft.ann.KmeansStep.oracleSql,
     "kmeans_step2"          -> graft.ann.KmeansStep.oracle2Sql,
+    "cluster_validity"      -> graft.ann.ClusterValidity.oracleSql,
     "forecast_intervals"    -> graft.operators.ForecastIntervals.oracleSql,
     "bpe_first_merge"       -> graft.functions.BpeMerges.firstMergeOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,
