@@ -210,6 +210,8 @@ object SparkEntry {
     "kmeans_step2"          -> (graft.ann.KmeansStep.kmeansStep2Embeddings(_, _)),
     // CH index parts + simplified silhouette over the same clustering
     "cluster_validity"      -> (graft.ann.ClusterValidity.clusterValidityEmbeddings(_, _)),
+    // Davies-Bouldin: scatter/separation ratios on the cluster table
+    "davies_bouldin"        -> (graft.ann.ClusterValidity.daviesBouldinEmbeddings(_, _)),
     // full-probe IVF == exhaustive search: shares the bruteforce oracle,
     // hash-gating the whole IVF pipeline (train/assign/probe/score/rank)
     "ann_ivf_exhaustive"    -> (IvfAnn.annIvfExhaustive(_, _)),
@@ -608,6 +610,7 @@ object SparkEntry {
     "kmeans_step"           -> graft.ann.KmeansStep.oracleSql,
     "kmeans_step2"          -> graft.ann.KmeansStep.oracle2Sql,
     "cluster_validity"      -> graft.ann.ClusterValidity.oracleSql,
+    "davies_bouldin"        -> graft.ann.ClusterValidity.daviesBouldinOracleSql,
     "forecast_intervals"    -> graft.operators.ForecastIntervals.oracleSql,
     "bpe_first_merge"       -> graft.functions.BpeMerges.firstMergeOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,

@@ -126,13 +126,152 @@ object ClusterValidity {
         col("sil_permicro"), col("ch_num"), col("ch_den"))
   }
 
-  // ---- query-map entry (hash-gated) ----
+  /** Davies-Bouldin per cluster from the SAME validity rows: scatter
+    * s_i = ⌊√(W_i div n_i)⌋ (milli), centroid separations d_ij =
+    * ⌊√‖m_i−m_j‖²⌋, R_i = max_j 10⁶·(s_i+s_j) div d_ij, and the DB
+    * index = truncated mean of R_i. Lower is better; everything runs
+    * on the k-row cluster table (k² pairs — bounded forever). Same
+    * truncated-mean centroid contract as [[validate]]. */
+  def daviesBouldin(points: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val base = validate(points, idCol, vecCol, k)
+      .select(col("centroid"), col("n_assigned"),
+        col("w_c").cast("decimal(38,0)").as("__w"))
+    // rebuild the means the same way (cluster-table sized)
+    val pts = points.select(col(idCol).cast("long").as("__id"),
+        quantize(col(vecCol)).as("__e"))
+      .withColumn("__nrm", dotQ(col("__e"), col("__e")))
+    val seeds = pts.filter(col("__id") < k)
+      .select(col("__id").as("__sid"), col("__e").as("__c"),
+        col("__nrm").as("__cnrm"))
+    val assigned = pts.crossJoin(broadcast(seeds))
+      .withColumn("__d2",
+        col("__nrm") + col("__cnrm") - lit(2L) * dotQ(col("__e"), col("__c")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__d2"), col("__sid"))))
+      .filter(col("__rn") === 1)
+    val truncMean = """(CASE WHEN __s < 0 THEN -1L ELSE 1L END)
+      | * (abs(__s) div __n)""".stripMargin
+    val means = assigned
+      .select(col("__sid").as("__cid"),
+        posexplode(col("__e")).as(Seq("__dim", "__v")))
+      .groupBy("__cid", "__dim")
+      .agg(count(lit(1)).as("__n"), sum("__v").as("__s"))
+      .withColumn("__m", expr(truncMean))
+      .groupBy(col("__cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(__dim, __m)))," +
+        " x -> x.__m)").as("__m"))
+      .withColumn("__mnrm", dotQ(col("__m"), col("__m")))
+    val scatter = base.join(means, base("centroid") === means("__cid"))
+      .select(col("centroid"), col("n_assigned"), col("__m"), col("__mnrm"),
+        expr(sqrtSql("CAST(__w div n_assigned AS BIGINT)")).as("__si"))
+      .localCheckpoint() // self-joined k×k
+    val pairs = scatter.as("i").join(scatter.as("j"),
+        col("i.centroid") =!= col("j.centroid"))
+      .withColumn("__dij", expr(sqrtSql(
+        "(i.__mnrm + j.__mnrm - 2 * graft_long_array_dot(i.__m, j.__m))")))
+      .select(col("i.centroid").as("centroid"),
+        col("i.n_assigned").as("n_assigned"),
+        col("i.__si").as("__si"), col("j.__si").as("__sj"), col("__dij"))
+    val ri = pairs
+      .withColumn("__r", expr(
+        """CASE WHEN __dij > 0
+          |  THEN (1000000 * (__si + __sj)) div __dij
+          |  ELSE CAST(NULL AS BIGINT) END""".stripMargin))
+      .groupBy("centroid", "n_assigned")
+      .agg(max(col("__r")).as("r_i"))
+    val dbExact = ri.agg(
+      expr("CAST(sum(r_i) div count(1) AS BIGINT)").as("db_permicro"))
+    ri.crossJoin(broadcast(dbExact))
+      .select(col("centroid"), col("n_assigned"), col("r_i"),
+        col("db_permicro"))
+  }
+
+  // ---- query-map entries (hash-gated) ----
 
   /** Gated instance: score the k = 8 seed assignment over the
     * embeddings corpus — same seeds as kmeans_step, so the two gates
     * describe the same clustering. */
   def clusterValidityEmbeddings(spark: SparkSession, dir: String): DataFrame =
     validate(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8)
+
+  /** Gated DB-index instance over the same clustering. */
+  def daviesBouldinEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    daviesBouldin(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8)
+
+  def daviesBouldinOracleSql: String = {
+    val sq = { (x: String) =>
+      val s = s"CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT)"
+      s"""(CASE WHEN $x <= 0 THEN 0
+         |  WHEN ($s + 1) * ($s + 1) <= $x THEN $s + 1
+         |  WHEN $s * $s > $x THEN $s - 1
+         |  ELSE $s END)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS em
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, em,
+       |    CAST(list_sum(list_transform(em, v -> v * v)) AS BIGINT) AS nrm
+       |  FROM e
+       |), c1 AS (
+       |  SELECT vec_id AS sid, em AS cm, nrm AS cnrm FROM n WHERE vec_id < 8
+       |), d AS (
+       |  SELECT n.vec_id, n.em, n.nrm, c1.sid,
+       |    n.nrm + c1.cnrm - 2 * CAST(list_sum(
+       |      list_transform(generate_series(1, len(n.em)),
+       |        i -> n.em[i] * c1.cm[i])) AS BIGINT) AS d2
+       |  FROM n, c1
+       |), asg AS (
+       |  SELECT vec_id, em, nrm, sid AS cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, sid) AS rn FROM d) WHERE rn = 1
+       |), mdim AS (
+       |  SELECT cid, i AS dim, CAST(count(*) AS BIGINT) AS nn,
+       |    CAST(sum(em[i]) AS HUGEINT) AS s
+       |  FROM asg, unnest(generate_series(1, len(em))) t(i)
+       |  GROUP BY cid, i
+       |), m AS (
+       |  SELECT cid AS mcid, nn AS ncl,
+       |    list(CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+       |      * (abs(s) // nn) AS BIGINT) ORDER BY dim) AS mm
+       |  FROM mdim GROUP BY cid, nn
+       |), mn AS (
+       |  SELECT mcid, ncl, mm,
+       |    CAST(list_sum(list_transform(mm, v -> v * v)) AS BIGINT) AS mnrm
+       |  FROM m
+       |), wc AS (
+       |  SELECT asg.cid, CAST(count(*) AS BIGINT) AS n_assigned,
+       |    CAST(sum(asg.nrm + mn.mnrm - 2 * CAST(list_sum(
+       |      list_transform(generate_series(1, len(asg.em)),
+       |        i -> asg.em[i] * mn.mm[i])) AS BIGINT)) AS HUGEINT) AS w
+       |  FROM asg JOIN mn ON mn.mcid = asg.cid
+       |  GROUP BY asg.cid
+       |), sc AS (
+       |  SELECT wc.cid, wc.n_assigned, mn.mm, mn.mnrm,
+       |    ${sq("CAST(wc.w // wc.n_assigned AS BIGINT)")} AS si
+       |  FROM wc JOIN mn ON mn.mcid = wc.cid
+       |), pairs AS (
+       |  SELECT i.cid, i.n_assigned, i.si, j.si AS sj,
+       |    ${sq(
+      """(i.mnrm + j.mnrm - 2 * CAST(list_sum(
+        |      list_transform(generate_series(1, len(i.mm)),
+        |        x -> i.mm[x] * j.mm[x])) AS BIGINT))""".stripMargin)} AS dij
+       |  FROM sc i JOIN sc j ON i.cid <> j.cid
+       |), ri AS (
+       |  SELECT cid, n_assigned,
+       |    max(CASE WHEN dij > 0
+       |      THEN (1000000 * (si + sj)) // dij END) AS r_i
+       |  FROM pairs GROUP BY cid, n_assigned
+       |), db AS (
+       |  SELECT CAST(sum(r_i) // count(*) AS BIGINT) AS db_permicro FROM ri
+       |)
+       |SELECT ri.cid AS centroid, ri.n_assigned,
+       |  CAST(ri.r_i AS BIGINT) AS r_i, db.db_permicro
+       |FROM ri, db""".stripMargin
+  }
 
   def oracleSql: String = {
     val sq = { (x: String) =>
