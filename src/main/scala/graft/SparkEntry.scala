@@ -333,6 +333,8 @@ object SparkEntry {
     "gbt_attribution"       -> (graft.ml.RfAttribution.gbtAttribution(_, _)),
     // concurrent hyperparameter grid through the shared harness
     "rf_param_sweep"        -> (graft.ml.ParamSweep.rfParamSweep(_, _)),
+    // ASHA successive halving over nested hash-fraction rungs
+    "asha_sweep"            -> (graft.ml.AshaSweep.ashaOrders(_, _)),
     // PSI distribution drift: exact integer bins, smoothed shares,
     // micros log terms (fixed cardinality after one scan per side)
     "psi_value_drift"       -> (graft.operators.Drift.psiValueDrift(_, _)),
@@ -605,6 +607,7 @@ object SparkEntry {
     "theta_backtest"        -> graft.operators.Theta.oracleSql,
     "auto_forecast"         -> graft.operators.AutoForecast.oracleSql,
     "gbt_stump"             -> graft.ml.GbtStump.oracleSql,
+    "asha_sweep"            -> graft.ml.AshaSweep.oracleSql,
     "stump_attribution"     -> graft.ml.GbtStump.attributionOracleSql,
     "gbt_stump2"            -> graft.ml.GbtStump.oracle2Sql,
     "kmeans_step"           -> graft.ann.KmeansStep.oracleSql,
