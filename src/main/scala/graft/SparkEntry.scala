@@ -294,6 +294,8 @@ object SparkEntry {
     "table_checkpoint"      -> (graft.sources.VersionedTable.tableCheckpoint(_, _)),
     // zonemap-pruned MERGE: only key-overlapping groups rewritten
     "table_merge_pruned"    -> (graft.sources.VersionedTable.tableMergePruned(_, _)),
+    // valid-time x transaction-time grid over a versioned SCD2 dim
+    "bitemporal_lookup"     -> (graft.operators.Bitemporal.bitemporalOrders(_, _)),
     // event-sequence behavioral stats: lead-window transition pairs;
     // exact power-of-two recency decay (no libm in the gate)
     "markov_transitions"    -> (graft.operators.BehaviorStats.markovEvents(_, _)),
@@ -714,6 +716,7 @@ object SparkEntry {
     "table_schema_evolution" -> graft.sources.VersionedTable.schemaEvolutionOracleSql,
     "table_checkpoint"      -> graft.sources.VersionedTable.checkpointOracleSql,
     "table_merge_pruned"    -> graft.sources.VersionedTable.mergePrunedOracleSql,
+    "bitemporal_lookup"     -> graft.operators.Bitemporal.oracleSql,
     "markov_transitions"    -> graft.operators.BehaviorStats.markovOracleSql,
     "decay_user_value"      -> graft.operators.BehaviorStats.decayOracleSql,
     "benford_totalprice"    -> graft.operators.DigitProfile.oracleSql,
