@@ -94,7 +94,12 @@ class PlanAuditSpec extends SparkSpec {
     // eager checkpoint and never appears in the audited plan
     "kmeans_step2" -> 1,
     "knn_classify" -> 1, "kendall_tau" -> 1, "shapley_attribution" -> 2,
-    "mmr_rerank" -> 2, "pass_at_k" -> 1, "pinball_loss" -> 1)
+    "mmr_rerank" -> 2, "pass_at_k" -> 1, "pinball_loss" -> 1,
+    // round 14: asha crosses validation with the 16-row config grid
+    // (parameter-bounded); cluster_validity crosses points with the
+    // k-row mean table and the 1-row global mean; davies_bouldin's
+    // k×k scatter pairing is an inequality join of two k-row frames
+    "asha_sweep" -> 1, "cluster_validity" -> 2, "davies_bouldin" -> 2)
   // gbt_stump2 needs no entry: its side tagging (1-row root-split
   // broadcast) is behind an eager localCheckpoint, so the audited
   // level-2 plan starts at the materialized sided frame
