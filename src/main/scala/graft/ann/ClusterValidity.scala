@@ -44,15 +44,29 @@ object ClusterValidity {
        |  ELSE $s END)""".stripMargin
   }
 
-  /** Validity rows (centroid, n_assigned, w_c, sil_permicro, ch_num,
-    * ch_den) for points seeded-assigned to k centroids and scored
-    * against the assignment's truncated means. */
-  def validate(points: DataFrame, idCol: String, vecCol: String,
-               k: Int): DataFrame = {
+  /** DuckDB twin of [[sqrtSql]] — ONE definition for both oracles so a
+    * clamp fix can never desynchronize an oracle from the engine. */
+  private def sqrtDuckSql(x: String): String = {
+    val s = s"CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT)"
+    s"""(CASE WHEN $x <= 0 THEN 0
+       |  WHEN ($s + 1) * ($s + 1) <= $x THEN $s + 1
+       |  WHEN $s * $s > $x THEN $s - 1
+       |  ELSE $s END)""".stripMargin
+  }
+
+  private val truncMean = """(CASE WHEN __s < 0 THEN -1L ELSE 1L END)
+    | * (abs(__s) div __n)""".stripMargin
+
+  /** Shared fit: seeded assignment + truncated-mean centroid table,
+    * both materialized once — [[validate]] and [[daviesBouldin]] score
+    * against the SAME frames instead of re-deriving the corpus-scale
+    * assignment twice. */
+  private def clustering(points: DataFrame, idCol: String, vecCol: String,
+                         k: Int): (DataFrame, DataFrame) = {
     val pts = points.select(col(idCol).cast("long").as("__id"),
         quantize(col(vecCol)).as("__e"))
       .withColumn("__nrm", dotQ(col("__e"), col("__e")))
-      .localCheckpoint() // seeds, assignment, and the global mean share it
+      .localCheckpoint() // seeds and assignment share it
     val seeds = pts.filter(col("__id") < k)
       .select(col("__id").as("__sid"), col("__e").as("__c"),
         col("__nrm").as("__cnrm"))
@@ -65,8 +79,6 @@ object ClusterValidity {
       .select(col("__id"), col("__e"), col("__nrm"),
         col("__sid").as("__cid"))
       .localCheckpoint() // means AND re-scoring read it
-    val truncMean = """(CASE WHEN __s < 0 THEN -1L ELSE 1L END)
-      | * (abs(__s) div __n)""".stripMargin
     val means = assigned
       .select(col("__cid"), posexplode(col("__e")).as(Seq("__dim", "__v")))
       .groupBy("__cid", "__dim")
@@ -77,7 +89,16 @@ object ClusterValidity {
         " x -> x.__m)").as("__m"))
       .withColumn("__mnrm", dotQ(col("__m"), col("__m")))
       .localCheckpoint()
-    val global = pts
+    (assigned, means)
+  }
+
+  /** Validity rows (centroid, n_assigned, w_c, sil_permicro, ch_num,
+    * ch_den) for points seeded-assigned to k centroids and scored
+    * against the assignment's truncated means. */
+  def validate(points: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    val (assigned, means) = clustering(points, idCol, vecCol, k)
+    val global = assigned
       .select(posexplode(col("__e")).as(Seq("__dim", "__v")))
       .groupBy("__dim")
       .agg(count(lit(1)).as("__n"), sum("__v").as("__s"))
@@ -134,35 +155,17 @@ object ClusterValidity {
     * truncated-mean centroid contract as [[validate]]. */
   def daviesBouldin(points: DataFrame, idCol: String, vecCol: String,
                     k: Int): DataFrame = {
-    val base = validate(points, idCol, vecCol, k)
-      .select(col("centroid"), col("n_assigned"),
-        col("w_c").cast("decimal(38,0)").as("__w"))
-    // rebuild the means the same way (cluster-table sized)
-    val pts = points.select(col(idCol).cast("long").as("__id"),
-        quantize(col(vecCol)).as("__e"))
-      .withColumn("__nrm", dotQ(col("__e"), col("__e")))
-    val seeds = pts.filter(col("__id") < k)
-      .select(col("__id").as("__sid"), col("__e").as("__c"),
-        col("__nrm").as("__cnrm"))
-    val assigned = pts.crossJoin(broadcast(seeds))
-      .withColumn("__d2",
-        col("__nrm") + col("__cnrm") - lit(2L) * dotQ(col("__e"), col("__c")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__id").orderBy(col("__d2"), col("__sid"))))
-      .filter(col("__rn") === 1)
-    val truncMean = """(CASE WHEN __s < 0 THEN -1L ELSE 1L END)
-      | * (abs(__s) div __n)""".stripMargin
-    val means = assigned
-      .select(col("__sid").as("__cid"),
-        posexplode(col("__e")).as(Seq("__dim", "__v")))
-      .groupBy("__cid", "__dim")
-      .agg(count(lit(1)).as("__n"), sum("__v").as("__s"))
-      .withColumn("__m", expr(truncMean))
-      .groupBy(col("__cid"))
-      .agg(expr("transform(sort_array(collect_list(struct(__dim, __m)))," +
-        " x -> x.__m)").as("__m"))
-      .withColumn("__mnrm", dotQ(col("__m"), col("__m")))
-    val scatter = base.join(means, base("centroid") === means("__cid"))
+    val (assigned, means) = clustering(points, idCol, vecCol, k)
+    // within-SS per cluster straight off the shared frames (one scored
+    // pass — no second assignment derivation)
+    val base = assigned.join(broadcast(means),
+        assigned("__cid") === means("__mcid"))
+      .withColumn("__a2",
+        col("__nrm") + col("__mnrm") - lit(2L) * dotQ(col("__e"), col("__m")))
+      .groupBy(col("__cid").as("centroid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("__a2").cast("decimal(38,0)")).as("__w"))
+    val scatter = base.join(means, base("centroid") === means("__mcid"))
       .select(col("centroid"), col("n_assigned"), col("__m"), col("__mnrm"),
         expr(sqrtSql("CAST(__w div n_assigned AS BIGINT)")).as("__si"))
       .localCheckpoint() // self-joined k×k
@@ -200,13 +203,7 @@ object ClusterValidity {
     daviesBouldin(Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8)
 
   def daviesBouldinOracleSql: String = {
-    val sq = { (x: String) =>
-      val s = s"CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT)"
-      s"""(CASE WHEN $x <= 0 THEN 0
-         |  WHEN ($s + 1) * ($s + 1) <= $x THEN $s + 1
-         |  WHEN $s * $s > $x THEN $s - 1
-         |  ELSE $s END)""".stripMargin
-    }
+    val sq = sqrtDuckSql _
     s"""WITH e AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
@@ -274,13 +271,7 @@ object ClusterValidity {
   }
 
   def oracleSql: String = {
-    val sq = { (x: String) =>
-      val s = s"CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT)"
-      s"""(CASE WHEN $x <= 0 THEN 0
-         |  WHEN ($s + 1) * ($s + 1) <= $x THEN $s + 1
-         |  WHEN $s * $s > $x THEN $s - 1
-         |  ELSE $s END)""".stripMargin
-    }
+    val sq = sqrtDuckSql _
     s"""WITH e AS (
        |  SELECT vec_id,
        |    list_transform(embedding,

@@ -26,12 +26,15 @@ import graft.Tables
   * its bucket's self-join quadratic in the block size, the one spot
   * where the equi-join shape breaks at corpus scale. Such blocks are
   * DROPPED from candidate generation, bounding per-block join work to
-  * blockCap² — linear overall — at a DECLARED recall bound: a true pair
-  * is missed only when BOTH of its agreeing half-prefix blocks are hot,
-  * i.e. both halves are >blockCap-frequent boilerplate. Surfaced pairs
-  * are still exactly verified. The gated oracle mirrors the capped
-  * candidate structure, so the contract (not just the happy path) is
-  * hash-gated.
+  * blockCap² — linear overall — at a DECLARED recall bound: a true
+  * pair is missed when EVERY half-prefix block the two prefixes agree
+  * on is hot. Identical prefixes (distance 0) agree on both halves and
+  * need both hot to be lost; a one-substitution pair agrees on only
+  * ONE half, so a single hot boilerplate half loses it — the price of
+  * the cap, exercised by HotBlockSpec's hot-only-pair case. Surfaced
+  * pairs are still exactly verified. The gated oracle mirrors the
+  * capped candidate structure, so the contract (not just the happy
+  * path) is hash-gated.
   */
 object EditDistance {
 
@@ -66,8 +69,10 @@ object EditDistance {
     * over `prefixLen`-char prefixes; rows shorter than `prefixLen` are
     * excluded (a length mismatch > 1 can never be within distance 1 of a
     * full-length prefix anyway, and equal lengths make the pigeonhole
-    * argument airtight). Recall bound: pairs whose BOTH half-prefix
-    * blocks exceed `blockCap` docs are not surfaced (see object doc). */
+    * argument airtight). Recall bound: a pair is surfaced only through
+    * a half-prefix block the two AGREE on that is not hot — distance-1
+    * pairs have exactly one such block, so one hot half loses them
+    * (see object doc). */
   def nearPairs(docs: DataFrame, idCol: String, textCol: String,
                 prefixLen: Int = 16, blockCap: Int = 1000): DataFrame =
     candidatePairs(docs, idCol, textCol, prefixLen, blockCap)

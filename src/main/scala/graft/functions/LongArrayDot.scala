@@ -14,11 +14,18 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * expression generates a tight primitive loop inside WholeStageCodegen:
   * no allocation, no virtual calls, vectorizable by the JIT.
   *
-  * Sum is over min(len(a), len(b)) elements, matching `zip_with`'s
-  * null-padding-then-drop semantics for equal-length vectors (the only
-  * shape the callers produce).
+  * Default mode sums over min(len(a), len(b)) elements, matching
+  * `zip_with`'s null-padding-then-drop semantics for equal-length
+  * vectors (the only shape the engine's callers produce). With
+  * `nullAware = true` the loop ALSO reproduces the HOF form's edge
+  * semantics bit-for-bit — NULL when the lengths differ (zip_with's
+  * null padding poisons the sum) or when any element is null — still
+  * one compiled primitive pass; [[graft.plans.RewriteDotProduct]] uses
+  * this mode so the optimizer rewrite is safe on file-sourced arrays
+  * whose schema cannot prove null-freedom.
   */
-case class LongArrayDot(left: Expression, right: Expression)
+case class LongArrayDot(left: Expression, right: Expression,
+                        nullAware: Boolean = false)
   extends BinaryExpression {
 
   // ExpectsInputTypes' members are private[sql]; validate directly so a
@@ -29,11 +36,21 @@ case class LongArrayDot(left: Expression, right: Expression)
     if (l.isFailure) l else ExprChecks.requireLongArray(right.dataType, prettyName)
   }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = nullAware || super.nullable
   override def prettyName: String = "long_array_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (nullAware) {
+      if (x.numElements() != y.numElements()) return null
+      var i = 0
+      val n = x.numElements()
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
@@ -46,11 +63,22 @@ case class LongArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val guard = if (nullAware)
+        s"""
+           |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+           |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+           |}
+         """.stripMargin
+      else ""
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |$guard
          |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -61,11 +61,19 @@ object Allocation {
         sum(col(valueCol).cast("decimal(38,0)")
           * col(valueCol).cast("decimal(38,0)")).as("sxx"))
       .withColumn("ss", expr("n_h * sxx - sx * sx"))
-      .withColumn("w", expr(isqrtSql("ss")))
+      .withColumn("__w0", expr(isqrtSql("ss")))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    // windows over the strata table only (domain-bounded)
+    // windows over the strata table only (domain-bounded).
+    // All-constant strata give Σw = 0 and would divide by zero —
+    // Neyman with equal variances REDUCES to proportional allocation,
+    // so fall back to w = N_h exactly then
+    // NB: "__W0" would silently REPLACE "__w0" — Spark column names
+    // are case-insensitive by default
     val shares = strata
+      .withColumn("__wsum0", sum(col("__w0")).over(wAll))
+      .withColumn("w",
+        when(col("__wsum0") === 0, col("n_h")).otherwise(col("__w0")))
       .withColumn("__W", sum(col("w")).over(wAll))
       .withColumn("floor_share", expr(s"($nTotal * w) div __W"))
       .withColumn("rem", expr(s"$nTotal * w - floor_share * __W"))
@@ -123,8 +131,13 @@ object Allocation {
        |  FROM o GROUP BY prio
        |), withss AS (
        |  SELECT prio, n_h, n_h * sxx - sx * sx AS ss FROM strata
+       |), weighted0 AS (
+       |  SELECT prio, n_h, ss, $isqrt AS w0 FROM withss
        |), weighted AS (
-       |  SELECT prio, n_h, ss, $isqrt AS w FROM withss
+       |  -- all-constant strata: Neyman degenerates to proportional
+       |  SELECT prio, n_h, ss,
+       |    CASE WHEN sum(w0) OVER () = 0 THEN n_h ELSE w0 END AS w
+       |  FROM weighted0
        |), totW AS (
        |  SELECT prio, n_h, ss, w, sum(w) OVER () AS bigw FROM weighted
        |), floored AS (

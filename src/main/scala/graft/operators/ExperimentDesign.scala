@@ -35,7 +35,12 @@ object ExperimentDesign {
   val ZSumPermicro = 1959964L + 841621L
 
   /** Per-arm MDE rows (arm, n, ss, mde_micros) for integer metric
-    * `valueCol` grouped by `armCol`. */
+    * `valueCol` grouped by `armCol`. MDE = Z·√(2·SS)/(√n·n) with BOTH
+    * roots taken separately through the exact isqrt — the single-root
+    * form isqrt((2·SS) div n) has a div whose quotient ≈ 2nσ² outgrows
+    * BIGINT near 10⁹ rows (Spark's div returns long), the overflow
+    * class this family bans. Split-isqrt truncation overestimates by
+    * ≤ (1/√(2SS) + 1/√n) relative — negligible at any real arm size. */
   def powerMde(df: DataFrame, armCol: String, valueCol: String): DataFrame = {
     val arms = df.groupBy(col(armCol).as("arm"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
@@ -43,10 +48,12 @@ object ExperimentDesign {
         sum(col(valueCol).cast("decimal(38,0)")
           * col(valueCol).cast("decimal(38,0)")).as("sxx"))
       .withColumn("ss", expr("n * sxx - sx * sx"))
-    val s = Allocation.isqrtSql("((2 * ss) div n)")
+    val s1 = Allocation.isqrtSql("(2 * ss)")
+    val s2 = Allocation.isqrtSql("n")
     arms.select(col("arm"), col("n").cast("long").as("n"),
       col("ss").cast("string").as("ss"),
-      expr(s"CAST(($ZSumPermicro * $s) div n AS BIGINT)").as("mde_micros"))
+      expr(s"CAST(($ZSumPermicro * $s1) div ($s2 * n) AS BIGINT)")
+        .as("mde_micros"))
   }
 
   /** One-row 2×2 DiD panel: per-cell counts and truncated micro means
@@ -95,7 +102,8 @@ object ExperimentDesign {
       .select(col("arm").as("prio"), col("n"), col("ss"), col("mde_micros"))
 
   def powerMdeOracleSql: String = {
-    val s = Allocation.isqrtDuckSql("((2 * ss) // n)")
+    val s1 = Allocation.isqrtDuckSql("(2 * ss)")
+    val s2 = Allocation.isqrtDuckSql("n")
     s"""WITH o AS (
        |  SELECT o_orderpriority AS prio,
        |    CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS dollars
@@ -109,7 +117,7 @@ object ExperimentDesign {
        |  SELECT prio, n, n * sxx - sx * sx AS ss FROM arms
        |)
        |SELECT prio, CAST(n AS BIGINT) AS n, CAST(ss AS VARCHAR) AS ss,
-       |  CAST(($ZSumPermicro * $s) // n AS BIGINT) AS mde_micros
+       |  CAST(($ZSumPermicro * $s1) // ($s2 * n) AS BIGINT) AS mde_micros
        |FROM withss""".stripMargin
   }
 

@@ -21,18 +21,28 @@ import graft.functions.LongArrayDot
   * users who write the textbook formulation, without them knowing the
   * native function exists.
   *
-  * Semantics note (why this ships in [[graft.GraftExtensions]], an
-  * explicit opt-in, rather than unconditionally): the native loop sums
-  * over min(len) with wrapping longs, while the HOF form null-pads
-  * unequal lengths (→ NULL result) and under ANSI throws on overflow.
-  * For the equal-length, in-range vectors every dot-product caller
-  * produces, the two are bit-identical.
+  * Semantics: when either array's schema admits null elements (file
+  * sources always do), the rewrite uses [[LongArrayDot]]'s null-aware
+  * mode, which reproduces the HOF form's NULL-on-null-element and
+  * NULL-on-length-mismatch behavior bit-for-bit in the same compiled
+  * loop. The one residual divergence — and why this ships in
+  * [[graft.GraftExtensions]] as an explicit opt-in — is overflow: the
+  * native sum wraps, the interpreted form under ANSI throws.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
   private def isLongArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(LongType, _) => true
     case _                      => false
+  }
+
+  /** Can a null element (or length mismatch, which zip_with pads into
+    * nulls) reach the sum? File sources force containsNull=true, so
+    * this is the common case — handled by [[LongArrayDot]]'s
+    * null-aware compiled mode rather than by skipping the rewrite. */
+  private def mayHoldNulls(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, cn) => cn
+    case _                       => true
   }
 
   /** (x, y) -> x * y over exactly the lambda's own two variables. */
@@ -75,6 +85,7 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
           if isLongArray(la) && isLongArray(ra) &&
             isElementwiseMul(mul) && isPlainSum(merge) &&
             isIdentity(finish) =>
-        LongArrayDot(la, ra)
+        LongArrayDot(la, ra,
+          nullAware = mayHoldNulls(la) || mayHoldNulls(ra))
     }
 }

@@ -693,13 +693,17 @@ object VersionedTable {
     require(retainVersions >= 1, "must retain at least the head version")
     lockFor(table).synchronized {
       val f = fs(spark, table)
-      val commits = history(spark, table)
-      if (commits.isEmpty) return Nil
-      val head = commits.last.version
+      val headOpt = latestVersion(spark, table)
+      if (headOpt.isEmpty) return Nil
+      val head = headOpt.get
       val horizon = math.max(minReadableVersion(spark, table),
         head - retainVersions + 1)
+      // checkpoint-AWARE resolution, like the read path: a raw log
+      // replay here would miss groups a checkpoint carries for a
+      // table whose covered log prefix was dropped, and delete LIVE
+      // data
       val needed = (horizon to head)
-        .flatMap(v => liveDirs(commits, v)).toSet
+        .flatMap(v => resolveState(spark, table, v)._1).toSet
       val all = if (f.exists(dataDir(table)))
         f.listStatus(dataDir(table)).toSeq.map(_.getPath.getName) else Nil
       val doomed = all.filterNot(needed.contains)

@@ -62,30 +62,45 @@ class GraftFunctionsSpec extends SparkSpec {
       // a local relation the optimizer evaluates the whole projection
       // before user rules see it (which is fine — nothing left to
       // speed up)
-      import s.implicits._
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
       val vecDir = java.nio.file.Files.createTempDirectory("graftvec")
         .resolve("v.parquet").toString
-      Seq((Seq(2L, 3L, 4L), Seq(5L, 6L, 7L))).toDF("a", "b")
+      val vecSchema = StructType(Seq(
+        StructField("a", ArrayType(LongType, containsNull = true)),
+        StructField("b", ArrayType(LongType, containsNull = true)),
+        StructField("tag", StringType)))
+      s.createDataFrame(
+        java.util.Arrays.asList(
+          Row(Seq(2L, 3L, 4L), Seq(5L, 6L, 7L), "clean"),
+          Row(Seq[Any](1L, null, 3L), Seq(1L, 1L, 1L), "holed")),
+        vecSchema)
         .write.parquet(vecDir)
       s.read.parquet(vecDir).createOrReplaceTempView("__vecs")
       def fired(q: org.apache.spark.sql.DataFrame): Boolean =
         q.queryExecution.optimizedPlan.expressions.exists(
           _.exists(_.isInstanceOf[graft.functions.LongArrayDot]))
       val hof = s.sql(
-        """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0L,
+        """SELECT tag, aggregate(zip_with(a, b, (x, y) -> x * y), 0L,
           |  (acc, v) -> acc + v) AS d FROM __vecs""".stripMargin)
       assert(fired(hof), "RewriteDotProduct must fire on the canonical pattern")
-      assert(hof.head().getLong(0) == 2 * 5 + 3 * 6 + 4 * 7)
+      val rows = hof.collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(rows("clean") == Some(2 * 5 + 3 * 6 + 4 * 7))
+      // null element: the null-aware compiled mode must preserve the
+      // HOF form's NULL propagation
+      assert(rows("holed").isEmpty,
+        "a null element must yield NULL, exactly like the HOF form")
 
       // near-miss shapes must NOT rewrite: wrong init, non-sum merge
       val wrongInit = s.sql(
         """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 1L,
-          |  (acc, v) -> acc + v) AS d FROM __vecs""".stripMargin)
+          |  (acc, v) -> acc + v) AS d FROM __vecs WHERE tag = 'clean'""".stripMargin)
       assert(!fired(wrongInit))
       assert(wrongInit.head().getLong(0) == 57L)
       val nonSum = s.sql(
         """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0L,
-          |  (acc, v) -> acc + v + 1L) AS d FROM __vecs""".stripMargin)
+          |  (acc, v) -> acc + v + 1L) AS d FROM __vecs WHERE tag = 'clean'""".stripMargin)
       assert(!fired(nonSum))
     } finally {
       prev.foreach { p =>

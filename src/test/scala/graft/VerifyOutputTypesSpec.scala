@@ -26,6 +26,11 @@ class VerifyOutputTypesSpec extends SparkSpec {
   }
 
   test("no gated query emits DecimalType in its final schema") {
+    // NB: fn(spark, sfDir) is analysis-only for most keys, but the
+    // versioned-table / bitemporal / dedup_incremental builders run
+    // real jobs at DataFrame CONSTRUCTION (they rebuild their tmp
+    // tables) — accepted: the schema is only defined by running them,
+    // and the rebuild is the same one every gated invocation performs
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (key, fn) =>
         val schema = fn(spark, sfDir).schema

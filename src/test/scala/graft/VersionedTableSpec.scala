@@ -295,6 +295,28 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t).count() == 3L)
   }
 
+  test("vacuum is checkpoint-aware: never deletes groups the checkpoint carries") {
+    val t = freshTable()
+    VersionedTable.append(spark, t, Seq((1L, "a")).toDF("k", "s"))
+    VersionedTable.append(spark, t, Seq((2L, "b")).toDF("k", "s"))
+    VersionedTable.checkpoint(spark, t)
+    VersionedTable.append(spark, t, Seq((3L, "c")).toDF("k", "s"))
+    // drop the covered log prefix (the documented disposability contract)
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(0L, 1L).foreach { v =>
+      assert(f.delete(new org.apache.hadoop.fs.Path(t,
+        f"_commits/$v%020d.json"), false))
+    }
+    // vacuum retaining the head: groups A and B are ONLY reachable
+    // through the checkpoint — a raw log replay would delete them
+    VersionedTable.vacuum(spark, t, retainVersions = 1)
+    assert(VersionedTable.read(spark, t)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "vacuum must not delete live groups carried by the checkpoint")
+  }
+
   test("optimistic concurrency: an interleaved commit forces a merge redo") {
     val t = freshTable()
     VersionedTable.append(spark, t,
