@@ -146,22 +146,41 @@ object VersionedTable {
     val f = fs(spark, table)
     val dir = commitsDir(table)
     if (!f.exists(dir)) return Nil
-    f.listStatus(dir).toSeq
+    val names = f.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .filter(n => n.endsWith(".json") && !n.startsWith("_"))
       .sorted
-      .map(n => parseCommit(readFully(f, new Path(dir, n))))
+    // a commit that fails to parse (writer crashed mid-rename on a
+    // non-atomic FS) ENDS the readable prefix, as documented — it must
+    // not brick every read of the versions before it
+    val out = Vector.newBuilder[Commit]
+    var stop = false
+    names.foreach { n =>
+      if (!stop) {
+        try out += parseCommit(readFully(f, new Path(dir, n)))
+        catch { case scala.util.control.NonFatal(_) => stop = true }
+      }
+    }
+    out.result()
   }
 
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
     commitVersions(fs(spark, table), table).lastOption
 
+  /** Read a marker file, treating a concurrent replace window (the
+    * marker is delete-then-recreated) or absence as "no marker" —
+    * stale/absent markers UNDER-report, which is the safe direction
+    * for both the vacuum horizon and the checkpoint pointer. */
+  private def readMarker(f: FileSystem, p: Path): Option[Array[Byte]] =
+    try { if (f.exists(p)) Some(readFully(f, p)) else None }
+    catch { case _: java.io.FileNotFoundException => None }
+
   /** Oldest version still reconstructable (vacuum advances this). */
   def minReadableVersion(spark: SparkSession, table: String): Long = {
     val f = fs(spark, table)
-    val p = vacuumPath(table)
-    if (!f.exists(p)) 0L
-    else mapper.readTree(readFully(f, p)).get("min_readable_version").asLong()
+    readMarker(f, vacuumPath(table))
+      .map(b => mapper.readTree(b).get("min_readable_version").asLong())
+      .getOrElse(0L)
   }
 
   /** Live data-dir names after replaying commits 0..v. */
@@ -185,14 +204,14 @@ object VersionedTable {
       n.get("schema").asText(), n.get("ts").asLong())
   }
 
-  /** Latest materialized checkpoint, if any. */
+  /** Latest materialized checkpoint, if any. Tolerates the marker's
+    * replace window and a dangling pointer (both degrade to "no
+    * checkpoint", which only costs a full log replay). */
   def latestCheckpoint(spark: SparkSession, table: String): Option[Checkpoint] = {
     val f = fs(spark, table)
-    val last = lastCheckpointPath(table)
-    if (!f.exists(last)) None
-    else {
-      val v = mapper.readTree(readFully(f, last)).get("version").asLong()
-      Some(parseCheckpoint(readFully(f, checkpointPath(table, v))))
+    readMarker(f, lastCheckpointPath(table)).flatMap { b =>
+      val v = mapper.readTree(b).get("version").asLong()
+      readMarker(f, checkpointPath(table, v)).map(parseCheckpoint)
     }
   }
 
@@ -254,10 +273,17 @@ object VersionedTable {
       f.mkdirs(checkpointsDir(table))
       writeAtomic(f, checkpointsDir(table), checkpointPath(table, head),
         renderCheckpoint(k))
+      // only repoint the marker at a checkpoint file that actually
+      // exists (writeAtomic also returns false for already-exists,
+      // which is fine — a re-checkpoint at the same head); a failed
+      // rename must NOT leave the marker dangling
+      require(f.exists(checkpointPath(table, head)),
+        s"checkpoint file write failed at version $head")
       val marker = lastCheckpointPath(table)
       if (f.exists(marker)) f.delete(marker, false)
-      writeAtomic(f, checkpointsDir(table), marker,
-        s"""{"version":$head}""")
+      require(writeAtomic(f, checkpointsDir(table), marker,
+        s"""{"version":$head}"""),
+        s"checkpoint marker write failed at $table")
       head
     }
 
@@ -340,9 +366,20 @@ object VersionedTable {
     * commit-log or checkpoint format change is needed and pruning
     * reads are O(live groups). An empty df writes no stats (reads as
     * always-overlapping, the safe default). */
+  /** Is this a key type the zonemap contract covers (castable to long
+    * losslessly)? Non-integral keys simply get no sidecar — unprunable
+    * but always correct. */
+  private def integralKey(df: DataFrame, keyCol: String): Boolean =
+    df.schema.find(_.name == keyCol).map(_.dataType).exists {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+
   private def writeGroupWithStats(spark: SparkSession, table: String,
                                   df: DataFrame, keyCol: String): String = {
     val name = writeGroup(spark, table, df)
+    if (!integralKey(df, keyCol)) return name // no sidecar: unprunable
     // min/max from the group just written (group-sized scan of its
     // own parquet footers), not by re-running df's arbitrary plan
     val mm = spark.read.parquet(new Path(dataDir(table), name).toString)
@@ -567,6 +604,9 @@ object VersionedTable {
   def upsertPruned(spark: SparkSession, table: String, changes: DataFrame,
                    keyCol: String): (Long, Int, Int) =
     lockFor(table).synchronized {
+      require(integralKey(changes, keyCol),
+        s"zonemap key '$keyCol' must be an integral column " +
+          "(the sidecar contract); use upsert() for other key types")
       val ch = changes.localCheckpoint() // range scan + merge, one eval
       val mm = ch.agg(min(col(keyCol)).cast("long"),
         max(col(keyCol)).cast("long")).collect()(0)
@@ -575,6 +615,10 @@ object VersionedTable {
       var attempt = 0
       while (attempt < 5) {
         val st = logState(spark, table)
+        // same contract as append: the changeset must match the
+        // declared schema (an unchecked union would silently drop
+        // new columns or pin a type the committed data doesn't have)
+        requireCompatible(st.schemaStruct, ch.schema)
         val (overlap, skip) = st.live.partition { g =>
           groupKeyRange(spark, table, g, keyCol) match {
             case Some((lo, hi)) => hi >= clo && lo <= chi
@@ -647,6 +691,15 @@ object VersionedTable {
   def changesBetween(spark: SparkSession, table: String,
                      fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, "change feed runs forward")
+    // same loud guards as readVersion: a past-head toVersion would
+    // silently return a mislabeled head diff, a vacuumed fromVersion
+    // would die mid-scan on missing paths
+    val head = latestVersion(spark, table)
+      .getOrElse(sys.error(s"no commits at $table"))
+    require(toVersion <= head, s"toVersion $toVersion > head $head")
+    require(fromVersion >= minReadableVersion(spark, table),
+      s"fromVersion $fromVersion vacuumed (min readable " +
+        s"${minReadableVersion(spark, table)})")
     val (beforeDirs, _) = resolveState(spark, table, fromVersion)
     val (afterDirs, afterSchema) = resolveState(spark, table, toVersion)
     val before = beforeDirs.toSet
@@ -689,7 +742,15 @@ object VersionedTable {
     * the vacuum horizon. Returns the deleted dir names. Commit JSONs
     * are kept (the log stays an audit trail, Delta-style); reads below
     * the horizon fail loudly. */
-  def vacuum(spark: SparkSession, table: String, retainVersions: Int): Seq[String] = {
+  /** @param minAgeMillis unreferenced dirs younger than this survive —
+    *   Delta's retention-threshold discipline. A writer stages its file
+    *   group with a multi-second Spark job BEFORE taking the commit
+    *   lock, so a zero threshold could delete an in-flight group and
+    *   corrupt the commit about to reference it; the default outlives
+    *   any realistic stage-to-commit gap. Tests that build and vacuum
+    *   in one breath pass 0 explicitly. */
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int,
+             minAgeMillis: Long = 20L * 60 * 1000): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the head version")
     lockFor(table).synchronized {
       val f = fs(spark, table)
@@ -701,20 +762,32 @@ object VersionedTable {
       // checkpoint-AWARE resolution, like the read path: a raw log
       // replay here would miss groups a checkpoint carries for a
       // table whose covered log prefix was dropped, and delete LIVE
-      // data
-      val needed = (horizon to head)
-        .flatMap(v => resolveState(spark, table, v)._1).toSet
+      // data. ONE resolve at the horizon, then a single fold over the
+      // tail accumulating the union of live sets (not a resolve per
+      // retained version — that is O(retain × tail) small-file reads).
+      val base = resolveState(spark, table, horizon)._1
+      val tail = commitsInRange(f, table, horizon + 1, head)
+      val (needed, _) = tail.foldLeft((base.toSet, base.toVector)) {
+        case ((union, live), c) =>
+          val next = live.filterNot(c.remove.contains) ++ c.add
+          (union ++ next, next)
+      }
+      val now = System.currentTimeMillis()
       val all = if (f.exists(dataDir(table)))
-        f.listStatus(dataDir(table)).toSeq.map(_.getPath.getName) else Nil
-      val doomed = all.filterNot(needed.contains)
-      doomed.foreach(d => f.delete(new Path(dataDir(table), d), true))
-      // marker replaced via tmp+rename like a commit (readers never
-      // see partial JSON); horizon only ever advances, so a stale
-      // marker under-reports and stays safe
+        f.listStatus(dataDir(table)).toSeq else Nil
+      val doomed = all
+        .filterNot(s => needed.contains(s.getPath.getName))
+        .filter(s => now - s.getModificationTime >= minAgeMillis)
+        .map(_.getPath.getName)
+      // fence readers FIRST: if the marker write fails, abort before
+      // deleting anything (a deleted dir with an unadvanced horizon
+      // would fail deep in a scan instead of loudly at the guard)
       val marker = vacuumPath(table)
       if (f.exists(marker)) f.delete(marker, false)
-      writeAtomic(f, commitsDir(table), marker,
-        s"""{"min_readable_version":$horizon}""")
+      require(writeAtomic(f, commitsDir(table), marker,
+        s"""{"min_readable_version":$horizon}"""),
+        s"vacuum horizon marker write failed at $table")
+      doomed.foreach(d => f.delete(new Path(dataDir(table), d), true))
       doomed
     }
   }

@@ -77,7 +77,7 @@ class VersionedTableSpec extends SparkSpec {
     // pre-compact versions still time-travel until vacuumed
     assert(VersionedTable.readVersion(spark, t, 1).count() == 2L)
     // vacuum to head leaves exactly the one compacted group on disk
-    VersionedTable.vacuum(spark, t, retainVersions = 1)
+    VersionedTable.vacuum(spark, t, retainVersions = 1, minAgeMillis = 0L)
     assert(new java.io.File(s"$t/data").list().length == 1)
   }
 
@@ -87,7 +87,7 @@ class VersionedTableSpec extends SparkSpec {
       Seq((i.toLong, i.toLong)).toDF("k", "v")))
     val dataDirs = new java.io.File(s"$t/data").list().toSet
     assert(dataDirs.size == 5)
-    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 2)
+    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 2, minAgeMillis = 0L)
     // versions 3 and 4 each reference exactly one overwrite group
     assert(deleted.size == 3)
     assert(VersionedTable.minReadableVersion(spark, t) == 3L)
@@ -103,6 +103,46 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.history(spark, t).size == 5)
   }
 
+  test("vacuum retention window: young unreferenced dirs survive") {
+    val t = freshTable()
+    VersionedTable.overwrite(spark, t, Seq((1L, 1L)).toDF("k", "v"))
+    VersionedTable.overwrite(spark, t, Seq((2L, 2L)).toDF("k", "v"))
+    // default threshold: the just-retired v0 group is younger than the
+    // retention window — an in-flight writer's staged group would look
+    // exactly like this, so it must NOT be deleted
+    assert(VersionedTable.vacuum(spark, t, retainVersions = 1).isEmpty)
+    // explicit zero window reclaims it
+    assert(VersionedTable.vacuum(spark, t, retainVersions = 1,
+      minAgeMillis = 0L).size == 1)
+  }
+
+  test("change feed guards: past-head and vacuumed ranges fail loudly") {
+    val t = freshTable()
+    VersionedTable.append(spark, t, Seq((1L, 1L)).toDF("k", "v"))
+    VersionedTable.overwrite(spark, t, Seq((2L, 2L)).toDF("k", "v"))
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.changesBetween(spark, t, 0L, 99L)
+    }
+    assert(e1.getMessage.contains("head"))
+    VersionedTable.vacuum(spark, t, retainVersions = 1, minAgeMillis = 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.changesBetween(spark, t, 0L, 1L)
+    }
+    assert(e2.getMessage.contains("vacuumed"))
+  }
+
+  test("a truncated commit file ends the readable prefix, not the table") {
+    val t = freshTable()
+    VersionedTable.append(spark, t, Seq((1L, 1L)).toDF("k", "v"))
+    VersionedTable.append(spark, t, Seq((2L, 2L)).toDF("k", "v"))
+    // a writer crashed mid-rename on a non-atomic FS: garbage commit 2
+    Files.writeString(java.nio.file.Paths.get(t, "_commits",
+      f"${2L}%020d.json"), """{"version":2,"op":"app""")
+    assert(VersionedTable.history(spark, t).map(_.version) == Seq(0L, 1L),
+      "history must end at the readable prefix")
+    assert(VersionedTable.readVersion(spark, t, 1L).count() == 2L)
+  }
+
   test("tmp litter in the commit dir is invisible to readers") {
     val t = freshTable()
     VersionedTable.append(spark, t, Seq((1L, 1L)).toDF("k", "v"))
@@ -113,7 +153,7 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, t).contains(0L))
     assert(VersionedTable.read(spark, t).count() == 1L)
     // vacuum reclaims the orphan group (referenced by no version)
-    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 10)
+    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 10, minAgeMillis = 0L)
     assert(deleted.contains("orphan"))
   }
 
@@ -310,7 +350,7 @@ class VersionedTableSpec extends SparkSpec {
     }
     // vacuum retaining the head: groups A and B are ONLY reachable
     // through the checkpoint — a raw log replay would delete them
-    VersionedTable.vacuum(spark, t, retainVersions = 1)
+    VersionedTable.vacuum(spark, t, retainVersions = 1, minAgeMillis = 0L)
     assert(VersionedTable.read(spark, t)
       .as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "b"), (3L, "c")),
