@@ -387,6 +387,10 @@ object SparkEntry {
     "session_paths"         -> (graft.operators.SessionPaths.sessionPathsEvents(_, _)),
     // two-feature OLS via exact DECIMAL(38) normal equations + Cramer
     "linreg_normal_eq"      -> (graft.ml.LinReg.linregLineitem(_, _)),
+    // ridge shrinkage path over the same Gram sums; c=0 row == OLS
+    "ridge_normal_eq"       -> (graft.ml.Ridge.ridgeLineitem(_, _)),
+    // pairwise Welch t² in staged exact-integer quantization
+    "welch_t"               -> (graft.operators.WelchT.welchReturnflag(_, _)),
     // interval UNION per key: the other sweep next to peak_concurrency
     "interval_islands"      -> (graft.operators.Intervals.intervalIslandsEvents(_, _)),
     // GloVe X_ij: distance-weighted skip-gram counts in exact micros
@@ -405,6 +409,12 @@ object SparkEntry {
     "label_prop_step"       -> (graft.operators.GraphMetrics.labelPropCoSupply(_, _)),
     // Resource-Allocation link prediction: top missing co-supply links
     "link_predict"          -> (graft.operators.GraphMetrics.linkPredictCoSupply(_, _)),
+    // local clustering coefficient permicro per node, same graph
+    "clustering_coeff"      -> (graft.operators.GraphMetrics.clusteringCoeffCoSupply(_, _)),
+    // degree assortativity: exact rational Pearson r (symmetric form)
+    "assortativity"         -> (graft.operators.GraphMetrics.assortativityCoSupply(_, _)),
+    // four synchronous 3-core peeling rounds, oracle-unrolled
+    "kcore_peel"            -> (graft.operators.GraphMetrics.kcorePeelCoSupply(_, _)),
     // 1.5 HITS power iterations (integer hub/authority) on the trade graph
     "hits_scores"           -> (graft.operators.GraphMetrics.hitsTrade(_, _)),
     // exact n²-scaled ACF at lags 1..7 per event-type daily series
@@ -745,6 +755,8 @@ object SparkEntry {
     "rank_transform"        -> graft.operators.Ranks.rankTransformOracleSql,
     "session_paths"         -> graft.operators.SessionPaths.oracleSql,
     "linreg_normal_eq"      -> graft.ml.LinReg.oracleSql,
+    "ridge_normal_eq"       -> graft.ml.Ridge.oracleSql,
+    "welch_t"               -> graft.operators.WelchT.oracleSql,
     "interval_islands"      -> graft.operators.Intervals.islandsOracleSql,
     "glove_cooccur"         -> graft.functions.NgramStats.gloveOracleSql,
     "quantile_normalize"    -> graft.operators.QuantileNormalize.oracleSql,
@@ -754,6 +766,9 @@ object SparkEntry {
     "triangle_count"        -> graft.operators.GraphMetrics.triangleOracleSql,
     "label_prop_step"       -> graft.operators.GraphMetrics.labelPropOracleSql,
     "link_predict"          -> graft.operators.GraphMetrics.linkPredictOracleSql,
+    "clustering_coeff"      -> graft.operators.GraphMetrics.clusteringCoeffOracleSql,
+    "assortativity"         -> graft.operators.GraphMetrics.assortativityOracleSql,
+    "kcore_peel"            -> graft.operators.GraphMetrics.kcorePeelOracleSql,
     "nelson_aalen"          -> graft.operators.Survival.nelsonAalenOracleSql,
     "theil_sen"             -> graft.operators.TheilSen.oracleSql,
     "rfm_segment"           -> graft.operators.RfmSegment.oracleSql,

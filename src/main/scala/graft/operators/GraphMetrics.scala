@@ -289,4 +289,188 @@ object GraphMetrics {
       |SELECT s AS s_suppkey, CAST(auth1 AS BIGINT) AS auth1,
       |  CAST(auth2 AS BIGINT) AS auth2
       |FROM a1 JOIN a2 USING (s)""".stripMargin
+
+  /** Per-node LOCAL clustering coefficient over the bounded graph:
+    * cc = 2·triangles / (deg·(deg−1)), emitted as permicro via the
+    * truncating div (numerator and divisor non-negative). Nodes of
+    * degree < 2 have no possible wedge and report 0. Rides
+    * [[triangleCounts]]' ordered wedge join — same ≤ 4K²·|V| cost
+    * envelope, output dimension-sized. */
+  def clusteringCoeff(edges: DataFrame): DataFrame =
+    triangleCounts(edges)
+      .withColumn("cc_permicro", expr(
+        """CASE WHEN degree >= 2
+          |  THEN (triangles * 2 * 1000000) div (degree * (degree - 1))
+          |  ELSE CAST(0 AS BIGINT) END""".stripMargin))
+
+  /** Degree assortativity of an undirected graph — the Pearson
+    * correlation of endpoint degrees over the DIRECTED endpoint list
+    * (each edge contributes both orientations). Symmetry makes the two
+    * marginals identical, so the correlation collapses to the fully
+    * rational
+    *   r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+    * — no square root, hence exact permicro (both engines truncate
+    * toward zero, so the signed div is engine-identical). Everything
+    * after the degree groupBy is a dimension-sized join + one
+    * aggregation to a single row. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val und = e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = und.groupBy("node").agg(count(lit(1)).as("deg"))
+    val sums = und
+      .join(deg.select(col("node"), col("deg").as("dx")), "node")
+      .join(deg.select(col("node").as("nbr"), col("deg").as("dy")), "nbr")
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+    sums
+      .withColumn("md", col("m").cast("decimal(38,0)"))
+      .withColumn("sxd", col("sx").cast("decimal(38,0)"))
+      .withColumn("sxxd", col("sxx").cast("decimal(38,0)"))
+      .withColumn("sxyd", col("sxy").cast("decimal(38,0)"))
+      .selectExpr("m", "sx", "sxx", "sxy",
+        """CASE WHEN md * sxxd - sxd * sxd <> 0
+          |  THEN ((md * sxyd - sxd * sxd) * 1000000)
+          |       div (md * sxxd - sxd * sxd) END
+          |  AS assort_permicro""".stripMargin)
+  }
+
+  /** `rounds` synchronous rounds of k-core peeling: each round drops
+    * every node whose CURRENT degree is < k, then the edges touching a
+    * dropped node, and reports (round, n_nodes, n_edges). Round 0 is
+    * the input graph. A bounded-iteration "step" operator in the
+    * [[labelPropagationStep]] / PCA-power mold — the oracle unrolls the
+    * same rounds, so convergence is not part of the contract. Each
+    * round is one endpoint groupBy + two semi joins on node keys;
+    * localCheckpoint truncates the growing lineage exactly as the
+    * triangle path does. */
+  def kcorePeelRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def stats(r: Int, e: DataFrame): DataFrame = {
+      val nodes = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .agg(countDistinct("node").as("n_nodes"))
+      nodes.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    var e = edges.select(col("u"), col("v")).localCheckpoint()
+    val out = Seq.newBuilder[DataFrame]
+    out += stats(0, e)
+    for (r <- 1 to rounds) {
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      e = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      out += stats(r, e)
+    }
+    out.result().reduce(_ unionByName _)
+  }
+
+  // ---- query-map entries (hash-gated) ----
+
+  /** Gated instance: local clustering coefficients of the top-8
+    * co-supply graph. */
+  def clusteringCoeffCoSupply(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoeff(topKCoSupplyEdges(Tables.lineitem(spark, dir), K))
+      .select(col("node").as("s_suppkey"), col("degree"), col("triangles"),
+        col("cc_permicro"))
+
+  def clusteringCoeffOracleSql: String =
+    s"""WITH $edgesCte, tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e2.u = e1.v
+       |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+       |), corners AS (
+       |  SELECT node, count(*) AS triangles FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri
+       |  ) GROUP BY node
+       |), deg AS (
+       |  SELECT node, count(*) AS degree FROM (
+       |    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+       |  ) GROUP BY node
+       |)
+       |SELECT deg.node AS s_suppkey, CAST(degree AS BIGINT) AS degree,
+       |  CAST(coalesce(triangles, 0) AS BIGINT) AS triangles,
+       |  CASE WHEN degree >= 2
+       |    THEN CAST((coalesce(triangles, 0) * 2 * 1000000)
+       |              // (degree * (degree - 1)) AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS cc_permicro
+       |FROM deg LEFT JOIN corners ON corners.node = deg.node""".stripMargin
+
+  /** Gated instance: degree assortativity of the top-8 co-supply
+    * graph — one signed permicro scalar plus its four exact sums. */
+  def assortativityCoSupply(spark: SparkSession, dir: String): DataFrame =
+    assortativity(topKCoSupplyEdges(Tables.lineitem(spark, dir), K))
+
+  def assortativityOracleSql: String =
+    s"""WITH $edgesCte, und AS (
+       |  SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e
+       |), deg AS (
+       |  SELECT node, count(*) AS deg FROM und GROUP BY node
+       |), s AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS m,
+       |    CAST(sum(a.deg) AS HUGEINT) AS sx,
+       |    CAST(sum(a.deg * a.deg) AS HUGEINT) AS sxx,
+       |    CAST(sum(a.deg * b.deg) AS HUGEINT) AS sxy
+       |  FROM und
+       |  JOIN deg a ON a.node = und.node
+       |  JOIN deg b ON b.node = und.nbr
+       |)
+       |SELECT CAST(m AS BIGINT) AS m, CAST(sx AS BIGINT) AS sx,
+       |  CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+       |  CASE WHEN m * sxx - sx * sx <> 0
+       |    THEN CAST(((m * sxy - sx * sx) * 1000000)
+       |              // (m * sxx - sx * sx) AS BIGINT)
+       |  END AS assort_permicro
+       |FROM s""".stripMargin
+
+  /** Gated instance: four rounds of 3-core peeling on the top-8
+    * co-supply graph. */
+  def kcorePeelCoSupply(spark: SparkSession, dir: String): DataFrame =
+    kcorePeelRounds(topKCoSupplyEdges(Tables.lineitem(spark, dir), K),
+      k = 3, rounds = 4)
+
+  def kcorePeelOracleSql: String = {
+    // MATERIALIZED fences are load-bearing: each round references its
+    // predecessor ~5× (degree union, edge filter, stats), so inlined
+    // CTEs would re-expand the co-supply pair join ~5^rounds times
+    def peel(prev: String, cur: String): String =
+      s"""d_$cur AS MATERIALIZED (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM e_$prev UNION ALL SELECT v FROM e_$prev
+         |  ) GROUP BY node
+         |), k_$cur AS MATERIALIZED (
+         |  SELECT node FROM d_$cur WHERE deg >= 3
+         |), e_$cur AS MATERIALIZED (
+         |  SELECT p.u, p.v FROM e_$prev p
+         |  JOIN k_$cur a ON a.node = p.u
+         |  JOIN k_$cur b ON b.node = p.v
+         |)""".stripMargin
+    def statsRow(r: Int, tbl: String): String =
+      s"""SELECT CAST($r AS INT) AS round,
+         |  (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM (
+         |     SELECT u AS node FROM $tbl UNION ALL SELECT v FROM $tbl
+         |   )) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $tbl) AS n_edges"""
+        .stripMargin
+    s"""WITH $edgesCte, e_0 AS MATERIALIZED (SELECT u, v FROM e),
+       |${peel("0", "1")},
+       |${peel("1", "2")},
+       |${peel("2", "3")},
+       |${peel("3", "4")}
+       |${statsRow(0, "e_0")}
+       |UNION ALL ${statsRow(1, "e_1")}
+       |UNION ALL ${statsRow(2, "e_2")}
+       |UNION ALL ${statsRow(3, "e_3")}
+       |UNION ALL ${statsRow(4, "e_4")}""".stripMargin
+  }
 }
