@@ -286,6 +286,8 @@ object SparkEntry {
     "table_time_travel"     -> (graft.sources.VersionedTable.tableTimeTravel(_, _)),
     // Delta-CDF-style change feed: file-group-granular diff per commit
     "table_change_feed"     -> (graft.sources.VersionedTable.tableChangeFeed(_, _)),
+    // materialized view maintained from the CDF across all commit kinds
+    "ivm_change_feed"       -> (graft.operators.ViewMaintain.ivmOrdersByYear(_, _)),
     // compaction commit: physical consolidation, logical no-op
     "table_compact"         -> (graft.sources.VersionedTable.tableCompact(_, _)),
     // schema evolution: additive column, old groups read NULL, no rewrite
@@ -722,6 +724,7 @@ object SparkEntry {
     "partition_overwrite"   -> graft.sources.PartitionedLayout.overwriteOracleSql,
     "table_time_travel"     -> graft.sources.VersionedTable.oracleSql,
     "table_change_feed"     -> graft.sources.VersionedTable.changeFeedOracleSql,
+    "ivm_change_feed"       -> graft.operators.ViewMaintain.oracleSql,
     "table_compact"         -> graft.sources.VersionedTable.compactOracleSql,
     "table_schema_evolution" -> graft.sources.VersionedTable.schemaEvolutionOracleSql,
     "table_checkpoint"      -> graft.sources.VersionedTable.checkpointOracleSql,

@@ -804,7 +804,7 @@ object VersionedTable {
     * from orders. The table is rebuilt deterministically per call
     * under java.io.tmpdir, so the query also exercises the write path
     * (reference anchor: delta_table_rs.py's `load_version`). */
-  private def ordersFrame(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def ordersFrame(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"),
       round(col("o_totalprice") * 100).cast("long").as("cents"),
@@ -816,7 +816,7 @@ object VersionedTable {
     * path, deleted and rebuilt each call so every gated run exercises
     * the whole write path. Distinct suffixes keep the gated keys
     * independent under the concurrent runner. */
-  private def buildOrdersTable(spark: SparkSession, dir: String,
+  private[graft] def buildOrdersTable(spark: SparkSession, dir: String,
                                suffix: String): String = {
     val table = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_vtable_${suffix}_${math.abs(dir.hashCode.toLong)}").toString
