@@ -381,6 +381,8 @@ object SparkEntry {
     "changepoint_cusum"     -> (graft.operators.Changepoint.changepointEvents(_, _)),
     // top-V corpus vocab + per-doc OOV per-mille (tokenizer coverage)
     "vocab_coverage"        -> (graft.functions.Vocab.vocabCoverageDocs(_, _)),
+    // Heaps curve: cumulative vocab vs tokens via first-occurrence histogram
+    "vocab_growth"          -> (graft.functions.VocabGrowth.vocabGrowthDocs(_, _)),
     // word2vec-style forward-window co-occurrence pair counts, map-side
     "skipgram_pairs"        -> (graft.functions.NgramStats.skipgramPairsDocs(_, _)),
     // global quantile-rank ppm transform via domain-bounded cell table
@@ -477,6 +479,8 @@ object SparkEntry {
     "bootstrap_ci"          -> (graft.operators.Bootstrap.bootstrapOrders(_, _)),
     // stratified ATE: exact per-stratum deltas + n_s-weighted pooling
     "strat_ate"             -> (graft.operators.StratifiedAte.stratifiedAteEvents(_, _)),
+    // overlap-weighted ATO: e(1-e)-weighted strata, staged milli weights
+    "overlap_ate"           -> (graft.operators.StratifiedAte.overlapAteEvents(_, _)),
     // one ALS half-step: per-user 2x2 ridge Cramer solve, all integer
     "als_step"              -> (graft.ml.AlsStep.alsStepOrders(_, _)),
     // first logistic Newton step from w=0: fully rational, one scan
@@ -754,6 +758,7 @@ object SparkEntry {
     "conversion_lag"        -> graft.operators.ConversionLag.oracleSql,
     "changepoint_cusum"     -> graft.operators.Changepoint.oracleSql,
     "vocab_coverage"        -> graft.functions.Vocab.oracleSql,
+    "vocab_growth"          -> graft.functions.VocabGrowth.oracleSql,
     "skipgram_pairs"        -> graft.functions.NgramStats.skipgramOracleSql,
     "rank_transform"        -> graft.operators.Ranks.rankTransformOracleSql,
     "session_paths"         -> graft.operators.SessionPaths.oracleSql,
@@ -802,6 +807,7 @@ object SparkEntry {
     "feature_hash"          -> graft.functions.FeatureHash.oracleSql,
     "bootstrap_ci"          -> graft.operators.Bootstrap.oracleSql,
     "strat_ate"             -> graft.operators.StratifiedAte.oracleSql,
+    "overlap_ate"           -> graft.operators.StratifiedAte.overlapOracleSql,
     "als_step"              -> graft.ml.AlsStep.oracleSql,
     "logreg_newton_step"    -> graft.ml.LogRegStep.oracleSql,
     "k_anonymity"           -> graft.operators.KAnonymity.oracleSql,

@@ -116,4 +116,101 @@ object StratifiedAte {
       |SELECT d.stratum, d.n_treat, d.n_ctrl, d.delta_micro,
       |  p.n_used, p.ate_micro
       |FROM deltas d CROSS JOIN pooled p""".stripMargin
+
+  /** OVERLAP-weighted treatment effect (Li, Morgan & Zaslavsky 2018,
+    * "Balancing covariates via propensity score weighting"): weight
+    * each stratum by e·(1−e)·n = n_t·n_c/n instead of n — the ATO
+    * estimand, which down-weights strata where one arm dominates and
+    * is the standard answer to limited-overlap bias. Same staged
+    * exact-integer discipline as [[ate]]: per-stratum weights quantize
+    * once to millis via the truncating div ((n_t·n_c·1000) div n in
+    * DECIMAL(38,0) — n_t·n_c alone bursts BIGINT near 1e10 units),
+    * and the pooled combination sign-splits over those integers, so
+    * both engines hold identical intermediates. One row out:
+    * (n_strata_used, w_milli_total, ato_micro). */
+  def overlapAte(units: DataFrame, stratumCol: String, treatCol: String,
+                 yCol: String): DataFrame = {
+    val strata = units.groupBy(col(stratumCol).as("stratum"))
+      .agg(
+        sum(when(col(treatCol), 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col(treatCol), 0L).otherwise(1L)).as("n_ctrl"),
+        sum(when(col(treatCol), col(yCol)).otherwise(0L))
+          .cast("decimal(38,0)").as("st"),
+        sum(when(col(treatCol), 0L).otherwise(col(yCol)))
+          .cast("decimal(38,0)").as("sc"))
+      .withColumn("delta_micro", expr(
+        """CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+             (CASE WHEN st * n_ctrl < sc * n_treat THEN -1L ELSE 1L END)
+               * ((1000000 * abs(st * n_ctrl - sc * n_treat))
+                   div (CAST(n_treat AS DECIMAL(38,0)) * n_ctrl))
+           END"""))
+      .withColumn("w_milli", expr(
+        """CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+             (CAST(n_treat AS DECIMAL(38,0)) * n_ctrl * 1000)
+               div CAST(n_treat + n_ctrl AS DECIMAL(38,0))
+           END"""))
+    strata.filter(col("delta_micro").isNotNull)
+      .agg(count(lit(1)).as("n_strata_used"),
+        sum("w_milli").as("w_milli_total"),
+        sum(col("w_milli").cast("decimal(38,0)") * col("delta_micro"))
+          .as("__wsum"))
+      .select(col("n_strata_used"), col("w_milli_total"), expr(
+        """CASE WHEN w_milli_total > 0 THEN
+             (CASE WHEN __wsum < 0 THEN -1L ELSE 1L END)
+               * (abs(__wsum) div CAST(w_milli_total AS DECIMAL(38,0)))
+           END""").as("ato_micro"))
+  }
+
+  /** Gated instance: [[stratifiedAteEvents]]' exact scenario under
+    * overlap weighting — the two keys differ ONLY in the estimand. */
+  def overlapAteEvents(spark: SparkSession, dir: String): DataFrame = {
+    val units = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(when(col("event_type") === "click", 1L).otherwise(0L)) > 13L)
+          .as("treated"),
+        least(expr("sum(CASE WHEN event_type = 'error' THEN 1L ELSE 0L END) div 7"),
+          lit(3L)).as("stratum"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))), lit(0L)).as("y"))
+    overlapAte(units, "stratum", "treated", "y")
+  }
+
+  def overlapOracleSql: String =
+    """WITH units AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 13 AS treated,
+      |    CAST(least(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) // 7, 3)
+      |      AS BIGINT) AS stratum,
+      |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS HUGEINT) AS y
+      |  FROM events GROUP BY 1
+      |), strata AS (
+      |  SELECT stratum,
+      |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+      |    CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS n_ctrl,
+      |    sum(CASE WHEN treated THEN y ELSE 0 END) AS st,
+      |    sum(CASE WHEN treated THEN 0 ELSE y END) AS sc
+      |  FROM units GROUP BY 1
+      |), deltas AS (
+      |  SELECT stratum, n_treat, n_ctrl,
+      |    CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN CAST(
+      |      (CASE WHEN st * n_ctrl < sc * n_treat THEN -1 ELSE 1 END)
+      |        * ((1000000 * abs(st * n_ctrl - sc * n_treat))
+      |            // (CAST(n_treat AS HUGEINT) * n_ctrl)) AS BIGINT)
+      |    END AS delta_micro,
+      |    CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN CAST(
+      |      (CAST(n_treat AS HUGEINT) * n_ctrl * 1000)
+      |        // CAST(n_treat + n_ctrl AS HUGEINT) AS BIGINT)
+      |    END AS w_milli
+      |  FROM strata
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+      |  CAST(sum(w_milli) AS BIGINT) AS w_milli_total,
+      |  CASE WHEN sum(w_milli) > 0 THEN CAST(
+      |    (CASE WHEN sum(CAST(w_milli AS HUGEINT) * delta_micro) < 0
+      |      THEN -1 ELSE 1 END)
+      |    * (abs(sum(CAST(w_milli AS HUGEINT) * delta_micro))
+      |        // sum(CAST(w_milli AS HUGEINT))) AS BIGINT) END AS ato_micro
+      |FROM deltas WHERE delta_micro IS NOT NULL""".stripMargin
 }
