@@ -58,6 +58,14 @@ case class LongArrayDot(left: Expression, right: Expression,
     s
   }
 
+  /** `nullSafeCodeGen`'s non-nullable branch never DECLARES `ev.isNull`
+    * (it swaps a `false` literal into the returned ExprCode), so a
+    * result template may only reference `ev.isNull` when `nullable` is
+    * true — otherwise janino sees an undeclared name and the whole
+    * stage falls back to the interpreter (the exact regression
+    * `CodegenOnlySpec` pins: `long_array_dot(v, v)` over a
+    * non-nullable column). `nullAware` implies nullable by
+    * construction, so the guard branch is always safe to emit. */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
@@ -71,11 +79,12 @@ case class LongArrayDot(left: Expression, right: Expression,
            |}
          """.stripMargin
       else ""
+      val loopGuard = if (nullAware) s"!${ev.isNull}" else "true"
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |$guard
          |long $s = 0L;
-         |if (!${ev.isNull}) {
+         |if ($loopGuard) {
          |  for (int $i = 0; $i < $n; $i++) {
          |    $s += $a.getLong($i) * $b.getLong($i);
          |  }

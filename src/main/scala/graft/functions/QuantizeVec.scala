@@ -48,13 +48,22 @@ case class QuantizeVec(child: Expression, unit: Boolean)
   override protected def nullSafeEval(input: Any): Any =
     QuantizeVec.compute(input.asInstanceOf[ArrayData], isFloat, unit)
 
+  /** When `nullable` is false, `nullSafeCodeGen` never declares
+    * `ev.isNull`, so the template must not mention it (janino would
+    * fail on the undeclared name and drop the stage to interpreted) —
+    * and in that regime `compute` cannot return null anyway
+    * (containsNull=false means no null elements to poison the norm). */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val r = ctx.freshName("quantized")
+      val assign =
+        if (nullable)
+          s"if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }"
+        else s"${ev.value} = $r;"
       s"""
          |org.apache.spark.sql.catalyst.util.ArrayData $r =
          |  graft.functions.QuantizeVec.compute($c, $isFloat, $unit);
-         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         |$assign
        """.stripMargin
     })
 

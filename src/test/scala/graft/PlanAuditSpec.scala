@@ -99,7 +99,11 @@ class PlanAuditSpec extends SparkSpec {
     // (parameter-bounded); cluster_validity crosses points with the
     // k-row mean table and the 1-row global mean; davies_bouldin's
     // k×k scatter pairing is an inequality join of two k-row frames
-    "asha_sweep" -> 1, "cluster_validity" -> 2, "davies_bouldin" -> 2)
+    "asha_sweep" -> 1, "cluster_validity" -> 2, "davies_bouldin" -> 2,
+    // welch_t pairs the k-row (3 return flags) grouped-stats frame with
+    // itself under g1 < g2 — the same dimension-sized inequality join
+    // shape as davies_bouldin; k is a column cardinality, never the fact
+    "welch_t" -> 1)
   // gbt_stump2 needs no entry: its side tagging (1-row root-split
   // broadcast) is behind an eager localCheckpoint, so the audited
   // level-2 plan starts at the materialized sided frame
