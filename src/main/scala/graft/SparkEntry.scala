@@ -477,6 +477,10 @@ object SparkEntry {
     "feature_hash"          -> (graft.functions.FeatureHash.featureHashDocs(_, _)),
     // deterministic Poisson bootstrap CI (inverse-CDF by shared table)
     "bootstrap_ci"          -> (graft.operators.Bootstrap.bootstrapOrders(_, _)),
+    // exact-rational permutation p: hash-relabeled mean difference
+    "permutation_test"      -> (graft.operators.PermutationTest.permLineitem(_, _)),
+    // BH step-up over per-group A/A permutation p-values, integer ppm
+    "bh_fdr"                -> (graft.operators.PermutationTest.bhEvents(_, _)),
     // stratified ATE: exact per-stratum deltas + n_s-weighted pooling
     "strat_ate"             -> (graft.operators.StratifiedAte.stratifiedAteEvents(_, _)),
     // overlap-weighted ATO: e(1-e)-weighted strata, staged milli weights
@@ -806,6 +810,8 @@ object SparkEntry {
     "survival_km"           -> graft.operators.Survival.oracleSql,
     "feature_hash"          -> graft.functions.FeatureHash.oracleSql,
     "bootstrap_ci"          -> graft.operators.Bootstrap.oracleSql,
+    "permutation_test"      -> graft.operators.PermutationTest.oracleSql,
+    "bh_fdr"                -> graft.operators.PermutationTest.bhOracleSql,
     "strat_ate"             -> graft.operators.StratifiedAte.oracleSql,
     "overlap_ate"           -> graft.operators.StratifiedAte.overlapOracleSql,
     "als_step"              -> graft.ml.AlsStep.oracleSql,
