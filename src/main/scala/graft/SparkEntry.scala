@@ -407,6 +407,10 @@ object SparkEntry {
     "pca_power_step2"       -> (graft.ann.PcaPowerStep.pcaPowerStep2Embeddings(_, _)),
     // nDCG@10 / MRR / P@10 with a precomputed integer discount table
     "ndcg_eval"             -> (graft.operators.RankMetrics.ndcgEvents(_, _)),
+    // top-M co-purchased parts per part (capped co-visitation matrix)
+    "covisit_topk"          -> (graft.operators.Covisitation.covisitParts(_, _)),
+    // co-visitation recommender recall/precision/MAP@k vs temporal holdout
+    "recsys_eval"           -> (graft.operators.Covisitation.recsysEval(_, _)),
     // triangles + degree on the bounded top-K co-supply graph
     "triangle_count"        -> (graft.operators.GraphMetrics.triangleCoSupply(_, _)),
     // one synchronous majority label-propagation round, same graph
@@ -775,6 +779,8 @@ object SparkEntry {
     "pca_power_step"        -> graft.ann.PcaPowerStep.oracleSql,
     "pca_power_step2"       -> graft.ann.PcaPowerStep.oracle2Sql,
     "ndcg_eval"             -> graft.operators.RankMetrics.oracleSql,
+    "covisit_topk"          -> graft.operators.Covisitation.covisitOracleSql,
+    "recsys_eval"           -> graft.operators.Covisitation.evalOracleSql,
     "triangle_count"        -> graft.operators.GraphMetrics.triangleOracleSql,
     "label_prop_step"       -> graft.operators.GraphMetrics.labelPropOracleSql,
     "link_predict"          -> graft.operators.GraphMetrics.linkPredictOracleSql,

@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Co-visitation candidate generation + temporal-holdout evaluation —
+  * the retrieval stage of a large-scale recommender, re-expressed as
+  * declarative Spark plans. The reference trains pointwise rankers over
+  * candidate lists (/root/reference/MachineLearning/Ray/recsys/
+  * ray_train_pointwise.py, ray_train_recsys.py); co-visitation counts
+  * are the industry-standard candidate generator those rankers re-rank,
+  * and recall@k of the candidate list is the metric that decides
+  * whether the ranker ever SEES the right item. [[RankMetrics]] grades
+  * a given ranking; this builds the ranking end-to-end from behavior
+  * and grades it against a future holdout.
+  *
+  * Pipeline: distinct (user, item) interactions before the split date
+  * are the TRAIN history; co-visitation c(i,j) = #users who interacted
+  * with both i and j; the matrix is capped to the top-M neighbors per
+  * source item (count DESC, neighbor ASC — the production memory bound
+  * AND the determinism contract); a user's candidate score for j is
+  * Σ_{i ∈ history} c_capped(i,j) over items NOT already in history;
+  * the top-K by (score DESC, item ASC) are the recommendations, graded
+  * against the user's post-split purchases with exact hit counts and
+  * truncating-division micro metrics (precision@k, recall@k, MAP@k).
+  *
+  * Scale: the pair build self-joins the per-user item set — volume is
+  * Σᵤ nᵤ², quadratic in the per-user BASKET SIZE (a behavioral
+  * constant, ~40 here) and linear in users; at 100 TB the guard is the
+  * `maxBasket` cap (drop power-users above it, the standard
+  * co-visitation bound — capped users are bots/outliers whose pairs
+  * are noise anyway). Every shuffle key is uniform ((user), (i,j),
+  * (user,j)); the top-M cap bounds the scoring fan-out to |history|·M
+  * per user. Nothing is all-pairs across items.
+  */
+object Covisitation {
+
+  /** Capped co-visitation matrix over distinct (userCol, itemCol)
+    * interactions: (item_a, item_b, n_users, rk) with rk ≤ m per
+    * item_a by (n_users DESC, item_b ASC). Symmetric (both directions
+    * emitted). Users with more than `maxBasket` distinct items are
+    * dropped whole (declared cap, mirrored by the oracle). */
+  def covisitTopM(interactions: DataFrame, userCol: String, itemCol: String,
+                  m: Int, maxBasket: Int = 1000): DataFrame = {
+    val ui = interactions
+      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct()
+    val bounded = ui
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("u"))))
+      .filter(col("__n") <= maxBasket)
+      .select("u", "i")
+    val pairs = bounded.as("a").join(bounded.as("b"), Seq("u"))
+      .filter(col("a.i") =!= col("b.i"))
+      .groupBy(col("a.i").as("item_a"), col("b.i").as("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+    pairs
+      .withColumn("rk", row_number().over(Window.partitionBy(col("item_a"))
+        .orderBy(col("n_users").desc, col("item_b").asc)))
+      .filter(col("rk") <= m)
+      .select(col("item_a"), col("item_b"), col("n_users"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Top-K recommendations per user from a capped co-visitation
+    * matrix: score(u,j) = Σ_{i ∈ history(u)} n_users(i,j), items
+    * already in history excluded, ranked (score DESC, item ASC).
+    * Output: (user, item, score, rk ≤ k). */
+  def recommend(history: DataFrame, covisit: DataFrame,
+                userCol: String, itemCol: String, k: Int): DataFrame = {
+    val hist = history
+      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct()
+    val scored = hist.join(covisit, hist("i") === covisit("item_a"))
+      .groupBy(col("u"), col("item_b").as("j"))
+      .agg(sum(col("n_users")).as("score"))
+      .join(hist.withColumnRenamed("i", "j"), Seq("u", "j"), "left_anti")
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(col("score").desc, col("j").asc)))
+      .filter(col("rk") <= k)
+      .select(col("u").as(userCol), col("j").as(itemCol),
+        col("score"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Holdout evaluation of `recs` (user, item, rk) against distinct
+    * test-period (user, item) truths, for each cutoff in `ks`: one row
+    * (k, n_users, n_hits, precision_permicro, recall_permicro,
+    * map_permicro). Users evaluated = users with ≥1 truth AND ≥1
+    * recommendation. Exact-integer discipline: AP@k per user is the
+    * sum over hit ranks r of trunc(10⁶·hits≤r ∕ r), normalized by
+    * min(k, |truth|) and mean-reduced — every division truncating,
+    * both engines identical. */
+  def evaluate(recs: DataFrame, truth: DataFrame,
+               userCol: String, itemCol: String, ks: Seq[Int]): DataFrame = {
+    val t = truth.select(col(userCol).as("u"), col(itemCol).as("j")).distinct()
+      .localCheckpoint() // consumed per-k for hits AND for |truth(u)|
+    val nRel = t.groupBy("u").agg(count(lit(1)).as("n_rel"))
+    val marked = recs
+      .select(col(userCol).as("u"), col(itemCol).as("j"), col("rk"))
+      .join(t.withColumn("__hit", lit(1L)), Seq("u", "j"), "left")
+      .na.fill(0L, Seq("__hit"))
+      .withColumn("__hits_le", sum(col("__hit")).over(
+        Window.partitionBy(col("u")).orderBy(col("rk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // reused across every k cutoff
+    val perK = ks.map { k =>
+      marked.filter(col("rk") <= k)
+        .groupBy("u")
+        .agg(sum(col("__hit")).as("hits"),
+          sum(when(col("__hit") === 1L,
+            expr("(1000000 * __hits_le) div rk")).otherwise(lit(0L)))
+            .as("ap_num_micro"))
+        .join(nRel, Seq("u"))
+        .select(col("u"), col("hits"), col("n_rel"),
+          expr(s"ap_num_micro div (CASE WHEN n_rel < $k THEN n_rel ELSE $k END)")
+            .as("ap_micro"))
+        .agg(count(lit(1)).as("n_users"), sum(col("hits")).as("n_hits"),
+          expr(s"(1000000 * sum(hits)) div (count(1) * $k)")
+            .as("precision_permicro"),
+          // per-user recall averaged in micros (truncating), then mean
+          sum(expr("(1000000 * hits) div n_rel")).as("__rsum"),
+          sum(col("ap_micro")).as("__apsum"))
+        .select(lit(k.toLong).as("k"), col("n_users"), col("n_hits"),
+          col("precision_permicro"),
+          expr("__rsum div n_users").as("recall_permicro"),
+          expr("__apsum div n_users").as("map_permicro"))
+    }
+    perK.reduce(_ union _)
+  }
+
+  // ---- query-map entries (hash-gated) ----
+
+  /** Split date for the gated instances: interactions strictly before
+    * are TRAIN, on/after are the holdout. */
+  val SplitDate = "1999-01-01"
+  /** Neighbors kept per item in the gated matrix. */
+  val M = 10
+  /** Recommendation list length for the gated evaluation. */
+  val K = 20
+
+  private def purchases(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"),
+        col("o_orderdate").as("d"))
+
+  /** Gated instance: top-10 co-purchased parts per part over pre-split
+    * customer baskets. */
+  def covisitParts(spark: SparkSession, dir: String): DataFrame =
+    covisitTopM(
+      purchases(spark, dir).filter(col("d") < lit(SplitDate).cast("date")),
+      "cust", "item", M)
+
+  /** Gated instance: recall/precision/MAP at k ∈ {1,5,10,20} of the
+    * co-visitation top-20 against post-split purchases. */
+  def recsysEval(spark: SparkSession, dir: String): DataFrame = {
+    val p = purchases(spark, dir)
+    val train = p.filter(col("d") < lit(SplitDate).cast("date"))
+    val test = p.filter(col("d") >= lit(SplitDate).cast("date"))
+    val recs = recommend(train, covisitTopM(train, "cust", "item", M)
+      .localCheckpoint(), // covisit build reused by all score partitions
+      "cust", "item", K)
+    evaluate(recs, test, "cust", "item", Seq(1, 5, 10, 20))
+  }
+
+  private val purchasesSql =
+    """SELECT o_custkey AS cust, l_partkey AS item, o_orderdate AS d
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+
+  private def covisitSql(src: String): String =
+    s"""ui AS (
+      |  SELECT DISTINCT cust AS u, item AS i FROM $src
+      |), bounded AS (
+      |  SELECT u, i FROM (
+      |    SELECT u, i, count(*) OVER (PARTITION BY u) AS n FROM ui)
+      |  WHERE n <= 1000
+      |), pairs AS (
+      |  SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_users
+      |  FROM bounded a JOIN bounded b ON a.u = b.u AND a.i <> b.i
+      |  GROUP BY 1, 2
+      |), capped AS (
+      |  SELECT item_a, item_b, CAST(n_users AS BIGINT) AS n_users,
+      |    CAST(row_number() OVER (PARTITION BY item_a
+      |      ORDER BY n_users DESC, item_b ASC) AS BIGINT) AS rk
+      |  FROM pairs
+      |)""".stripMargin
+
+  def covisitOracleSql: String =
+    s"""WITH train AS (
+      |  SELECT * FROM ($purchasesSql) WHERE d < DATE '$SplitDate'
+      |), ${covisitSql("train")}
+      |SELECT item_a, item_b, n_users, rk FROM capped WHERE rk <= $M""".stripMargin
+
+  def evalOracleSql: String =
+    s"""WITH p AS ($purchasesSql),
+      |train AS (SELECT * FROM p WHERE d < DATE '$SplitDate'),
+      |${covisitSql("train")},
+      |cov AS (SELECT * FROM capped WHERE rk <= $M),
+      |hist AS (SELECT DISTINCT cust AS u, item AS i FROM train),
+      |scored AS (
+      |  SELECT h.u, c.item_b AS j, CAST(sum(c.n_users) AS BIGINT) AS score
+      |  FROM hist h JOIN cov c ON h.i = c.item_a
+      |  GROUP BY 1, 2
+      |), fresh AS (
+      |  SELECT s.* FROM scored s
+      |  LEFT JOIN hist h ON s.u = h.u AND s.j = h.i
+      |  WHERE h.u IS NULL
+      |), recs AS (
+      |  SELECT u, j, row_number() OVER (PARTITION BY u
+      |    ORDER BY score DESC, j ASC) AS rk
+      |  FROM fresh QUALIFY rk <= $K
+      |), truth AS (
+      |  SELECT DISTINCT cust AS u, item AS j FROM p
+      |  WHERE d >= DATE '$SplitDate'
+      |), nrel AS (
+      |  SELECT u, count(*) AS n_rel FROM truth GROUP BY u
+      |), marked AS (
+      |  SELECT r.u, r.rk, CASE WHEN t.u IS NULL THEN 0 ELSE 1 END AS hit,
+      |    sum(CASE WHEN t.u IS NULL THEN 0 ELSE 1 END) OVER (
+      |      PARTITION BY r.u ORDER BY r.rk) AS hits_le
+      |  FROM recs r LEFT JOIN truth t ON r.u = t.u AND r.j = t.j
+      |), per_k AS (
+      |  SELECT k.k, m.u,
+      |    sum(CASE WHEN m.rk <= k.k THEN m.hit ELSE 0 END) AS hits,
+      |    sum(CASE WHEN m.rk <= k.k AND m.hit = 1
+      |      THEN (1000000 * m.hits_le) // m.rk ELSE 0 END) AS ap_num_micro
+      |  FROM marked m CROSS JOIN (SELECT unnest([1, 5, 10, 20]) AS k) k
+      |  GROUP BY 1, 2
+      |), joined AS (
+      |  SELECT p.k, p.u, p.hits, n.n_rel,
+      |    p.ap_num_micro // (CASE WHEN n.n_rel < p.k THEN n.n_rel
+      |      ELSE p.k END) AS ap_micro
+      |  FROM per_k p JOIN nrel n ON p.u = n.u
+      |)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(hits) AS BIGINT) AS n_hits,
+      |  CAST((1000000 * sum(hits)) // (count(*) * k) AS BIGINT)
+      |    AS precision_permicro,
+      |  CAST(sum((1000000 * hits) // n_rel) // count(*) AS BIGINT)
+      |    AS recall_permicro,
+      |  CAST(sum(ap_micro) // count(*) AS BIGINT) AS map_permicro
+      |FROM joined GROUP BY k""".stripMargin
+}
