@@ -457,6 +457,12 @@ object SparkEntry {
     "spearman_rho"          -> (graft.operators.Spearman.spearmanLineitem(_, _)),
     // Kruskal-Wallis H: k-sample rank ANOVA in staged exact division
     "kruskal_wallis"        -> (graft.operators.KruskalWallis.kruskalLineitem(_, _)),
+    // Brown–Forsythe equal-variance test on the bounded cell histogram
+    "levene_bf"             -> (graft.operators.LeveneTest.leveneLineitem(_, _)),
+    // paired before/after activity shift (continuity-corrected McNemar)
+    "mcnemar"               -> (graft.operators.PairedTests.mcnemarCustomers(_, _)),
+    // return-rate trend across ordered priorities (Cochran–Armitage)
+    "cochran_armitage"      -> (graft.operators.PairedTests.trendPriority(_, _)),
     // CUPED variance reduction: integer theta fit + adjusted-metric SS
     "cuped_adjust"          -> (graft.operators.Cuped.cupedOrders(_, _)),
     // MDE sizing per arm: Z·isqrt(2·SS div n) div n, exact integers
@@ -808,6 +814,9 @@ object SparkEntry {
     "mann_whitney"          -> graft.operators.MannWhitney.oracleSql,
     "spearman_rho"          -> graft.operators.Spearman.oracleSql,
     "kruskal_wallis"        -> graft.operators.KruskalWallis.oracleSql,
+    "levene_bf"             -> graft.operators.LeveneTest.oracleSql,
+    "mcnemar"               -> graft.operators.PairedTests.mcnemarOracleSql,
+    "cochran_armitage"      -> graft.operators.PairedTests.trendOracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
     "power_mde"             -> graft.operators.ExperimentDesign.powerMdeOracleSql,
     "diff_in_diff"          -> graft.operators.ExperimentDesign.didOracleSql,
