@@ -459,6 +459,10 @@ object SparkEntry {
     "kruskal_wallis"        -> (graft.operators.KruskalWallis.kruskalLineitem(_, _)),
     // Brown–Forsythe equal-variance test on the bounded cell histogram
     "levene_bf"             -> (graft.operators.LeveneTest.leveneLineitem(_, _)),
+    // Count-Min sketch registers (both engines build identical cells)
+    "cms_registers"         -> (graft.functions.CountMin.cmsLineitem(_, _)),
+    // CMS point estimates (min over rows) for the exact top-5 keys
+    "cms_topk"              -> (graft.functions.CountMin.cmsTopParts(_, _)),
     // paired before/after activity shift (continuity-corrected McNemar)
     "mcnemar"               -> (graft.operators.PairedTests.mcnemarCustomers(_, _)),
     // return-rate trend across ordered priorities (Cochran–Armitage)
@@ -815,6 +819,8 @@ object SparkEntry {
     "spearman_rho"          -> graft.operators.Spearman.oracleSql,
     "kruskal_wallis"        -> graft.operators.KruskalWallis.oracleSql,
     "levene_bf"             -> graft.operators.LeveneTest.oracleSql,
+    "cms_registers"         -> graft.functions.CountMin.registersOracleSql,
+    "cms_topk"              -> graft.functions.CountMin.estimateOracleSql,
     "mcnemar"               -> graft.operators.PairedTests.mcnemarOracleSql,
     "cochran_armitage"      -> graft.operators.PairedTests.trendOracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
