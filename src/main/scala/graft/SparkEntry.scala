@@ -459,6 +459,8 @@ object SparkEntry {
     "kruskal_wallis"        -> (graft.operators.KruskalWallis.kruskalLineitem(_, _)),
     // Brown–Forsythe equal-variance test on the bounded cell histogram
     "levene_bf"             -> (graft.operators.LeveneTest.leveneLineitem(_, _)),
+    // cross-document duplicated-n-gram share (RefinedWeb-style audit)
+    "crossdoc_ngram_share"  -> (graft.dedup.CrossDocNgrams.crossdocDocuments(_, _)),
     // Count-Min sketch registers (both engines build identical cells)
     "cms_registers"         -> (graft.functions.CountMin.cmsLineitem(_, _)),
     // CMS point estimates (min over rows) for the exact top-5 keys
@@ -819,6 +821,7 @@ object SparkEntry {
     "spearman_rho"          -> graft.operators.Spearman.oracleSql,
     "kruskal_wallis"        -> graft.operators.KruskalWallis.oracleSql,
     "levene_bf"             -> graft.operators.LeveneTest.oracleSql,
+    "crossdoc_ngram_share"  -> graft.dedup.CrossDocNgrams.oracleSql,
     "cms_registers"         -> graft.functions.CountMin.registersOracleSql,
     "cms_topk"              -> graft.functions.CountMin.estimateOracleSql,
     "mcnemar"               -> graft.operators.PairedTests.mcnemarOracleSql,

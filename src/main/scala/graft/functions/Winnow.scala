@@ -43,6 +43,29 @@ case class WinnowSelect(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** ALL k-gram rolling hashes of a document (the un-winnowed stream
+  * [[WinnowSelect]] selects from) — the occurrence-level gram view for
+  * corpus statistics like the cross-document duplicated-n-gram share.
+  * Same token fold and k-gram chain as [[WinnowSelect]], so the two
+  * expressions agree hash-for-hash. Documents with fewer than k tokens
+  * emit an empty array. */
+case class KGramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"kgram_hashes_$k"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowSelect.kgrams(input.asInstanceOf[UTF8String].toString, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowSelect.kgrams($c.toString(), $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WinnowSelect {
   final val M = 1000000007L
 
@@ -67,6 +90,24 @@ object WinnowSelect {
     }
     out += tok
     out.toArray
+  }
+
+  /** All k-gram hashes in document order (1 per position), empty when
+    * the document has fewer than k tokens. */
+  def kgrams(s: String, k: Int): ArrayData = {
+    val th = tokenHashes(s)
+    val nk = th.length - k + 1
+    if (nk <= 0) return new GenericArrayData(Array.empty[Long])
+    val kg = new Array[Long](nk)
+    var i = 0
+    while (i < nk) {
+      var a = 0L
+      var j = 0
+      while (j < k) { a = (a * 31L + th(i + j)) % M; j += 1 }
+      kg(i) = a
+      i += 1
+    }
+    new GenericArrayData(kg)
   }
 
   def compute(s: String, k: Int, w: Int): ArrayData = {
