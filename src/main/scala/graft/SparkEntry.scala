@@ -467,6 +467,8 @@ object SparkEntry {
     "cms_topk"              -> (graft.functions.CountMin.cmsTopParts(_, _)),
     // paired before/after activity shift (continuity-corrected McNemar)
     "mcnemar"               -> (graft.operators.PairedTests.mcnemarCustomers(_, _)),
+    // Qini/uplift deciles: hash-bit arms, cell-table deciles, exact counts
+    "qini_uplift"           -> (graft.operators.Uplift.qiniOrders(_, _)),
     // return-rate trend across ordered priorities (Cochran–Armitage)
     "cochran_armitage"      -> (graft.operators.PairedTests.trendPriority(_, _)),
     // CUPED variance reduction: integer theta fit + adjusted-metric SS
@@ -825,6 +827,7 @@ object SparkEntry {
     "cms_registers"         -> graft.functions.CountMin.registersOracleSql,
     "cms_topk"              -> graft.functions.CountMin.estimateOracleSql,
     "mcnemar"               -> graft.operators.PairedTests.mcnemarOracleSql,
+    "qini_uplift"           -> graft.operators.Uplift.oracleSql,
     "cochran_armitage"      -> graft.operators.PairedTests.trendOracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
     "power_mde"             -> graft.operators.ExperimentDesign.powerMdeOracleSql,
