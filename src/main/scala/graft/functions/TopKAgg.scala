@@ -25,8 +25,17 @@ class TopKAgg(k: Int)
 
   override def zero: Seq[(Double, Long)] = Seq.empty
 
-  override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-    ((a +: b).sorted(ord)).take(k)
+  // buffer kept sorted (value desc, id asc): a full buffer rejects a
+  // losing row in O(1) — the hot path once the head of a big group has
+  // passed — and accepts by sorted insertion in O(k), never a resort
+  override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+    if (b.length >= k && ord.gteq(a, b.last)) b
+    else {
+      val (lo, hi) = b.span(ord.lt(_, a))
+      val ins = (lo :+ a) ++ hi
+      if (ins.length > k) ins.take(k) else ins
+    }
+  }
 
   override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
     (b1 ++ b2).sorted(ord).take(k)

@@ -26,7 +26,8 @@ import graft.Tables
   * against the user's post-split purchases with exact hit counts and
   * truncating-division micro metrics (precision@k, recall@k, MAP@k).
   *
-  * Scale: the pair build self-joins the per-user item set — volume is
+  * Scale: the pair build explodes per-user item arrays map-side (one
+  * groupBy(user), no self-join shuffle) — volume is
   * Σᵤ nᵤ², quadratic in the per-user BASKET SIZE (a behavioral
   * constant, ~40 here) and linear in users; at 100 TB the guard is the
   * `maxBasket` cap (drop power-users above it, the standard
@@ -38,22 +39,44 @@ import graft.Tables
 object Covisitation {
 
   /** Capped co-visitation matrix over distinct (userCol, itemCol)
-    * interactions: (item_a, item_b, n_users, rk) with rk ≤ m per
-    * item_a by (n_users DESC, item_b ASC). Symmetric (both directions
-    * emitted). Users with more than `maxBasket` distinct items are
-    * dropped whole (declared cap, mirrored by the oracle). */
+    * interactions (item ids must be integral — at corpus scale item
+    * keys are dictionary-encoded longs): (item_a, item_b, n_users,
+    * rk) with rk ≤ m per item_a by (n_users DESC, item_b ASC).
+    * Symmetric (both directions emitted). Users with more than
+    * `maxBasket` distinct items are dropped whole (declared cap,
+    * mirrored by the oracle).
+    *
+    * Plan notes: pairs are generated MAP-SIDE from per-user item
+    * arrays (one groupBy(u), no self-join shuffle). The per-item cap
+    * is a partitioned window rank, deliberately NOT the bounded
+    * [[graft.functions.TopKAgg]] aggregate: measured head-to-head at
+    * sf0.1 the udaf is ~2× slower, because ObjectHashAggregateExec
+    * falls back to SORT-based aggregation past 128 groups per
+    * partition — the same per-partition sort the window does, plus
+    * per-row typed-buffer overhead. The window sort is distributed by
+    * item_a, so no single task ever holds more than one hash
+    * partition of items. */
   def covisitTopM(interactions: DataFrame, userCol: String, itemCol: String,
                   m: Int, maxBasket: Int = 1000): DataFrame = {
-    val ui = interactions
-      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct()
-    val bounded = ui
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("u"))))
-      .filter(col("__n") <= maxBasket)
-      .select("u", "i")
-    val pairs = bounded.as("a").join(bounded.as("b"), Seq("u"))
-      .filter(col("a.i") =!= col("b.i"))
-      .groupBy(col("a.i").as("item_a"), col("b.i").as("item_b"))
+    val baskets = interactions
+      .select(col(userCol).as("u"), col(itemCol).cast("long").as("i"))
+      .distinct()
+      .groupBy("u").agg(sort_array(collect_list(col("i"))).as("items"))
+      .filter(size(col("items")) <= maxBasket)
+    // canonical a<b pairs only (sorted basket + tail slice), HALVING the
+    // explode and pair-aggregate volume; the symmetric matrix is the
+    // canonical counts unioned with their mirror
+    val canon = baskets
+      .select(posexplode(col("items")).as(Seq("__p", "item_a")),
+        col("items"))
+      .select(col("item_a"), explode(expr(
+        "slice(items, __p + 2, size(items))")).as("item_b"))
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_users"))
+      .localCheckpoint() // consumed by both union branches
+    val pairs = canon.unionByName(canon.select(
+      col("item_b").as("item_a"), col("item_a").as("item_b"),
+      col("n_users")))
     pairs
       .withColumn("rk", row_number().over(Window.partitionBy(col("item_a"))
         .orderBy(col("n_users").desc, col("item_b").asc)))
@@ -65,12 +88,22 @@ object Covisitation {
   /** Top-K recommendations per user from a capped co-visitation
     * matrix: score(u,j) = Σ_{i ∈ history(u)} n_users(i,j), items
     * already in history excluded, ranked (score DESC, item ASC).
-    * Output: (user, item, score, rk ≤ k). */
+    * Output: (user, item, score, rk ≤ k).
+    *
+    * The capped matrix broadcasts by default (|items|·m rows — a
+    * retail-scale catalog fits executor memory and the history scan
+    * then never shuffles for the score join); pass
+    * `broadcastCovisit = false` for catalogs past the broadcast
+    * budget. Per-user top-K is a user-partitioned window rank (see
+    * [[covisitTopM]] for why the window beats the bounded udaf). */
   def recommend(history: DataFrame, covisit: DataFrame,
-                userCol: String, itemCol: String, k: Int): DataFrame = {
+                userCol: String, itemCol: String, k: Int,
+                broadcastCovisit: Boolean = true): DataFrame = {
     val hist = history
-      .select(col(userCol).as("u"), col(itemCol).as("i")).distinct()
-    val scored = hist.join(covisit, hist("i") === covisit("item_a"))
+      .select(col(userCol).as("u"), col(itemCol).cast("long").as("i"))
+      .distinct()
+    val cov = if (broadcastCovisit) broadcast(covisit) else covisit
+    val scored = hist.join(cov, hist("i") === cov("item_a"))
       .groupBy(col("u"), col("item_b").as("j"))
       .agg(sum(col("n_users")).as("score"))
       .join(hist.withColumnRenamed("i", "j"), Seq("u", "j"), "left_anti")
@@ -139,8 +172,11 @@ object Covisitation {
   val K = 20
 
   private def purchases(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
-      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      // orders is the 1/4-size dimension side here: broadcast it so the
+      // lineitem scan never shuffles for this join
+      .join(broadcast(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("item"),
         col("o_orderdate").as("d"))

@@ -10,35 +10,36 @@ class CovisitationSpec extends SparkSpec {
   import spark.implicits._
 
   test("covisit counts users sharing both items; cap keeps top-M by (n, item)") {
-    // u1: {a,b,c}  u2: {a,b}  u3: {a,c}  → c(a,b)=2 c(a,c)=2 c(b,c)=1
-    val ui = Seq(("u1", "a"), ("u1", "b"), ("u1", "c"), ("u2", "a"),
-      ("u2", "b"), ("u3", "a"), ("u3", "c"), ("u3", "c")).toDF("u", "i")
+    // items 1,2,3: u1: {1,2,3}  u2: {1,2}  u3: {1,3}
+    // → c(1,2)=2 c(1,3)=2 c(2,3)=1
+    val ui = Seq(("u1", 1L), ("u1", 2L), ("u1", 3L), ("u2", 1L),
+      ("u2", 2L), ("u3", 1L), ("u3", 3L), ("u3", 3L)).toDF("u", "i")
     val m = Covisitation.covisitTopM(ui, "u", "i", m = 1)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
-    // per item_a keep 1 neighbor: ties (a: b=2, c=2) break item ASC → b
-    assert(m === Set(("a", "b", 2L), ("b", "a", 2L), ("c", "a", 2L)))
+    // per item_a keep 1 neighbor: ties (1: 2=2, 3=2) break item ASC → 2
+    assert(m === Set((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 2L)))
   }
 
   test("maxBasket drops power users whole") {
-    val big = (1 to 50).map(i => ("bot", s"i$i")) ++
-      Seq(("u1", "i1"), ("u1", "i2"), ("u2", "i1"), ("u2", "i2"))
+    val big = (101L to 150L).map(i => ("bot", i)) ++
+      Seq(("u1", 1L), ("u1", 2L), ("u2", 1L), ("u2", 2L))
     val m = Covisitation.covisitTopM(big.toDF("u", "i"), "u", "i",
       m = 5, maxBasket = 10)
     // only u1/u2 survive: every pair count is 2, none includes bot-only items
     assert(m.agg(max("n_users")).head.getLong(0) === 2L)
-    assert(m.count() === 2L) // (i1,i2) and (i2,i1)
+    assert(m.count() === 2L) // (1,2) and (2,1)
   }
 
   test("recommend scores sum capped counts and excludes history") {
-    val hist = Seq(("u1", "a"), ("u1", "b")).toDF("u", "i")
-    val cov = Seq(("a", "b", 5L, 1L), ("a", "c", 3L, 2L),
-      ("b", "c", 2L, 1L), ("b", "d", 1L, 2L))
+    val hist = Seq(("u1", 1L), ("u1", 2L)).toDF("u", "i")
+    val cov = Seq((1L, 2L, 5L, 1L), (1L, 3L, 3L, 2L),
+      (2L, 3L, 2L, 1L), (2L, 4L, 1L, 2L))
       .toDF("item_a", "item_b", "n_users", "rk")
     val recs = Covisitation.recommend(hist, cov, "u", "i", k = 10)
-      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
-    // b excluded (history); c = 3+2 = 5 at rank 1, d = 1 at rank 2
-    assert(recs.toSeq === Seq(("c", 5L, 1L), ("d", 1L, 2L)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 2 excluded (history); 3 = 3+2 = 5 at rank 1, 4 = 1 at rank 2
+    assert(recs.toSeq === Seq((3L, 5L, 1L), (4L, 1L, 2L)))
   }
 
   test("evaluate: exact hits, truncating recall and MAP on a planted holdout") {
