@@ -461,6 +461,8 @@ object SparkEntry {
     "levene_bf"             -> (graft.operators.LeveneTest.leveneLineitem(_, _)),
     // cross-document duplicated-n-gram share (RefinedWeb-style audit)
     "crossdoc_ngram_share"  -> (graft.dedup.CrossDocNgrams.crossdocDocuments(_, _)),
+    // KMV/Theta sketch set algebra: union AND intersection estimates
+    "theta_sets"            -> (graft.functions.ThetaSketch.thetaCustomers(_, _)),
     // Count-Min sketch registers (both engines build identical cells)
     "cms_registers"         -> (graft.functions.CountMin.cmsLineitem(_, _)),
     // CMS point estimates (min over rows) for the exact top-5 keys
@@ -824,6 +826,7 @@ object SparkEntry {
     "kruskal_wallis"        -> graft.operators.KruskalWallis.oracleSql,
     "levene_bf"             -> graft.operators.LeveneTest.oracleSql,
     "crossdoc_ngram_share"  -> graft.dedup.CrossDocNgrams.oracleSql,
+    "theta_sets"            -> graft.functions.ThetaSketch.oracleSql,
     "cms_registers"         -> graft.functions.CountMin.registersOracleSql,
     "cms_topk"              -> graft.functions.CountMin.estimateOracleSql,
     "mcnemar"               -> graft.operators.PairedTests.mcnemarOracleSql,
