@@ -469,6 +469,8 @@ object SparkEntry {
     "cms_topk"              -> (graft.functions.CountMin.cmsTopParts(_, _)),
     // paired before/after activity shift (continuity-corrected McNemar)
     "mcnemar"               -> (graft.operators.PairedTests.mcnemarCustomers(_, _)),
+    // inter-arrival Fano factor + burstiness per event type (exact isqrt)
+    "burstiness"            -> (graft.operators.Burstiness.burstinessEvents(_, _)),
     // Qini/uplift deciles: hash-bit arms, cell-table deciles, exact counts
     "qini_uplift"           -> (graft.operators.Uplift.qiniOrders(_, _)),
     // return-rate trend across ordered priorities (Cochran–Armitage)
@@ -831,6 +833,7 @@ object SparkEntry {
     "cms_topk"              -> graft.functions.CountMin.estimateOracleSql,
     "mcnemar"               -> graft.operators.PairedTests.mcnemarOracleSql,
     "qini_uplift"           -> graft.operators.Uplift.oracleSql,
+    "burstiness"            -> graft.operators.Burstiness.oracleSql,
     "cochran_armitage"      -> graft.operators.PairedTests.trendOracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
     "power_mde"             -> graft.operators.ExperimentDesign.powerMdeOracleSql,
