@@ -459,6 +459,8 @@ object SparkEntry {
     "kruskal_wallis"        -> (graft.operators.KruskalWallis.kruskalLineitem(_, _)),
     // Brown–Forsythe equal-variance test on the bounded cell histogram
     "levene_bf"             -> (graft.operators.LeveneTest.leveneLineitem(_, _)),
+    // TextRank keywords: weighted integer PageRank on word co-occurrence
+    "textrank_keywords"     -> (graft.functions.TextRank.textrankDocuments(_, _)),
     // cross-document duplicated-n-gram share (RefinedWeb-style audit)
     "crossdoc_ngram_share"  -> (graft.dedup.CrossDocNgrams.crossdocDocuments(_, _)),
     // KMV/Theta sketch set algebra: union AND intersection estimates
@@ -828,6 +830,7 @@ object SparkEntry {
     "kruskal_wallis"        -> graft.operators.KruskalWallis.oracleSql,
     "levene_bf"             -> graft.operators.LeveneTest.oracleSql,
     "crossdoc_ngram_share"  -> graft.dedup.CrossDocNgrams.oracleSql,
+    "textrank_keywords"     -> graft.functions.TextRank.oracleSql,
     "theta_sets"            -> graft.functions.ThetaSketch.oracleSql,
     "cms_registers"         -> graft.functions.CountMin.registersOracleSql,
     "cms_topk"              -> graft.functions.CountMin.estimateOracleSql,
