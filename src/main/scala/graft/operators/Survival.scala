@@ -173,4 +173,141 @@ object Survival {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
       |    AS na_permicro
       |FROM risk""".stripMargin
+
+  /** Two-sample log-rank test — the hypothesis-test completion of the
+    * family: [[kaplanMeier]] draws the curves, this decides whether
+    * they differ. O−E accumulates over the SAME duration-cell walk:
+    * at each time, e1 += (10⁶·d·n₁)÷n and the hypergeometric variance
+    * v += staged truncating divisions of d·n₁·n₂·(n−d) by n, n, n−1 —
+    * each stage's quotient ≤ 10⁶·d, so BIGINT `div` never overflows at
+    * any N and the whole statistic is engine-exact by construction.
+    * χ²_ppm = (10⁶O₁ − e1_micro)² div v_micro, the micro scales
+    * cancelling. Accumulators ride DECIMAL(38,0), reported as VARCHAR
+    * digit strings (the canonical-type contract).
+    *
+    * Scale: one groupBy to (dur, group) cells bounded by
+    * |durations|·2, partition-less windows over that bounded table
+    * only (the [[nelsonAalen]] precedent), one final fold. */
+  def logRank(subjects: DataFrame, durCol: String, eventCol: String,
+              grpCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = subjects.groupBy(col(durCol).cast("int").as("dur"))
+      .agg(
+        sum(when(col(grpCol) && col(eventCol), 1L).otherwise(0L)).as("d1"),
+        sum(when(col(grpCol) && !col(eventCol), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col(grpCol) && col(eventCol), 1L).otherwise(0L)).as("d2"),
+        sum(when(!col(grpCol) && !col(eventCol), 1L).otherwise(0L)).as("c2"))
+    val wAll = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrior = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = cells
+      .withColumn("n1", sum(col("d1") + col("c1")).over(wAll) -
+        coalesce(sum(col("d1") + col("c1")).over(wPrior), lit(0L)))
+      .withColumn("n2", sum(col("d2") + col("c2")).over(wAll) -
+        coalesce(sum(col("d2") + col("c2")).over(wPrior), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+    // staged truncating terms, every product DECIMAL-carried so BIGINT
+    // multiplies never overflow at any risk-set size:
+    //   t1 = (10⁶·d·n1) div n ≤ 10⁶·d; t2 = (t1·n2) div n ≤ t1;
+    //   t3 = (t2·(n−d)) div (n−1) ≤ t2
+    val t1 = "(1000000 * CAST(d AS DECIMAL(38,0)) * n1) div n"
+    risk.agg(
+        sum(col("d1")).as("o1"), sum(col("d2")).as("o2"),
+        sum(expr(t1).cast("decimal(38,0)")).as("e1_micro"),
+        sum(expr(s"""CASE WHEN n > 1 THEN
+            (CAST((CAST($t1 AS DECIMAL(38,0)) * n2) div n
+              AS DECIMAL(38,0)) * (n - d)) div (n - 1)
+            ELSE 0L END""").cast("decimal(38,0)")).as("v_micro"))
+      .crossJoin(broadcast(risk.orderBy(col("dur").asc).limit(1)
+        .select(col("n1").as("n1_tot"), col("n2").as("n2_tot"))))
+      .select(col("n1_tot").as("n1"), col("n2_tot").as("n2"),
+        col("o1"), col("o2"),
+        col("e1_micro").cast("string").as("e1_micro"),
+        col("v_micro").cast("string").as("v_micro"),
+        expr("""CASE WHEN v_micro > 0 THEN
+            ((1000000 * CAST(o1 AS DECIMAL(38,0)) - e1_micro)
+              * (1000000 * CAST(o1 AS DECIMAL(38,0)) - e1_micro))
+              div v_micro END""").as("chi2_ppm"))
+  }
+
+  /** Gated log-rank instance: the same cohort split by whether the
+    * user's FIRST observed event (by the (ts, event_id) total order)
+    * is a click. */
+  def logrankEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val grouped = Tables.events(spark, dir)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("ts").cast("date")).as("start"),
+        min(when(col("event_type") === "purchase" && col("value") > 150,
+          col("ts").cast("date"))).as("conv"),
+        max(col("ts").cast("date")).as("last"),
+        max(when(col("__rn") === 1, col("event_type") === "click"))
+          .as("g1"))
+      .select(
+        datediff(coalesce(col("conv"), col("last")), col("start")).as("dur"),
+        col("conv").isNotNull.as("ev"), col("g1"))
+    logRank(grouped, "dur", "ev", "g1")
+  }
+
+  def logrankOracleSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, event_type, ts, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), per AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS start,
+      |    min(CASE WHEN event_type = 'purchase' AND value > 150
+      |      THEN CAST(ts AS DATE) END) AS conv,
+      |    max(CAST(ts AS DATE)) AS last_d,
+      |    max(CASE WHEN rn = 1 THEN event_type = 'click' END) AS g1
+      |  FROM firsts
+      |  GROUP BY 1
+      |), subj AS (
+      |  SELECT CAST(date_diff('day', start, coalesce(conv, last_d)) AS INT) AS dur,
+      |    conv IS NOT NULL AS ev, g1
+      |  FROM per
+      |), cells AS (
+      |  SELECT dur,
+      |    CAST(sum(CASE WHEN g1 AND ev THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN g1 AND NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN NOT g1 AND ev THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+      |    CAST(sum(CASE WHEN NOT g1 AND NOT ev THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM subj GROUP BY 1
+      |), risk AS (
+      |  SELECT dur, d1, d2,
+      |    sum(d1 + c1) OVER () - coalesce(sum(d1 + c1) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+      |    sum(d2 + c2) OVER () - coalesce(sum(d2 + c2) OVER (ORDER BY dur
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+      |  FROM cells
+      |), terms AS (
+      |  SELECT dur, d1, d2, n1, n2, d1 + d2 AS d, n1 + n2 AS n FROM risk
+      |), agg AS (
+      |  SELECT
+      |    CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(d2) AS BIGINT) AS o2,
+      |    CAST(sum((1000000 * CAST(d AS HUGEINT) * n1) // n) AS HUGEINT)
+      |      AS e1_micro,
+      |    CAST(sum(CASE WHEN n > 1 THEN
+      |      (((((1000000 * CAST(d AS HUGEINT) * n1) // n) * n2) // n)
+      |        * (n - d)) // (n - 1)
+      |      ELSE 0 END) AS HUGEINT) AS v_micro
+      |  FROM terms
+      |), tots AS (
+      |  SELECT n1 AS n1_tot, n2 AS n2_tot FROM terms ORDER BY dur LIMIT 1
+      |)
+      |SELECT CAST(t.n1_tot AS BIGINT) AS n1, CAST(t.n2_tot AS BIGINT) AS n2,
+      |  a.o1, a.o2,
+      |  CAST(a.e1_micro AS VARCHAR) AS e1_micro,
+      |  CAST(a.v_micro AS VARCHAR) AS v_micro,
+      |  CASE WHEN a.v_micro > 0 THEN CAST(
+      |    ((1000000 * CAST(a.o1 AS HUGEINT) - a.e1_micro)
+      |      * (1000000 * CAST(a.o1 AS HUGEINT) - a.e1_micro))
+      |      // a.v_micro AS BIGINT) END AS chi2_ppm
+      |FROM agg a CROSS JOIN tots t""".stripMargin
 }
