@@ -471,6 +471,8 @@ object SparkEntry {
     "cms_topk"              -> (graft.functions.CountMin.cmsTopParts(_, _)),
     // paired before/after activity shift (continuity-corrected McNemar)
     "mcnemar"               -> (graft.operators.PairedTests.mcnemarCustomers(_, _)),
+    // hierarchical forecast reconciliation (exact largest-remainder)
+    "forecast_reconcile"    -> (graft.operators.ForecastReconcile.reconcileRevenue(_, _)),
     // two-sample log-rank test over the survival duration-cell walk
     "logrank_test"          -> (graft.operators.Survival.logrankEvents(_, _)),
     // inter-arrival Fano factor + burstiness per event type (exact isqrt)
@@ -840,6 +842,7 @@ object SparkEntry {
     "qini_uplift"           -> graft.operators.Uplift.oracleSql,
     "burstiness"            -> graft.operators.Burstiness.oracleSql,
     "logrank_test"          -> graft.operators.Survival.logrankOracleSql,
+    "forecast_reconcile"    -> graft.operators.ForecastReconcile.oracleSql,
     "cochran_armitage"      -> graft.operators.PairedTests.trendOracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
     "power_mde"             -> graft.operators.ExperimentDesign.powerMdeOracleSql,
