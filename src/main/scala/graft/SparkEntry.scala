@@ -471,6 +471,8 @@ object SparkEntry {
     "cms_topk"              -> (graft.functions.CountMin.cmsTopParts(_, _)),
     // paired before/after activity shift (continuity-corrected McNemar)
     "mcnemar"               -> (graft.operators.PairedTests.mcnemarCustomers(_, _)),
+    // O'Brien-Fleming group-sequential monitor (exact rational boundaries)
+    "group_sequential"      -> (graft.operators.SequentialTest.sequentialOrders(_, _)),
     // hierarchical forecast reconciliation (exact largest-remainder)
     "forecast_reconcile"    -> (graft.operators.ForecastReconcile.reconcileRevenue(_, _)),
     // two-sample log-rank test over the survival duration-cell walk
@@ -843,6 +845,7 @@ object SparkEntry {
     "burstiness"            -> graft.operators.Burstiness.oracleSql,
     "logrank_test"          -> graft.operators.Survival.logrankOracleSql,
     "forecast_reconcile"    -> graft.operators.ForecastReconcile.oracleSql,
+    "group_sequential"      -> graft.operators.SequentialTest.oracleSql,
     "cochran_armitage"      -> graft.operators.PairedTests.trendOracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
     "power_mde"             -> graft.operators.ExperimentDesign.powerMdeOracleSql,
