@@ -483,6 +483,10 @@ object SparkEntry {
     "qini_uplift"           -> (graft.operators.Uplift.qiniOrders(_, _)),
     // return-rate trend across ordered priorities (Cochran–Armitage)
     "cochran_armitage"      -> (graft.operators.PairedTests.trendPriority(_, _)),
+    // empirical-Bayes beta-binomial shrinkage of per-nation return rates
+    "eb_shrinkage"          -> (graft.operators.EbShrinkage.ebNationReturns(_, _)),
+    // multinomial NB language ID: train+score one plan, micro log-probs
+    "nb_classify"           -> (graft.ml.NaiveBayes.nbLangDocuments(_, _)),
     // CUPED variance reduction: integer theta fit + adjusted-metric SS
     "cuped_adjust"          -> (graft.operators.Cuped.cupedOrders(_, _)),
     // MDE sizing per arm: Z·isqrt(2·SS div n) div n, exact integers
@@ -847,6 +851,8 @@ object SparkEntry {
     "forecast_reconcile"    -> graft.operators.ForecastReconcile.oracleSql,
     "group_sequential"      -> graft.operators.SequentialTest.oracleSql,
     "cochran_armitage"      -> graft.operators.PairedTests.trendOracleSql,
+    "eb_shrinkage"          -> graft.operators.EbShrinkage.oracleSql,
+    "nb_classify"           -> graft.ml.NaiveBayes.oracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
     "power_mde"             -> graft.operators.ExperimentDesign.powerMdeOracleSql,
     "diff_in_diff"          -> graft.operators.ExperimentDesign.didOracleSql,
