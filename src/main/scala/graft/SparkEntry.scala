@@ -487,6 +487,12 @@ object SparkEntry {
     "eb_shrinkage"          -> (graft.operators.EbShrinkage.ebNationReturns(_, _)),
     // multinomial NB language ID: train+score one plan, micro log-probs
     "nb_classify"           -> (graft.ml.NaiveBayes.nbLangDocuments(_, _)),
+    // Good-Turing count-of-counts smoothing over corpus word frequencies
+    "good_turing"           -> (graft.functions.GoodTuring.goodTuringDocuments(_, _)),
+    // Cohen's kappa: langid heuristic vs gold labels, chance-corrected
+    "cohens_kappa"          -> (graft.operators.Kappa.kappaLangid(_, _)),
+    // two-sample Cramér–von Mises shape test on the Mann-Whitney pair
+    "cramer_von_mises"      -> (graft.operators.CramerVonMises.cvmLineitem(_, _)),
     // CUPED variance reduction: integer theta fit + adjusted-metric SS
     "cuped_adjust"          -> (graft.operators.Cuped.cupedOrders(_, _)),
     // MDE sizing per arm: Z·isqrt(2·SS div n) div n, exact integers
@@ -853,6 +859,9 @@ object SparkEntry {
     "cochran_armitage"      -> graft.operators.PairedTests.trendOracleSql,
     "eb_shrinkage"          -> graft.operators.EbShrinkage.oracleSql,
     "nb_classify"           -> graft.ml.NaiveBayes.oracleSql,
+    "good_turing"           -> graft.functions.GoodTuring.oracleSql,
+    "cohens_kappa"          -> graft.operators.Kappa.oracleSql,
+    "cramer_von_mises"      -> graft.operators.CramerVonMises.oracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
     "power_mde"             -> graft.operators.ExperimentDesign.powerMdeOracleSql,
     "diff_in_diff"          -> graft.operators.ExperimentDesign.didOracleSql,
