@@ -493,6 +493,12 @@ object SparkEntry {
     "cohens_kappa"          -> (graft.operators.Kappa.kappaLangid(_, _)),
     // two-sample Cramér–von Mises shape test on the Mann-Whitney pair
     "cramer_von_mises"      -> (graft.operators.CramerVonMises.cvmLineitem(_, _)),
+    // Murphy decomposition of the Brier score over forecast-cent cells
+    "brier_decomp"          -> (graft.operators.BrierDecomp.brierEvents(_, _)),
+    // Jonckheere-Terpstra ordered trend across priority levels
+    "jonckheere_trend"      -> (graft.operators.Jonckheere.jtPriorityQuantity(_, _)),
+    // Zipf rank-frequency log-log OLS over the top-1000 terms
+    "zipf_fit"              -> (graft.functions.ZipfFit.zipfDocuments(_, _)),
     // CUPED variance reduction: integer theta fit + adjusted-metric SS
     "cuped_adjust"          -> (graft.operators.Cuped.cupedOrders(_, _)),
     // MDE sizing per arm: Z·isqrt(2·SS div n) div n, exact integers
@@ -862,6 +868,9 @@ object SparkEntry {
     "good_turing"           -> graft.functions.GoodTuring.oracleSql,
     "cohens_kappa"          -> graft.operators.Kappa.oracleSql,
     "cramer_von_mises"      -> graft.operators.CramerVonMises.oracleSql,
+    "brier_decomp"          -> graft.operators.BrierDecomp.oracleSql,
+    "jonckheere_trend"      -> graft.operators.Jonckheere.oracleSql,
+    "zipf_fit"              -> graft.functions.ZipfFit.oracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
     "power_mde"             -> graft.operators.ExperimentDesign.powerMdeOracleSql,
     "diff_in_diff"          -> graft.operators.ExperimentDesign.didOracleSql,
