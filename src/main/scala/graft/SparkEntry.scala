@@ -499,6 +499,12 @@ object SparkEntry {
     "jonckheere_trend"      -> (graft.operators.Jonckheere.jtPriorityQuantity(_, _)),
     // Zipf rank-frequency log-log OLS over the top-1000 terms
     "zipf_fit"              -> (graft.functions.ZipfFit.zipfDocuments(_, _)),
+    // EWMA control chart with exact truncated-horizon geometric weights
+    "ewma_chart"            -> (graft.operators.EwmaChart.ewmaEvents(_, _)),
+    // depth-capped BFS hop layers over the bounded co-supply graph
+    "bfs_layers"            -> (graft.operators.GraphMetrics.bfsCoSupply(_, _)),
+    // Newman modularity of the nation partition over the co-supply graph
+    "modularity"            -> (graft.operators.GraphMetrics.modularityCoSupply(_, _)),
     // CUPED variance reduction: integer theta fit + adjusted-metric SS
     "cuped_adjust"          -> (graft.operators.Cuped.cupedOrders(_, _)),
     // MDE sizing per arm: Z·isqrt(2·SS div n) div n, exact integers
@@ -871,6 +877,9 @@ object SparkEntry {
     "brier_decomp"          -> graft.operators.BrierDecomp.oracleSql,
     "jonckheere_trend"      -> graft.operators.Jonckheere.oracleSql,
     "zipf_fit"              -> graft.functions.ZipfFit.oracleSql,
+    "ewma_chart"            -> graft.operators.EwmaChart.oracleSql,
+    "bfs_layers"            -> graft.operators.GraphMetrics.bfsOracleSql,
+    "modularity"            -> graft.operators.GraphMetrics.modularityOracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
     "power_mde"             -> graft.operators.ExperimentDesign.powerMdeOracleSql,
     "diff_in_diff"          -> graft.operators.ExperimentDesign.didOracleSql,

@@ -473,4 +473,127 @@ object GraphMetrics {
        |UNION ALL ${statsRow(3, "e_3")}
        |UNION ALL ${statsRow(4, "e_4")}""".stripMargin
   }
+
+  /** Layered BFS from the graph's smallest node id — single-source
+    * shortest hop distances, depth-capped: the reachability profile of
+    * the bounded co-supply graph ("how many hops does influence take to
+    * cover the supplier network"). `maxDepth` synchronous frontier
+    * expansions in the [[kcorePeelRounds]] bounded-iteration mold —
+    * the oracle unrolls the SAME rounds, so nodes farther than
+    * maxDepth hops are absent by contract, not by convergence. Each
+    * round is one dist⋈edges equi-join + a min-groupBy on node keys,
+    * lineage truncated per round; at 100 TB the frontier tables are
+    * dimension-sized. */
+  def bfsLayers(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val und = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint() // reused every round
+    var dist = und.agg(min(col("s")).as("node"))
+      .select(col("node"), lit(0L).as("layer"))
+    for (_ <- 1 to maxDepth) {
+      val next = dist
+        .select(col("node").as("__fn"), col("layer").as("__fl"))
+        .join(und, col("__fn") === col("s"))
+        .select(col("t").as("node"), (col("__fl") + lit(1L)).as("layer"))
+      dist = dist.unionByName(next)
+        .groupBy("node").agg(min("layer").as("layer"))
+        .localCheckpoint()
+    }
+    dist.select(col("node"), col("layer"))
+  }
+
+  /** Newman modularity Q of a given node partition — "are there more
+    * within-community edges than a degree-preserving random rewiring
+    * would give?": the quality score for [[labelPropagationStep]]'s
+    * communities and any externally supplied segmentation. Exact
+    * rationals: Q = (4m·E_in - Σ_c d_c²) / (4m²) over BIGINT edge and
+    * degree counts, DECIMAL(38,0)-carried (d_c² and m² outgrow BIGINT
+    * past ~3·10⁹ edges), reported in one sign-split truncating
+    * permicro division. Nodes without a label are dropped from the
+    * graph first (declared), so d_c sums stay consistent with m. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("node"), col("community"))
+    val e2 = edges
+      .join(lab.select(col("node").as("u"), col("community").as("cu")),
+        Seq("u"))
+      .join(lab.select(col("node").as("v"), col("community").as("cv")),
+        Seq("v"))
+      .localCheckpoint() // reused: m, within, degrees
+    val m = e2.agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+      sum(when(col("cu") === col("cv"), 1L).otherwise(0L))
+        .cast("decimal(38,0)").as("e_in"))
+    val d2 = e2.select(col("cu").as("c")).unionAll(e2.select(col("cv").as("c")))
+      .groupBy("c").agg(count(lit(1)).cast("decimal(38,0)").as("d_c"))
+      .agg(count(lit(1)).as("k_communities"),
+        sum(col("d_c") * col("d_c")).cast("decimal(38,0)").as("dd"))
+    m.crossJoin(broadcast(d2))
+      .select(
+        col("m").cast("long").as("m_edges"),
+        col("k_communities"),
+        col("e_in").cast("long").as("within_edges"),
+        expr("""CASE WHEN m > 0 THEN
+            (CASE WHEN 4 * m * e_in < dd THEN -1L ELSE 1L END)
+              * ((CAST(1000000 AS DECIMAL(38,0)) * abs(4 * m * e_in - dd))
+                  div (4 * m * m))
+          END""").as("q_permicro"))
+  }
+
+  /** Gated instance: BFS layers from the smallest supplier in the
+    * top-8 co-supply graph, 6 hops. */
+  def bfsCoSupply(spark: SparkSession, dir: String): DataFrame =
+    bfsLayers(topKCoSupplyEdges(Tables.lineitem(spark, dir), K), 6)
+
+  def bfsOracleSql: String = {
+    def step(i: Int): String =
+      s"""s${i + 1} AS (
+         |  SELECT node, min(layer) AS layer FROM (
+         |    SELECT node, layer FROM s$i
+         |    UNION ALL
+         |    SELECT un.t AS node, s$i.layer + 1 AS layer
+         |    FROM s$i JOIN un ON un.s = s$i.node
+         |  ) GROUP BY node
+         |)""".stripMargin
+    s"""WITH $edgesCte, un AS MATERIALIZED (
+       |  SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e
+       |), s0 AS (SELECT (SELECT min(u) FROM e) AS node, 0 AS layer),
+       |${(0 until 6).map(step).mkString(",\n")}
+       |SELECT CAST(node AS BIGINT) AS node, CAST(layer AS BIGINT) AS layer
+       |FROM s6""".stripMargin
+  }
+
+  /** Gated instance: modularity of the nation partition over the top-8
+    * co-supply graph — does co-supply cluster along nations? */
+  def modularityCoSupply(spark: SparkSession, dir: String): DataFrame =
+    modularity(
+      topKCoSupplyEdges(Tables.lineitem(spark, dir), K),
+      Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("node"),
+          col("s_nationkey").as("community")))
+
+  def modularityOracleSql: String =
+    s"""WITH $edgesCte, lab AS (
+       |  SELECT s_suppkey AS node, s_nationkey AS community FROM supplier
+       |), e2 AS (
+       |  SELECT e.u, e.v, lu.community AS cu, lv.community AS cv
+       |  FROM e JOIN lab lu ON lu.node = e.u JOIN lab lv ON lv.node = e.v
+       |), mm AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS m,
+       |    CAST(sum(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS HUGEINT) AS e_in
+       |  FROM e2
+       |), dd AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k_communities,
+       |    CAST(sum(d_c * d_c) AS HUGEINT) AS dd
+       |  FROM (
+       |    SELECT c, CAST(count(*) AS HUGEINT) AS d_c FROM (
+       |      SELECT cu AS c FROM e2 UNION ALL SELECT cv FROM e2
+       |    ) GROUP BY c
+       |  )
+       |)
+       |SELECT CAST(m AS BIGINT) AS m_edges, k_communities,
+       |  CAST(e_in AS BIGINT) AS within_edges,
+       |  CASE WHEN m > 0 THEN CAST(
+       |    (CASE WHEN 4 * m * e_in < dd.dd THEN -1 ELSE 1 END)
+       |      * ((1000000 * abs(4 * m * e_in - dd.dd)) // (4 * m * m))
+       |    AS BIGINT) END AS q_permicro
+       |FROM mm CROSS JOIN dd""".stripMargin
 }
