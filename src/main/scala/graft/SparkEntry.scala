@@ -296,6 +296,8 @@ object SparkEntry {
     "table_checkpoint"      -> (graft.sources.VersionedTable.tableCheckpoint(_, _)),
     // zonemap-pruned MERGE: only key-overlapping groups rewritten
     "table_merge_pruned"    -> (graft.sources.VersionedTable.tableMergePruned(_, _)),
+    // merge-on-read row deletes via deletion vectors, compaction materializes
+    "table_dv_delete"       -> (graft.sources.VersionedTable.tableDvDelete(_, _)),
     // valid-time x transaction-time grid over a versioned SCD2 dim
     "bitemporal_lookup"     -> (graft.operators.Bitemporal.bitemporalOrders(_, _)),
     // event-sequence behavioral stats: lead-window transition pairs;
@@ -789,6 +791,7 @@ object SparkEntry {
     "table_schema_evolution" -> graft.sources.VersionedTable.schemaEvolutionOracleSql,
     "table_checkpoint"      -> graft.sources.VersionedTable.checkpointOracleSql,
     "table_merge_pruned"    -> graft.sources.VersionedTable.mergePrunedOracleSql,
+    "table_dv_delete"       -> graft.sources.VersionedTable.dvDeleteOracleSql,
     "bitemporal_lookup"     -> graft.operators.Bitemporal.oracleSql,
     "markov_transitions"    -> graft.operators.BehaviorStats.markovOracleSql,
     "decay_user_value"      -> graft.operators.BehaviorStats.decayOracleSql,

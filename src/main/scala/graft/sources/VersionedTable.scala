@@ -2,9 +2,9 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Versioned parquet table with a JSON commit log — the portable slice
@@ -320,11 +320,17 @@ object VersionedTable {
     // every commit op adds exactly one file group, so a readable
     // version always has at least one live dir
     require(dirs.nonEmpty, s"version $version has no live file groups")
+    val (dvDirs, dataDirs2) = dirs.partition(isDv)
+    require(dataDirs2.nonEmpty, s"version $version has no live data groups")
     val reader = schemaJson
       .map(s => spark.read.schema(
         DataType.fromJson(s).asInstanceOf[StructType]))
       .getOrElse(spark.read)
-    reader.parquet(dirs.map(d => new Path(dataDir(table), d).toString): _*)
+    val base = reader.parquet(
+      dataDirs2.map(d => new Path(dataDir(table), d).toString): _*)
+    if (dvDirs.isEmpty) base
+    else applyDvs(spark, table, withRowIdentity(base), dvDirs)
+      .drop(DvFileCol, DvPosCol)
   }
 
   /** Snapshot as of a wall-clock instant — the reference's
@@ -355,6 +361,97 @@ object VersionedTable {
     df.write.parquet(new Path(dataDir(table), name).toString)
     name
   }
+
+  // ---- deletion vectors (merge-on-read row-level delete) ----
+
+  /** A deletion-vector group is a live dir like any other in the commit
+    * log (so checkpointing, vacuum, and history replay need no format
+    * change), distinguished purely by this name prefix. Its parquet
+    * holds (__dv_file, __dv_pos) = (scan-reported file path, row index
+    * within that file) of retired rows. */
+  private val DvPrefix = "dv-"
+  private[graft] def isDv(name: String): Boolean = name.startsWith(DvPrefix)
+  private val DvFileCol = "__dv_file"
+  private val DvPosCol = "__dv_pos"
+
+  private def writeDvGroup(spark: SparkSession, table: String,
+                           dv: DataFrame): String = {
+    val name = DvPrefix + java.util.UUID.randomUUID().toString
+    dv.write.parquet(new Path(dataDir(table), name).toString)
+    name
+  }
+
+  /** Base scan widened with the row identity the DV contract keys on:
+    * the file path and within-file row index Spark's parquet scan
+    * exposes through the `_metadata` struct (stable across re-reads of
+    * the same immutable files — exactly what a file group is). */
+  private def withRowIdentity(base: DataFrame): DataFrame =
+    base.select(col("*"),
+      col("_metadata.file_path").as(DvFileCol),
+      col("_metadata.row_index").as(DvPosCol))
+
+  /** Apply live deletion vectors to a row-identity-widened scan: one
+    * left-anti join on (file, pos). DVs are a small fraction of the
+    * table by design (a large delete should be an overwrite), so at
+    * scale this is a broadcast anti-join against an unshuffled scan. */
+  private def applyDvs(spark: SparkSession, table: String,
+                       withIdentity: DataFrame,
+                       dvDirs: Seq[String]): DataFrame = {
+    // explicit schema: a predicate matching nothing commits a DV group
+    // with zero part files, which must read as zero rows, not as a
+    // schema-inference failure
+    val dvSchema = StructType(Seq(
+      StructField(DvFileCol, org.apache.spark.sql.types.StringType),
+      StructField(DvPosCol, org.apache.spark.sql.types.LongType)))
+    val dv = spark.read.schema(dvSchema).parquet(
+        dvDirs.map(d => new Path(dataDir(table), d).toString): _*)
+      .select(col(DvFileCol), col(DvPosCol))
+    withIdentity.join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
+  }
+
+  /** Row-level DELETE as merge-on-read (Delta deletion vectors /
+    * Iceberg position deletes): rows of the current snapshot matching
+    * `predicate` are retired by COMMITTING ONLY THEIR POSITIONS — no
+    * data file is rewritten, so a needle-in-100-TB delete costs one
+    * filtered scan plus a KB-scale DV write instead of a table rewrite.
+    * Reads anti-join live DVs; [[compact]] (or any overwrite/upsert,
+    * whose remove set is the whole live set) MATERIALIZES the deletes
+    * and clears the vectors. Read-modify-write conflict discipline as
+    * [[upsert]]: the matched positions derive from a base version, so
+    * an interleaved commit forces a re-derive, never a silent rebase. */
+  def delete(spark: SparkSession, table: String, predicate: Column): Long =
+    lockFor(table).synchronized {
+      var attempt = 0
+      while (attempt < 5) {
+        val st = logState(spark, table)
+        require(st.head.nonEmpty, s"no commits at $table")
+        val (dvDirs, dataDirs2) = st.live.partition(isDv)
+        require(dataDirs2.nonEmpty, s"no live data groups at $table")
+        val reader = st.schemaJson
+          .map(s => spark.read.schema(
+            DataType.fromJson(s).asInstanceOf[StructType]))
+          .getOrElse(spark.read)
+        val scan = withRowIdentity(reader.parquet(
+          dataDirs2.map(d => new Path(dataDir(table), d).toString): _*))
+        // match against LIVE rows only: positions an earlier DV already
+        // retired must not reappear in the new vector (keeps per-row
+        // delete multiplicity exact for the change feed)
+        val alive = if (dvDirs.isEmpty) scan
+          else applyDvs(spark, table, scan, dvDirs)
+        val matches = alive.filter(predicate)
+          .select(col(DvFileCol), col(DvPosCol))
+        val grp = writeDvGroup(spark, table, matches)
+        raceInjection(); raceInjection = () => ()
+        try {
+          return commit(spark, table, { s =>
+            if (s.head != st.head) throw new CommitConflict
+            Commit(s.next, "delete", Seq(grp), Nil,
+              schema = st.schemaJson.getOrElse(""))
+          })
+        } catch { case _: CommitConflict => attempt += 1 }
+      }
+      sys.error(s"delete lost the data race 5 times at $table")
+    }
 
   // ---- per-group key statistics (zonemap sidecars) ----
 
@@ -619,7 +716,14 @@ object VersionedTable {
         // declared schema (an unchecked union would silently drop
         // new columns or pin a type the committed data doesn't have)
         requireCompatible(st.schemaStruct, ch.schema)
-        val (overlap, skip) = st.live.partition { g =>
+        // DV groups are not data: they never partition as rewrite
+        // candidates (their parquet is positions, not table rows) and
+        // they STAY LIVE — a vector retiring rows in a skipped group
+        // must keep retiring them after the merge. Vectors over
+        // rewritten groups go stale harmlessly (the files are gone, the
+        // anti-join matches nothing) until compaction clears them.
+        val (dvDirs, dataLive) = st.live.partition(isDv)
+        val (overlap, skip) = dataLive.partition { g =>
           groupKeyRange(spark, table, g, keyCol) match {
             case Some((lo, hi)) => hi >= clo && lo <= chi
             case None           => true // unknown stats: must rewrite
@@ -630,8 +734,13 @@ object VersionedTable {
             DataType.fromJson(s).asInstanceOf[StructType]))
           .getOrElse(spark.read)
         val base = if (overlap.isEmpty) None
-          else Some(reader.parquet(
-            overlap.map(d => new Path(dataDir(table), d).toString): _*))
+          else {
+            val scan = reader.parquet(
+              overlap.map(d => new Path(dataDir(table), d).toString): _*)
+            Some(if (dvDirs.isEmpty) scan
+              else applyDvs(spark, table, withRowIdentity(scan), dvDirs)
+                .drop(DvFileCol, DvPosCol))
+          }
         val merged = base match {
           case Some(b) =>
             b.join(ch.select(col(keyCol)), Seq(keyCol), "left_anti")
@@ -702,6 +811,24 @@ object VersionedTable {
         s"${minReadableVersion(spark, table)})")
     val (beforeDirs, _) = resolveState(spark, table, fromVersion)
     val (afterDirs, afterSchema) = resolveState(spark, table, toVersion)
+    // a deletion vector retires rows INSIDE still-live groups, so the
+    // group-granular diff below cannot see it; DV-bearing endpoints
+    // fall back to a full snapshot diff (readVersion applies the DVs).
+    // The fast path is untouched for DV-free tables, and row-level
+    // deletes are intrinsically per-row work anyway.
+    if ((beforeDirs ++ afterDirs).exists(isDv)) {
+      val afterDf = readVersion(spark, table, toVersion)
+      val beforeRaw = readVersion(spark, table, fromVersion)
+      val have = beforeRaw.columns.toSet
+      // before-side read under the TO-version schema, like the fast path
+      val beforeDf = beforeRaw.select(afterDf.schema.fields.map(f =>
+        if (have.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+      return afterDf.exceptAll(beforeDf)
+          .withColumn("_change_type", lit("insert"))
+        .unionByName(beforeDf.exceptAll(afterDf)
+          .withColumn("_change_type", lit("delete")))
+    }
     val before = beforeDirs.toSet
     val after = afterDirs.toSet
     // both sides read under the TO-version schema so exceptAll stays
@@ -1145,4 +1272,73 @@ object VersionedTable {
       |UNION ALL
       |SELECT CAST(3 AS BIGINT), n_rows, sum_cents, min_key, max_key
       |FROM agg""".stripMargin
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** Gated deletion-vector instance: v0 appends all orders, v1 deletes
+    * the low-cents-digit slice, v2 deletes the %13 keys (composes
+    * with v1's vector against the SAME untouched data group), v3
+    * compacts (materializes both vectors into one rewritten group). All
+    * four versions read back with exact aggregates: v1/v2 prove
+    * merge-on-read (the data group is never rewritten, yet reads see
+    * the retirement), v3 == v2 proves materialization is a logical
+    * no-op, and time travel to v0 proves the vectors never touch
+    * history. The oracle recomputes each snapshot by re-applying the
+    * predicates to orders. Reference anchor: merge_generator.py's
+    * delete branch run against a Delta table — Delta serves it with
+    * deletion vectors; this is that read/write contract on the
+    * portable layer. */
+  def tableDvDelete(spark: SparkSession, dir: String): DataFrame = {
+    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_vtable_dv_${math.abs(dir.hashCode.toLong)}").toString
+    fs(spark, table).delete(new Path(table), true)
+    val o = ordersFrame(spark, dir)
+    // value- and key-modulo predicates (not dates): provably non-empty
+    // match sets on any testdata generation, the tableSchemaEvolution
+    // discipline
+    append(spark, table, o)
+    delete(spark, table, col("cents") % 10 < 3)
+    delete(spark, table, col("k") % 13 === 0)
+    compact(spark, table)
+    (0L to 3L).map { v =>
+      readVersion(spark, table, v).agg(
+        count(lit(1)).as("n_rows"),
+        sum("cents").cast("long").as("sum_cents"),
+        min("k").cast("long").as("min_key"),
+        max("k").cast("long").as("max_key"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+          col("min_key"), col("max_key"))
+    }.reduce(_ unionByName _)
+  }
+
+  def dvDeleteOracleSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderdate AS d
+      |  FROM orders
+      |), s1 AS (
+      |  SELECT * FROM o WHERE NOT (cents % 10 < 3)
+      |), s2 AS (
+      |  SELECT * FROM s1 WHERE NOT (k % 13 = 0)
+      |), agg0 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |    CAST(min(k) AS BIGINT) AS min_key,
+      |    CAST(max(k) AS BIGINT) AS max_key FROM o
+      |), agg1 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |    CAST(min(k) AS BIGINT) AS min_key,
+      |    CAST(max(k) AS BIGINT) AS max_key FROM s1
+      |), agg2 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |    CAST(min(k) AS BIGINT) AS min_key,
+      |    CAST(max(k) AS BIGINT) AS max_key FROM s2
+      |)
+      |SELECT CAST(0 AS BIGINT) AS version, * FROM agg0
+      |UNION ALL SELECT CAST(1 AS BIGINT), * FROM agg1
+      |UNION ALL SELECT CAST(2 AS BIGINT), * FROM agg2
+      |UNION ALL SELECT CAST(3 AS BIGINT), * FROM agg2""".stripMargin
 }
