@@ -429,6 +429,10 @@ object SparkEntry {
     "hits_scores"           -> (graft.operators.GraphMetrics.hitsTrade(_, _)),
     // exact n²-scaled ACF at lags 1..7 per event-type daily series
     "acf_lags"              -> (graft.operators.Autocorr.acfEvents(_, _)),
+    // residual/randomness diagnostics over the same daily spine
+    "durbin_watson"         -> (graft.operators.TsDiagnostics.durbinWatsonEvents(_, _)),
+    "ljung_box"             -> (graft.operators.TsDiagnostics.ljungBoxEvents(_, _)),
+    "runs_test"             -> (graft.operators.TsDiagnostics.runsTestEvents(_, _)),
     // directed association rules (confidence/lift permicro) over baskets
     "assoc_rules"           -> (graft.operators.Basket.assocRulesLineitem(_, _)),
     // cumulative gains/lift table over exact score deciles
@@ -844,6 +848,9 @@ object SparkEntry {
     "neyman_alloc"          -> graft.operators.Allocation.oracleSql,
     "hits_scores"           -> graft.operators.GraphMetrics.hitsOracleSql,
     "acf_lags"              -> graft.operators.Autocorr.oracleSql,
+    "durbin_watson"         -> graft.operators.TsDiagnostics.durbinWatsonOracleSql,
+    "ljung_box"             -> graft.operators.TsDiagnostics.ljungBoxOracleSql,
+    "runs_test"             -> graft.operators.TsDiagnostics.runsTestOracleSql,
     "assoc_rules"           -> graft.operators.Basket.rulesOracleSql,
     "lift_deciles"          -> graft.operators.Calibration.liftOracleSql,
     "knn_classify"          -> graft.ann.KnnClassify.oracleSql,
