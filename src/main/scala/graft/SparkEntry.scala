@@ -433,6 +433,10 @@ object SparkEntry {
     "durbin_watson"         -> (graft.operators.TsDiagnostics.durbinWatsonEvents(_, _)),
     "ljung_box"             -> (graft.operators.TsDiagnostics.ljungBoxEvents(_, _)),
     "runs_test"             -> (graft.operators.TsDiagnostics.runsTestEvents(_, _)),
+    // robust rolling-median/MAD anomaly flags on the daily spine
+    "hampel_outliers"       -> (graft.operators.Hampel.hampelEvents(_, _)),
+    // calendar-lag cross-correlation between two event-type series
+    "ccf_lags"              -> (graft.operators.CrossCorr.ccfEvents(_, _)),
     // directed association rules (confidence/lift permicro) over baskets
     "assoc_rules"           -> (graft.operators.Basket.assocRulesLineitem(_, _)),
     // cumulative gains/lift table over exact score deciles
@@ -851,6 +855,8 @@ object SparkEntry {
     "durbin_watson"         -> graft.operators.TsDiagnostics.durbinWatsonOracleSql,
     "ljung_box"             -> graft.operators.TsDiagnostics.ljungBoxOracleSql,
     "runs_test"             -> graft.operators.TsDiagnostics.runsTestOracleSql,
+    "hampel_outliers"       -> graft.operators.Hampel.oracleSql,
+    "ccf_lags"              -> graft.operators.CrossCorr.oracleSql,
     "assoc_rules"           -> graft.operators.Basket.rulesOracleSql,
     "lift_deciles"          -> graft.operators.Calibration.liftOracleSql,
     "knn_classify"          -> graft.ann.KnnClassify.oracleSql,
