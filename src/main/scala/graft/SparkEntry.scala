@@ -437,6 +437,11 @@ object SparkEntry {
     "hampel_outliers"       -> (graft.operators.Hampel.hampelEvents(_, _)),
     // calendar-lag cross-correlation between two event-type series
     "ccf_lags"              -> (graft.operators.CrossCorr.ccfEvents(_, _)),
+    // schema-constraint discovery: FD and inclusion-dependency sweeps
+    "fd_discover"           -> (graft.operators.Profiling.fdOrders(_, _)),
+    "ind_discover"          -> (graft.operators.Profiling.indOrders(_, _)),
+    // Chao1 richness + GT coverage of the token vocabulary
+    "chao1_richness"        -> (graft.functions.GoodTuring.chao1Documents(_, _)),
     // directed association rules (confidence/lift permicro) over baskets
     "assoc_rules"           -> (graft.operators.Basket.assocRulesLineitem(_, _)),
     // cumulative gains/lift table over exact score deciles
@@ -857,6 +862,9 @@ object SparkEntry {
     "runs_test"             -> graft.operators.TsDiagnostics.runsTestOracleSql,
     "hampel_outliers"       -> graft.operators.Hampel.oracleSql,
     "ccf_lags"              -> graft.operators.CrossCorr.oracleSql,
+    "fd_discover"           -> graft.operators.Profiling.fdOracleSql,
+    "ind_discover"          -> graft.operators.Profiling.indOracleSql,
+    "chao1_richness"        -> graft.functions.GoodTuring.chao1OracleSql,
     "assoc_rules"           -> graft.operators.Basket.rulesOracleSql,
     "lift_deciles"          -> graft.operators.Calibration.liftOracleSql,
     "knn_classify"          -> graft.ann.KnnClassify.oracleSql,

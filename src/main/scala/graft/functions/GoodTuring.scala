@@ -49,6 +49,31 @@ object GoodTuring {
           .as("p0_permicro"))
   }
 
+  /** Chao1 species-richness estimate over the same count-of-counts:
+    * how many DISTINCT terms does the full population hold, given what
+    * the sample saw? The capacity-planning twin of the GT unseen mass
+    * (vocabulary budgeting: "how big must the tokenizer vocab be as
+    * the corpus grows 100×?"). Bias-corrected form
+    *   Ŝ = S_obs + f₁(f₁−1) / (2(f₂+1))
+    * (defined even when no doubletons exist), plus the Good-Turing
+    * sample coverage Ĉ = 1 − f₁/T. All exact integers; the one
+    * division is truncating in both engines. Output one row:
+    * (s_obs, f1, f2, n_tokens, chao1_est, coverage_permicro). */
+  def chao1(df: DataFrame, termCol: String): DataFrame =
+    df.groupBy(col(termCol).as("term"))
+      .agg(count(lit(1)).as("r"))
+      .agg(
+        count(lit(1)).as("s_obs"),
+        sum(when(col("r") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("r") === 2L, 1L).otherwise(0L)).as("f2"),
+        sum(col("r").cast("decimal(38,0)")).cast("decimal(38,0)").as("t"))
+      .select(col("s_obs"), col("f1"), col("f2"),
+        col("t").cast("long").as("n_tokens"),
+        expr("""s_obs + (CAST(f1 AS DECIMAL(38,0)) * (f1 - 1))
+                  div (2 * (f2 + 1))""").as("chao1_est"),
+        expr("""1000000 - (CAST(1000000 AS DECIMAL(38,0)) * f1) div t""")
+          .as("coverage_permicro"))
+
   // ---- query-map entry (hash-gated) ----
 
   /** Gated instance: lowercased alphanumeric word tokens over the
@@ -81,4 +106,32 @@ object GoodTuring {
       |    AS p0_permicro
       |FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
       |CROSS JOIN tot""".stripMargin
+
+  /** Gated instance: Chao1 over the same word-token vocabulary. */
+  def chao1Documents(spark: SparkSession, dir: String): DataFrame =
+    chao1(
+      Tables.documents(spark, dir).select(
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("w")),
+      "w")
+
+  def chao1OracleSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents
+      |), terms AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS r FROM toks GROUP BY 1
+      |), agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS s_obs,
+      |    CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |    CAST(sum(CAST(r AS HUGEINT)) AS HUGEINT) AS t
+      |  FROM terms
+      |)
+      |SELECT s_obs, f1, f2, CAST(t AS BIGINT) AS n_tokens,
+      |  CAST(s_obs + (CAST(f1 AS HUGEINT) * (f1 - 1)) // (2 * (f2 + 1))
+      |    AS BIGINT) AS chao1_est,
+      |  CAST(1000000 - (1000000 * CAST(f1 AS HUGEINT)) // t AS BIGINT)
+      |    AS coverage_permicro
+      |FROM agg""".stripMargin
 }
