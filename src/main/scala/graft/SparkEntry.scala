@@ -518,6 +518,8 @@ object SparkEntry {
     "ewma_chart"            -> (graft.operators.EwmaChart.ewmaEvents(_, _)),
     // depth-capped BFS hop layers over the bounded co-supply graph
     "bfs_layers"            -> (graft.operators.GraphMetrics.bfsCoSupply(_, _)),
+    // weighted SSSP: 4 Bellman-Ford rounds over the co-supply graph
+    "sssp_bounded"          -> (graft.operators.GraphMetrics.ssspCoSupply(_, _)),
     // Newman modularity of the nation partition over the co-supply graph
     "modularity"            -> (graft.operators.GraphMetrics.modularityCoSupply(_, _)),
     // CUPED variance reduction: integer theta fit + adjusted-metric SS
@@ -903,6 +905,7 @@ object SparkEntry {
     "zipf_fit"              -> graft.functions.ZipfFit.oracleSql,
     "ewma_chart"            -> graft.operators.EwmaChart.oracleSql,
     "bfs_layers"            -> graft.operators.GraphMetrics.bfsOracleSql,
+    "sssp_bounded"          -> graft.operators.GraphMetrics.ssspOracleSql,
     "modularity"            -> graft.operators.GraphMetrics.modularityOracleSql,
     "cuped_adjust"          -> graft.operators.Cuped.oracleSql,
     "power_mde"             -> graft.operators.ExperimentDesign.powerMdeOracleSql,

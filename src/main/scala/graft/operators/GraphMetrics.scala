@@ -596,4 +596,93 @@ object GraphMetrics {
        |      * ((1000000 * abs(4 * m * e_in - dd.dd)) // (4 * m * m))
        |    AS BIGINT) END AS q_permicro
        |FROM mm CROSS JOIN dd""".stripMargin
+
+  /** Weighted variant of [[topKCoSupplyEdges]]: (u, v, w) with w = the
+    * co-supply count. w is symmetric, so the undirected collapse can
+    * carry it through the distinct. */
+  def topKCoSupplyWeightedEdges(lineitem: DataFrame, k: Int): DataFrame = {
+    val ps = lineitem.select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val pairs = ps.as("a").join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+      .agg(count(lit(1)).as("w"))
+    val directed = pairs.select(col("u").as("s"), col("v").as("t"), col("w"))
+      .unionByName(pairs.select(col("v").as("s"), col("u").as("t"), col("w")))
+    val wTop = Window.partitionBy("s").orderBy(col("w").desc, col("t").asc)
+    directed.withColumn("__r", row_number().over(wTop))
+      .filter(col("__r") <= k)
+      .select(least(col("s"), col("t")).as("u"),
+        greatest(col("s"), col("t")).as("v"), col("w"))
+      .distinct()
+  }
+
+  /** Single-source shortest paths by `rounds` Bellman-Ford relaxation
+    * sweeps from the smallest node — the weighted sibling of
+    * [[bfsLayers]]. Each round is ONE frontier⋈edges shuffle plus a
+    * per-node min (the Pregel envelope PageRank already uses); after R
+    * rounds the distances are exact for every path of ≤ R edges — the
+    * declared contract, not an approximation, matching the hop-bounded
+    * reads such graphs get in practice (supply-chain blast radius,
+    * fraud rings). Loop state is localCheckpoint'ed so the plan stays
+    * R-independent. Distances are BIGINT-safe: ≤ R · max weight. */
+  def ssspBounded(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges
+      .select(col("u").as("s"), col("v").as("t"), col("w"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t"), col("w")))
+      .localCheckpoint() // reused every round
+    var dist = und.agg(min(col("s")).as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist
+        .select(col("node").as("__fn"), col("dist").as("__fd"))
+        .join(und, col("__fn") === col("s"))
+        .select(col("t").as("node"), (col("__fd") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.select(col("node"), col("dist"))
+  }
+
+  /** Gated instance: 4 relaxation rounds over the top-8 weighted
+    * co-supply graph from the smallest supplier. */
+  def ssspCoSupply(spark: SparkSession, dir: String): DataFrame =
+    ssspBounded(
+      topKCoSupplyWeightedEdges(Tables.lineitem(spark, dir), K), 4)
+
+  def ssspOracleSql: String = {
+    def step(i: Int): String =
+      s"""d${i + 1} AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d$i
+         |    UNION ALL
+         |    SELECT un.t AS node, d$i.dist + un.w AS dist
+         |    FROM d$i JOIN un ON un.s = d$i.node
+         |  ) GROUP BY node
+         |)""".stripMargin
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+       |), pw AS (
+       |  SELECT a.s AS u, b.s AS v, count(*) AS w
+       |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+       |  GROUP BY 1, 2
+       |), directed AS (
+       |  SELECT u AS s, v AS t, w FROM pw
+       |  UNION ALL SELECT v, u, w FROM pw
+       |), topk AS (
+       |  SELECT s, t, w,
+       |    row_number() OVER (PARTITION BY s ORDER BY w DESC, t ASC) AS r
+       |  FROM directed
+       |), e AS (
+       |  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v, w
+       |  FROM topk WHERE r <= $K
+       |), un AS MATERIALIZED (
+       |  SELECT u AS s, v AS t, w FROM e UNION ALL SELECT v, u, w FROM e
+       |), d0 AS (SELECT (SELECT min(u) FROM e) AS node,
+       |          CAST(0 AS BIGINT) AS dist),
+       |${(0 until 4).map(step).mkString(",\n")}
+       |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+       |FROM d4""".stripMargin
+  }
 }

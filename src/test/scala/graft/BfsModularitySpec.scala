@@ -28,6 +28,35 @@ class BfsModularitySpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 2L -> 1L))
   }
 
+  test("sssp: a cheap 2-hop route beats an expensive direct edge") {
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5; 3→4 extends to 8
+    val e = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 3L))
+      .toDF("u", "v", "w")
+    val out = GraphMetrics.ssspBounded(e, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 8L))
+  }
+
+  test("sssp: round bound caps path LENGTH, not weight") {
+    // after 1 round only direct neighbors relax: node 3 sees the
+    // expensive direct edge (10), not the cheaper 2-edge path (5)
+    val e = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L)).toDF("u", "v", "w")
+    val one = GraphMetrics.ssspBounded(e, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+    val two = GraphMetrics.ssspBounded(e, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(3L) == 5L)
+  }
+
+  test("sssp gated instance: distances positive away from the source") {
+    val out = GraphMetrics.ssspCoSupply(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val src = out.minBy(_._2)
+    assert(src._2 == 0L)
+    assert(out.values.count(_ > 0L) > 0)
+  }
+
   test("two clean triangles with matching labels: Q = 1/2 exactly") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
       .toDF("u", "v")
