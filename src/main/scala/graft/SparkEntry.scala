@@ -442,6 +442,8 @@ object SparkEntry {
     "ind_discover"          -> (graft.operators.Profiling.indOrders(_, _)),
     // Chao1 richness + GT coverage of the token vocabulary
     "chao1_richness"        -> (graft.functions.GoodTuring.chao1Documents(_, _)),
+    // two-margin survey raking of a sample to population margins
+    "ipf_rake"              -> (graft.operators.IpfRake.rakeOrders(_, _)),
     // directed association rules (confidence/lift permicro) over baskets
     "assoc_rules"           -> (graft.operators.Basket.assocRulesLineitem(_, _)),
     // cumulative gains/lift table over exact score deciles
@@ -867,6 +869,7 @@ object SparkEntry {
     "fd_discover"           -> graft.operators.Profiling.fdOracleSql,
     "ind_discover"          -> graft.operators.Profiling.indOracleSql,
     "chao1_richness"        -> graft.functions.GoodTuring.chao1OracleSql,
+    "ipf_rake"              -> graft.operators.IpfRake.oracleSql,
     "assoc_rules"           -> graft.operators.Basket.rulesOracleSql,
     "lift_deciles"          -> graft.operators.Calibration.liftOracleSql,
     "knn_classify"          -> graft.ann.KnnClassify.oracleSql,
