@@ -444,6 +444,13 @@ object SparkEntry {
     "chao1_richness"        -> (graft.functions.GoodTuring.chao1Documents(_, _)),
     // two-margin survey raking of a sample to population margins
     "ipf_rake"              -> (graft.operators.IpfRake.rakeOrders(_, _)),
+    // rank-based trend tests on the daily spine
+    "mann_kendall"          -> (graft.operators.TrendTests.mannKendallEvents(_, _)),
+    "friedman_test"         -> (graft.operators.TrendTests.friedmanEvents(_, _)),
+    // Pareto frontier on (order count, revenue)
+    "skyline_2d"            -> (graft.operators.Skyline.skylineCustomers(_, _)),
+    // systematic PPS draw per market segment over the salted cumsum
+    "pps_sample"            -> (graft.operators.PpsSample.ppsCustomers(_, _)),
     // directed association rules (confidence/lift permicro) over baskets
     "assoc_rules"           -> (graft.operators.Basket.assocRulesLineitem(_, _)),
     // cumulative gains/lift table over exact score deciles
@@ -870,6 +877,10 @@ object SparkEntry {
     "ind_discover"          -> graft.operators.Profiling.indOracleSql,
     "chao1_richness"        -> graft.functions.GoodTuring.chao1OracleSql,
     "ipf_rake"              -> graft.operators.IpfRake.oracleSql,
+    "mann_kendall"          -> graft.operators.TrendTests.mannKendallOracleSql,
+    "friedman_test"         -> graft.operators.TrendTests.friedmanOracleSql,
+    "skyline_2d"            -> graft.operators.Skyline.oracleSql,
+    "pps_sample"            -> graft.operators.PpsSample.oracleSql,
     "assoc_rules"           -> graft.operators.Basket.rulesOracleSql,
     "lift_deciles"          -> graft.operators.Calibration.liftOracleSql,
     "knn_classify"          -> graft.ann.KnnClassify.oracleSql,
