@@ -103,7 +103,19 @@ class PlanAuditSpec extends SparkSpec {
     // welch_t pairs the k-row (3 return flags) grouped-stats frame with
     // itself under g1 < g2 — the same dimension-sized inequality join
     // shape as davies_bouldin; k is a column cardinality, never the fact
-    "welch_t" -> 1)
+    "welch_t" -> 1,
+    // brier_decomp / cramer_von_mises attach a 1-row totals frame that
+    // sits behind a localCheckpoint (reused twice), so the groupless-
+    // aggregate heuristic cannot see through it — the conformal /
+    // stump_attribution scalar-attachment case
+    "brier_decomp" -> 1, "cramer_von_mises" -> 1,
+    // jonckheere_trend self-joins its (group × value-domain)-bounded
+    // cell histogram under g1 < g2 — the kendall_tau pattern
+    "jonckheere_trend" -> 1,
+    // nb_classify crosses the vocab with the label-domain classes frame
+    // (2 labels) to build the smoothing grid — the audience_overlap
+    // grouped-but-tiny case
+    "nb_classify" -> 1)
   // gbt_stump2 needs no entry: its side tagging (1-row root-split
   // broadcast) is behind an eager localCheckpoint, so the audited
   // level-2 plan starts at the materialized sided frame
