@@ -631,6 +631,18 @@ object SparkEntry {
     "cramers_v_sq"          -> (graft.operators.Contingency.cramersV2Orders(_, _)),
     // pinball (quantile) loss of the seasonal-naive forecast
     "pinball_loss"          -> (graft.operators.Forecast.pinballLoss(_, _)),
+    // at-threshold confusion matrix + accuracy/precision/recall/F1/MCC
+    "confusion_matrix"      -> (graft.operators.ConfusionStats.confusionEvents(_, _)),
+    // Flesch / Flesch-Kincaid readability per document
+    "doc_readability"       -> (graft.functions.Readability.readabilityDocs(_, _)),
+    // Mood's median test: 2xk chi-square around the grand median
+    "mood_median"           -> (graft.operators.MoodMedian.moodMedianEvents(_, _)),
+    // cosine-normalized item-item similarity (item2item CF)
+    "item_cosine"           -> (graft.operators.ItemSimilarity.itemCosineParts(_, _)),
+    // bounded harmonic + closeness centrality, every node at once
+    "closeness_centrality"  -> (graft.operators.GraphMetrics.centralityCoSupply(_, _)),
+    // mean absolute SCALED error of the seasonal-naive model
+    "mase_eval"             -> (graft.operators.Forecast.maseEvents(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -967,6 +979,12 @@ object SparkEntry {
     "wasserstein_drift"     -> graft.operators.Drift.wassersteinOracleSql,
     "cramers_v_sq"          -> graft.operators.Contingency.cramersOracleSql,
     "pinball_loss"          -> graft.operators.Forecast.pinballOracleSql,
+    "confusion_matrix"      -> graft.operators.ConfusionStats.oracleSql,
+    "doc_readability"       -> graft.functions.Readability.oracleSql,
+    "mood_median"           -> graft.operators.MoodMedian.oracleSql,
+    "item_cosine"           -> graft.operators.ItemSimilarity.oracleSql,
+    "closeness_centrality"  -> graft.operators.GraphMetrics.centralityOracleSql,
+    "mase_eval"             -> graft.operators.Forecast.maseOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

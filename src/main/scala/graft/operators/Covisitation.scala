@@ -58,14 +58,31 @@ object Covisitation {
     * partition of items. */
   def covisitTopM(interactions: DataFrame, userCol: String, itemCol: String,
                   m: Int, maxBasket: Int = 1000): DataFrame = {
+    val pairs = symmetricPairs(interactions, userCol, itemCol, maxBasket)
+    pairs
+      .withColumn("rk", row_number().over(Window.partitionBy(col("item_a"))
+        .orderBy(col("n_users").desc, col("item_b").asc)))
+      .filter(col("rk") <= m)
+      .select(col("item_a"), col("item_b"), col("n_users"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Symmetric UNCAPPED co-visitation counts over distinct (user,
+    * item) interactions: (item_a, item_b, n_users) with both
+    * directions emitted, power-users above `maxBasket` dropped whole.
+    * The shared pair build under [[covisitTopM]]'s rank cap and
+    * [[ItemSimilarity]]'s cosine normalization.
+    *
+    * Plan: pairs are generated MAP-SIDE from per-user sorted item
+    * arrays (one groupBy(u), no self-join shuffle); only canonical
+    * a<b pairs are exploded (halving volume), then mirrored. */
+  def symmetricPairs(interactions: DataFrame, userCol: String,
+                     itemCol: String, maxBasket: Int = 1000): DataFrame = {
     val baskets = interactions
       .select(col(userCol).as("u"), col(itemCol).cast("long").as("i"))
       .distinct()
       .groupBy("u").agg(sort_array(collect_list(col("i"))).as("items"))
       .filter(size(col("items")) <= maxBasket)
-    // canonical a<b pairs only (sorted basket + tail slice), HALVING the
-    // explode and pair-aggregate volume; the symmetric matrix is the
-    // canonical counts unioned with their mirror
     val canon = baskets
       .select(posexplode(col("items")).as(Seq("__p", "item_a")),
         col("items"))
@@ -74,16 +91,23 @@ object Covisitation {
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_users"))
       .localCheckpoint() // consumed by both union branches
-    val pairs = canon.unionByName(canon.select(
+    canon.unionByName(canon.select(
       col("item_b").as("item_a"), col("item_a").as("item_b"),
       col("n_users")))
-    pairs
-      .withColumn("rk", row_number().over(Window.partitionBy(col("item_a"))
-        .orderBy(col("n_users").desc, col("item_b").asc)))
-      .filter(col("rk") <= m)
-      .select(col("item_a"), col("item_b"), col("n_users"),
-        col("rk").cast("long").as("rk"))
   }
+
+  /** Distinct bounded (u, i) interactions — the SAME basket-cap
+    * population [[symmetricPairs]] counts pairs over, for degree
+    * (per-item user count) computation on a consistent denominator. */
+  def boundedInteractions(interactions: DataFrame, userCol: String,
+                          itemCol: String, maxBasket: Int = 1000): DataFrame =
+    interactions
+      .select(col(userCol).as("u"), col(itemCol).cast("long").as("i"))
+      .distinct()
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("u"))))
+      .filter(col("__n") <= maxBasket)
+      .select("u", "i")
 
   /** Top-K recommendations per user from a capped co-visitation
     * matrix: score(u,j) = Σ_{i ∈ history(u)} n_users(i,j), items

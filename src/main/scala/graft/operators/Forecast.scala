@@ -136,4 +136,97 @@ object Forecast {
       |  CAST(sum(loss10) AS BIGINT) AS total_loss10,
       |  CAST((100000 * sum(loss10)) // count(*) AS BIGINT) AS mean_loss_micros
       |FROM scored GROUP BY 1""".stripMargin
+
+  /** MASE — Mean Absolute SCALED Error — of the seasonal-naive model
+    * per series: the scale-free forecast grade (Hyndman & Koehler
+    * 2006) that MAE lacks — MAE is incomparable across series whose
+    * levels differ 1000×, MASE divides by the in-sample MAE of the
+    * one-step naive forecast so "1.0" always means "as good as naive"
+    * regardless of units or volume. This is the cross-series model
+    * ranking number the reference's CV loop reports across unique_ids
+    * (stats_forecast_tune.py's evaluate_models_with_cv).
+    *
+    * Exactness: both error sums are BIGINT cents; MASE =
+    * (Σe_m/n_m)/(Σe_n/n_n) is reported as the cross-multiplied single
+    * truncation (10⁶·Σe_m·n_n) div (Σe_n·n_m) in DECIMAL(38,0) —
+    * products of 10¹⁸-cent sums and 10⁵-day counts stay ≤ 10²⁹. NULL
+    * when the naive denominator is 0 (constant series — MASE
+    * undefined there by definition).
+    *
+    * Scale: the daily rollup is the only fact pass; the model errors
+    * are a date-arithmetic self-join of the spine (gap-safe, like
+    * [[seasonalNaiveBacktest]]) and the naive errors one lag window
+    * per key — all on the calendar-bounded spine. */
+  def maseSeasonalNaive(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, season: Int): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("cents"))
+      .localCheckpoint() // consumed by the model join AND the naive lag
+    val hist = daily.select(col(keyCol).as("__hk"), col("day").as("__hday"),
+      col("cents").as("__hcents"))
+    val model = daily.join(hist,
+        daily(keyCol) === col("__hk") &&
+          daily("day") === date_add(col("__hday"), season))
+      .groupBy(daily(keyCol))
+      .agg(count(lit(1)).cast(d38).as("n_model"),
+        sum(abs(col("cents") - col("__hcents"))).cast(d38).as("sae_model"))
+    val wLag = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val naive = daily
+      .withColumn("__prev", lag(col("cents"), 1).over(wLag))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast(d38).as("n_naive"),
+        sum(abs(col("cents") - col("__prev"))).cast(d38).as("sae_naive"))
+    model.join(naive, Seq(keyCol))
+      .select(col(keyCol),
+        col("n_model").cast("long").as("n_model"),
+        col("sae_model").cast("long").as("sae_model"),
+        col("n_naive").cast("long").as("n_naive"),
+        col("sae_naive").cast("long").as("sae_naive"),
+        expr("""CASE WHEN sae_naive > 0 THEN
+                  CAST((CAST(1000000 AS DECIMAL(38,0)) * sae_model * n_naive)
+                         div (sae_naive * n_model) AS BIGINT)
+                END""").as("mase_permicro"))
+  }
+
+  /** Gated instance: MASE of the lag-7 seasonal-naive per event type. */
+  def maseEvents(spark: SparkSession, dir: String): DataFrame =
+    maseSeasonalNaive(Tables.events(spark, dir), "event_type", "ts",
+      "value", season = 7)
+
+  def maseOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), model AS (
+      |  SELECT e.event_type,
+      |    CAST(count(*) AS HUGEINT) AS n_model,
+      |    CAST(sum(abs(e.cents - h.cents)) AS HUGEINT) AS sae_model
+      |  FROM daily e JOIN daily h
+      |    ON e.event_type = h.event_type AND e.day = h.day + 7
+      |  GROUP BY 1
+      |), naive AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS HUGEINT) AS n_naive,
+      |    CAST(sum(abs(cents - prev)) AS HUGEINT) AS sae_naive
+      |  FROM (
+      |    SELECT event_type, cents,
+      |      lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      |    FROM daily)
+      |  WHERE prev IS NOT NULL
+      |  GROUP BY 1
+      |)
+      |SELECT m.event_type,
+      |  CAST(n_model AS BIGINT) AS n_model,
+      |  CAST(sae_model AS BIGINT) AS sae_model,
+      |  CAST(n_naive AS BIGINT) AS n_naive,
+      |  CAST(sae_naive AS BIGINT) AS sae_naive,
+      |  CASE WHEN sae_naive > 0 THEN
+      |    CAST((1000000 * sae_model * n_naive)
+      |           // (sae_naive * n_model) AS BIGINT)
+      |  END AS mase_permicro
+      |FROM model m JOIN naive n ON m.event_type = n.event_type""".stripMargin
 }

@@ -685,4 +685,77 @@ object GraphMetrics {
        |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
        |FROM d4""".stripMargin
   }
+
+  /** Bounded harmonic + closeness centrality from EVERY node at once —
+    * "which suppliers sit at the center of the co-supply network?":
+    * multi-source synchronous BFS to `maxDepth` hops keyed by
+    * (src, node), then per-source aggregation. Harmonic centrality
+    * Σ_v 10⁶ div d(s,v) is the disconnected-robust variant (absent
+    * pairs contribute 0, no ∞ pathology); bounded closeness is
+    * (10⁶·(reached−1)) div Σd over the ≤maxDepth ball — both exact
+    * truncating integer forms, unrolled identically by the oracle.
+    *
+    * Scale: the frontier table holds (src, node) pairs within
+    * `maxDepth` hops — on the degree-bounded top-K graph that is
+    * ≤ |V|·(2K)^depth rows, LINEAR in |V| with a constant set by the
+    * declared (K, depth) contract, never |V|². Each round is one
+    * dist⋈edges shuffle + a min-groupBy, lineage truncated per round
+    * — [[bfsLayers]]' envelope fanned out across sources. */
+  def harmonicCloseness(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val und = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint() // reused every round
+    var dist = und.select(col("s").as("src")).distinct()
+      .select(col("src"), col("src").as("node"), lit(0L).as("d"))
+    for (_ <- 1 to maxDepth) {
+      val next = dist
+        .select(col("src"), col("node").as("__fn"), col("d").as("__fd"))
+        .join(und, col("__fn") === col("s"))
+        .select(col("src"), col("t").as("node"), (col("__fd") + lit(1L)).as("d"))
+      dist = dist.unionByName(next)
+        .groupBy("src", "node").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    dist.groupBy(col("src").as("node"))
+      .agg((count(lit(1)) - lit(1L)).as("n_reached"),
+        sum(col("d")).as("sum_dist"),
+        sum(when(col("d") > 0, expr("1000000L div d")).otherwise(lit(0L)))
+          .as("harmonic_permicro"))
+      .withColumn("closeness_permicro",
+        expr("""CASE WHEN sum_dist > 0
+                THEN (1000000 * n_reached) div sum_dist ELSE 0L END"""))
+  }
+
+  /** Gated instance: 3-hop harmonic/closeness centrality of every
+    * supplier in the top-8 co-supply graph. */
+  def centralityCoSupply(spark: SparkSession, dir: String): DataFrame =
+    harmonicCloseness(topKCoSupplyEdges(Tables.lineitem(spark, dir), K), 3)
+      .withColumnRenamed("node", "s_suppkey")
+
+  def centralityOracleSql: String = {
+    def step(i: Int): String =
+      s"""d${i + 1} AS (
+         |  SELECT src, node, min(d) AS d FROM (
+         |    SELECT src, node, d FROM d$i
+         |    UNION ALL
+         |    SELECT d$i.src, un.t AS node, d$i.d + 1 AS d
+         |    FROM d$i JOIN un ON un.s = d$i.node
+         |  ) GROUP BY src, node
+         |)""".stripMargin
+    s"""WITH $edgesCte, un AS MATERIALIZED (
+       |  SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e
+       |), d0 AS (
+       |  SELECT DISTINCT s AS src, s AS node, CAST(0 AS BIGINT) AS d FROM un
+       |),
+       |${(0 until 3).map(step).mkString(",\n")}
+       |SELECT CAST(src AS BIGINT) AS s_suppkey,
+       |  CAST(count(*) - 1 AS BIGINT) AS n_reached,
+       |  CAST(sum(d) AS BIGINT) AS sum_dist,
+       |  CAST(sum(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END) AS BIGINT)
+       |    AS harmonic_permicro,
+       |  CASE WHEN sum(d) > 0
+       |    THEN CAST((1000000 * (count(*) - 1)) // sum(d) AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS closeness_permicro
+       |FROM d3 GROUP BY src""".stripMargin
+  }
 }

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ConfusionStats, MoodMedian, ItemSimilarity,
+  GraphMetrics, Forecast}
+import graft.functions.Readability
+
+/** Planted ground truths for the round-14 batch: confusion/MCC,
+  * readability, Mood's median, item-item cosine, bounded centrality,
+  * and MASE. */
+class Round14Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- confusion matrix + MCC ----
+
+  test("confusion: hand-computed counts and metrics on 8 rows") {
+    // pred/label: 3 TP, 1 FP, 3 TN, 1 FN
+    val df = Seq(
+      (true, true), (true, true), (true, true), (true, false),
+      (false, false), (false, false), (false, false), (false, true)
+    ).toDF("p", "y")
+    val r = ConfusionStats.confusion(df, col("p"), col("y")).collect().head
+    assert(r.getAs[Long]("tp") === 3L && r.getAs[Long]("fp") === 1L)
+    assert(r.getAs[Long]("tn") === 3L && r.getAs[Long]("fn") === 1L)
+    assert(r.getAs[Long]("accuracy_permicro") === 750000L)
+    assert(r.getAs[Long]("precision_permicro") === 750000L)
+    assert(r.getAs[Long]("recall_permicro") === 750000L)
+    assert(r.getAs[Long]("f1_permicro") === 750000L)
+    // MCC = (9-1)/sqrt(4*4*4*4) = 8/16 = 0.5; staged isqrt(16)=4 both
+    assert(r.getAs[Long]("mcc_permicro") === 500000L)
+  }
+
+  test("confusion: perfect classifier scores MCC = 1, degenerate NULL") {
+    val perfect = ConfusionStats.confusion(
+      Seq((true, true), (false, false)).toDF("p", "y"),
+      col("p"), col("y")).collect().head
+    assert(perfect.getAs[Long]("mcc_permicro") === 1000000L)
+    // all-positive labels: TN+FP margin empty, MCC undefined
+    val degen = ConfusionStats.confusion(
+      Seq((true, true), (false, true)).toDF("p", "y"),
+      col("p"), col("y")).collect().head
+    assert(degen.isNullAt(degen.fieldIndex("mcc_permicro")))
+  }
+
+  // ---- readability ----
+
+  test("readability: counts and staged scores on a known sentence") {
+    val df = Seq((1L, "The cat sat on the mat. It was fat!")).toDF("id", "text")
+    val r = Readability.score(df, col("text")).collect().head
+    assert(r.getAs[Long]("words") === 9L)
+    assert(r.getAs[Long]("sentences") === 2L)
+    // vowel groups: e|a|a|o|e|a|i|a|a = 9
+    assert(r.getAs[Long]("syllables") === 9L)
+    // FRE = 206835000 - (1015000*9) div 2 - (84600000*9) div 9
+    val fre = 206835000L - (1015000L * 9) / 2 - (84600000L * 9) / 9
+    assert(r.getAs[Long]("fre_permicro") === fre)
+    val fk = (390000L * 9) / 2 + (11800000L * 9) / 9 - 15590000L
+    assert(r.getAs[Long]("fk_permicro") === fk)
+  }
+
+  test("readability: punctuation-free text takes the 1-sentence floor") {
+    val df = Seq((1L, "alpha beta gamma")).toDF("id", "text")
+    val r = Readability.score(df, col("text")).collect().head
+    assert(r.getAs[Long]("sentences") === 1L)
+    assert(r.getAs[Long]("words") === 3L)
+  }
+
+  // ---- Mood's median ----
+
+  test("mood median: balanced identical groups have zero chi-square") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val rows = MoodMedian.moodMedian(df, "g", "v").collect()
+    assert(rows.length === 4) // 2 groups x 2 sides
+    assert(rows.forall(_.getAs[Long]("grand_median") === 2L))
+    assert(rows.forall(_.getAs[Long]("chi2_micros") === 0L))
+  }
+
+  test("mood median: complete separation maxes the statistic") {
+    val df = Seq(("lo", 1L), ("lo", 2L), ("lo", 3L),
+      ("hi", 10L), ("hi", 11L), ("hi", 12L)).toDF("g", "v")
+    val rows = MoodMedian.moodMedian(df, "g", "v").collect()
+    // grand lower median = 3; lo all <= 3, hi all > 3
+    assert(rows.forall(_.getAs[Long]("grand_median") === 3L))
+    val chi2 = rows.map(_.getAs[Long]("chi2_micros")).sum
+    assert(chi2 === 6000000L) // chi2 = N = 6 on a fully-separated 2x2
+  }
+
+  // ---- item-item cosine ----
+
+  test("item cosine: hand-checked 3-item example") {
+    // users 1,2 buy {10,20}; user 3 buys {10,30}
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L),
+      (3L, 30L)).toDF("u", "i")
+    val rows = ItemSimilarity.cosineTopM(df, "u", "i", m = 10)
+      .collect().map(r => (r.getAs[Long]("item_a"), r.getAs[Long]("item_b")) ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("cosine_permicro"))).toMap
+    // c(10,20)=2, deg(10)=3, deg(20)=2 -> 2e6 div isqrt(6)=2 -> 1000000
+    assert(rows((10L, 20L)) === ((2L, 1000000L)))
+    // c(20,30)=0: absent pair never emitted
+    assert(!rows.contains((20L, 30L)))
+    // c(10,30)=1, isqrt(3*1)=1 -> 1000000
+    assert(rows((10L, 30L)) === ((1L, 1000000L)))
+    // c(20,10): symmetric emission
+    assert(rows((20L, 10L)) === ((2L, 1000000L)))
+  }
+
+  test("item cosine: normalization demotes the popular-but-loose pair") {
+    // item 99 co-occurs once with everything (popular), items 1,2 always
+    // co-occur; cosine must rank (1,2) above (1,99)
+    val df = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 99L), (4L, 2L), (4L, 99L),
+      (5L, 99L), (6L, 99L), (7L, 99L)).toDF("u", "i")
+    val top = ItemSimilarity.cosineTopM(df, "u", "i", m = 1)
+      .filter(col("item_a") === 1L).collect().head
+    assert(top.getAs[Long]("item_b") === 2L)
+  }
+
+  // ---- bounded harmonic/closeness centrality ----
+
+  test("centrality: path graph P4, depth 3 — exact harmonic sums") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val rows = GraphMetrics.harmonicCloseness(edges, maxDepth = 3)
+      .collect().map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("n_reached"), r.getAs[Long]("sum_dist"),
+          r.getAs[Long]("harmonic_permicro"),
+          r.getAs[Long]("closeness_permicro"))).toMap
+    // node 1: d(2)=1,d(3)=2,d(4)=3 -> harmonic 1e6+5e5+333333
+    assert(rows(1L) === ((3L, 6L, 1833333L, 500000L)))
+    // node 2: d(1)=1,d(3)=1,d(4)=2 -> 2.5e6; closeness 3e6/4
+    assert(rows(2L) === ((3L, 4L, 2500000L, 750000L)))
+    assert(rows(3L) === rows(2L))
+    assert(rows(4L) === rows(1L))
+  }
+
+  test("centrality: depth bound excludes farther nodes") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val rows = GraphMetrics.harmonicCloseness(edges, maxDepth = 1)
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Long]("n_reached")).toMap
+    assert(rows(1L) === 1L && rows(2L) === 2L)
+  }
+
+  // ---- MASE ----
+
+  test("MASE: seasonal pattern beats naive -> MASE < 1; hand values") {
+    // 14 days, weekly pattern 10,20,...: seasonal-naive error 0 on week 2
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 14).map { d =>
+      val cents = if (d % 7 < 3) 10.0 else 20.0
+      ("k", new java.sql.Timestamp(ts0.getTime + d * 86400000L), cents)
+    }
+    val df = rows.toDF("k", "ts", "value")
+    val r = Forecast.maseSeasonalNaive(df, "k", "ts", "value", season = 7)
+      .collect().head
+    assert(r.getAs[Long]("n_model") === 7L)
+    assert(r.getAs[Long]("sae_model") === 0L)
+    assert(r.getAs[Long]("n_naive") === 13L)
+    assert(r.getAs[Long]("sae_naive") > 0L)
+    assert(r.getAs[Long]("mase_permicro") === 0L)
+  }
+
+  test("MASE: constant series has undefined (NULL) MASE") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = (0 until 14).map { d =>
+      ("k", new java.sql.Timestamp(ts0.getTime + d * 86400000L), 5.0)
+    }.toDF("k", "ts", "value")
+    val r = Forecast.maseSeasonalNaive(df, "k", "ts", "value", season = 7)
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("mase_permicro")))
+  }
+
+  // ---- gated instances stay sane at sf0.001 ----
+
+  test("gated instances: non-empty and internally consistent") {
+    val conf = ConfusionStats.confusionEvents(spark, sfDir).collect().head
+    assert(conf.getAs[Long]("n") ===
+      conf.getAs[Long]("tp") + conf.getAs[Long]("fp")
+        + conf.getAs[Long]("tn") + conf.getAs[Long]("fn"))
+    val cent = GraphMetrics.centralityCoSupply(spark, sfDir)
+    assert(cent.count() > 0)
+    val cos = ItemSimilarity.itemCosineParts(spark, sfDir)
+    assert(cos.filter(col("cosine_permicro") > 1000000L).count() === 0L)
+  }
+}
