@@ -77,12 +77,25 @@ object Covisitation {
     * arrays (one groupBy(u), no self-join shuffle); only canonical
     * a<b pairs are exploded (halving volume), then mirrored. */
   def symmetricPairs(interactions: DataFrame, userCol: String,
-                     itemCol: String, maxBasket: Int = 1000): DataFrame = {
-    val baskets = interactions
+                     itemCol: String, maxBasket: Int = 1000): DataFrame =
+    symmetricPairsFromBaskets(
+      cappedBaskets(interactions, userCol, itemCol, maxBasket))
+
+  /** Per-user sorted distinct item arrays, power-users above
+    * `maxBasket` dropped whole — the ONE fact pass every
+    * co-visitation consumer (pairs, degrees) derives from. Callers
+    * that feed it to more than one consumer should `localCheckpoint`
+    * the result. */
+  def cappedBaskets(interactions: DataFrame, userCol: String,
+                    itemCol: String, maxBasket: Int = 1000): DataFrame =
+    interactions
       .select(col(userCol).as("u"), col(itemCol).cast("long").as("i"))
       .distinct()
       .groupBy("u").agg(sort_array(collect_list(col("i"))).as("items"))
       .filter(size(col("items")) <= maxBasket)
+
+  /** [[symmetricPairs]] from an already-built basket frame. */
+  def symmetricPairsFromBaskets(baskets: DataFrame): DataFrame = {
     val canon = baskets
       .select(posexplode(col("items")).as(Seq("__p", "item_a")),
         col("items"))
@@ -95,19 +108,6 @@ object Covisitation {
       col("item_b").as("item_a"), col("item_a").as("item_b"),
       col("n_users")))
   }
-
-  /** Distinct bounded (u, i) interactions — the SAME basket-cap
-    * population [[symmetricPairs]] counts pairs over, for degree
-    * (per-item user count) computation on a consistent denominator. */
-  def boundedInteractions(interactions: DataFrame, userCol: String,
-                          itemCol: String, maxBasket: Int = 1000): DataFrame =
-    interactions
-      .select(col(userCol).as("u"), col(itemCol).cast("long").as("i"))
-      .distinct()
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(col("u"))))
-      .filter(col("__n") <= maxBasket)
-      .select("u", "i")
 
   /** Top-K recommendations per user from a capped co-visitation
     * matrix: score(u,j) = Σ_{i ∈ history(u)} n_users(i,j), items

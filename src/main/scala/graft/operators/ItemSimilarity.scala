@@ -16,13 +16,16 @@ import graft.Tables
   * (/root/reference/MachineLearning/Ray/recsys/ray_train_pointwise.py).
   *
   * Exactness: c(i,j) and the degrees c(i) are exact BIGINT counts
-  * over the SAME basket-capped population ([[Covisitation
-  * .boundedInteractions]]); cosine_permicro = (10⁶·c_ij) div
-  * isqrt(c_i·c_j) is ONE exact integer square root
-  * ([[Allocation.isqrtSql]], product ≤ 10²⁴ at 10¹²-user degrees —
-  * inside DECIMAL38) and ONE truncating division, identical in both
-  * engines. The per-item rank tiebreaks (cosine DESC, n_users DESC,
-  * item_b ASC) — fully deterministic.
+  * over the SAME basket-capped population
+  * ([[Covisitation.cappedBaskets]]); cosine_permicro =
+  * floor(10⁶·c_ij / √(c_i·c_j)) EXACTLY via the identity
+  * floor(n/√p) = isqrt(⌊n²/p⌋): one DECIMAL(38,0) division
+  * ((10⁶c)² ≤ 10³⁶ at 10¹²-user degrees), then — because
+  * Cauchy-Schwarz gives c_ij ≤ √(c_i·c_j), so the quotient is
+  * ≤ 10¹² — an integer square root in plain BIGINT (double seed
+  * exact below 2⁵³, ±1 clamp certifies), identical in both engines.
+  * The per-item rank tiebreaks (cosine DESC, n_users DESC, item_b
+  * ASC) — fully deterministic.
   *
   * Scale: the pair build is [[Covisitation.symmetricPairs]]' map-side
   * explode (no self-join shuffle, basket-capped); degrees are one
@@ -36,20 +39,34 @@ object ItemSimilarity {
     * deg_a, deg_b, cosine_permicro, rk). */
   def cosineTopM(interactions: DataFrame, userCol: String, itemCol: String,
                  m: Int, maxBasket: Int = 1000): DataFrame = {
-    val pairs = Covisitation.symmetricPairs(
-      interactions, userCol, itemCol, maxBasket)
-    val degrees = Covisitation.boundedInteractions(
-        interactions, userCol, itemCol, maxBasket)
+    // ONE fact pass: pairs and degrees both derive from the same
+    // checkpointed basket frame (a second distinct+window pass for
+    // degrees measured ~2x the whole covisit build at sf0.1)
+    val baskets = Covisitation.cappedBaskets(
+      interactions, userCol, itemCol, maxBasket).localCheckpoint()
+    val pairs = Covisitation.symmetricPairsFromBaskets(baskets)
+    val degrees = baskets.select(explode(col("items")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("deg"))
-    val isqrt = Allocation.isqrtSql(
-      "(CAST(deg_a AS DECIMAL(38,0)) * CAST(deg_b AS DECIMAL(38,0)))")
     pairs
       .join(broadcast(degrees.select(col("i").as("item_a"),
         col("deg").as("deg_a"))), Seq("item_a"))
       .join(broadcast(degrees.select(col("i").as("item_b"),
         col("deg").as("deg_b"))), Seq("item_b"))
+      // floor(10⁶c/√p) = isqrt(⌊(10⁶c)²/p⌋) (floor∘√ passes through an
+      // inner floor), and Cauchy-Schwarz bounds that quotient by 10¹²
+      // — so after ONE DECIMAL division the exact square root runs in
+      // plain BIGINT (double seed is exact to an ulp below 2⁵³, ±1
+      // clamp certifies). Hot-path form: a DECIMAL(38,0)-clamped
+      // variant measured ~2× slower on the pair frame (every
+      // DECIMAL(38,0) multiply is a boxed BigDecimal op).
+      .withColumn("__t", expr(
+        """(CAST(1000000000000 AS DECIMAL(38,0)) * n_users * n_users)
+           div (CAST(deg_a AS DECIMAL(38,0)) * deg_b)"""))
+      .withColumn("__s", expr("CAST(floor(sqrt(CAST(__t AS DOUBLE))) AS BIGINT)"))
       .withColumn("cosine_permicro", expr(
-        s"CAST((CAST(1000000 AS DECIMAL(38,0)) * n_users) div $isqrt AS BIGINT)"))
+        """CASE WHEN (__s + 1) * (__s + 1) <= __t THEN __s + 1
+                WHEN __s * __s > __t THEN __s - 1
+                ELSE __s END"""))
       .withColumn("rk", row_number().over(Window.partitionBy(col("item_a"))
         .orderBy(col("cosine_permicro").desc, col("n_users").desc,
           col("item_b").asc)))
@@ -76,9 +93,7 @@ object ItemSimilarity {
     cosineTopM(purchases, "cust", "item", Covisitation.M)
   }
 
-  def oracleSql: String = {
-    val isqrt = Allocation.isqrtDuckSql(
-      "(CAST(deg_a AS HUGEINT) * CAST(deg_b AS HUGEINT))")
+  def oracleSql: String =
     s"""WITH ui AS (
        |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -95,13 +110,20 @@ object ItemSimilarity {
        |), degrees AS (
        |  SELECT i, CAST(count(*) AS BIGINT) AS deg FROM bounded GROUP BY i
        |), scored AS (
-       |  SELECT p.item_a, p.item_b, p.n_users,
-       |    da.deg AS deg_a, db.deg AS deg_b,
-       |    CAST((CAST(1000000 AS HUGEINT) * p.n_users) // $isqrt AS BIGINT)
-       |      AS cosine_permicro
-       |  FROM pairs p
-       |  JOIN degrees da ON da.i = p.item_a
-       |  JOIN degrees db ON db.i = p.item_b
+       |  SELECT item_a, item_b, n_users, deg_a, deg_b,
+       |    CASE WHEN (s + 1) * (s + 1) <= t THEN s + 1
+       |         WHEN s * s > t THEN s - 1
+       |         ELSE s END AS cosine_permicro
+       |  FROM (
+       |    SELECT *, CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS s
+       |    FROM (
+       |      SELECT p.item_a, p.item_b, p.n_users,
+       |        da.deg AS deg_a, db.deg AS deg_b,
+       |        CAST((CAST(1000000000000 AS HUGEINT) * p.n_users * p.n_users)
+       |          // (CAST(da.deg AS HUGEINT) * db.deg) AS BIGINT) AS t
+       |      FROM pairs p
+       |      JOIN degrees da ON da.i = p.item_a
+       |      JOIN degrees db ON db.i = p.item_b))
        |), ranked AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY item_a
        |    ORDER BY cosine_permicro DESC, n_users DESC, item_b ASC)
@@ -110,5 +132,4 @@ object ItemSimilarity {
        |)
        |SELECT item_a, item_b, n_users, deg_a, deg_b, cosine_permicro, rk
        |FROM ranked WHERE rk <= ${Covisitation.M}""".stripMargin
-  }
 }

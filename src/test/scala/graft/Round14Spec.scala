@@ -95,14 +95,14 @@ class Round14Spec extends SparkSpec {
     val rows = ItemSimilarity.cosineTopM(df, "u", "i", m = 10)
       .collect().map(r => (r.getAs[Long]("item_a"), r.getAs[Long]("item_b")) ->
         (r.getAs[Long]("n_users"), r.getAs[Long]("cosine_permicro"))).toMap
-    // c(10,20)=2, deg(10)=3, deg(20)=2 -> 2e6 div isqrt(6)=2 -> 1000000
-    assert(rows((10L, 20L)) === ((2L, 1000000L)))
+    // c(10,20)=2, deg(10)=3, deg(20)=2 -> floor(2e6/sqrt(6)) = 816496
+    assert(rows((10L, 20L)) === ((2L, 816496L)))
     // c(20,30)=0: absent pair never emitted
     assert(!rows.contains((20L, 30L)))
-    // c(10,30)=1, isqrt(3*1)=1 -> 1000000
-    assert(rows((10L, 30L)) === ((1L, 1000000L)))
+    // c(10,30)=1, deg(30)=1 -> floor(1e6/sqrt(3)) = 577350
+    assert(rows((10L, 30L)) === ((1L, 577350L)))
     // c(20,10): symmetric emission
-    assert(rows((20L, 10L)) === ((2L, 1000000L)))
+    assert(rows((20L, 10L)) === ((2L, 816496L)))
   }
 
   test("item cosine: normalization demotes the popular-but-loose pair") {
