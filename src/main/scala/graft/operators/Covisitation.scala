@@ -127,10 +127,22 @@ object Covisitation {
       .select(col(userCol).as("u"), col(itemCol).cast("long").as("i"))
       .distinct()
     val cov = if (broadcastCovisit) broadcast(covisit) else covisit
-    val scored = hist.join(cov, hist("i") === cov("item_a"))
+    // under the same broadcast budget, ship the history to the
+    // already-seen anti join too: a shuffled anti join repartitions the
+    // |history|·M candidate fan-out a second time for a dimension-sized
+    // probe side
+    val seen = hist.withColumnRenamed("i", "j")
+    val anti = if (broadcastCovisit) broadcast(seen) else seen
+    // colocate each user's history BEFORE the broadcast fan-out: the
+    // per-(u,j) partial aggregate then collapses the |history(u)|·M
+    // candidate explosion inside the map task (history rows arrive
+    // hash-scattered by (u,i) from the distinct), so the (u,j) shuffle
+    // carries candidates, not candidate-occurrences
+    val scored = hist.repartition(col("u"))
+      .join(cov, hist("i") === cov("item_a"))
       .groupBy(col("u"), col("item_b").as("j"))
       .agg(sum(col("n_users")).as("score"))
-      .join(hist.withColumnRenamed("i", "j"), Seq("u", "j"), "left_anti")
+      .join(anti, Seq("u", "j"), "left_anti")
     scored
       .withColumn("rk", row_number().over(Window.partitionBy(col("u"))
         .orderBy(col("score").desc, col("j").asc)))
@@ -159,17 +171,28 @@ object Covisitation {
       .withColumn("__hits_le", sum(col("__hit")).over(
         Window.partitionBy(col("u")).orderBy(col("rk"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint() // reused across every k cutoff
+    // ONE per-user aggregation pass covering every cutoff via
+    // conditional sums (a filter+groupBy per k re-shuffled the marked
+    // frame |ks| times for identical results — every per-k term is a
+    // function of (rk ≤ k), so the columns fold into one aggregate);
+    // every user with ≥1 rec has a rk=1 row, so the per-k user set is
+    // the same as the filtered form's
+    val aggCols = ks.map { k =>
+      sum(when(col("rk") <= k, col("__hit")).otherwise(lit(0L)))
+        .as(s"hits_$k")
+    } ++ ks.map { k =>
+      sum(when(col("__hit") === 1L && col("rk") <= k,
+        expr("(1000000 * __hits_le) div rk")).otherwise(lit(0L)))
+        .as(s"apnum_$k")
+    }
+    val perUser = marked.groupBy("u")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .join(nRel, Seq("u"))
+      .localCheckpoint() // user-domain frame, reused per cutoff readout
     val perK = ks.map { k =>
-      marked.filter(col("rk") <= k)
-        .groupBy("u")
-        .agg(sum(col("__hit")).as("hits"),
-          sum(when(col("__hit") === 1L,
-            expr("(1000000 * __hits_le) div rk")).otherwise(lit(0L)))
-            .as("ap_num_micro"))
-        .join(nRel, Seq("u"))
-        .select(col("u"), col("hits"), col("n_rel"),
-          expr(s"ap_num_micro div (CASE WHEN n_rel < $k THEN n_rel ELSE $k END)")
+      perUser
+        .select(col("u"), col(s"hits_$k").as("hits"), col("n_rel"),
+          expr(s"apnum_$k div (CASE WHEN n_rel < $k THEN n_rel ELSE $k END)")
             .as("ap_micro"))
         .agg(count(lit(1)).as("n_users"), sum(col("hits")).as("n_hits"),
           expr(s"(1000000 * sum(hits)) div (count(1) * $k)")
@@ -215,7 +238,10 @@ object Covisitation {
   /** Gated instance: recall/precision/MAP at k ∈ {1,5,10,20} of the
     * co-visitation top-20 against post-split purchases. */
   def recsysEval(spark: SparkSession, dir: String): DataFrame = {
-    val p = purchases(spark, dir)
+    // one orders-lineitem join feeds covisit build, scoring history,
+    // and holdout truth — without the checkpoint each consumer replays
+    // the scan+join (three fact passes for one)
+    val p = purchases(spark, dir).localCheckpoint()
     val train = p.filter(col("d") < lit(SplitDate).cast("date"))
     val test = p.filter(col("d") >= lit(SplitDate).cast("date"))
     val recs = recommend(train, covisitTopM(train, "cust", "item", M)
