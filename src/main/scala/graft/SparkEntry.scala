@@ -643,6 +643,10 @@ object SparkEntry {
     "closeness_centrality"  -> (graft.operators.GraphMetrics.centralityCoSupply(_, _)),
     // mean absolute SCALED error of the seasonal-naive model
     "mase_eval"             -> (graft.operators.Forecast.maseEvents(_, _)),
+    // seasonal-residual median/MAD anomaly flags (S-ESD-style)
+    "esd_anomalies"         -> (graft.operators.SeasonalDecompose.residualAnomalies(_, _)),
+    // Ansari-Bradley rank test for scale differences (exact tie masses)
+    "ansari_bradley"        -> (graft.operators.AnsariBradley.abLineitem(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -985,6 +989,8 @@ object SparkEntry {
     "item_cosine"           -> graft.operators.ItemSimilarity.oracleSql,
     "closeness_centrality"  -> graft.operators.GraphMetrics.centralityOracleSql,
     "mase_eval"             -> graft.operators.Forecast.maseOracleSql,
+    "esd_anomalies"         -> graft.operators.SeasonalDecompose.anomaliesOracleSql,
+    "ansari_bradley"        -> graft.operators.AnsariBradley.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

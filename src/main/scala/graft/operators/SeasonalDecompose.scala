@@ -156,6 +156,95 @@ object SeasonalDecompose {
         col("strength_permicro"))
   }
 
+  /** Seasonal-residual anomaly flags — the S-ESD-style pass a metrics
+    * pipeline runs AFTER decomposition: [[Hampel]] flags against a
+    * ±3-day ROLLING median (local level shifts), this flags against
+    * the PER-SERIES median/MAD of the deseasonalized residual, so a
+    * spike on "a busy Friday" isn't excused by its busy neighbors —
+    * the weekly season is already subtracted. Same quantized threshold
+    * contract as Hampel: anomalous iff 10⁴·|r − med| > 44478·mad
+    * (3·1.4826 quantized once at 10⁻⁴).
+    *
+    * Exactness: r is the decomposition's deterministic
+    * residual_permicro; med and mad are exact LOWER medians from
+    * per-group value-cell walks ([[WeightedMedian]]'s division-free
+    * `2·cum ≥ n` crossing test); the flag is a pure integer
+    * comparison. A constant-residual series (mad = 0) flags any
+    * nonzero deviation — the degenerate-MAD convention, documented
+    * rather than NULLed.
+    *
+    * Scale: the decomposition's calendar-bounded cell table is
+    * checkpointed once; both median walks and the flag join run on
+    * (group × residual-cell) frames, domain-bounded forever. */
+  def residualAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val r = decomposeEvents(spark, dir)
+      .filter(col("residual_permicro").isNotNull)
+      .select(col("event_type"), col("idx"), col("x"),
+        col("residual_permicro").as("r"))
+      .localCheckpoint() // consumed by two median walks AND the flags
+
+    def lowerMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
+      val wCum = Window.partitionBy("event_type").orderBy(valCol)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      df.groupBy(col("event_type"), col(valCol))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__cum", sum("__n").over(wCum))
+        .withColumn("__tot", sum("__n").over(wAll))
+        .filter(expr("2 * __cum >= __tot") && expr("2 * (__cum - __n) < __tot"))
+        .select(col("event_type"), col(valCol).as(out))
+    }
+
+    val med = lowerMedian(r, "r", "med")
+    val dev = r.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("r") - col("med")))
+      .localCheckpoint() // consumed by the MAD walk AND the flags
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("idx"), col("x"),
+        col("r").as("residual_permicro"), col("med"), col("mad"),
+        (lit(10000L) * col("dev") > lit(44478L) * col("mad"))
+          .as("is_anomaly"))
+  }
+
+  def anomaliesOracleSql: String = {
+    val base = oracleSql
+    s"""WITH decomp AS (
+      |${base.linesIterator.map("  " + _).mkString("\n")}
+      |), r AS (
+      |  SELECT event_type, idx, x, residual_permicro AS r
+      |  FROM decomp WHERE residual_permicro IS NOT NULL
+      |), medw AS (
+      |  SELECT event_type, r AS v, count(*) AS n FROM r GROUP BY 1, 2
+      |), med AS (
+      |  SELECT event_type, v AS med FROM (
+      |    SELECT event_type, v, n,
+      |      sum(n) OVER (PARTITION BY event_type ORDER BY v
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      sum(n) OVER (PARTITION BY event_type) AS tot
+      |    FROM medw
+      |  ) WHERE 2 * cum >= tot AND 2 * (cum - n) < tot
+      |), dev AS (
+      |  SELECT r.event_type, r.idx, r.x, r.r, m.med,
+      |    abs(r.r - m.med) AS dev
+      |  FROM r JOIN med m ON m.event_type = r.event_type
+      |), madw AS (
+      |  SELECT event_type, dev AS v, count(*) AS n FROM dev GROUP BY 1, 2
+      |), mad AS (
+      |  SELECT event_type, v AS mad FROM (
+      |    SELECT event_type, v, n,
+      |      sum(n) OVER (PARTITION BY event_type ORDER BY v
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      sum(n) OVER (PARTITION BY event_type) AS tot
+      |    FROM madw
+      |  ) WHERE 2 * cum >= tot AND 2 * (cum - n) < tot
+      |)
+      |SELECT d.event_type, d.idx, d.x, d.r AS residual_permicro,
+      |  d.med, m.mad, 10000 * d.dev > 44478 * m.mad AS is_anomaly
+      |FROM dev d JOIN mad m ON m.event_type = d.event_type""".stripMargin
+  }
+
   def strengthOracleSql: String = {
     val base = oracleSql
     // reuse the decomposition chain verbatim as a subquery

@@ -171,6 +171,63 @@ class Round14Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("mase_permicro")))
   }
 
+  // ---- Ansari-Bradley ----
+
+  test("ansari-bradley: tails vs middle, no ties — hand scores") {
+    // pooled 1,2,3,4: scores 1,2,2,1; X={1,4} tails, Y={2,3} middle
+    val df = Seq((1L, "x"), (4L, "x"), (2L, "y"), (3L, "y")).toDF("v", "g")
+    val rows = operators.AnsariBradley.abStats(df, "v", "g", "x", "y")
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_obs"), r.getAs[String]("ab_micro"),
+          r.getAs[String]("exp_micro"))).toMap
+    assert(rows("x") === ((2L, "2000000", "3000000")))
+    assert(rows("y") === ((2L, "4000000", "3000000")))
+  }
+
+  test("ansari-bradley: fold-straddling tie block uses exact score MASS") {
+    // all three tied: positions 1,2,3 have scores 1,2,1 -> mass 4, each
+    // member 4/3; the midrank shortcut would hand every member s(2)=2
+    val df = Seq((7L, "x"), (7L, "y"), (7L, "y")).toDF("v", "g")
+    val rows = operators.AnsariBradley.abStats(df, "v", "g", "x", "y")
+      .collect().map(r => r.getAs[String]("grp") ->
+        r.getAs[String]("ab_micro")).toMap
+    assert(rows("x") === "1333333") // (1e6*1*4) div 3
+    assert(rows("y") === "2666666") // (1e6*2*4) div 3
+  }
+
+  test("ansari-bradley: identical groups score equal AB = expectation") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "x"),
+      (1L, "y"), (2L, "y"), (3L, "y")).toDF("v", "g")
+    val rows = operators.AnsariBradley.abStats(df, "v", "g", "x", "y")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("ab_micro") === r.getAs[String]("exp_micro"))
+    }
+  }
+
+  // ---- seasonal-residual anomalies ----
+
+  test("esd anomalies: flag recomputes from its own med/mad columns") {
+    val rows = operators.SeasonalDecompose.residualAnomalies(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dev = math.abs(r.getAs[Long]("residual_permicro")
+        - r.getAs[Long]("med"))
+      assert(r.getAs[Boolean]("is_anomaly")
+        === (10000L * dev > 44478L * r.getAs[Long]("mad")))
+    }
+    // med really is a lower median of the per-group residuals
+    val byG = rows.groupBy(_.getAs[String]("event_type"))
+    byG.foreach { case (_, rs) =>
+      val res = rs.map(_.getAs[Long]("residual_permicro")).sorted
+      val med = rs.head.getAs[Long]("med")
+      val below = res.count(_ <= med)
+      assert(2 * below >= res.length)
+      assert(2 * res.count(_ < med) < res.length)
+    }
+  }
+
   // ---- gated instances stay sane at sf0.001 ----
 
   test("gated instances: non-empty and internally consistent") {
