@@ -647,6 +647,12 @@ object SparkEntry {
     "esd_anomalies"         -> (graft.operators.SeasonalDecompose.residualAnomalies(_, _)),
     // Ansari-Bradley rank test for scale differences (exact tie masses)
     "ansari_bradley"        -> (graft.operators.AnsariBradley.abLineitem(_, _)),
+    // one lasso coordinate-descent sweep over a scale-free penalty path
+    "lasso_cd_sweep"        -> (graft.ml.LassoStep.lassoLineitem(_, _)),
+    // Cochran's Q: k binary treatments consistent across blocks?
+    "cochran_q"             -> (graft.operators.Reliability.cochranQEvents(_, _)),
+    // Cronbach's alpha reliability of the per-type daily revenue panel
+    "cronbach_alpha"        -> (graft.operators.Reliability.cronbachEvents(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -991,6 +997,9 @@ object SparkEntry {
     "mase_eval"             -> graft.operators.Forecast.maseOracleSql,
     "esd_anomalies"         -> graft.operators.SeasonalDecompose.anomaliesOracleSql,
     "ansari_bradley"        -> graft.operators.AnsariBradley.oracleSql,
+    "lasso_cd_sweep"        -> graft.ml.LassoStep.oracleSql,
+    "cochran_q"             -> graft.operators.Reliability.cochranOracleSql,
+    "cronbach_alpha"        -> graft.operators.Reliability.cronbachOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

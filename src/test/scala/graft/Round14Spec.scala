@@ -228,6 +228,85 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  // ---- lasso coordinate-descent sweep ----
+
+  test("lasso: c=0 reproduces the unpenalized first CD step exactly") {
+    // y = 10 + 2*x1 on x1=1..4: b0 = mean(y) = 15, z1 = 1e7, s11 = 30
+    val df = Seq((12L, 1L, 0L), (14L, 2L, 0L), (16L, 3L, 0L), (18L, 4L, 0L))
+      .toDF("y", "x1", "x2")
+    val r = ml.LassoStep.lassoSweep(df, col("y"), col("x1"), col("x2"),
+      Seq(0L)).collect().head
+    assert(r.getAs[Long]("b0_micros") === 15000000L)
+    assert(r.getAs[Long]("b1_micros") === 333333L) // 1e7 div 30
+    assert(r.getAs[Long]("b2_micros") === 0L)      // x2 constant-0
+    assert(r.getAs[Long]("nnz") === 1L)
+  }
+
+  test("lasso: the soft threshold zeroes the coordinate at large c") {
+    val df = Seq((12L, 1L, 0L), (14L, 2L, 0L), (16L, 3L, 0L), (18L, 4L, 0L))
+      .toDF("y", "x1", "x2")
+    // |z1| = 1e7; thr = 1e6*c*4 -> c=3 gives 1.2e7 > 1e7
+    val rows = ml.LassoStep.lassoSweep(df, col("y"), col("x1"), col("x2"),
+      Seq(2L, 3L)).collect()
+      .map(r => r.getAs[Long]("lambda_per_row") ->
+        (r.getAs[Long]("b1_micros"), r.getAs[Long]("nnz"))).toMap
+    assert(rows(2L)._1 === 66666L) // (1e7 - 8e6) div 30
+    assert(rows(3L) === ((0L, 0L)))
+  }
+
+  test("lasso: gated path has non-increasing support along the path") {
+    val rows = ml.LassoStep.lassoLineitem(spark, sfDir)
+      .orderBy("lambda_per_row").collect()
+    val nnz = rows.map(_.getAs[Long]("nnz"))
+    assert(nnz.zip(nnz.tail).forall { case (a, b) => a >= b })
+  }
+
+  // ---- Cochran's Q ----
+
+  test("cochran Q: hand-computed 3x2 binary grid") {
+    // a fires in blocks 1,2,3; b only in block 1:
+    // G=(3,1) S=4 L=(2,1,1): Q = 1*(2*10-16)/(2*4-6) = 2
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (1L, "b")).toDF("b", "i")
+    val r = operators.Reliability.cochranQ(df, "b", "i").collect().head
+    assert(r.getAs[Long]("n_blocks") === 3L)
+    assert(r.getAs[Long]("k_items") === 2L)
+    assert(r.getAs[Long]("s_total") === 4L)
+    assert(r.getAs[Long]("q_permicro") === 2000000L)
+  }
+
+  test("cochran Q: identical firing patterns give Q = 0") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"))
+      .toDF("b", "i")
+    // block 3 fires only a -> G=(3,2) S=5 L=(2,2,1) ll=9, denom=1,
+    // num = 1*(2*13-25) = 1 -> Q = 1e6; now make patterns identical:
+    val same = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")).toDF("b", "i")
+    val r = operators.Reliability.cochranQ(same, "b", "i").collect().head
+    // kS - ll = 2*4 - (4+4) = 0 -> undefined -> NULL
+    assert(r.isNullAt(r.fieldIndex("q_permicro")))
+    val r2 = operators.Reliability.cochranQ(df, "b", "i").collect().head
+    assert(r2.getAs[Long]("q_permicro") === 1000000L)
+  }
+
+  // ---- Cronbach's alpha ----
+
+  test("cronbach: perfectly parallel items score alpha = 1") {
+    val df = Seq((1L, "a", 3L), (1L, "b", 3L), (2L, "a", 7L), (2L, "b", 7L),
+      (3L, "a", 5L), (3L, "b", 5L)).toDF("b", "i", "x")
+    val r = operators.Reliability.cronbachAlpha(df, "b", "i", "x")
+      .collect().head
+    assert(r.getAs[Long]("alpha_permicro") === 1000000L)
+  }
+
+  test("cronbach: hand-computed negative alpha") {
+    // a=(2,0), b=(0,1): SS_T = 1, SS_a+SS_b = 5 -> alpha = 2*(1-5)/1 = -8
+    val df = Seq((1L, "a", 2L), (2L, "b", 1L)).toDF("b", "i", "x")
+    val r = operators.Reliability.cronbachAlpha(df, "b", "i", "x")
+      .collect().head
+    assert(r.getAs[String]("ss_total") === "1")
+    assert(r.getAs[String]("ss_items_sum") === "5")
+    assert(r.getAs[Long]("alpha_permicro") === -8000000L)
+  }
+
   // ---- gated instances stay sane at sf0.001 ----
 
   test("gated instances: non-empty and internally consistent") {
