@@ -653,6 +653,10 @@ object SparkEntry {
     "cochran_q"             -> (graft.operators.Reliability.cochranQEvents(_, _)),
     // Cronbach's alpha reliability of the per-type daily revenue panel
     "cronbach_alpha"        -> (graft.operators.Reliability.cronbachEvents(_, _)),
+    // Croston intermittent-demand forecast (exact dyadic SES, alpha=1/2)
+    "croston_forecast"      -> (graft.operators.Croston.crostonEvents(_, _)),
+    // partial correlation r_xy.z from one sufficient-statistics row
+    "partial_corr"          -> (graft.operators.PartialCorr.partialLineitem(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1000,6 +1004,8 @@ object SparkEntry {
     "lasso_cd_sweep"        -> graft.ml.LassoStep.oracleSql,
     "cochran_q"             -> graft.operators.Reliability.cochranOracleSql,
     "cronbach_alpha"        -> graft.operators.Reliability.cronbachOracleSql,
+    "croston_forecast"      -> graft.operators.Croston.oracleSql,
+    "partial_corr"          -> graft.operators.PartialCorr.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

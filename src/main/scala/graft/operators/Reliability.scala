@@ -36,10 +36,14 @@ object Reliability {
   def cochranQ(df: DataFrame, blockCol: String, itemCol: String): DataFrame = {
     val pres = df.select(col(blockCol).as("b"), col(itemCol).as("i"))
       .distinct().localCheckpoint() // grid spine + marks from one frame
+    // the day-spine × item-list cross is bounded by the item domain
+    // (broadcast side ≤ |types|); checkpoint the grid so its two
+    // margin consumers read cells, not the replayed cross
     val grid = pres.select("b").distinct()
       .crossJoin(broadcast(pres.select("i").distinct()))
       .join(pres.withColumn("x", lit(1L)), Seq("b", "i"), "left")
       .na.fill(0L, Seq("x"))
+      .localCheckpoint()
     val rows = grid.groupBy("b").agg(sum("x").as("l"))
       .agg(count(lit(1)).as("n_blocks"), sum("l").as("s_total"),
         sum(col("l") * col("l")).as("ll"))

@@ -307,6 +307,65 @@ class Round14Spec extends SparkSpec {
     assert(r.getAs[Long]("alpha_permicro") === -8000000L)
   }
 
+  // ---- Croston intermittent demand ----
+
+  test("croston: hand-computed dyadic SES over two demand events") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(d: Int) = new java.sql.Timestamp(ts0.getTime + d * 86400000L)
+    // demands on days 0, 2, 6: intervals (2, 4), sizes (2.00, 4.00)
+    val df = Seq(("k", t(0), 1.0), ("k", t(2), 2.0), ("k", t(6), 4.0))
+      .toDF("k", "ts", "value")
+    val r = operators.Croston.croston(df, "k", "ts", "value")
+      .collect().head
+    assert(r.getAs[Long]("n_points") === 2L)
+    assert(r.getAs[String]("s_demand") === "600")   // 200*1 + 400*1
+    assert(r.getAs[String]("s_interval") === "6")   // 2*1 + 4*1
+    // level = 600/2 = 300 cents; forecast = 600/6 = 100 cents/day
+    assert(r.getAs[String]("demand_level_micro") === "300000000")
+    assert(r.getAs[String]("croston_micro") === "100000000")
+  }
+
+  test("croston: alpha=1/2 halves the weight per step back") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(d: Int) = new java.sql.Timestamp(ts0.getTime + d * 86400000L)
+    // events at days 0,1,3,7: kept sizes (c2,c3,c4) = (100,200,800)
+    // s3 = (c2 + c3 + 2*c4)/4 = (100+200+1600)/4 = 475
+    val df = Seq(("k", t(0), 9.0), ("k", t(1), 1.0), ("k", t(3), 2.0),
+      ("k", t(7), 8.0)).toDF("k", "ts", "value")
+    val r = operators.Croston.croston(df, "k", "ts", "value")
+      .collect().head
+    assert(r.getAs[Long]("n_points") === 3L)
+    assert(r.getAs[String]("s_demand") === "1900")
+    assert(r.getAs[String]("demand_level_micro") === "475000000")
+  }
+
+  test("croston: a single demand event has no interval and is dropped") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq(("k", ts0, 5.0)).toDF("k", "ts", "value")
+    assert(operators.Croston.croston(df, "k", "ts", "value").count() === 0L)
+  }
+
+  // ---- partial correlation ----
+
+  test("partial corr: y = x + z makes x fully explanatory given z") {
+    val df = Seq((1L, 1L, 0L), (2L, 2L, 0L), (1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("x", "y", "z")
+    val r = operators.PartialCorr.partialCorr(df, col("x"), col("y"),
+      col("z")).collect().head
+    assert(r.getAs[Long]("r_xz_micros") === 0L)
+    assert(math.abs(r.getAs[Long]("partial_xy_z_micros") - 1000000L) <= 1L)
+    // the RAW x-y correlation is much weaker than the partial
+    assert(r.getAs[Long]("r_xy_micros") < 750000L)
+  }
+
+  test("partial corr: x = z degenerates the denominator to NULL") {
+    val df = Seq((1L, 5L, 1L), (2L, 7L, 2L), (3L, 6L, 3L)).toDF("x", "y", "z")
+    val r = operators.PartialCorr.partialCorr(df, col("x"), col("y"),
+      col("z")).collect().head
+    assert(r.getAs[Long]("r_xz_micros") === 1000000L)
+    assert(r.isNullAt(r.fieldIndex("partial_xy_z_micros")))
+  }
+
   // ---- gated instances stay sane at sf0.001 ----
 
   test("gated instances: non-empty and internally consistent") {
