@@ -657,6 +657,8 @@ object SparkEntry {
     "croston_forecast"      -> (graft.operators.Croston.crostonEvents(_, _)),
     // partial correlation r_xy.z from one sufficient-statistics row
     "partial_corr"          -> (graft.operators.PartialCorr.partialLineitem(_, _)),
+    // RANSAC consensus line fit over mixer-deterministic 2-point hypotheses
+    "ransac_line"           -> (graft.ml.Ransac.ransacLineitem(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1006,6 +1008,7 @@ object SparkEntry {
     "cronbach_alpha"        -> graft.operators.Reliability.cronbachOracleSql,
     "croston_forecast"      -> graft.operators.Croston.oracleSql,
     "partial_corr"          -> graft.operators.PartialCorr.oracleSql,
+    "ransac_line"           -> graft.ml.Ransac.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

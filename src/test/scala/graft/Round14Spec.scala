@@ -366,6 +366,28 @@ class Round14Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("partial_xy_z_micros")))
   }
 
+  // ---- RANSAC ----
+
+  test("ransac: consensus recovers the planted line under heavy outliers") {
+    // 40 points on y = 2x, 10 wild outliers; any 2 inlier sample
+    // points define the true line, so some hypothesis scores >= 40
+    val inliers = (1 to 40).map(i => (i.toLong, i.toLong, 2L * i))
+    val outliers = (1 to 10).map(i => (100L + i, i.toLong, 100000L + i * 917))
+    val df = (inliers ++ outliers).toDF("rid", "x", "y")
+    val r = ml.Ransac.ransacLine(df, "rid", "x", "y", tol = 0L)
+      .collect().head
+    assert(r.getAs[Long]("n_inliers") >= 40L)
+    assert(r.getAs[Long]("slope_micros") === 2000000L)
+    assert(r.getAs[Long]("intercept_micros") === 0L)
+    assert(r.getAs[Long]("n_total") === 50L)
+  }
+
+  test("ransac: all-vertical data leaves no valid hypothesis") {
+    val df = (1 to 10).map(i => (i.toLong, 5L, i.toLong)).toDF("rid", "x", "y")
+    assert(ml.Ransac.ransacLine(df, "rid", "x", "y", tol = 1L)
+      .filter(col("h_best").isNotNull).count() === 0L)
+  }
+
   // ---- gated instances stay sane at sf0.001 ----
 
   test("gated instances: non-empty and internally consistent") {
