@@ -659,6 +659,10 @@ object SparkEntry {
     "partial_corr"          -> (graft.operators.PartialCorr.partialLineitem(_, _)),
     // RANSAC consensus line fit over mixer-deterministic 2-point hypotheses
     "ransac_line"           -> (graft.ml.Ransac.ransacLineitem(_, _)),
+    // XML write+read roundtrip (native Spark 4 XML source)
+    "xml_roundtrip"         -> (graft.sources.Formats.xmlRoundtrip(_, _)),
+    // isolation-stump multivariate anomaly scoring (no row-H explode)
+    "iso_anomalies"         -> (graft.operators.IsolationStumps.isoLineitem(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1009,6 +1013,8 @@ object SparkEntry {
     "croston_forecast"      -> graft.operators.Croston.oracleSql,
     "partial_corr"          -> graft.operators.PartialCorr.oracleSql,
     "ransac_line"           -> graft.ml.Ransac.oracleSql,
+    "xml_roundtrip"         -> graft.sources.Formats.oracleSql,
+    "iso_anomalies"         -> graft.operators.IsolationStumps.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

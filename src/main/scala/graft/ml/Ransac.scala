@@ -5,32 +5,39 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** RANSAC line fit — robust regression by consensus: H deterministic
-  * 2-point hypotheses, each scored by how many points sit within a
+  * 2-point hypotheses, each scored by how much data mass sits within a
   * fixed residual tolerance of its line; the winner is the model the
   * LARGEST CONSENSUS SET agrees with, so up to ~half the data can be
   * arbitrarily corrupted without moving the fit (where [[LinReg]]'s
   * least squares chases every outlier and [[HuberStep]] only
   * down-weights them). The sampling-iteration member of the ML-fit
-  * primitive gates (kmeans_step, gbt_stump, logreg_newton_step):
-  * "random" pairs are the [[graft.functions.MixMod61]] mixer over
-  * (row id · 64 + hypothesis) — the bootstrap's replicate-hash
-  * discipline — so both engines enumerate identical hypotheses.
+  * primitive gates (kmeans_step, gbt_stump, logreg_newton_step).
   *
-  * Exactness: each hypothesis is the line through the two rows with
-  * the smallest (mixed priority, rid) per h — two min-STRUCT
-  * aggregates (map-side combinable; the oracle's rank-2 window picks
-  * the same rows because (priority, rid) is unique). The inlier test
-  * is cross-multiplied integer arithmetic — |(y−y1)·dx − (x−x1)·dy| ≤
-  * tol·|dx| — no division; vertical pairs (dx = 0) are discarded as
-  * degenerate (declared). Winner = max(struct(n_inliers, −h)):
-  * consensus first, smallest hypothesis id on ties. Slope reports as
-  * the sign-split truncating (10⁶·|dy|) div |dx|; the intercept uses
-  * the QUANTIZED slope (quantize-then-propagate).
+  * Hypotheses sample the DISTINCT (x, y) VALUE CELLS, not raw rows:
+  * facts carry no reliable unique row key (the test generator emits
+  * duplicate (orderkey, linenumber) pairs — caught live when a
+  * row-keyed variant tie-broke differently from the oracle), while a
+  * value cell is unique BY CONSTRUCTION and the cell table is
+  * domain-bounded. Cell priority = mix(mix(cid) + h) over
+  * cid = x·2³² + y ([[graft.functions.MixMod61]] twice — the inner
+  * mix decorrelates the cid structure, the outer separates
+  * hypotheses); the per-h argmin/argmin₂ use the TOTAL order
+  * (pri, x, y), so even priority collisions cannot flap the pick, and
+  * the oracle's rank-window provably selects the same cells.
   *
-  * Scale: the priority pass and the scoring pass each stream the fact
-  * ×H (H = 16 — the bootstrap-explode envelope); hypotheses broadcast
-  * (H rows). Feature-magnitude envelope: |x|,|y| ≤ ~10⁹ keeps every
-  * cross-product inside BIGINT at any row count.
+  * Exactness: the inlier test is cross-multiplied integer arithmetic —
+  * |(y−y1)·dx − (x−x1)·dy| ≤ tol·|dx| — no division; consensus mass is
+  * Σ cell-count over inlier cells (exact BIGINT); vertical pairs
+  * (dx = 0) are discarded as degenerate (declared). Winner =
+  * max(struct(n_inliers, −h)): consensus first, smallest h on ties.
+  * Slope reports as the sign-split truncating (10⁶·|dy|) div |dx|; the
+  * intercept uses the QUANTIZED slope. Feature envelope: 0 ≤ x < 2²⁹,
+  * 0 ≤ y < 2³² keeps cid inside the mixer's non-negative domain and
+  * every cross-product inside BIGINT at any row count.
+  *
+  * Scale: ONE fact pass (the cell aggregate); priorities, hypothesis
+  * selection, and scoring all run on the domain-bounded cell table;
+  * hypotheses broadcast (≤ H rows).
   */
 object Ransac {
 
@@ -38,38 +45,40 @@ object Ransac {
 
   /** One row: (h_best, x1, y1, x2, y2, n_inliers, n_total,
     * slope_micros, intercept_micros). */
-  def ransacLine(df: DataFrame, ridCol: String, xCol: String, yCol: String,
+  def ransacLine(df: DataFrame, xCol: String, yCol: String,
                  tol: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(ridCol).cast("long").as("rid"),
-        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
-      .localCheckpoint() // consumed by the priority AND scoring passes
+    def mixExpr(c: org.apache.spark.sql.Column) =
+      graft.functions.Native.call("graft_mix_mod61",
+        exprs => graft.functions.MixMod61(exprs.head), c)
+    val cells = df
+      .select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("w"))
+      .withColumn("m1", mixExpr(shiftleft(col("x"), 32) + col("y")))
+      .localCheckpoint() // consumed by both argmin passes AND scoring
     val hs = (1 to H).map(_.toLong).toDF("h")
-    val pri = base.crossJoin(broadcast(hs))
-      .withColumn("pri", graft.functions.Native.call("graft_mix_mod61",
-        exprs => graft.functions.MixMod61(exprs.head),
-        col("rid") * lit(64L) + col("h")))
+    val pri = cells.crossJoin(broadcast(hs))
+      .withColumn("pri", mixExpr(col("m1") + col("h")))
     val p1 = pri.groupBy("h")
-      .agg(min(struct(col("pri"), col("rid"), col("x"), col("y"))).as("s1"))
-      .select(col("h"), col("s1.rid").as("rid1"),
-        col("s1.x").as("x1"), col("s1.y").as("y1"))
+      .agg(min(struct(col("pri"), col("x"), col("y"))).as("s1"))
+      .select(col("h"), col("s1.x").as("x1"), col("s1.y").as("y1"))
     val p2 = pri.join(broadcast(p1), Seq("h"))
-      .filter(col("rid") =!= col("rid1"))
+      .filter(!(col("x") === col("x1") && col("y") === col("y1")))
       .groupBy("h")
-      .agg(min(struct(col("pri"), col("rid"), col("x"), col("y"))).as("s2"))
+      .agg(min(struct(col("pri"), col("x"), col("y"))).as("s2"))
       .select(col("h"), col("s2.x").as("x2"), col("s2.y").as("y2"))
     val hyp = p1.join(p2, Seq("h"))
       .filter(col("x2") =!= col("x1")) // vertical: degenerate, discarded
       .select(col("h"), col("x1"), col("y1"), col("x2"), col("y2"),
         (col("x2") - col("x1")).as("dx"), (col("y2") - col("y1")).as("dy"))
       .localCheckpoint() // broadcast to the scoring pass; tiny
-    val scored = base.crossJoin(broadcast(hyp))
+    val scored = cells.crossJoin(broadcast(hyp))
       .filter(abs((col("y") - col("y1")) * col("dx")
         - (col("x") - col("x1")) * col("dy")) <= lit(tol) * abs(col("dx")))
       .groupBy("h", "x1", "y1", "x2", "y2", "dx", "dy")
-      .agg(count(lit(1)).as("n_inliers"))
-    val nTotal = base.count()
+      .agg(sum(col("w")).as("n_inliers"))
+    val nTotal = cells.agg(sum("w")).collect().head.getLong(0)
     scored
       .agg(max(struct(col("n_inliers"), (-col("h")).as("negh"), col("x1"),
         col("y1"), col("x2"), col("y2"), col("dx"), col("dy"))).as("w"))
@@ -92,33 +101,38 @@ object Ransac {
   def ransacLineitem(spark: SparkSession, dir: String): DataFrame =
     ransacLine(
       Tables.lineitem(spark, dir).select(
-        (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
         round(col("l_quantity")).cast("long").as("q"),
         round(col("l_extendedprice")).cast("long").as("p")),
-      "rid", "q", "p", tol = 10000L)
+      "q", "p", tol = 10000L)
 
   def oracleSql: String = {
     import graft.functions.Hll
-    s"""WITH base AS (
-       |  SELECT l_orderkey * 8 + l_linenumber AS rid,
-       |    CAST(round(l_quantity) AS BIGINT) AS x,
-       |    CAST(round(l_extendedprice) AS BIGINT) AS y
-       |  FROM lineitem
-       |), pri AS (
-       |  SELECT rid, x, y, h,
-       |    CAST(xor(h2, h2 >> 27) AS BIGINT) AS pri
+    def mix(e: String) =
+      s"""xor(CAST((CAST(${Hll.A2} AS HUGEINT) * xor(
+         |  CAST((CAST(${Hll.A} AS HUGEINT) * ($e) + ${Hll.B}) % ${Hll.P}
+         |    AS BIGINT),
+         |  CAST((CAST(${Hll.A} AS HUGEINT) * ($e) + ${Hll.B}) % ${Hll.P}
+         |    AS BIGINT) >> 30)) % ${Hll.P} AS BIGINT),
+         |  CAST((CAST(${Hll.A2} AS HUGEINT) * xor(
+         |  CAST((CAST(${Hll.A} AS HUGEINT) * ($e) + ${Hll.B}) % ${Hll.P}
+         |    AS BIGINT),
+         |  CAST((CAST(${Hll.A} AS HUGEINT) * ($e) + ${Hll.B}) % ${Hll.P}
+         |    AS BIGINT) >> 30)) % ${Hll.P} AS BIGINT) >> 27)"""
+        .stripMargin.replaceAll("\n", " ")
+    s"""WITH cells AS (
+       |  SELECT x, y, CAST(count(*) AS BIGINT) AS w,
+       |    ${mix("(x << 32) + y")} AS m1
        |  FROM (
-       |    SELECT rid, x, y, h,
-       |      CAST((CAST(${Hll.A2} AS HUGEINT) * xor(h1, h1 >> 30)) % ${Hll.P}
-       |        AS BIGINT) AS h2
-       |    FROM (
-       |      SELECT rid, x, y, h,
-       |        CAST((CAST(${Hll.A} AS HUGEINT) * (rid * 64 + h) + ${Hll.B})
-       |          % ${Hll.P} AS BIGINT) AS h1
-       |      FROM base CROSS JOIN (SELECT unnest(range(1, ${H + 1})) AS h)))
+       |    SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+       |      CAST(round(l_extendedprice) AS BIGINT) AS y
+       |    FROM lineitem)
+       |  GROUP BY x, y
+       |), pri AS (
+       |  SELECT x, y, w, h, ${mix("m1 + h")} AS pri
+       |  FROM cells CROSS JOIN (SELECT unnest(range(1, ${H + 1})) AS h)
        |), ranked AS (
        |  SELECT h, x, y,
-       |    row_number() OVER (PARTITION BY h ORDER BY pri, rid) AS rk
+       |    row_number() OVER (PARTITION BY h ORDER BY pri, x, y) AS rk
        |  FROM pri
        |), hyp AS (
        |  SELECT h,
@@ -132,10 +146,10 @@ object Ransac {
        |), counted AS (
        |  SELECT hyp.h, hyp.x1, hyp.y1, hyp.x2, hyp.y2,
        |    hyp.x2 - hyp.x1 AS dx, hyp.y2 - hyp.y1 AS dy,
-       |    CAST(count(*) AS BIGINT) AS n_inliers
-       |  FROM hyp JOIN base b
-       |    ON abs((b.y - hyp.y1) * (hyp.x2 - hyp.x1)
-       |           - (b.x - hyp.x1) * (hyp.y2 - hyp.y1))
+       |    CAST(sum(c.w) AS BIGINT) AS n_inliers
+       |  FROM hyp JOIN cells c
+       |    ON abs((c.y - hyp.y1) * (hyp.x2 - hyp.x1)
+       |           - (c.x - hyp.x1) * (hyp.y2 - hyp.y1))
        |       <= 10000 * abs(hyp.x2 - hyp.x1)
        |  GROUP BY 1, 2, 3, 4, 5
        |), best AS (
@@ -143,7 +157,7 @@ object Ransac {
        |  FROM counted
        |)
        |SELECT CAST(h AS BIGINT) AS h_best, x1, y1, x2, y2, n_inliers,
-       |  (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_total,
+       |  (SELECT CAST(sum(w) AS BIGINT) FROM cells) AS n_total,
        |  (CASE WHEN dy < 0 THEN -1 ELSE 1 END)
        |    * (CASE WHEN dx < 0 THEN -1 ELSE 1 END)
        |    * ((1000000 * abs(dy)) // abs(dx)) AS slope_micros,

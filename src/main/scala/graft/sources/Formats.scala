@@ -47,6 +47,12 @@ object Formats {
     roundtrip(docs(spark, dir), "csv", scratch(dir, "csv"),
       Map("header" -> "true", "quote" -> "\"", "escape" -> "\""))
 
+  /** XML (native in Spark 4): rowTag contract + entity-escaping of
+    * free text ride inside the gate. */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(docs(spark, dir), "xml", scratch(dir, "xml"),
+      Map("rowTag" -> "doc"))
+
   def oracleSql: String =
     "SELECT doc_id, text, lang, source, n_chars FROM documents"
 }

@@ -370,11 +370,11 @@ class Round14Spec extends SparkSpec {
 
   test("ransac: consensus recovers the planted line under heavy outliers") {
     // 40 points on y = 2x, 10 wild outliers; any 2 inlier sample
-    // points define the true line, so some hypothesis scores >= 40
-    val inliers = (1 to 40).map(i => (i.toLong, i.toLong, 2L * i))
-    val outliers = (1 to 10).map(i => (100L + i, i.toLong, 100000L + i * 917))
-    val df = (inliers ++ outliers).toDF("rid", "x", "y")
-    val r = ml.Ransac.ransacLine(df, "rid", "x", "y", tol = 0L)
+    // cells define the true line, so some hypothesis scores >= 40
+    val inliers = (1 to 40).map(i => (i.toLong, 2L * i))
+    val outliers = (1 to 10).map(i => (i.toLong, 100000L + i * 917))
+    val df = (inliers ++ outliers).toDF("x", "y")
+    val r = ml.Ransac.ransacLine(df, "x", "y", tol = 0L)
       .collect().head
     assert(r.getAs[Long]("n_inliers") >= 40L)
     assert(r.getAs[Long]("slope_micros") === 2000000L)
@@ -382,9 +382,19 @@ class Round14Spec extends SparkSpec {
     assert(r.getAs[Long]("n_total") === 50L)
   }
 
+  test("ransac: duplicate rows add consensus MASS, not new cells") {
+    // the same inlier point repeated 10x must count 10 in n_inliers
+    val df = (Seq.fill(10)((1L, 2L)) ++ Seq((2L, 4L), (3L, 6L)))
+      .toDF("x", "y")
+    val r = ml.Ransac.ransacLine(df, "x", "y", tol = 0L).collect().head
+    assert(r.getAs[Long]("n_total") === 12L)
+    assert(r.getAs[Long]("n_inliers") === 12L)
+    assert(r.getAs[Long]("slope_micros") === 2000000L)
+  }
+
   test("ransac: all-vertical data leaves no valid hypothesis") {
-    val df = (1 to 10).map(i => (i.toLong, 5L, i.toLong)).toDF("rid", "x", "y")
-    assert(ml.Ransac.ransacLine(df, "rid", "x", "y", tol = 1L)
+    val df = (1 to 10).map(i => (5L, i.toLong)).toDF("x", "y")
+    assert(ml.Ransac.ransacLine(df, "x", "y", tol = 1L)
       .filter(col("h_best").isNotNull).count() === 0L)
   }
 
