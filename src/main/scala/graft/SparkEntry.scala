@@ -663,6 +663,10 @@ object SparkEntry {
     "xml_roundtrip"         -> (graft.sources.Formats.xmlRoundtrip(_, _)),
     // isolation-stump multivariate anomaly scoring (no row-H explode)
     "iso_anomalies"         -> (graft.operators.IsolationStumps.isoLineitem(_, _)),
+    // Page's L ordered-alternatives trend over Friedman ranks
+    "page_trend"            -> (graft.operators.TrendTests.pageLEvents(_, _)),
+    // Theil's U2 squared-error forecast ratio vs the naive walk
+    "theil_u2"              -> (graft.operators.Forecast.theilU2Events(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1015,6 +1019,8 @@ object SparkEntry {
     "ransac_line"           -> graft.ml.Ransac.oracleSql,
     "xml_roundtrip"         -> graft.sources.Formats.oracleSql,
     "iso_anomalies"         -> graft.operators.IsolationStumps.oracleSql,
+    "page_trend"            -> graft.operators.TrendTests.pageOracleSql,
+    "theil_u2"              -> graft.operators.Forecast.theilU2OracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

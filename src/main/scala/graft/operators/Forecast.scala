@@ -196,6 +196,59 @@ object Forecast {
     maseSeasonalNaive(Tables.events(spark, dir), "event_type", "ts",
       "value", season = 7)
 
+  /** Theil's U2 — the SQUARED-error sibling of [[maseSeasonalNaive]]
+    * (MASE grades absolute error; U2 grades RMSE, punishing the big
+    * misses a squared loss cares about): U2 = √(MSE_model/MSE_naive),
+    * < 1 beats the naive walk. Error sums of squares are exact
+    * DECIMAL(38,0) (cents² outgrows BIGINT at calendar length ×
+    * 10¹⁶-cent days); the final ratio is ONE fixed IEEE scalar
+    * expression over those integers rounded once to micros — the
+    * [[graft.operators.PartialCorr]] discipline, NULL when the naive
+    * denominator is zero. */
+  def theilU2(df: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String, season: Int): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * 100, 0).cast("long")).as("cents"))
+      .localCheckpoint() // model join AND naive lag
+    val hist = daily.select(col(keyCol).as("__hk"), col("day").as("__hday"),
+      col("cents").as("__hcents"))
+    val model = daily.join(hist,
+        daily(keyCol) === col("__hk") &&
+          daily("day") === date_add(col("__hday"), season))
+      .groupBy(daily(keyCol))
+      .agg(count(lit(1)).cast(d38).as("n_model"),
+        sum(expr("""CAST(cents - __hcents AS DECIMAL(38,0))
+                    * CAST(cents - __hcents AS DECIMAL(38,0))"""))
+          .cast(d38).as("sse_model"))
+    val wLag = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val naive = daily
+      .withColumn("__prev", lag(col("cents"), 1).over(wLag))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast(d38).as("n_naive"),
+        sum(expr("""CAST(cents - __prev AS DECIMAL(38,0))
+                    * CAST(cents - __prev AS DECIMAL(38,0))"""))
+          .cast(d38).as("sse_naive"))
+    model.join(naive, Seq(keyCol))
+      .select(col(keyCol),
+        col("n_model").cast("long").as("n_model"),
+        col("sse_model").cast("string").as("sse_model"),
+        col("n_naive").cast("long").as("n_naive"),
+        col("sse_naive").cast("string").as("sse_naive"),
+        when(col("sse_naive") > 0, round(
+          sqrt((col("sse_model").cast("double") * col("n_naive").cast("double"))
+            / (col("sse_naive").cast("double") * col("n_model").cast("double")))
+            * lit(1e6)).cast("long")).as("theil_u2_micros"))
+  }
+
+  /** Gated instance: Theil's U2 of the lag-7 seasonal-naive per
+    * event type (same eval frame as `mase_eval`). */
+  def theilU2Events(spark: SparkSession, dir: String): DataFrame =
+    theilU2(Tables.events(spark, dir), "event_type", "ts", "value",
+      season = 7)
+
   def maseOracleSql: String =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,
@@ -228,5 +281,42 @@ object Forecast {
       |    CAST((1000000 * sae_model * n_naive)
       |           // (sae_naive * n_model) AS BIGINT)
       |  END AS mase_permicro
+      |FROM model m JOIN naive n ON m.event_type = n.event_type""".stripMargin
+
+  def theilU2OracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), model AS (
+      |  SELECT e.event_type,
+      |    CAST(count(*) AS HUGEINT) AS n_model,
+      |    CAST(sum(CAST(e.cents - h.cents AS HUGEINT)
+      |             * (e.cents - h.cents)) AS HUGEINT) AS sse_model
+      |  FROM daily e JOIN daily h
+      |    ON e.event_type = h.event_type AND e.day = h.day + 7
+      |  GROUP BY 1
+      |), naive AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS HUGEINT) AS n_naive,
+      |    CAST(sum(CAST(cents - prev AS HUGEINT) * (cents - prev))
+      |      AS HUGEINT) AS sse_naive
+      |  FROM (
+      |    SELECT event_type, cents,
+      |      lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      |    FROM daily)
+      |  WHERE prev IS NOT NULL
+      |  GROUP BY 1
+      |)
+      |SELECT m.event_type,
+      |  CAST(n_model AS BIGINT) AS n_model,
+      |  CAST(sse_model AS VARCHAR) AS sse_model,
+      |  CAST(n_naive AS BIGINT) AS n_naive,
+      |  CAST(sse_naive AS VARCHAR) AS sse_naive,
+      |  CASE WHEN sse_naive > 0 THEN
+      |    CAST(round(sqrt((CAST(sse_model AS DOUBLE) * CAST(n_naive AS DOUBLE))
+      |      / (CAST(sse_naive AS DOUBLE) * CAST(n_model AS DOUBLE))) * 1e6)
+      |      AS BIGINT)
+      |  END AS theil_u2_micros
       |FROM model m JOIN naive n ON m.event_type = n.event_type""".stripMargin
 }

@@ -110,6 +110,34 @@ object TrendTests {
         sum("__d").cast("long").as("d_rank_sum"))
   }
 
+  /** Page's L test for ORDERED alternatives — Friedman asks "do the
+    * treatments differ at all?"; Page asks the sharper "do they
+    * increase in THIS hypothesized order?", which is the right test
+    * for dose-response / version-over-version questions. L = Σ_j j·R_j
+    * over the hypothesized rank order j of the treatments; computed on
+    * [[friedmanRanks]]' DOUBLED rank sums so ties stay integer:
+    * l2_stat = Σ j·d_j = 2L, against the exact null mean
+    * E[2L] = n·k·(k+1)²/2 (always even — exact). Treatment order is
+    * the DECLARED `order` list — the hypothesis under test, not
+    * data-derived. */
+  def pageL(cells: DataFrame, blockCol: String, treatCol: String,
+            valueCol: String, order: Seq[String]): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val ranks = friedmanRanks(cells, blockCol, treatCol, valueCol)
+    val k = order.length
+    val pos = order.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }
+      .toDF(treatCol, "j")
+    ranks.join(broadcast(pos), Seq(treatCol))
+      .agg(max("n_blocks").as("n_blocks"),
+        sum(expr("j * d_rank_sum")).as("l2_stat"))
+      .select(col("n_blocks"), lit(k.toLong).as("k_treatments"),
+        col("l2_stat").cast("long").as("l2_stat"),
+        // E[2L] = n·k·(k+1)²/2 — exact (n·k·(k+1)² is always even);
+        // block-grid magnitudes, no overflow concern
+        expr(s"(n_blocks * $k * ($k + 1) * ($k + 1)) div 2").as("e2_null"))
+  }
+
   // ---- query-map entries (hash-gated) ----
 
   private def dailyCells(spark: SparkSession, dir: String): DataFrame = {
@@ -126,6 +154,13 @@ object TrendTests {
   /** Friedman with days as blocks, event types as treatments. */
   def friedmanEvents(spark: SparkSession, dir: String): DataFrame =
     friedman(dailyCells(spark, dir), "day", "event_type", "cents")
+
+  /** Page's L with the funnel order click→view→signup→purchase→error
+    * as the tested monotone hypothesis (a DECLARED order — the gate
+    * pins the arithmetic, not the hypothesis's truth). */
+  val PageOrder = Seq("click", "view", "signup", "purchase", "error")
+  def pageLEvents(spark: SparkSession, dir: String): DataFrame =
+    pageL(dailyCells(spark, dir), "day", "event_type", "cents", PageOrder)
 
   def mannKendallOracleSql: String = {
     val isqrt = Allocation.isqrtDuckSql("(18 * v18)")
@@ -194,4 +229,36 @@ object TrendTests {
       |    - 3000000 * max(n_blocks) * ((SELECT k FROM k) + 1)
       |    AS BIGINT) AS chi2_permicro
       |FROM sums""".stripMargin
+
+  def pageOracleSql: String = {
+    val k = PageOrder.length
+    val posValues = PageOrder.zipWithIndex
+      .map { case (t, i) => s"('$t', ${i + 1})" }.mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+       |  FROM events GROUP BY 1, 2
+       |), k AS (SELECT count(DISTINCT event_type) AS k FROM daily),
+       |complete AS (
+       |  SELECT d.* FROM daily d
+       |  JOIN (SELECT day, count(*) AS kb FROM daily GROUP BY 1) c
+       |    USING (day)
+       |  CROSS JOIN k WHERE c.kb = k.k
+       |), ranked AS (
+       |  SELECT event_type,
+       |    2 * rank() OVER (PARTITION BY day ORDER BY cents)
+       |      + count(*) OVER (PARTITION BY day, cents) - 1 AS d
+       |  FROM complete
+       |), sums AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+       |    CAST(sum(d) AS BIGINT) AS ds
+       |  FROM ranked GROUP BY 1
+       |), pos(event_type, j) AS (VALUES $posValues)
+       |SELECT max(s.n_blocks) AS n_blocks,
+       |  CAST($k AS BIGINT) AS k_treatments,
+       |  CAST(sum(p.j * s.ds) AS BIGINT) AS l2_stat,
+       |  CAST((max(s.n_blocks) * $k * ($k + 1) * ($k + 1)) // 2 AS BIGINT)
+       |    AS e2_null
+       |FROM sums s JOIN pos p USING (event_type)""".stripMargin
+  }
 }

@@ -398,6 +398,50 @@ class Round14Spec extends SparkSpec {
       .filter(col("h_best").isNotNull).count() === 0L)
   }
 
+  // ---- Page's L ----
+
+  test("page L: perfect agreement with the hypothesized order maxes L") {
+    // 3 blocks, 3 treatments, values strictly increasing in the order
+    val df = for (b <- Seq(1L, 2L, 3L); (t, v) <- Seq(("a", 1L), ("b", 2L),
+      ("c", 3L))) yield (b, t, v + b * 10)
+    val r = operators.TrendTests.pageL(df.toDF("blk", "t", "v"),
+      "blk", "t", "v", Seq("a", "b", "c")).collect().head
+    // ranks per block: a=1,b=2,c=3 (doubled 2,4,6); L2 = 3*(1*2+2*4+3*6)
+    assert(r.getAs[Long]("l2_stat") === 84L)
+    // E[2L] = n*k*(k+1)^2/2 = 3*3*16/2 = 72 < 84
+    assert(r.getAs[Long]("e2_null") === 72L)
+  }
+
+  test("page L: reversed order lands symmetrically below the null") {
+    val df = for (b <- Seq(1L, 2L); (t, v) <- Seq(("a", 3L), ("b", 2L),
+      ("c", 1L))) yield (b, t, v)
+    val r = operators.TrendTests.pageL(df.toDF("blk", "t", "v"),
+      "blk", "t", "v", Seq("a", "b", "c")).collect().head
+    // L2 = 2*(1*6+2*4+3*2) = 40; null = 2*3*16/2 = 48; 48-40 = 84-72... 8
+    assert(r.getAs[Long]("l2_stat") === 40L)
+    assert(r.getAs[Long]("e2_null") === 48L)
+  }
+
+  // ---- Theil's U2 ----
+
+  test("theil U2: perfect seasonal model scores 0; constant series NULL") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 14).map { d =>
+      val v = if (d % 7 < 3) 10.0 else 20.0
+      ("k", new java.sql.Timestamp(ts0.getTime + d * 86400000L), v)
+    }
+    val r = operators.Forecast.theilU2(rows.toDF("k", "ts", "value"),
+      "k", "ts", "value", season = 7).collect().head
+    assert(r.getAs[String]("sse_model") === "0")
+    assert(r.getAs[Long]("theil_u2_micros") === 0L)
+    val const = (0 until 14).map { d =>
+      ("k", new java.sql.Timestamp(ts0.getTime + d * 86400000L), 5.0)
+    }
+    val r2 = operators.Forecast.theilU2(const.toDF("k", "ts", "value"),
+      "k", "ts", "value", season = 7).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("theil_u2_micros")))
+  }
+
   // ---- gated instances stay sane at sf0.001 ----
 
   test("gated instances: non-empty and internally consistent") {
