@@ -667,6 +667,10 @@ object SparkEntry {
     "page_trend"            -> (graft.operators.TrendTests.pageLEvents(_, _)),
     // Theil's U2 squared-error forecast ratio vs the naive walk
     "theil_u2"              -> (graft.operators.Forecast.theilU2Events(_, _)),
+    // Benjamini-Yekutieli FDR under arbitrary dependence
+    "by_fdr"                -> (graft.operators.PermutationTest.byEvents(_, _)),
+    // HHI + effective-number concentration of supplier revenue per nation
+    "hhi_concentration"     -> (graft.operators.Concentration.hhiSupplierNation(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1021,6 +1025,8 @@ object SparkEntry {
     "iso_anomalies"         -> graft.operators.IsolationStumps.oracleSql,
     "page_trend"            -> graft.operators.TrendTests.pageOracleSql,
     "theil_u2"              -> graft.operators.Forecast.theilU2OracleSql,
+    "by_fdr"                -> graft.operators.PermutationTest.byOracleSql,
+    "hhi_concentration"     -> graft.operators.Concentration.oracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

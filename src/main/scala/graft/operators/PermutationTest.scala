@@ -145,6 +145,35 @@ object PermutationTest {
         (col("rk") <= col("i_star")).as("rejected"))
   }
 
+  /** Benjamini–Yekutieli FDR — [[bhFdr]]'s guarantee holds only under
+    * independence/PRDS; BY divides the budget by the harmonic number
+    * c(m) = Σ 1/i and controls FDR under ARBITRARY dependence — the
+    * honest correction when the per-group tests share users or time
+    * (as A/A slices over one stream do). Same permutation p-values,
+    * same rank walk; the rejection test scales to
+    * p·m·c_micro ≤ α·rk·10⁶ with c quantized ONCE at micros
+    * (Σ 10⁶ div i — deterministic, both engines; the ≤10⁻⁶ quantization
+    * slack is three orders below the 5% budget granularity). */
+  def byFdr(df: DataFrame, grpCol: String, idCol: String,
+            valueCol: String, alphaPpm: Long = 50000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    bhFdr(df, grpCol, idCol, valueCol, alphaPpm)
+      .drop("rejected")
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("c_micro", expr(
+        "aggregate(sequence(1L, m), 0L, (acc, i) -> acc + 1000000L div i)"))
+      .withColumn("ok",
+        col("p_ppm") * col("m") * col("c_micro")
+          <= lit(alphaPpm) * col("rk") * lit(1000000L))
+      .withColumn("i_star", max(when(col("ok"), col("rk")).otherwise(0L))
+        .over(wAll))
+      .select(col("g"), col("n1"), col("n2"), col("t_obs_micro"),
+        col("p_ppm"), col("rk"), col("c_micro"),
+        (col("rk") <= col("i_star")).as("rejected"))
+  }
+
   // ---- query-map entries (hash-gated) ----
 
   /** Gated instance: lineitem quantity, returned ('R') vs
@@ -161,6 +190,13 @@ object PermutationTest {
     * user (the unit of randomization), BH at α = 5%. */
   def bhEvents(spark: SparkSession, dir: String): DataFrame =
     bhFdr(Tables.events(spark, dir).select(col("event_type"),
+        col("user_id"), round(col("value") * 100).cast("long").as("cents")),
+      "event_type", "user_id", "cents")
+
+  /** Gated instance: the same tests under the dependence-honest BY
+    * budget (the slices share the one event stream). */
+  def byEvents(spark: SparkSession, dir: String): DataFrame =
+    byFdr(Tables.events(spark, dir).select(col("event_type"),
         col("user_id"), round(col("value") * 100).cast("long").as("cents")),
       "event_type", "user_id", "cents")
 
@@ -258,4 +294,48 @@ object PermutationTest {
       |SELECT r.g, r.n1, r.n2, r.t_obs_micro, r.p_ppm, r.rk,
       |  r.rk <= s.i_star AS rejected
       |FROM ranked r CROSS JOIN istar s""".stripMargin
+
+  def byOracleSql: String =
+    s"""WITH base AS (
+      |  SELECT event_type AS g, user_id AS i,
+      |    CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events
+      |), rows_k AS (
+      |  SELECT g, i, x, k FROM base
+      |  CROSS JOIN (SELECT unnest(range(0, ${K + 1})) AS k)
+      |), ${mixerCtes("rows_k", s"i * $Stride + k", "g, x, k")}
+      |, stats AS (
+      |  SELECT g, k,
+      |    CAST(count(CASE WHEN pa THEN 1 END) AS BIGINT) AS n1,
+      |    CAST(count(CASE WHEN NOT pa THEN 1 END) AS BIGINT) AS n2,
+      |    ${meanMicroSql("sum(CASE WHEN pa THEN x ELSE 0 END)",
+             "count(CASE WHEN pa THEN 1 END)")}
+      |    - ${meanMicroSql("sum(CASE WHEN NOT pa THEN x ELSE 0 END)",
+             "count(CASE WHEN NOT pa THEN 1 END)")} AS t
+      |  FROM armed GROUP BY g, k
+      |), obs AS (
+      |  SELECT g, n1, n2, t AS t_obs_micro FROM stats WHERE k = 0
+      |), pv AS (
+      |  SELECT s.g,
+      |    CAST((1000000 * (1 + count(CASE WHEN abs(s.t) >= abs(o.t_obs_micro)
+      |      THEN 1 END))) // ${K + 1} AS BIGINT) AS p_ppm
+      |  FROM stats s JOIN obs o ON s.g = o.g
+      |  WHERE s.k > 0 GROUP BY s.g
+      |), ranked AS (
+      |  SELECT o.g, o.n1, o.n2, o.t_obs_micro, p.p_ppm,
+      |    CAST(row_number() OVER (ORDER BY p.p_ppm, o.g) AS BIGINT) AS rk,
+      |    CAST(count(*) OVER () AS BIGINT) AS m
+      |  FROM obs o JOIN pv p ON o.g = p.g
+      |), cm AS (
+      |  -- rk enumerates exactly 1..m, so the harmonic sum rides ranked
+      |  SELECT CAST(sum(1000000 // rk) AS BIGINT) AS c_micro FROM ranked
+      |), istar AS (
+      |  SELECT coalesce(max(CASE
+      |    WHEN r.p_ppm * r.m * c.c_micro <= 50000 * r.rk * 1000000
+      |    THEN r.rk END), 0) AS i_star
+      |  FROM ranked r CROSS JOIN cm c
+      |)
+      |SELECT r.g, r.n1, r.n2, r.t_obs_micro, r.p_ppm, r.rk,
+      |  c.c_micro, r.rk <= s.i_star AS rejected
+      |FROM ranked r CROSS JOIN istar s CROSS JOIN cm c""".stripMargin
 }

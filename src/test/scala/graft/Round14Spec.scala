@@ -442,6 +442,40 @@ class Round14Spec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("theil_u2_micros")))
   }
 
+  // ---- BY vs BH ----
+
+  test("BY rejections are a subset of BH's on the same p-values") {
+    val bh = operators.PermutationTest.bhEvents(spark, sfDir).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Boolean]("rejected")).toMap
+    val by = operators.PermutationTest.byEvents(spark, sfDir).collect()
+    by.foreach { r =>
+      if (r.getAs[Boolean]("rejected")) assert(bh(r.getAs[String]("g")))
+      // c(m) for m=5 quantized at micros: 1e6+5e5+333333+25e4+2e5
+      assert(r.getAs[Long]("c_micro") === 2283333L)
+    }
+  }
+
+  // ---- HHI ----
+
+  test("hhi: monopoly = 1.0, duopoly = 0.5 with effective number 2") {
+    val df = Seq(("m", "a", 100L), ("d", "a", 50L), ("d", "b", 50L))
+      .toDF("g", "e", "x")
+    val rows = operators.Concentration.hhi(df, "g", "e", "x").collect()
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("hhi_permicro"), r.getAs[Long]("eff_n_permicro"))).toMap
+    assert(rows("m") === ((1000000L, 1000000L)))
+    assert(rows("d") === ((500000L, 2000000L)))
+  }
+
+  test("hhi: three equal entities carry the declared ppm truncation") {
+    val df = Seq(("g", "a", 1L), ("g", "b", 1L), ("g", "c", 1L))
+      .toDF("g", "e", "x")
+    val r = operators.Concentration.hhi(df, "g", "e", "x").collect().head
+    // s = 333333 each; ss = 3*333333^2 = 333332666667
+    assert(r.getAs[Long]("hhi_permicro") === 333332L)
+    assert(r.getAs[Long]("eff_n_permicro") === 3000006L)
+  }
+
   // ---- gated instances stay sane at sf0.001 ----
 
   test("gated instances: non-empty and internally consistent") {
