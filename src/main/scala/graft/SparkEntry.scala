@@ -671,6 +671,8 @@ object SparkEntry {
     "by_fdr"                -> (graft.operators.PermutationTest.byEvents(_, _)),
     // HHI + effective-number concentration of supplier revenue per nation
     "hhi_concentration"     -> (graft.operators.Concentration.hhiSupplierNation(_, _)),
+    // one Louvain modularity-gain move step from singleton communities
+    "louvain_step"          -> (graft.operators.GraphMetrics.louvainCoSupply(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1027,6 +1029,7 @@ object SparkEntry {
     "theil_u2"              -> graft.operators.Forecast.theilU2OracleSql,
     "by_fdr"                -> graft.operators.PermutationTest.byOracleSql,
     "hhi_concentration"     -> graft.operators.Concentration.oracleSql,
+    "louvain_step"          -> graft.operators.GraphMetrics.louvainOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

@@ -729,6 +729,78 @@ object GraphMetrics {
                 THEN (1000000 * n_reached) div sum_dist ELSE 0L END"""))
   }
 
+  /** One Louvain MOVE step from singleton communities — the greedy
+    * modularity-ascent primitive under Louvain/Leiden community
+    * detection, gated the way `kmeans_step`/`gbt_stump` gate their
+    * fit iterations: every node inspects its neighbors' (singleton)
+    * communities and adopts the one with the best POSITIVE modularity
+    * gain. From singletons the gain of i→{j} scaled by 2m² is the
+    * pure integer 2m·w_ij − k_i·k_j (w_ij = 1 unweighted), so the
+    * argmax — (gain DESC, neighbor ASC) — is exact; nodes whose best
+    * gain ≤ 0 stay put. Complements [[labelPropagationStep]] (which
+    * ignores degrees) with the degree-corrected objective
+    * [[modularity]] scores.
+    *
+    * Scale: degrees are one reaggregation of the edge list; the
+    * candidate table is ONE edges⋈degrees join (|E| rows, bounded
+    * degree by the top-K construction); the argmax is a max-struct
+    * aggregate per node. */
+  def louvainMoveStep(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val und = e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = und.groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // joined on both endpoints
+    val m = e.count()
+    und
+      .join(deg, Seq("node"))
+      .join(deg.select(col("node").as("nbr"), col("deg").as("deg_nbr")),
+        Seq("nbr"))
+      .withColumn("gain2m2", lit(2L * m) - col("deg") * col("deg_nbr"))
+      .groupBy("node")
+      .agg(max(struct(col("gain2m2"), (-col("nbr")).as("negn"))).as("b"),
+        max(col("deg")).as("degree"))
+      .select(col("node"), col("degree"),
+        col("b.gain2m2").as("best_gain2m2"),
+        (-col("b.negn")).as("best_nbr"),
+        when(col("b.gain2m2") > 0, -col("b.negn")).otherwise(col("node"))
+          .as("new_community"))
+  }
+
+  /** Gated instance: one Louvain move pass over the top-8 co-supply
+    * graph from singleton communities. */
+  def louvainCoSupply(spark: SparkSession, dir: String): DataFrame =
+    louvainMoveStep(topKCoSupplyEdges(Tables.lineitem(spark, dir), K))
+      .withColumnRenamed("node", "s_suppkey")
+
+  def louvainOracleSql: String =
+    s"""WITH $edgesCte, und AS MATERIALIZED (
+       |  SELECT u AS node, v AS nbr FROM e
+       |  UNION ALL SELECT v, u FROM e
+       |), deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM und GROUP BY node
+       |), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       |cand AS (
+       |  SELECT und.node, und.nbr, d1.deg,
+       |    2 * m.m - d1.deg * d2.deg AS gain2m2
+       |  FROM und
+       |  JOIN deg d1 ON d1.node = und.node
+       |  JOIN deg d2 ON d2.node = und.nbr
+       |  CROSS JOIN m
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY node
+       |    ORDER BY gain2m2 DESC, nbr ASC) AS rk
+       |  FROM cand
+       |)
+       |SELECT CAST(node AS BIGINT) AS s_suppkey,
+       |  CAST(deg AS BIGINT) AS degree,
+       |  CAST(gain2m2 AS BIGINT) AS best_gain2m2,
+       |  CAST(nbr AS BIGINT) AS best_nbr,
+       |  CAST(CASE WHEN gain2m2 > 0 THEN nbr ELSE node END AS BIGINT)
+       |    AS new_community
+       |FROM ranked WHERE rk = 1""".stripMargin
+
   /** Gated instance: 3-hop harmonic/closeness centrality of every
     * supplier in the top-8 co-supply graph. */
   def centralityCoSupply(spark: SparkSession, dir: String): DataFrame =

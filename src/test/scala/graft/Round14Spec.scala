@@ -476,6 +476,37 @@ class Round14Spec extends SparkSpec {
     assert(r.getAs[Long]("eff_n_permicro") === 3000006L)
   }
 
+  // ---- Louvain move step ----
+
+  test("louvain step: hub-leaf star merges leaves into the hub") {
+    // star K1,3: m=3; leaf->hub gain = 2*3 - 1*3 = 3 > 0;
+    // hub->leaf gain = 6 - 3*1 = 3 > 0 (ties broken by smallest nbr)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val rows = GraphMetrics.louvainMoveStep(edges).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("best_gain2m2"), r.getAs[Long]("new_community"))).toMap
+    assert(rows(2L) === ((3L, 1L)))
+    assert(rows(3L) === ((3L, 1L)))
+    assert(rows(4L) === ((3L, 1L)))
+    assert(rows(1L) === ((3L, 2L))) // hub's best tie -> smallest leaf
+  }
+
+  test("louvain step: negative best gain keeps the node singleton") {
+    // two high-degree nodes joined by every edge: complete K4, m=6;
+    // gain = 12 - 3*3 = 3 > 0 everywhere; contrast with two hubs
+    // bridged once among many leaves: gain(1<->2) = 2m - k1*k2 < 0
+    val edges = (Seq((1L, 2L)) ++ (3 to 8).map(i => (1L, i.toLong))
+      ++ (9 to 14).map(i => (2L, i.toLong))).toDF("u", "v")
+    // m = 13, deg(1) = deg(2) = 7: gain(1->2) = 26 - 49 = -23
+    val r = GraphMetrics.louvainMoveStep(edges).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("best_gain2m2"), r.getAs[Long]("new_community"))).toMap
+    // node 1's best is a LEAF (gain 26-7=19), not the hub
+    assert(r(1L)._1 === 19L && r(1L)._2 >= 3L)
+    // a leaf of hub 1 has only the hub: gain 26-7 = 19 -> joins hub
+    assert(r(3L) === ((19L, 1L)))
+  }
+
   // ---- gated instances stay sane at sf0.001 ----
 
   test("gated instances: non-empty and internally consistent") {
