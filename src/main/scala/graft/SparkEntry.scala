@@ -673,6 +673,8 @@ object SparkEntry {
     "hhi_concentration"     -> (graft.operators.Concentration.hhiSupplierNation(_, _)),
     // one Louvain modularity-gain move step from singleton communities
     "louvain_step"          -> (graft.operators.GraphMetrics.louvainCoSupply(_, _)),
+    // tau-restricted mean survival time from the quantized KM curve
+    "survival_rmst"         -> (graft.operators.Survival.rmstEvents(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1030,6 +1032,7 @@ object SparkEntry {
     "by_fdr"                -> graft.operators.PermutationTest.byOracleSql,
     "hhi_concentration"     -> graft.operators.Concentration.oracleSql,
     "louvain_step"          -> graft.operators.GraphMetrics.louvainOracleSql,
+    "survival_rmst"         -> graft.operators.Survival.rmstOracleSql,
     // dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf: probabilistic
     // candidate generation — rows-gated by the driver; semantics asserted
     // in DedupSpec / AnnSpec (planted pairs, measured recall floors)

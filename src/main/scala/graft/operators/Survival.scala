@@ -145,6 +145,57 @@ object Survival {
       |  surv AS surv_permicro
       |FROM km""".stripMargin
 
+  /** τ-restricted mean survival time — the single-number summary a
+    * KM curve feeds a business decision as: "expected conversion-free
+    * days within the first τ" (means of censored data are undefined;
+    * RMST = ∫₀^τ S(t)dt is the estimable replacement, Royston–Parmar's
+    * recommended reporting scale). Computed EXACTLY on the QUANTIZED
+    * curve the gated KM key already emits (quantize-then-combine): the
+    * step integral Σ S_permicro(tᵢ)·(min(tᵢ₊₁,τ) − min(tᵢ,τ)) plus the
+    * S = 1 segment [0, t₁) — pure integer micro·days. The last step
+    * extends to τ (the restriction IS the contract for what lies
+    * beyond follow-up). One partition-less lead window over the
+    * duration-cell-bounded KM frame. */
+  def rmst(km: DataFrame, tauDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("dur_days")
+    km
+      .withColumn("__next", coalesce(
+        lead(col("dur_days"), 1).over(w), lit(tauDays)))
+      .withColumn("__w", greatest(lit(0),
+        least(col("__next").cast("int"), lit(tauDays))
+          - least(col("dur_days").cast("int"), lit(tauDays))))
+      .agg(
+        count(lit(1)).as("n_steps"),
+        min(col("dur_days")).cast("int").as("__t1"),
+        sum(col("surv_permicro") * col("__w")).as("__tail"))
+      .select(lit(tauDays).as("tau_days"), col("n_steps"),
+        (lit(1000000L) * least(col("__t1"), lit(tauDays)).cast("long")
+          + col("__tail")).as("rmst_micro_days"))
+  }
+
+  /** Gated RMST instance: expected conversion-free days within the
+    * first 30, from the SAME quantized KM curve `survival_km` gates. */
+  def rmstEvents(spark: SparkSession, dir: String): DataFrame =
+    rmst(kaplanMeier(subjectsEvents(spark, dir), "dur", "ev"), tauDays = 30)
+
+  def rmstOracleSql: String = {
+    val km = oracleSql
+    s"""WITH kmout AS (
+       |${km.linesIterator.map("  " + _).mkString("\n")}
+       |), stepped AS (
+       |  SELECT dur_days, surv_permicro,
+       |    coalesce(lead(dur_days) OVER (ORDER BY dur_days), 30) AS nxt
+       |  FROM kmout
+       |)
+       |SELECT CAST(30 AS BIGINT) AS tau_days,
+       |  CAST(count(*) AS BIGINT) AS n_steps,
+       |  CAST(1000000 * least((SELECT min(dur_days) FROM kmout), 30)
+       |    + sum(surv_permicro * greatest(0, least(nxt, 30)
+       |        - least(dur_days, 30))) AS BIGINT) AS rmst_micro_days
+       |FROM stepped""".stripMargin
+  }
+
   def nelsonAalenOracleSql: String =
     """WITH per AS (
       |  SELECT user_id, min(CAST(ts AS DATE)) AS start,

@@ -507,6 +507,23 @@ class Round14Spec extends SparkSpec {
     assert(r(3L) === ((19L, 1L)))
   }
 
+  // ---- restricted mean survival time ----
+
+  test("rmst: full survival = tau; immediate events = 0; half = step") {
+    def run(subjects: Seq[(Int, Boolean)]) =
+      operators.Survival.rmst(
+        operators.Survival.kaplanMeier(subjects.toDF("dur", "ev"),
+          "dur", "ev"), tauDays = 30)
+        .collect().head.getAs[Long]("rmst_micro_days")
+    // everyone censored beyond tau: S = 1 on [0, 30] -> 30 micro-days
+    assert(run(Seq((40, false), (40, false), (40, false))) === 30000000L)
+    // everyone converts at 0: S = 0 immediately
+    assert(run(Seq((0, true), (0, true))) === 0L)
+    // half convert at day 10: 1.0*10 + 0.5*20 = 20
+    assert(run(Seq((10, true), (10, true), (40, false), (40, false)))
+      === 20000000L)
+  }
+
   // ---- gated instances stay sane at sf0.001 ----
 
   test("gated instances: non-empty and internally consistent") {
