@@ -96,6 +96,13 @@ object SparkEntry {
     "auto_forecast"         -> (graft.operators.AutoForecast.autoForecastEvents(_, _)),
     // split-conformal intervals around the HW forecast (two-window fit)
     "forecast_intervals"    -> (graft.operators.ForecastIntervals.forecastIntervalsEvents(_, _)),
+    // inverse-calibration-SAE weighted blend of the three exact models,
+    // integer micro-weights with largest-remainder normalization
+    "ensemble_forecast"     -> (graft.operators.EnsembleForecast.ensembleForecastEvents(_, _)),
+    // per-horizon τ-grid residual quantiles graded by exact pinball loss
+    "forecast_quantiles"    -> (graft.operators.ForecastQuantiles.forecastQuantilesEvents(_, _)),
+    // decoupled tune→predict: persisted winners, zero-refit forecasts
+    "forecast_predict"      -> (graft.operators.ForecastPredict.forecastPredictEvents(_, _)),
     // Misra-Gries at capacity >= cardinality == plain GROUP BY COUNT
     "freq_topk_exact"       -> (graft.operators.FreqSketch.freqTopkExact(_, _)),
     // hot-key salted join == plain join (every pair meets exactly once)
@@ -759,6 +766,9 @@ object SparkEntry {
     "cluster_validity"      -> graft.ann.ClusterValidity.oracleSql,
     "davies_bouldin"        -> graft.ann.ClusterValidity.daviesBouldinOracleSql,
     "forecast_intervals"    -> graft.operators.ForecastIntervals.oracleSql,
+    "ensemble_forecast"     -> graft.operators.EnsembleForecast.oracleSql,
+    "forecast_quantiles"    -> graft.operators.ForecastQuantiles.oracleSql,
+    "forecast_predict"      -> graft.operators.ForecastPredict.oracleSql,
     "bpe_first_merge"       -> graft.functions.BpeMerges.firstMergeOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,
     "skew_salted_join"      -> graft.operators.SkewJoin.oracleSql,

@@ -85,13 +85,21 @@ object SimHashDedup {
     * distinct-fp table instead keeps every bucket's occupancy bounded
     * by DISTINCT near-identical fingerprints, independent of how many
     * exact copies each has. */
-  def fpCandidatePairs(fp: DataFrame): DataFrame = {
-    val dfp = fp.select("__fp").distinct()
-    // shiftright needs literal amounts, so the 20 tables unroll statically
+  /** Explode a DISTINCT-fingerprint frame into its C(6,3)=20
+    * combination-key band rows (`__k`); ride-along columns (e.g. the
+    * cluster representative) are preserved, so callers that already
+    * hold a per-fingerprint aggregate band it directly instead of
+    * paying a second distinct shuffle. shiftright needs literal
+    * amounts, so the 20 tables unroll statically. */
+  def bandExplode(dfp: DataFrame): DataFrame = {
     val keyCols = Combos.zipWithIndex.map { case (c, idx) =>
       xxhash64(lit(idx) +: c.map(block(col("__fp"), _)): _*)
     }
-    val exploded = dfp.select(col("__fp"), explode(array(keyCols: _*)).as("__k"))
+    dfp.withColumn("__k", explode(array(keyCols: _*)))
+  }
+
+  def fpCandidatePairs(fp: DataFrame): DataFrame = {
+    val exploded = bandExplode(fp.select("__fp").distinct())
     exploded.as("a").join(exploded.as("b"),
         col("a.__k") === col("b.__k") && col("a.__fp") < col("b.__fp"))
       .select(col("a.__fp").as("__fpa"), col("b.__fp").as("__fpb"))
@@ -150,11 +158,15 @@ object SimHashDedup {
     val memberEdges = fp.join(reps, "__fp")
       .filter(col("__id") =!= col("__rep"))
       .select(col("__rep").as("a_id"), col("__id").as("b_id"))
-    val repEdges = fpCandidatePairs(fp)
-      .filter(bit_count(col("__fpa").bitwiseXOR(col("__fpb"))) <= HammingMax)
-      .join(reps.select(col("__fp").as("__fpa"), col("__rep").as("a_id")), "__fpa")
-      .join(reps.select(col("__fp").as("__fpb"), col("__rep").as("b_id")), "__fpb")
-      .select("a_id", "b_id")
+    // band the reps frame DIRECTLY: it is already the distinct-fp
+    // aggregate, so the banding shares its shuffle instead of paying a
+    // second distinct, and the band rows carry __rep — no join back
+    val banded = bandExplode(reps)
+    val repEdges = banded.as("a").join(banded.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__fp") < col("b.__fp"))
+      .filter(bit_count(col("a.__fp").bitwiseXOR(col("b.__fp"))) <= HammingMax)
+      .select(col("a.__rep").as("a_id"), col("b.__rep").as("b_id"))
+      .distinct()
     MinHashLsh.assignReps(docs, idCol, memberEdges.unionByName(repEdges))
       .join(fp.select(col("__id").as(idCol), col("__fp").as("simhash")), idCol)
       .select(idCol, "simhash", "rep_id", "is_dup")

@@ -129,6 +129,32 @@ object ModelStore {
     }
   }
 
+  /** Persist-or-load for a whole DataFrame-shaped artifact — per-series
+    * fitted forecast parameters, the shape the reference's decoupled
+    * tune→predict split persists between jobs
+    * (/root/reference/MachineLearning/Kubernetes/src/stats_forecast_predict.py
+    * loads winning configs written by the tune job and only forecasts).
+    * Unlike [[vectorsOrCompute]] this NEVER collects to the driver: the
+    * compute writes executor-side parquet, the hit path is one parquet
+    * read of the artifact — O(series) rows, arbitrarily many of them.
+    * Same key/lock/marker discipline; the returned frame is ALWAYS the
+    * loaded copy, so the roundtrip is exercised on every use. */
+  def tableOrCompute(spark: org.apache.spark.sql.SparkSession, key: String)
+                    (compute: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = pathFor(key)
+    val lock = locks.computeIfAbsent(p, _ => new Object)
+    lock.synchronized {
+      val data = s"$p/table"
+      if (!marker(p).exists()) {
+        compute.write.mode("overwrite").parquet(data)
+        if (!marker(p).createNewFile())
+          sys.error(s"ModelStore: could not commit marker for $p")
+      }
+      spark.read.parquet(data)
+    }
+  }
+
   /** Drop a persisted model (specs use this to force a refit). */
   def invalidate(key: String): Unit = {
     val p = pathFor(key)

@@ -53,17 +53,39 @@ object HoltWinters {
                     holdback: Int): DataFrame = {
     require(horizon <= season, "horizon must be ≤ season")
     require(horizon <= holdback, "every forecast day must be observed")
-    val m = season
     val bounds = dense.agg(max(col(dayCol)).as("__hi"))
       .select(date_sub(col("__hi"), holdback).as("__cutoff"))
     val withCut = dense.crossJoin(broadcast(bounds))
-    val train = withCut.filter(col(dayCol) <= col("__cutoff"))
     val testRows = withCut
       .filter(col(dayCol) > col("__cutoff") &&
         datediff(col(dayCol), col("__cutoff")) <= horizon)
       .select(col(keyCol).as("__key"),
         datediff(col(dayCol), col("__cutoff")).as("__k"),
         col(centsCol).as("__actual"))
+
+    // closed-form h-step forecast off the end state: ŷ_{T+k} = l + k·b + s_k
+    val preds = endState(dense, keyCol, dayCol, centsCol, season, holdback)
+      .select(col("__key"), explode(expr(
+        s"transform(sequence(1, $horizon), k -> named_struct(" +
+          "'k', CAST(k AS INT), " +
+          "'yhat', __st.l + CAST(k AS BIGINT) * __st.b + element_at(__st.s, CAST(k AS INT))))"))
+        .as("__p"))
+      .select(col("__key"), col("__p.k").as("__k"), col("__p.yhat").as("__yhat"))
+
+    preds.join(testRows, Seq("__key", "__k"))
+  }
+
+  /** The fitted end state per key — (__key, __st struct(l, b, s list)) —
+    * fit on days ≤ max(day) − `holdback`. Exposed so
+    * [[graft.operators.ForecastPredict]] can persist the parameters and
+    * forecast later with ZERO refit scans. */
+  def endState(dense: DataFrame, keyCol: String, dayCol: String,
+               centsCol: String, season: Int, holdback: Int): DataFrame = {
+    val m = season
+    val bounds = dense.agg(max(col(dayCol)).as("__hi"))
+      .select(date_sub(col("__hi"), holdback).as("__cutoff"))
+    val withCut = dense.crossJoin(broadcast(bounds))
+    val train = withCut.filter(col(dayCol) <= col("__cutoff"))
 
     // per-key ordered series (calendar-bounded array). Keys whose train
     // span is shorter than one season are DROPPED, not errored: the
@@ -96,17 +118,7 @@ object HoltWinters {
          |    's', concat(slice(st.s, 2, ${m - 1}),
          |         array(element_at(st.s, 1) + ${fd(s"y - ($lt) - element_at(st.s, 1)", 2)}))))
          |""".stripMargin))
-
-    // closed-form h-step forecast off the end state: ŷ_{T+k} = l + k·b + s_k
-    val preds = state
-      .select(col("__key"), explode(expr(
-        s"transform(sequence(1, $horizon), k -> named_struct(" +
-          "'k', CAST(k AS INT), " +
-          "'yhat', __st.l + CAST(k AS BIGINT) * __st.b + element_at(__st.s, CAST(k AS INT))))"))
-        .as("__p"))
-      .select(col("__key"), col("__p.k").as("__k"), col("__p.yhat").as("__yhat"))
-
-    preds.join(testRows, Seq("__key", "__k"))
+    state.select(col("__key"), col("__st"))
   }
 
   /** Backtest: forecast the last `horizon` observed days, exact

@@ -48,13 +48,34 @@ object Theta {
     val bounds = dense.agg(max(col(dayCol)).as("__hi"))
       .select(date_sub(col("__hi"), holdback).as("__cutoff"))
     val withCut = dense.crossJoin(broadcast(bounds))
-    val train = withCut.filter(col(dayCol) <= col("__cutoff"))
     val testRows = withCut
       .filter(col(dayCol) > col("__cutoff") &&
         datediff(col(dayCol), col("__cutoff")) <= horizon)
       .select(col(keyCol).as("__key"),
         datediff(col(dayCol), col("__cutoff")).as("__k"),
         col(centsCol).as("__actual"))
+
+    val preds = endState(dense, keyCol, dayCol, centsCol, holdback)
+      .select(col("__key"), explode(expr(
+        s"transform(sequence(1, $horizon), k -> named_struct(" +
+          "'k', CAST(k AS INT), " +
+          s"'yhat', __l + ${fd("CAST(k AS BIGINT) * __num", "__den")}))"))
+        .as("__p"))
+      .select(col("__key"), col("__p.k").as("__k"), col("__p.yhat").as("__yhat"))
+
+    preds.join(testRows, Seq("__key", "__k"))
+  }
+
+  /** The fitted end state per key — (__key, __l SES level, __num/__den
+    * exact drift rational) — fit on days ≤ max(day) − `holdback`.
+    * Exposed so [[graft.operators.ForecastPredict]] can persist the
+    * parameters and forecast later with ZERO refit scans. */
+  def endState(dense: DataFrame, keyCol: String, dayCol: String,
+               centsCol: String, holdback: Int): DataFrame = {
+    val bounds = dense.agg(max(col(dayCol)).as("__hi"))
+      .select(date_sub(col("__hi"), holdback).as("__cutoff"))
+    val withCut = dense.crossJoin(broadcast(bounds))
+    val train = withCut.filter(col(dayCol) <= col("__cutoff"))
 
     // per-key ordered series; T < 2 dropped (slope undefined — the
     // oracle's HAVING max(t) >= 2 drops the same keys)
@@ -75,15 +96,7 @@ object Theta {
       .withColumn("__l", expr(
         s"aggregate(slice(__ys, 2, size(__ys) - 1), element_at(__ys, 1), " +
           s"(l, y) -> ${fd("l + y", "2")})"))
-
-    val preds = ser.select(col("__key"), explode(expr(
-        s"transform(sequence(1, $horizon), k -> named_struct(" +
-          "'k', CAST(k AS INT), " +
-          s"'yhat', __l + ${fd("CAST(k AS BIGINT) * __num", "__den")}))"))
-        .as("__p"))
-      .select(col("__key"), col("__p.k").as("__k"), col("__p.yhat").as("__yhat"))
-
-    preds.join(testRows, Seq("__key", "__k"))
+    ser.select(col("__key"), col("__l"), col("__num"), col("__den"))
   }
 
   /** Backtest: forecast the last `horizon` days, exact MAE/bias vs

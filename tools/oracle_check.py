@@ -17,6 +17,10 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+only = os.environ.get("GRAFT_CHECK_ONLY")
+if only:
+    keys = {k.strip() for k in only.split(",")}
+    oracle = {k: v for k, v in oracle.items() if k in keys}
 fails = 0
 for name, sql in sorted(oracle.items()):
     pdir = f"{out}/{name}"
