@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts NANOS
       .config("spark.scheduler.mode", "FAIR") // concurrent runner pools
       .config("spark.ui.enabled", "false")
+      // ContextCleaner only reaps dropped broadcasts/RDD refs after a
+      // driver GC; its OWN periodic GC defaults to 30min, so a ~30min
+      // full sweep gets exactly one. At 1min the cleaner keeps pace with
+      // the per-query churn (the r14 in-suite-vs-isolated gap suspect).
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session/codegen/scan spin-up otherwise lands on
@@ -38,6 +43,8 @@ object Bench {
     val timesByQ = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       selected.keys.toSeq.map(_ -> Vector.empty[Double]): _*)
     var qCount = 0
+    var leftoverMax = 0
+    var leftoverAt = ""
     for (_ <- 1 to reps; (name, fn) <- selected if !errors.contains(name)) {
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune computed
@@ -57,7 +64,13 @@ object Bench {
       // ContextCleaner reap them. That accumulation was the round-10
       // suite-wide drift (+18% on unchanged keys); free them explicitly.
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // BLOCKING unpersist: a fire-and-forget drop can still be
+      // releasing blocks while the next query's timed region runs
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // audit the sweep: anything still persisted here survives between
+      // keys and inflates every later measurement — make it visible
+      val leftover = spark.sparkContext.getPersistentRDDs.size
+      if (leftover > leftoverMax) { leftoverMax = leftover; leftoverAt = name }
       qCount += 1
       // broadcasts are only freed via ContextCleaner after driver GC;
       // nudge it periodically OUTSIDE the timed region
@@ -90,7 +103,7 @@ object Bench {
     // per-query medians first, then slowest-10, errors, and the total
     // LAST — a truncated capture still ends in the headline number.
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"errors":$es,"persisted_leftover_max":$leftoverMax,"persisted_leftover_at":${Json.str(leftoverAt)},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(out, fullLine.getBytes("UTF-8"))

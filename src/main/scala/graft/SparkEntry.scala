@@ -576,6 +576,8 @@ object SparkEntry {
     "logreg_newton_step"    -> (graft.ml.LogRegStep.logregLineitem(_, _)),
     // k-anonymity / l-diversity audit with global risk summary
     "k_anonymity"           -> (graft.operators.KAnonymity.kAnonymityCustomer(_, _)),
+    // Mondrian median-cut repair: k-guarded cuts → range-generalized cells
+    "k_anon_mondrian"       -> (graft.operators.MondrianAnon.mondrianCustomer(_, _)),
     // GDPR delete sizing: FK-cascade counts + partition rewrite amp
     "rtbf_cascade"          -> (graft.operators.RtbfCascade.rtbfOrders(_, _)),
     // Catalyst column lineage: analyzed-plan walk, literal oracle
@@ -990,6 +992,7 @@ object SparkEntry {
     "als_step"              -> graft.ml.AlsStep.oracleSql,
     "logreg_newton_step"    -> graft.ml.LogRegStep.oracleSql,
     "k_anonymity"           -> graft.operators.KAnonymity.oracleSql,
+    "k_anon_mondrian"       -> graft.operators.MondrianAnon.oracleSql,
     "rtbf_cascade"          -> graft.operators.RtbfCascade.oracleSql,
     "lineage_extract"       -> graft.plans.ColumnLineage.oracleSql,
     "mm_decode_png"         -> graft.multimodal.BinaryMedia.mmDecodePngOracleSql,

@@ -35,8 +35,17 @@ import graft.Tables
   */
 object ItemSimilarity {
 
-  /** Top-`m` cosine neighbors per item: (item_a, item_b, n_users,
-    * deg_a, deg_b, cosine_permicro, rk). */
+  /** Pair min-support: a pair seen by a single user carries ~zero
+    * collaborative signal (cosine ≈ 1/√(deg_a·deg_b), noise at any
+    * catalog size) yet singleton pairs DOMINATE the pair volume —
+    * standard item2item practice drops them before scoring. Applied
+    * BEFORE the degree joins so the broadcast joins, the exact isqrt,
+    * and the rank window all run on the supported core only. */
+  val MinSupport = 2
+
+  /** Top-`m` cosine neighbors per item among pairs with ≥ [[MinSupport]]
+    * co-users: (item_a, item_b, n_users, deg_a, deg_b,
+    * cosine_permicro, rk). */
   def cosineTopM(interactions: DataFrame, userCol: String, itemCol: String,
                  m: Int, maxBasket: Int = 1000): DataFrame = {
     // ONE fact pass: pairs and degrees both derive from the same
@@ -45,6 +54,7 @@ object ItemSimilarity {
     val baskets = Covisitation.cappedBaskets(
       interactions, userCol, itemCol, maxBasket).localCheckpoint()
     val pairs = Covisitation.symmetricPairsFromBaskets(baskets)
+      .filter(col("n_users") >= MinSupport)
     val degrees = baskets.select(explode(col("items")).as("i"))
       .groupBy(col("i")).agg(count(lit(1)).as("deg"))
     pairs
@@ -107,6 +117,7 @@ object ItemSimilarity {
        |    CAST(count(*) AS BIGINT) AS n_users
        |  FROM bounded a JOIN bounded b ON a.u = b.u AND a.i <> b.i
        |  GROUP BY 1, 2
+       |  HAVING count(*) >= $MinSupport
        |), degrees AS (
        |  SELECT i, CAST(count(*) AS BIGINT) AS deg FROM bounded GROUP BY i
        |), scored AS (

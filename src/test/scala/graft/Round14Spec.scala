@@ -99,8 +99,10 @@ class Round14Spec extends SparkSpec {
     assert(rows((10L, 20L)) === ((2L, 816496L)))
     // c(20,30)=0: absent pair never emitted
     assert(!rows.contains((20L, 30L)))
-    // c(10,30)=1, deg(30)=1 -> floor(1e6/sqrt(3)) = 577350
-    assert(rows((10L, 30L)) === ((1L, 577350L)))
+    // c(10,30)=1: below MinSupport=2 — singleton pairs carry no
+    // collaborative signal and are pruned before scoring
+    assert(ItemSimilarity.MinSupport === 2)
+    assert(!rows.contains((10L, 30L)))
     // c(20,10): symmetric emission
     assert(rows((20L, 10L)) === ((2L, 816496L)))
   }

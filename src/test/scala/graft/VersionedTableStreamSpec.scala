@@ -105,4 +105,50 @@ class VersionedTableStreamSpec extends SparkSpec {
     val o = VersionedTableOffset(42L)
     assert(o.json === "42")
   }
+
+  test("exactly-once handoff: sink → versioned table → stream → downstream") {
+    // the full lakehouse loop the reference runs with two Delta hops
+    // (spark_stream.py lands a stream in Delta; downstream re-streams
+    // it): upstream commits → VersionedTableSink (idempotent appendOnce
+    // per batchId) → graft-vtable readStream → downstream parquet sink.
+    // A REPLAYED sink epoch — checkpoint recovery's failure mode — must
+    // not re-deliver rows downstream.
+    val root = Files.createTempDirectory("vthandoff")
+    val (up, mid) = (root.resolve("up").toString, root.resolve("mid").toString)
+    val (chkA, chkB) = (root.resolve("chkA").toString, root.resolve("chkB").toString)
+    val out = root.resolve("out").toString
+
+    // stage 0: upstream versioned table gets two commits
+    VersionedTable.append(spark, up, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    VersionedTable.append(spark, up, Seq((3L, "c")).toDF("k", "s"))
+
+    // stage 1: stream upstream → VersionedTableSink into `mid`
+    def hopA(): Unit = {
+      val q = graft.streaming.VersionedTableSink.start(spark,
+        spark.readStream.format(VersionedTableStream.ShortName).load(up),
+        mid, chkA)
+      q.awaitTermination(60000)
+    }
+    hopA()
+    val headAfterFirst = VersionedTable.latestVersion(spark, mid).get
+
+    // simulate checkpoint-recovery replay: re-deliver an already
+    // committed epoch straight at the sink — appendOnce must skip it
+    graft.streaming.VersionedTableSink.appendBatch(mid)(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), 0L)
+    assert(VersionedTable.latestVersion(spark, mid).get === headAfterFirst,
+      "a replayed batchId must not create a new commit")
+
+    // stage 2: stream `mid` → downstream parquet sink
+    assert(drainToParquet(mid, chkB, out) === Seq(1L, 2L, 3L))
+
+    // more upstream data: both hops resume from their checkpoints and
+    // deliver ONLY the new rows — end-to-end exactly once
+    VersionedTable.append(spark, up, Seq((4L, "d")).toDF("k", "s"))
+    hopA()
+    assert(drainToParquet(mid, chkB, out) === Seq(1L, 2L, 3L, 4L))
+    // idle re-run of both hops changes nothing
+    hopA()
+    assert(drainToParquet(mid, chkB, out) === Seq(1L, 2L, 3L, 4L))
+  }
 }
