@@ -578,6 +578,12 @@ object SparkEntry {
     "k_anonymity"           -> (graft.operators.KAnonymity.kAnonymityCustomer(_, _)),
     // Mondrian median-cut repair: k-guarded cuts → range-generalized cells
     "k_anon_mondrian"       -> (graft.operators.MondrianAnon.mondrianCustomer(_, _)),
+    // SemDeDup: cluster-then-prune embedding dedup (n²/k, never all-pairs)
+    "semdedup"              -> (graft.dedup.SemDedup.semdedupEmbeddings(_, _)),
+    // Lee et al. exact-substring signal: cross-doc repeated L-token windows
+    "dedup_substring"       -> (graft.dedup.SubstringDedup.dedupSubstring(_, _)),
+    // DSIR-style importance selection toward a target domain
+    "importance_select"     -> (graft.operators.ImportanceSelect.importanceSelectDocs(_, _)),
     // GDPR delete sizing: FK-cascade counts + partition rewrite amp
     "rtbf_cascade"          -> (graft.operators.RtbfCascade.rtbfOrders(_, _)),
     // Catalyst column lineage: analyzed-plan walk, literal oracle
@@ -993,6 +999,9 @@ object SparkEntry {
     "logreg_newton_step"    -> graft.ml.LogRegStep.oracleSql,
     "k_anonymity"           -> graft.operators.KAnonymity.oracleSql,
     "k_anon_mondrian"       -> graft.operators.MondrianAnon.oracleSql,
+    "semdedup"              -> graft.dedup.SemDedup.oracleSql,
+    "dedup_substring"       -> graft.dedup.SubstringDedup.oracleSql,
+    "importance_select"     -> graft.operators.ImportanceSelect.oracleSql,
     "rtbf_cascade"          -> graft.operators.RtbfCascade.oracleSql,
     "lineage_extract"       -> graft.plans.ColumnLineage.oracleSql,
     "mm_decode_png"         -> graft.multimodal.BinaryMedia.mmDecodePngOracleSql,

@@ -99,7 +99,7 @@ object KmeansStep {
 
   /** Quantized-corpus + seed-centroid CTEs shared by both gated
     * iterations. */
-  private val baseCtes: String =
+  private[graft] val baseCtes: String =
     """e AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
@@ -116,7 +116,7 @@ object KmeansStep {
   /** One assignment + mean-update round against centroid CTE `c`,
     * emitting long-form `o$sfx` — the SQL twin of [[stepFrom]],
     * suffixed so iterations chain structurally. */
-  private def stepCtes(c: String, sfx: String): String =
+  private[graft] def stepCtes(c: String, sfx: String): String =
     s"""d$sfx AS (
       |  SELECT n.vec_id, n.em, $c.cid,
       |    n.nrm + $c.cnrm - 2 * CAST(list_sum(
@@ -139,7 +139,7 @@ object KmeansStep {
 
   /** Fold `o$from`'s means into the next round's centroid CTE — the
     * SQL twin of [[meansAsCentroids]]. */
-  private def centroidCte(from: String, out: String): String =
+  private[graft] def centroidCte(from: String, out: String): String =
     s"""$out AS (
       |  SELECT cid, cm,
       |    CAST(list_sum(list_transform(cm, v -> v * v)) AS BIGINT) AS cnrm
