@@ -584,6 +584,8 @@ object SparkEntry {
     "dedup_substring"       -> (graft.dedup.SubstringDedup.dedupSubstring(_, _)),
     // DSIR-style importance selection toward a target domain
     "importance_select"     -> (graft.operators.ImportanceSelect.importanceSelectDocs(_, _)),
+    // binary-segmentation changepoint: max between-SSE cut via the CUSUM identity
+    "binseg_changepoint"    -> (graft.operators.BinSeg.binsegEvents(_, _)),
     // GDPR delete sizing: FK-cascade counts + partition rewrite amp
     "rtbf_cascade"          -> (graft.operators.RtbfCascade.rtbfOrders(_, _)),
     // Catalyst column lineage: analyzed-plan walk, literal oracle
@@ -1002,6 +1004,7 @@ object SparkEntry {
     "semdedup"              -> graft.dedup.SemDedup.oracleSql,
     "dedup_substring"       -> graft.dedup.SubstringDedup.oracleSql,
     "importance_select"     -> graft.operators.ImportanceSelect.oracleSql,
+    "binseg_changepoint"    -> graft.operators.BinSeg.oracleSql,
     "rtbf_cascade"          -> graft.operators.RtbfCascade.oracleSql,
     "lineage_extract"       -> graft.plans.ColumnLineage.oracleSql,
     "mm_decode_png"         -> graft.multimodal.BinaryMedia.mmDecodePngOracleSql,
