@@ -586,6 +586,8 @@ object SparkEntry {
     "importance_select"     -> (graft.operators.ImportanceSelect.importanceSelectDocs(_, _)),
     // binary-segmentation changepoint: max between-SSE cut via the CUSUM identity
     "binseg_changepoint"    -> (graft.operators.BinSeg.binsegEvents(_, _)),
+    // Syntetos-Boylan ADI/CV2 quadrant: routes series to Croston vs ETS/Theta
+    "demand_classify"       -> (graft.operators.DemandClassify.demandClassifyEvents(_, _)),
     // GDPR delete sizing: FK-cascade counts + partition rewrite amp
     "rtbf_cascade"          -> (graft.operators.RtbfCascade.rtbfOrders(_, _)),
     // Catalyst column lineage: analyzed-plan walk, literal oracle
@@ -1005,6 +1007,7 @@ object SparkEntry {
     "dedup_substring"       -> graft.dedup.SubstringDedup.oracleSql,
     "importance_select"     -> graft.operators.ImportanceSelect.oracleSql,
     "binseg_changepoint"    -> graft.operators.BinSeg.oracleSql,
+    "demand_classify"       -> graft.operators.DemandClassify.oracleSql,
     "rtbf_cascade"          -> graft.operators.RtbfCascade.oracleSql,
     "lineage_extract"       -> graft.plans.ColumnLineage.oracleSql,
     "mm_decode_png"         -> graft.multimodal.BinaryMedia.mmDecodePngOracleSql,
