@@ -588,6 +588,8 @@ object SparkEntry {
     "binseg_changepoint"    -> (graft.operators.BinSeg.binsegEvents(_, _)),
     // Syntetos-Boylan ADI/CV2 quadrant: routes series to Croston vs ETS/Theta
     "demand_classify"       -> (graft.operators.DemandClassify.demandClassifyEvents(_, _)),
+    // classification-routed dispatch: quadrant picks the family, leaderboard the member
+    "route_forecast"        -> (graft.operators.RouteForecast.routeForecastEvents(_, _)),
     // GDPR delete sizing: FK-cascade counts + partition rewrite amp
     "rtbf_cascade"          -> (graft.operators.RtbfCascade.rtbfOrders(_, _)),
     // Catalyst column lineage: analyzed-plan walk, literal oracle
@@ -1008,6 +1010,7 @@ object SparkEntry {
     "importance_select"     -> graft.operators.ImportanceSelect.oracleSql,
     "binseg_changepoint"    -> graft.operators.BinSeg.oracleSql,
     "demand_classify"       -> graft.operators.DemandClassify.oracleSql,
+    "route_forecast"        -> graft.operators.RouteForecast.oracleSql,
     "rtbf_cascade"          -> graft.operators.RtbfCascade.oracleSql,
     "lineage_extract"       -> graft.plans.ColumnLineage.oracleSql,
     "mm_decode_png"         -> graft.multimodal.BinaryMedia.mmDecodePngOracleSql,

@@ -65,11 +65,12 @@ object AutoForecast {
     * reuse, no string surgery) + [[Theta.oracleCtes]] over the shared
     * series chain + the seasonal-naive backtest rebuilt on the shared
     * sparse daily CTE (`d`), joined per key. */
-  def oracleSql: String = {
-    s"""WITH RECURSIVE
-       |${HoltWinters.oracleCtePrefix()},
-       |${Theta.oracleCtes()},
-       |hw AS (
+  /** The three per-model MAE CTEs over the shared HW/Theta chains —
+    * exposed so [[RouteForecast]] composes the leaderboard
+    * structurally. Requires [[HoltWinters.oracleCtePrefix]] (unsuffixed)
+    * and [[Theta.oracleCtes]] (unsuffixed) earlier in the statement. */
+  def oracleLeaderboardCtes: String =
+    s"""hw AS (
        |  SELECT p.user_id, CAST(sum(abs(e.cents - p.yhat)) AS DOUBLE) / count(*) AS mae
        |  FROM preds p JOIN ev e ON e.user_id = p.user_id AND e.k = p.k
        |  GROUP BY p.user_id),
@@ -86,13 +87,22 @@ object AutoForecast {
        |  WHERE e.recency <= 7),
        |sn AS (
        |  SELECT user_id, CAST(sum(abs(cents - hcents)) AS DOUBLE) / count(*) AS mae
-       |  FROM sn_j GROUP BY user_id)
-       |SELECT hw.user_id, sn.mae AS mae_sn_cents, hw.mae AS mae_hw_cents,
-       |  th.mae AS mae_theta_cents,
-       |  CASE WHEN hw.mae <= th.mae AND hw.mae <= sn.mae THEN 'holt_winters'
-       |       WHEN th.mae <= sn.mae THEN 'theta'
-       |       ELSE 'seasonal_naive' END AS best_model,
-       |  least(hw.mae, th.mae, sn.mae) AS best_mae_cents
-       |FROM hw JOIN th USING (user_id) JOIN sn USING (user_id)""".stripMargin
-  }
+       |  FROM sn_j GROUP BY user_id),
+       |lb AS (
+       |  SELECT hw.user_id, sn.mae AS mae_sn_cents, hw.mae AS mae_hw_cents,
+       |    th.mae AS mae_theta_cents,
+       |    CASE WHEN hw.mae <= th.mae AND hw.mae <= sn.mae THEN 'holt_winters'
+       |         WHEN th.mae <= sn.mae THEN 'theta'
+       |         ELSE 'seasonal_naive' END AS best_model,
+       |    least(hw.mae, th.mae, sn.mae) AS best_mae_cents
+       |  FROM hw JOIN th USING (user_id) JOIN sn USING (user_id))""".stripMargin
+
+  def oracleSql: String =
+    s"""WITH RECURSIVE
+       |${HoltWinters.oracleCtePrefix()},
+       |${Theta.oracleCtes()},
+       |$oracleLeaderboardCtes
+       |SELECT user_id, mae_sn_cents, mae_hw_cents, mae_theta_cents,
+       |  best_model, best_mae_cents
+       |FROM lb""".stripMargin
 }

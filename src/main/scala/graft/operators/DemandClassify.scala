@@ -40,9 +40,15 @@ object DemandClassify {
   /** (key, n_days, n_nonzero, adi_permicro, cv2_permicro,
     * demand_class). */
   def classify(df: DataFrame, keyCol: String, tsCol: String,
-               valueCol: String): DataFrame = {
+               valueCol: String): DataFrame =
+    classifyDense(
+      Resample.dailySpineFill(df, keyCol, tsCol, valueCol), keyCol)
+
+  /** The same quadrant over a PREBUILT dense spine carrying
+    * (key, cents) — lets [[RouteForecast]] share one spine between the
+    * classifier and the model backtests. */
+  def classifyDense(spine: DataFrame, keyCol: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val spine = Resample.dailySpineFill(df, keyCol, tsCol, valueCol)
     spine.groupBy(col("key").as(keyCol))
       .agg(
         count(lit(1)).as("n_days"),
