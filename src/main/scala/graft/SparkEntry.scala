@@ -590,6 +590,8 @@ object SparkEntry {
     "demand_classify"       -> (graft.operators.DemandClassify.demandClassifyEvents(_, _)),
     // classification-routed dispatch: quadrant picks the family, leaderboard the member
     "route_forecast"        -> (graft.operators.RouteForecast.routeForecastEvents(_, _)),
+    // one-pass pairwise Pearson matrix over the lineitem measures
+    "corr_matrix"           -> (graft.operators.CorrMatrix.corrMatrixLineitem(_, _)),
     // GDPR delete sizing: FK-cascade counts + partition rewrite amp
     "rtbf_cascade"          -> (graft.operators.RtbfCascade.rtbfOrders(_, _)),
     // Catalyst column lineage: analyzed-plan walk, literal oracle
@@ -1011,6 +1013,7 @@ object SparkEntry {
     "binseg_changepoint"    -> graft.operators.BinSeg.oracleSql,
     "demand_classify"       -> graft.operators.DemandClassify.oracleSql,
     "route_forecast"        -> graft.operators.RouteForecast.oracleSql,
+    "corr_matrix"           -> graft.operators.CorrMatrix.oracleSql,
     "rtbf_cascade"          -> graft.operators.RtbfCascade.oracleSql,
     "lineage_extract"       -> graft.plans.ColumnLineage.oracleSql,
     "mm_decode_png"         -> graft.multimodal.BinaryMedia.mmDecodePngOracleSql,
