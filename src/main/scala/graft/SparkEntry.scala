@@ -453,6 +453,8 @@ object SparkEntry {
     "ipf_rake"              -> (graft.operators.IpfRake.rakeOrders(_, _)),
     // rank-based trend tests on the daily spine
     "mann_kendall"          -> (graft.operators.TrendTests.mannKendallEvents(_, _)),
+    // Hirsch-Slack seasonal MK: within-weekday pairs, summed strata stats
+    "seasonal_mk"           -> (graft.operators.TrendTests.seasonalMkEvents(_, _)),
     "friedman_test"         -> (graft.operators.TrendTests.friedmanEvents(_, _)),
     // Pareto frontier on (order count, revenue)
     "skyline_2d"            -> (graft.operators.Skyline.skylineCustomers(_, _)),
@@ -948,6 +950,7 @@ object SparkEntry {
     "chao1_richness"        -> graft.functions.GoodTuring.chao1OracleSql,
     "ipf_rake"              -> graft.operators.IpfRake.oracleSql,
     "mann_kendall"          -> graft.operators.TrendTests.mannKendallOracleSql,
+    "seasonal_mk"           -> graft.operators.TrendTests.seasonalMkOracleSql,
     "friedman_test"         -> graft.operators.TrendTests.friedmanOracleSql,
     "skyline_2d"            -> graft.operators.Skyline.oracleSql,
     "pps_sample"            -> graft.operators.PpsSample.oracleSql,

@@ -68,6 +68,50 @@ object TrendTests {
                  WHEN v18 > 0 THEN 0L END""").as("z_permicro"))
   }
 
+  /** SEASONAL Mann-Kendall (Hirsch & Slack 1984) per group: the
+    * trend test that is correct on seasonal series — plain MK reads a
+    * weekly cycle as alternating trend noise; the seasonal form
+    * compares days only WITHIN the same season stratum (here weekday)
+    * and sums the per-stratum statistics: S = Σ_s S_s, 18·Var =
+    * Σ_s [n_s(n_s−1)(2n_s+5) − tt_s] (independent strata), same
+    * continuity-corrected z as [[mannKendall]]. The stratum is derived
+    * by pure date arithmetic (days since a fixed Monday mod 7) so both
+    * engines number weekdays identically. Pair volume: Σ_s n_s²/2 —
+    * 7× FEWER pairs than plain MK on the same calendar-bounded spine. */
+  def seasonalMannKendall(cells: DataFrame, groupCol: String,
+                          seasonCol: String, idxCol: String,
+                          valueCol: String): DataFrame = {
+    val g = col(groupCol)
+    val d38 = "decimal(38,0)"
+    val base = cells.select(g, col(seasonCol).as("__sn"),
+      col(idxCol).as("i"), col(valueCol).cast(d38).as("y"))
+      .localCheckpoint() // self-joined
+    val s = base.as("a")
+      .join(base.as("b"),
+        col(s"a.$groupCol") === col(s"b.$groupCol")
+          && col("a.__sn") === col("b.__sn") && col("a.i") < col("b.i"))
+      .groupBy(col(s"a.$groupCol").as(groupCol))
+      .agg(sum(signum(col("b.y") - col("a.y")).cast(d38)).as("s_raw"))
+    val strat = base.groupBy(g, col("__sn"), col("y"))
+      .agg(count(lit(1)).cast(d38).as("t"))
+      .groupBy(g, col("__sn")).agg(
+        sum(col("t")).cast(d38).as("ns"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+          .cast(d38).as("tts"))
+    val v = strat.groupBy(g).agg(
+      sum(col("ns")).cast(d38).as("n"),
+      sum(expr("ns * (ns - 1) * (2 * ns + 5) - tts")).cast(d38).as("v18"))
+    s.join(v, Seq(groupCol))
+      .select(g, col("n").cast("long").as("n"),
+        col("s_raw").cast("long").as("s_stat"),
+        col("v18").cast("string").as("var18"),
+        expr(s"""CASE WHEN v18 > 0 AND abs(s_raw) > 0 THEN
+                   (CASE WHEN s_raw < 0 THEN -1L ELSE 1L END)
+                     * ((CAST(1000000 AS DECIMAL(38,0)) * (abs(s_raw) - 1)
+                         * ${Allocation.isqrtSql("(18 * v18)")}) div v18)
+                 WHEN v18 > 0 THEN 0L END""").as("z_permicro"))
+  }
+
   /** Friedman over complete (block × treatment) cells: one row
     * (n_blocks, k_treatments, chi2_permicro) plus per-treatment rank
     * sums are NOT emitted here — [[friedmanRanks]] exposes them. */
@@ -151,6 +195,15 @@ object TrendTests {
   def mannKendallEvents(spark: SparkSession, dir: String): DataFrame =
     mannKendall(dailyCells(spark, dir), "event_type", "idx", "cents")
 
+  /** Seasonal MK per event type, weekday strata (days since the Monday
+    * 1970-01-05, mod 7 — identical numbering on both engines). */
+  def seasonalMkEvents(spark: SparkSession, dir: String): DataFrame =
+    seasonalMannKendall(
+      dailyCells(spark, dir)
+        .withColumn("dow",
+          pmod(datediff(col("day"), lit("1970-01-05").cast("date")), lit(7))),
+      "event_type", "dow", "day", "cents")
+
   /** Friedman with days as blocks, event types as treatments. */
   def friedmanEvents(spark: SparkSession, dir: String): DataFrame =
     friedman(dailyCells(spark, dir), "day", "event_type", "cents")
@@ -198,6 +251,44 @@ object TrendTests {
        |      * ((1000000 * (abs(s_raw) - 1) * $isqrt) // v18) AS BIGINT)
        |  WHEN v18 > 0 THEN 0 END AS z_permicro
        |FROM v""".stripMargin
+  }
+
+  def seasonalMkOracleSql: String = {
+    val isqrt = Allocation.isqrtDuckSql("(18 * v18)")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+       |  FROM events GROUP BY 1, 2
+       |), cells AS (
+       |  SELECT event_type, day, cents,
+       |    ((day - DATE '1970-01-05') % 7 + 7) % 7 AS sn
+       |  FROM daily
+       |), s AS (
+       |  SELECT a.event_type,
+       |    CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+       |      WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS HUGEINT) AS s_raw
+       |  FROM cells a JOIN cells b
+       |    ON a.event_type = b.event_type AND a.sn = b.sn AND a.day < b.day
+       |  GROUP BY 1
+       |), strat AS (
+       |  SELECT event_type, sn, CAST(sum(t) AS HUGEINT) AS ns,
+       |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS HUGEINT) AS tts
+       |  FROM (SELECT event_type, sn, cents, CAST(count(*) AS HUGEINT) AS t
+       |        FROM cells GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2
+       |), v AS (
+       |  SELECT event_type, CAST(sum(ns) AS HUGEINT) AS n,
+       |    CAST(sum(ns * (ns - 1) * (2 * ns + 5) - tts) AS HUGEINT) AS v18
+       |  FROM strat GROUP BY 1
+       |)
+       |SELECT s.event_type, CAST(n AS BIGINT) AS n,
+       |  CAST(s_raw AS BIGINT) AS s_stat,
+       |  CAST(v18 AS VARCHAR) AS var18,
+       |  CASE WHEN v18 > 0 AND abs(s_raw) > 0 THEN CAST(
+       |    (CASE WHEN s_raw < 0 THEN -1 ELSE 1 END)
+       |      * ((1000000 * (abs(s_raw) - 1) * $isqrt) // v18) AS BIGINT)
+       |  WHEN v18 > 0 THEN 0 END AS z_permicro
+       |FROM s JOIN v USING (event_type)""".stripMargin
   }
 
   def friedmanOracleSql: String =
