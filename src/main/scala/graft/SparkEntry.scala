@@ -588,6 +588,8 @@ object SparkEntry {
     "importance_select"     -> (graft.operators.ImportanceSelect.importanceSelectDocs(_, _)),
     // binary-segmentation changepoint: max between-SSE cut via the CUSUM identity
     "binseg_changepoint"    -> (graft.operators.BinSeg.binsegEvents(_, _)),
+    // Pettitt rank changepoint: prefix/suffix Mann-Whitney via value cells
+    "pettitt_test"          -> (graft.operators.Changepoint.pettittEvents(_, _)),
     // Syntetos-Boylan ADI/CV2 quadrant: routes series to Croston vs ETS/Theta
     "demand_classify"       -> (graft.operators.DemandClassify.demandClassifyEvents(_, _)),
     // classification-routed dispatch: quadrant picks the family, leaderboard the member
@@ -1014,6 +1016,7 @@ object SparkEntry {
     "dedup_substring"       -> graft.dedup.SubstringDedup.oracleSql,
     "importance_select"     -> graft.operators.ImportanceSelect.oracleSql,
     "binseg_changepoint"    -> graft.operators.BinSeg.oracleSql,
+    "pettitt_test"          -> graft.operators.Changepoint.pettittOracleSql,
     "demand_classify"       -> graft.operators.DemandClassify.oracleSql,
     "route_forecast"        -> graft.operators.RouteForecast.oracleSql,
     "corr_matrix"           -> graft.operators.CorrMatrix.oracleSql,

@@ -60,13 +60,109 @@ object Changepoint {
           .as("mean_after_micros"))
   }
 
-  // ---- query-map entry (hash-gated) ----
+  /** Pettitt's nonparametric changepoint test (Pettitt 1979) — the
+    * RANK-based locator beside the mean-based CUSUM and the
+    * SSE-based [[BinSeg]]: U_k = Σ_{i≤k} Σ_{j>k} sign(x_j − x_i), the
+    * Mann-Whitney statistic of every prefix/suffix split, maximized
+    * over k. Robust to outliers and any monotone transform of the
+    * values — the test practitioners reach for when a level shift must
+    * be declared SIGNIFICANT, not just located.
+    *
+    * The naive U_k is O(n³); this uses the exact identity
+    * U_k = Σ_{t≤k} W(x_t) with W(v) = #{j: x_j > v} − #{j: x_j < v} —
+    * W comes from the per-key VALUE-CELL table (one cumulative window
+    * over distinct values), U_k is then one prefix-sum window over the
+    * day order. No pair join anywhere; everything integer-exact.
+    * Significance: the standard approximation
+    * p ≈ 2·exp(−6U²/(n³+n²)) — ONE transcendental per GROUP row
+    * (the pmi_bigrams cell-level discipline), rounded once to micros
+    * and clamped to ≤ 10⁶. Argmax ties → earliest day. Series with
+    * n < 2 are dropped (no split exists). */
+  def pettittDaily(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum(round(col(valueCol) * 100).cast("long")).as("cents"))
+      .localCheckpoint() // cell table AND the day-ordered prefix
+    val wAll = Window.partitionBy("key")
+    val wVal = Window.partitionBy("key").orderBy("cents")
+    val cells = daily.groupBy(col("key"), col("cents"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cumle", sum(col("__cnt")).over(wVal))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      // W(v) = (#above) − (#below) = (n − cum_le) − (cum_le − cnt)
+      .select(col("key"), col("cents"),
+        ((col("__n") - col("__cumle")) - (col("__cumle") - col("__cnt")))
+          .as("__w"))
+    val wDay = Window.partitionBy("key").orderBy("day")
+    val scored = daily.join(cells, Seq("key", "cents"))
+      .withColumn("k", row_number().over(wDay).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("u_k", sum(col("__w")).over(wDay))
+      .filter(col("k") < col("n")) // k = n splits nothing
+      .withColumn("u_abs", abs(col("u_k")))
+    val wPick = Window.partitionBy("key")
+      .orderBy(col("u_abs").desc, col("k").asc)
+    scored
+      .withColumn("__pick", row_number().over(wPick))
+      .filter(col("__pick") === 1)
+      .select(col("key"), col("n"), col("day").as("cp_day"),
+        col("k").as("cp_k"), col("u_abs"),
+        least(expr(
+          """CAST(round(2000000.0 * exp(
+            |  -6.0 * CAST(u_abs AS DOUBLE) * CAST(u_abs AS DOUBLE)
+            |  / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)))
+            |AS BIGINT)""".stripMargin), lit(1000000L)).as("p_micro"))
+  }
+
+  // ---- query-map entries (hash-gated) ----
 
   /** Gated instance: per-event-type changepoint of the daily count
     * series (the dense spine of [[Resample.resampleDailyEvents]]). */
   def changepointEvents(spark: SparkSession, dir: String): DataFrame =
     cusumDailyCounts(Tables.events(spark, dir), "event_type", "ts", "value")
       .withColumnRenamed("key", "event_type")
+
+  /** Gated instance: Pettitt over per-event-type daily cents (the
+    * SPARSE observed-day series — rank tests need no zero fill). */
+  def pettittEvents(spark: SparkSession, dir: String): DataFrame =
+    pettittDaily(Tables.events(spark, dir), "event_type", "ts", "value")
+      .withColumnRenamed("key", "event_type")
+
+  def pettittOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT key, cents,
+      |    (sum(cnt) OVER (PARTITION BY key)
+      |       - sum(cnt) OVER (PARTITION BY key ORDER BY cents
+      |                        ROWS UNBOUNDED PRECEDING))
+      |    - (sum(cnt) OVER (PARTITION BY key ORDER BY cents
+      |                      ROWS UNBOUNDED PRECEDING) - cnt) AS w
+      |  FROM (SELECT key, cents, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM daily GROUP BY 1, 2)
+      |), scored AS (
+      |  SELECT d.key, d.day,
+      |    CAST(ROW_NUMBER() OVER wd AS BIGINT) AS k,
+      |    CAST(count(*) OVER (PARTITION BY d.key) AS BIGINT) AS n,
+      |    abs(sum(c.w) OVER wd) AS u_abs
+      |  FROM daily d JOIN cells c ON c.key = d.key AND c.cents = d.cents
+      |  WINDOW wd AS (PARTITION BY d.key ORDER BY d.day
+      |                ROWS UNBOUNDED PRECEDING)
+      |), pick AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+      |    ORDER BY u_abs DESC, k ASC) AS rn
+      |  FROM scored WHERE k < n
+      |)
+      |SELECT key AS event_type, n, day AS cp_day, k AS cp_k,
+      |  CAST(u_abs AS BIGINT) AS u_abs,
+      |  least(CAST(round(2000000.0 * exp(
+      |    -6.0 * CAST(u_abs AS DOUBLE) * CAST(u_abs AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)))
+      |  AS BIGINT), 1000000) AS p_micro
+      |FROM pick WHERE rn = 1""".stripMargin
 
   def oracleSql: String =
     """WITH b AS (
