@@ -455,6 +455,8 @@ object SparkEntry {
     "mann_kendall"          -> (graft.operators.TrendTests.mannKendallEvents(_, _)),
     // Hirsch-Slack seasonal MK: within-weekday pairs, summed strata stats
     "seasonal_mk"           -> (graft.operators.TrendTests.seasonalMkEvents(_, _)),
+    // Hirsch-Slack seasonal Sen slope: within-weekday pairs, pooled median
+    "sen_slope_seasonal"    -> (graft.operators.TheilSen.senSlopeSeasonalEvents(_, _)),
     "friedman_test"         -> (graft.operators.TrendTests.friedmanEvents(_, _)),
     // Pareto frontier on (order count, revenue)
     "skyline_2d"            -> (graft.operators.Skyline.skylineCustomers(_, _)),
@@ -953,6 +955,7 @@ object SparkEntry {
     "ipf_rake"              -> graft.operators.IpfRake.oracleSql,
     "mann_kendall"          -> graft.operators.TrendTests.mannKendallOracleSql,
     "seasonal_mk"           -> graft.operators.TrendTests.seasonalMkOracleSql,
+    "sen_slope_seasonal"    -> graft.operators.TheilSen.senSlopeSeasonalOracleSql,
     "friedman_test"         -> graft.operators.TrendTests.friedmanOracleSql,
     "skyline_2d"            -> graft.operators.Skyline.oracleSql,
     "pps_sample"            -> graft.operators.PpsSample.oracleSql,

@@ -35,13 +35,22 @@ object TheilSen {
 
   /** Per-series Theil-Sen fit over (seriesCol, xCol: int day index,
     * yCol: long level). Returns (series, n_days, n_pairs,
-    * slope_permicro, intercept_permicro). */
+    * slope_permicro, intercept_permicro). With `seasonCol` set this is
+    * the Hirsch-Slack SEASONAL Sen slope: pairs form only WITHIN a
+    * season stratum (the magnitude companion of `seasonal_mk`, immune
+    * to a weekly cycle masquerading as short-lag slope noise), the
+    * median pools the within-stratum slopes across strata. */
   def fit(daily: DataFrame, seriesCol: String, xCol: String,
-          yCol: String): DataFrame = {
-    val d = daily.select(col(seriesCol).as("g"),
-      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
-    val pairs = d.as("a").join(d.as("b"),
-        col("a.g") === col("b.g") && col("a.x") < col("b.x"))
+          yCol: String, seasonCol: Option[String] = None): DataFrame = {
+    val d = daily.select((Seq(col(seriesCol).as("g"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")) ++
+      seasonCol.map(c => col(c).as("__sn"))): _*)
+    val pairCond = seasonCol match {
+      case Some(_) => col("a.g") === col("b.g") &&
+        col("a.__sn") === col("b.__sn") && col("a.x") < col("b.x")
+      case None => col("a.g") === col("b.g") && col("a.x") < col("b.x")
+    }
+    val pairs = d.as("a").join(d.as("b"), pairCond)
       .select(col("a.g").as("g"),
         (col("b.y") - col("a.y")).as("dy"),
         (col("b.x") - col("a.x")).as("dx"))
@@ -84,6 +93,65 @@ object TheilSen {
       .select(col("g").as("event_type"), col("n_days"), col("n_pairs"),
         col("slope_permicro"), col("intercept_permicro"))
   }
+
+  /** Gated instance: seasonal Sen slope per event type — pairs only
+    * within the same weekday (days since the Monday 1970-01-05 mod 7,
+    * the `seasonal_mk` stratum), so every slope is measured over whole
+    * weeks and a weekly cycle cannot alias into it. */
+  def senSlopeSeasonalEvents(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val withX = daily
+      .withColumn("__d0",
+        min(col("day")).over(Window.partitionBy("event_type")))
+      .select(col("event_type"), datediff(col("day"), col("__d0")).as("x"),
+        pmod(datediff(col("day"), lit("1970-01-05").cast("date")), lit(7))
+          .as("dow"),
+        col("y"))
+    fit(withX, "event_type", "x", "y", seasonCol = Some("dow"))
+      .select(col("g").as("event_type"), col("n_days"), col("n_pairs"),
+        col("slope_permicro"), col("intercept_permicro"))
+  }
+
+  def senSlopeSeasonalOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2
+      |), pts AS (
+      |  SELECT event_type AS g,
+      |    CAST(date_diff('day', min(day) OVER (PARTITION BY event_type),
+      |      day) AS BIGINT) AS x,
+      |    ((day - DATE '1970-01-05') % 7 + 7) % 7 AS sn, y
+      |  FROM daily
+      |), pairs AS (
+      |  SELECT a.g, b.y - a.y AS dy, b.x - a.x AS dx
+      |  FROM pts a JOIN pts b ON a.g = b.g AND a.sn = b.sn AND a.x < b.x
+      |), ranked AS (
+      |  SELECT g, dy, dx,
+      |    row_number() OVER (PARTITION BY g
+      |      ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), dy, dx) AS r,
+      |    count(*) OVER (PARTITION BY g) AS cnt
+      |  FROM pairs
+      |), med AS (
+      |  SELECT g, cnt AS n_pairs,
+      |    (CASE WHEN dy < 0 THEN -1 ELSE 1 END)
+      |      * ((1000000 * abs(dy)) // dx) AS slope_permicro
+      |  FROM ranked WHERE r = (cnt + 1) // 2
+      |), resid AS (
+      |  SELECT pts.g, med.n_pairs, med.slope_permicro,
+      |    1000000 * pts.y - med.slope_permicro * pts.x AS iv,
+      |    row_number() OVER (PARTITION BY pts.g
+      |      ORDER BY 1000000 * pts.y - med.slope_permicro * pts.x) AS r,
+      |    count(*) OVER (PARTITION BY pts.g) AS n
+      |  FROM pts JOIN med ON med.g = pts.g
+      |)
+      |SELECT g AS event_type, CAST(n AS BIGINT) AS n_days,
+      |  CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(slope_permicro AS BIGINT) AS slope_permicro,
+      |  CAST(iv AS BIGINT) AS intercept_permicro
+      |FROM resid WHERE r = (n + 1) // 2""".stripMargin
 
   def oracleSql: String =
     """WITH daily AS (
