@@ -133,6 +133,8 @@ object SparkEntry {
     "dq_report"             -> (graft.operators.DataQuality.dqReport(_, _)),
     // format roundtrips: writer + reader + type fidelity inside the gate
     "jsonl_roundtrip"       -> (graft.sources.Formats.jsonlRoundtrip(_, _)),
+    "chat_template"         -> (graft.operators.ChatTemplate.chatTemplateDocs(_, _)),
+    "json_field_eval"       -> (graft.operators.JsonFieldEval.jsonFieldEvalDocs(_, _)),
     "orc_roundtrip"         -> (graft.sources.Formats.orcRoundtrip(_, _)),
     "csv_roundtrip"         -> (graft.sources.Formats.csvRoundtrip(_, _)),
     "embed_docs"            -> (EmbedDocs.embedDocuments(_, _)),
@@ -373,6 +375,9 @@ object SparkEntry {
     "bpe_merges"            -> (graft.functions.BpeMerges.bpeMergesDocs(_, _)),
     // k=1 degeneracy: first merge == SQL argmax over weighted pair counts
     "bpe_first_merge"       -> (graft.functions.BpeMerges.bpeFirstMerge(_, _)),
+    "bpe_encode"            -> (graft.functions.BpeEncode.bpeEncodeDocs(_, _)),
+    "bpe_vocab"             -> (graft.functions.BpeEncode.bpeVocabDocs(_, _)),
+    "token_pack_bpe"        -> (graft.functions.BpeEncode.tokenPackBpeDocs(_, _)),
     // exact per-group discrete quantiles (indexed order statistics over
     // value cells — the GK sketch family's exact baseline, grouped)
     "group_quantiles"       -> (graft.operators.GroupQuantiles.quantilesLineitem(_, _)),
@@ -792,6 +797,9 @@ object SparkEntry {
     "forecast_quantiles"    -> graft.operators.ForecastQuantiles.oracleSql,
     "forecast_predict"      -> graft.operators.ForecastPredict.oracleSql,
     "bpe_first_merge"       -> graft.functions.BpeMerges.firstMergeOracleSql,
+    "bpe_encode"            -> graft.functions.BpeEncode.encodeOracleSql,
+    "bpe_vocab"             -> graft.functions.BpeEncode.vocabOracleSql,
+    "token_pack_bpe"        -> graft.functions.BpeEncode.tokenPackOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,
     "skew_salted_join"      -> graft.operators.SkewJoin.oracleSql,
     "sample_k_per_group"    -> Sampling.sampleKOracleSql,
@@ -809,6 +817,8 @@ object SparkEntry {
     "funnel_stages"         -> graft.operators.Funnel.oracleSql,
     "dq_report"             -> graft.operators.DataQuality.oracleSql,
     "jsonl_roundtrip"       -> graft.sources.Formats.oracleSql,
+    "chat_template"         -> graft.operators.ChatTemplate.oracleSql,
+    "json_field_eval"       -> graft.operators.JsonFieldEval.oracleSql,
     "orc_roundtrip"         -> graft.sources.Formats.oracleSql,
     "csv_roundtrip"         -> graft.sources.Formats.oracleSql,
     // embed_docs: encoder vectors are engine-internal — rows-gated;
