@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** BPE APPLICATION — tokenize the corpus with a learned merge table,
+  * the encode step every real LLM data pipeline runs between tokenizer
+  * induction and packing (the reference tokenizes before all stats and
+  * packing: /root/reference/NLP/llama2/src/prepare_dataset.py's
+  * tokenizer pass, /root/reference/MachineLearning/Ray/zephyr/
+  * daily_eval.py:173-176's ctx_len truncation). [[BpeMerges]] LEARNS
+  * the table; this applies it.
+  *
+  * Shape: the corpus collapses once to the (word, freq) vocab
+  * ([[BpeMerges.wordFreq]]); the k greedy merge passes run per word
+  * TYPE, never per occurrence — vocab-sized work, the standard BPE
+  * trick. The word→token map then joins back onto the exploded corpus
+  * (AQE broadcasts it when the vocab fits; at 100 TB it is a plain
+  * shuffle join on the word key). The merge table itself is k rows
+  * collected to the driver — bounded by construction.
+  *
+  * Determinism: each merge is ONE greedy leftmost non-overlapping pass
+  * (exactly [[BpeMerges.topMerges]]'s application step, so
+  * encode ∘ learn round-trips the training corpus's own merges —
+  * spec-asserted), which is also exactly what SQL `replace` does over
+  * a boundary-wrapped symbol string — the DuckDB oracle replays
+  * learning AND application with k unrolled rounds of
+  * pair-count → argmax → replace.
+  *
+  * Constraint: input tokens must not contain U+0001/U+0002 (the
+  * oracle's symbol-boundary sentinels); whitespace-split natural text
+  * never does.
+  */
+object BpeEncode {
+
+  /** Apply `merges` (in rank order) to one word: one greedy leftmost
+    * pass per merge over the codepoint symbol sequence. */
+  def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = BpeMerges.codepoints(word)
+    merges.foreach { case (l, r) =>
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  /** The word→tokens map: learn k merges, then tokenize each vocab
+    * word — (w, freq, n_toks, toks) with `toks` the space-joined token
+    * sequence (words are whitespace-split, so tokens contain none). */
+  def vocabTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ≤ k rows to the driver — the merge table, bounded by construction
+    val merges = BpeMerges.topMerges(docs, textCol, k)
+      .orderBy("merge_rank")
+      .select("left", "right").as[(String, String)].collect().toSeq
+    BpeMerges.wordFreq(docs, textCol)
+      .as[(String, Long)]
+      .map { case (w, f) =>
+        val t = applyMerges(w, merges)
+        (w, f, t.length.toLong, t.mkString(" "))
+      }
+      .toDF("w", "freq", "n_toks", "toks")
+  }
+
+  /** Per-document REAL token counts under the learned tokenizer:
+    * (id, n_words, n_tokens). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             k: Int): DataFrame = {
+    val vocab = vocabTokens(docs, textCol, k).select("w", "n_toks")
+    docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_tokens"))
+  }
+
+  // ---- query-map entries (hash-gated; learning + application both
+  // ---- replayed by the unrolled DuckDB oracle) ----
+
+  val GatedK = 6
+
+  def bpeEncodeDocs(spark: SparkSession, dir: String): DataFrame =
+    encode(Tables.documents(spark, dir), "doc_id", "text", GatedK)
+
+  /** The tokenization itself, byte-exact per word type. */
+  def bpeVocabDocs(spark: SparkSession, dir: String): DataFrame =
+    vocabTokens(Tables.documents(spark, dir), "text", GatedK)
+
+  /** [[graft.operators.TokenPack]] over REAL BPE token counts instead
+    * of whitespace counts — prepare_dataset.py's tokenize-then-pack
+    * order. */
+  def tokenPackBpeDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TokenPack.pack(
+        bpeEncodeDocs(spark, dir).select("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", budget = 512L)
+      .select("doc_id", "n_tokens", "pack_id", "pack_offset")
+
+  // ---- oracle: k unrolled learn+apply rounds over the wrapped vocab ----
+
+  /** Each vocab word rides as chr(1)‖sym‖chr(2) boundary-wrapped
+    * symbols, so `replace(s, ⟨l⟩⟨r⟩, ⟨lr⟩)` is exactly one greedy
+    * leftmost non-overlapping merge pass: the consumed boundary chars
+    * make overlapping matches impossible and symbol-prefix/suffix
+    * false matches unrepresentable. */
+  def oracleEncChain(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """vocab_0 AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |    array_to_string(list_transform(generate_series(1, len(w)),
+        |      i -> chr(1) || substr(w, CAST(i AS INT), 1) || chr(2)), '') AS s
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w)""".stripMargin)
+    for (r <- 1 to k) {
+      val p = r - 1
+      sb.append(s""",
+        |pairs_$r AS MATERIALIZED (
+        |  SELECT l, r2, CAST(sum(freq) AS BIGINT) AS c FROM (
+        |    SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r2, freq FROM (
+        |      SELECT string_split(substr(s, 2, len(s) - 2), chr(2) || chr(1)) AS syms,
+        |        freq
+        |      FROM vocab_$p) v,
+        |      unnest(generate_series(1, len(syms) - 1)) AS t(i))
+        |  GROUP BY l, r2),
+        |best_$r AS MATERIALIZED (
+        |  SELECT l, r2 FROM pairs_$r WHERE c >= 2 ORDER BY c DESC, l, r2 LIMIT 1),
+        |vocab_$r AS MATERIALIZED (
+        |  SELECT w, freq,
+        |    CASE WHEN (SELECT count(*) FROM best_$r) = 1
+        |      THEN replace(s,
+        |        chr(1) || (SELECT l FROM best_$r) || chr(2)
+        |          || chr(1) || (SELECT r2 FROM best_$r) || chr(2),
+        |        chr(1) || (SELECT l FROM best_$r) || (SELECT r2 FROM best_$r) || chr(2))
+        |      ELSE s END AS s
+        |  FROM vocab_$p)""".stripMargin)
+    }
+    sb.append(s""",
+      |enc AS MATERIALIZED (
+      |  SELECT w, freq,
+      |    CAST(len(string_split(substr(s, 2, len(s) - 2), chr(2) || chr(1)))
+      |      AS BIGINT) AS n_toks,
+      |    array_to_string(string_split(substr(s, 2, len(s) - 2),
+      |      chr(2) || chr(1)), ' ') AS toks
+      |  FROM vocab_$k)""".stripMargin)
+    sb.toString
+  }
+
+  private def docJoinSql: String =
+    """docw AS MATERIALIZED (
+      |  SELECT doc_id, x AS w
+      |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS x
+      |        FROM documents)
+      |  WHERE len(x) > 0),
+      |perdoc AS MATERIALIZED (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |  FROM docw JOIN enc USING (w) GROUP BY doc_id)""".stripMargin
+
+  // NOTE: the chain is CONCATENATED, never re-interpolated into another
+  // stripMargin string — its `||` continuation lines would lose a pipe
+  // to a second margin strip (the SftPrep.preparedSql discipline).
+  def encodeOracleSql: String =
+    "WITH " + oracleEncChain(GatedK) + ",\n" + docJoinSql +
+      "\nSELECT doc_id, n_words, n_tokens FROM perdoc"
+
+  def vocabOracleSql: String =
+    "WITH " + oracleEncChain(GatedK) +
+      "\nSELECT w, freq, n_toks, toks FROM enc"
+
+  def tokenPackOracleSql: String =
+    "WITH " + oracleEncChain(GatedK) + ",\n" + docJoinSql + ",\n" +
+      """cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_tokens AS st
+        |  FROM perdoc)
+        |SELECT doc_id, n_tokens,
+        |  CAST(st // 512 AS BIGINT) AS pack_id,
+        |  CAST(st % 512 AS BIGINT) AS pack_offset
+        |FROM cum""".stripMargin
+}

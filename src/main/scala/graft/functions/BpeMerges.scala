@@ -40,6 +40,16 @@ object BpeMerges {
     out.result()
   }
 
+  /** The collapsed (word, freq) vocabulary of `textCol` — the ONE
+    * corpus-sized pass; everything BPE does afterwards (learning in
+    * [[topMerges]], application in [[BpeEncode]]) runs at vocab
+    * cardinality. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
   /** Top `k` BPE merges over whitespace-lowercase words of `textCol`:
     * (merge_rank, left, right, pair_count). Stops early if no pair
     * repeats. */
@@ -47,10 +57,7 @@ object BpeMerges {
     require(k >= 1, "need at least one merge")
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab: Dataset[Vw] = docs
-      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var vocab: Dataset[Vw] = wordFreq(docs, textCol)
       .as[(String, Long)]
       .map { case (w, f) => Vw(codepoints(w), f) }
       .localCheckpoint()

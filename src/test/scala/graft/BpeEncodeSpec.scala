@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{BpeEncode, BpeMerges}
+
+/** BPE application: greedy pass semantics, learn→encode round-trip on
+  * the training corpus's own merges, and the pack-on-real-tokens twin. */
+class BpeEncodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMerges is greedy leftmost non-overlapping, one pass per merge") {
+    // l == r chains: [a,a,a] + (a,a) -> [aa, a], not [a, aa]
+    assert(BpeEncode.applyMerges("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    // consecutive matches both fire: [a,b,a,b] -> [ab, ab]
+    assert(BpeEncode.applyMerges("abab", Seq(("a", "b"))) == Seq("ab", "ab"))
+    // later merges act on earlier merge OUTPUT symbols
+    assert(BpeEncode.applyMerges("abc", Seq(("a", "b"), ("ab", "c"))) ==
+      Seq("abc"))
+    // a merge learned later never re-applies inside the same pass:
+    // (a,ab) on [a,a,b] - pass for (a,b) first makes [a,ab], then merge
+    assert(BpeEncode.applyMerges("aab", Seq(("a", "b"), ("a", "ab"))) ==
+      Seq("aab"))
+    // symbols are codepoints: astral chars never split into surrogates
+    assert(BpeEncode.applyMerges("😀x", Nil) ==
+      Seq("😀", "x"))
+  }
+
+  test("encode round-trips the training corpus's own merges") {
+    // planted corpus: "erer" x3 + "xy" -> merges (e,r) then (er,er)
+    val docs = Seq((1L, "erer erer xy"), (2L, "erer qq")).toDF("doc_id", "text")
+    val merges = BpeMerges.topMerges(docs, "text", k = 2)
+      .orderBy("merge_rank").as[(Int, String, String, Long)].collect()
+    assert(merges.map(m => (m._2, m._3)).toSeq == Seq(("e", "r"), ("er", "er")))
+    val vocab = BpeEncode.vocabTokens(docs, "text", k = 2)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    // applying the learned table re-produces the merged symbols exactly
+    assert(vocab("erer") == ((1L, "erer")))
+    assert(vocab("xy") == ((2L, "x y")))
+    assert(vocab("qq") == ((2L, "q q")))
+    val enc = BpeEncode.encode(docs, "doc_id", "text", k = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(enc(1L) == ((3L, 1L + 1L + 2L)))
+    assert(enc(2L) == ((2L, 1L + 2L)))
+  }
+
+  test("gated instance: merges strictly shrink token counts vs chars") {
+    val enc = BpeEncode.bpeEncodeDocs(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", size(split(lower($"text"), "\\s+")).cast("long").as("nw"),
+        length(regexp_replace($"text", "\\s", "")).cast("long").as("nc"))
+    val j = enc.join(docs, "doc_id")
+      .select($"doc_id", $"n_words", $"n_tokens", $"nw", $"nc").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val (nWords, nTokens, nw, nc) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(nWords == nw, s"word count mismatch on doc ${r.getLong(0)}")
+      // a token is ≥1 codepoint and every word is ≥1 token
+      assert(nTokens >= nWords && nTokens <= nc)
+    }
+    // the 6 learned merges strictly reduced the corpus below its raw
+    // non-whitespace codepoint count
+    val totalToks = j.map(_.getLong(2)).sum
+    val totalCharsNoWs = j.map(_.getLong(4)).sum
+    assert(totalToks < totalCharsNoWs)
+  }
+
+  test("token_pack_bpe: offsets cycle within the 512 budget and cumsum ties out") {
+    val out = BpeEncode.tokenPackBpeDocs(spark, sfDir)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    var cum = 0L
+    out.foreach { case (_, n, packId, off) =>
+      assert(packId == cum / 512 && off == cum % 512)
+      cum += n
+    }
+  }
+}
