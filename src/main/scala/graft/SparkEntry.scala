@@ -94,6 +94,7 @@ object SparkEntry {
     "theta_backtest"        -> (graft.operators.Theta.thetaEvents(_, _)),
     // AutoETS-style per-series model selection over the three exact models
     "auto_forecast"         -> (graft.operators.AutoForecast.autoForecastEvents(_, _)),
+    "forecast_cv_leaderboard" -> (graft.operators.ForecastCv.forecastCvEvents(_, _)),
     // split-conformal intervals around the HW forecast (two-window fit)
     "forecast_intervals"    -> (graft.operators.ForecastIntervals.forecastIntervalsEvents(_, _)),
     // inverse-calibration-SAE weighted blend of the three exact models,
@@ -784,6 +785,7 @@ object SparkEntry {
     "holt_winters_backtest" -> graft.operators.HoltWinters.oracleSql,
     "theta_backtest"        -> graft.operators.Theta.oracleSql,
     "auto_forecast"         -> graft.operators.AutoForecast.oracleSql,
+    "forecast_cv_leaderboard" -> graft.operators.ForecastCv.oracleSql,
     "gbt_stump"             -> graft.ml.GbtStump.oracleSql,
     "asha_sweep"            -> graft.ml.AshaSweep.oracleSql,
     "stump_attribution"     -> graft.ml.GbtStump.attributionOracleSql,
