@@ -114,6 +114,7 @@ object SparkEntry {
     "negative_sample"       -> (graft.operators.NegativeSample.negativeSampleOrders(_, _)),
     "row_serialize"         -> (Serialize.rowSerializeOrders(_, _)),
     "decontaminate"         -> (Decontaminate.decontaminateDocuments(_, _)),
+    "curation_pipeline"     -> (graft.operators.CurationPipeline.curationPipelineDocs(_, _)),
     "submix_temperature"    -> (Sampling.submixTemperatureDocuments(_, _)),
     "colnames_camel"        -> (ColumnNames.colnamesCamelOrders(_, _)),
     "submix_sample"         -> (Sampling.submixDocuments(_, _)),
@@ -807,6 +808,7 @@ object SparkEntry {
     "sample_k_per_group"    -> Sampling.sampleKOracleSql,
     "row_serialize"         -> Serialize.oracleSql,
     "decontaminate"         -> Decontaminate.oracleSql,
+    "curation_pipeline"     -> graft.operators.CurationPipeline.oracleSql,
     "submix_temperature"    -> Sampling.submixTemperatureOracleSql,
     "colnames_camel"        -> ColumnNames.oracleSql,
     "submix_sample"         -> Sampling.oracleSql,
