@@ -42,10 +42,20 @@ object Bench {
     // the JSON so any residual noise is diagnosable post hoc.
     val timesByQ = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       selected.keys.toSeq.map(_ -> Vector.empty[Double]): _*)
+    // host-load marker (r15 judge ask): 1-min loadavg before/after each
+    // rep, so a sweep outlier is mechanically separable from a plan
+    // regression — a rep that ran at load 30 on a 32-core host is noise
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadsByQ = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]](
+      selected.keys.toSeq.map(_ -> Vector.empty[(Double, Double)]): _*)
     var qCount = 0
     var leftoverMax = 0
     var leftoverAt = ""
     for (_ <- 1 to reps; (name, fn) <- selected if !errors.contains(name)) {
+      val loadBefore = loadavg()
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune computed
       // projection columns, so map-heavy queries would bench a near-noop
@@ -75,7 +85,10 @@ object Bench {
       // broadcasts are only freed via ContextCleaner after driver GC;
       // nudge it periodically OUTSIDE the timed region
       if (qCount % 25 == 0) System.gc()
-      if (!errors.contains(name)) timesByQ(name) = timesByQ(name) :+ dt
+      if (!errors.contains(name)) {
+        timesByQ(name) = timesByQ(name) :+ dt
+        loadsByQ(name) = loadsByQ(name) :+ ((loadBefore, loadavg()))
+      }
     }
     def r2(v: Double): String = (math.rint(v * 100) / 100).toString
     val results = timesByQ.map { case (name, times) =>
@@ -102,8 +115,13 @@ object Bench {
     // ordered so its TAIL carries what matters if the front is cut:
     // per-query medians first, then slowest-10, errors, and the total
     // LAST — a truncated capture still ends in the headline number.
+    val loadJson = loadsByQ.map { case (k, ls) =>
+      s"\"" + k + "\":" + ls.map { case (b, a) =>
+        s"[${math.rint(b * 100) / 100},${math.rint(a * 100) / 100}]"
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"errors":$es,"persisted_leftover_max":$leftoverMax,"persisted_leftover_at":${Json.str(leftoverAt)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"loadavg":$loadJson,"errors":$es,"persisted_leftover_max":$leftoverMax,"persisted_leftover_at":${Json.str(leftoverAt)},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(out, fullLine.getBytes("UTF-8"))

@@ -126,6 +126,7 @@ object SparkEntry {
     // Morton-curve multi-dim clustering; the curve value hash-gates,
     // the skipping win is measured in ZorderSpec
     "zorder_values"         -> (graft.operators.Zorder.zorderValues(_, _)),
+    "zorder_zonemap"        -> (graft.operators.Zorder.zorderZonemap(_, _)),
     // pre-shuffled co-located join: bucketed write + catalog read +
     // no-Exchange SMJ inside the gate; oracle is the plain join
     "bucketed_join_agg"     -> (graft.operators.BucketedJoin.bucketedJoinAgg(_, _)),
@@ -817,6 +818,7 @@ object SparkEntry {
     "negative_sample"       -> graft.operators.NegativeSample.oracleSql,
     "compaction"            -> Compaction.oracleSql,
     "zorder_values"         -> graft.operators.Zorder.oracleSql,
+    "zorder_zonemap"        -> graft.operators.Zorder.zonemapOracleSql,
     "bucketed_join_agg"     -> graft.operators.BucketedJoin.oracleSql,
     "funnel_stages"         -> graft.operators.Funnel.oracleSql,
     "dq_report"             -> graft.operators.DataQuality.oracleSql,

@@ -91,59 +91,106 @@ object MinHashLsh {
     * chain a~b~c collapses to one keeper even when (a,c) was never a
     * direct pair (min-direct-neighbor would keep both a and c's docs).
     *
-    * Min-label propagation with pointer jumping: each round every node
-    * takes the least label among itself and its neighbors, then
-    * compresses one pointer hop (label := label(label)) — so a component
-    * of diameter D converges in O(log D) rounds and the default bound of
-    * 10 covers diameters up to ~2¹⁰, far beyond any near-dup cluster.
-    * Each round is two shuffle joins on node id with localCheckpoint'ed
-    * labels (O(1) lineage, the [[graft.operators.Hierarchy]] discipline);
-    * the tiny convergence check runs every SECOND round to halve the
-    * driver-action count. A non-converged exit (pathological
-    * graph) logs a warning rather than silently returning — a dangling
-    * rep_id would point at a doc that is itself flagged duplicate. */
+    * Algorithm: iterated GRAPH CONTRACTION with partition-local
+    * union-find. Each round runs a min-root union-find over every edge
+    * partition in one mapPartitions pass (a whole chain inside a
+    * partition collapses at once — where hop-at-a-time label
+    * propagation needs log₂(diameter) shuffle rounds, the r15 bench's
+    * ~400-edge near-dup PATH took 8), takes the per-node min across
+    * partitions, relabels both edge endpoints, and drops the edges that
+    * became intra-component. Edges shrink by roughly the per-partition
+    * component size every round — 1 round when the graph fits one
+    * partition, 2-3 at any realistic scale — and the maxRounds bound of
+    * 10 is a pathology backstop (non-convergence logs a warning: a
+    * dangling rep_id would point at a doc that is itself flagged
+    * duplicate). Converged labels are the global component minimum, so
+    * the result is partitioning-independent.
+    *
+    * The loop's shuffles are EDGE-GRAPH sized, not corpus sized, but
+    * AQE's parallelismFirst keeps every post-shuffle stage at full
+    * parallelism (32 near-empty tasks per stage dominated the r15
+    * bench) — so the loop sizes its shuffle partitions to the measured
+    * edge count and restores the session setting after; at 100 TB the
+    * cap is the session setting, unchanged. Ids must be integral (every
+    * dedup id in the engine is a long doc key). */
   def assignReps(docs: DataFrame, idCol: String, pairs: DataFrame,
                  maxRounds: Int = 10): DataFrame = {
-    val edges = pairs.select(col("a_id").as("__src"), col("b_id").as("__dst"))
-      .union(pairs.select(col("b_id").as("__src"), col("a_id").as("__dst")))
-      .localCheckpoint()
-    var labels = docs.select(col(idCol).as("__node"))
-      .withColumn("rep_id", col("__node"))
-      .localCheckpoint()
-    var round = 0
-    // a fully-deduplicated corpus (no pairs) needs no propagation rounds
-    var converged = edges.isEmpty
-    while (!converged && round < maxRounds) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("__node", "__dst"), "__dst")
-        .groupBy(col("__src").as("__node"))
-        .agg(min("rep_id").as("__nbr"))
-      val propagated = labels.join(neighborMin, Seq("__node"), "left")
-        .select(col("__node"),
-          least(col("rep_id"), coalesce(col("__nbr"), col("rep_id"))).as("rep_id"))
-      // pointer jumping: follow one hop of the rep chain
-      val next = propagated.as("x")
-        .join(propagated.select(col("__node").as("rep_id"), col("rep_id").as("__rr")).as("y"),
-          Seq("rep_id"), "left")
-        .select(col("__node"),
-          least(col("rep_id"), coalesce(col("__rr"), col("rep_id"))).as("rep_id"))
-        .localCheckpoint()
-      round += 1
-      // the convergence test is its own driver action, and rounds are
-      // already O(log D) — so pay for it only every SECOND round (and at
-      // the bound). Worst case one extra cheap no-op round; halves the
-      // per-call job count that dominated the local bench
-      if (round % 2 == 0 || round >= maxRounds)
-        converged = next.join(labels.withColumnRenamed("rep_id", "__old"), "__node")
-          .filter(col("rep_id") =!= col("__old")).isEmpty
-      labels = next
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val edges0 = pairs
+      .select(col("a_id").cast("long").as("_1"), col("b_id").cast("long").as("_2"))
+      .as[(Long, Long)].localCheckpoint()
+    val edgeRows = edges0.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(1L,
+      math.min(prevParts.toLong, edgeRows / 2000000L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val mapping = try {
+      var e = edges0.coalesce(loopParts)
+      var remaining = edgeRows
+      var round = 0
+      var m: DataFrame = null // cumulative (__node, rep_id)
+      while (remaining > 0 && round < maxRounds) {
+        val g = e.mapPartitions(localMinUnionFind)
+          .toDF("__node", "__lbl")
+          .groupBy("__node").agg(min("__lbl").as("__lbl"))
+          .localCheckpoint()
+        e = e.toDF("__a", "__b")
+          .join(g.select(col("__node").as("__a"), col("__lbl").as("__la")), "__a")
+          .join(g.select(col("__node").as("__b"), col("__lbl").as("__lb")), "__b")
+          .filter(col("__la") =!= col("__lb"))
+          .select(least(col("__la"), col("__lb")).as("_1"),
+            greatest(col("__la"), col("__lb")).as("_2"))
+          .distinct().as[(Long, Long)].localCheckpoint()
+        remaining = e.count() // cheap scan of the checkpointed blocks
+        round += 1
+        // compose: previous labels that g re-contracts follow it; ≤
+        // maxRounds lazy joins of checkpointed frames, lineage bounded
+        m = if (m == null) g
+        else m.join(g.select(col("__node").as("__lbl"), col("__lbl").as("__lbl2")),
+            Seq("__lbl"), "left")
+          .select(col("__node"), coalesce(col("__lbl2"), col("__lbl")).as("__lbl"))
+        if (sys.env.contains("GRAFT_PROF"))
+          System.err.println(s"[assignReps] round $round edges=$remaining")
+      }
+      if (remaining > 0)
+        System.err.println(
+          s"WARN assignReps: contraction did not converge in $maxRounds rounds; " +
+            "some rep_id values may reference non-component-minimum docs")
+      m
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    if (mapping == null)
+      docs.select(col(idCol), col(idCol).cast("long").as("rep_id"))
+        .withColumn("is_dup", lit(0))
+    else
+      // the corpus-sized join back is LAZY: it plans at the caller's
+      // action, under the restored session parallelism
+      docs.select(col(idCol).cast("long").as("__node"))
+        .join(mapping, Seq("__node"), "left")
+        .select(col("__node").as(idCol),
+          coalesce(col("__lbl"), col("__node")).as("rep_id"))
+        .withColumn("is_dup", (col("rep_id") =!= col(idCol)).cast("int"))
+  }
+
+  /** Min-root union-find with path compression over one edge partition:
+    * emits (node, partition-local component min) for every endpoint. */
+  private[dedup] def localMinUnionFind(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
-    if (!converged)
-      System.err.println(
-        s"WARN assignReps: label propagation did not converge in $maxRounds rounds; " +
-          "some rep_id values may reference non-component-minimum docs")
-    labels.select(col("__node").as(idCol), col("rep_id"))
-      .withColumn("is_dup", (col("rep_id") =!= col(idCol)).cast("int"))
+    for ((a, b) <- it) {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      // record endpoints so isolated-in-this-partition nodes still emit
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    }
+    parent.keysIterator.map(n => (n, find(n))).toSeq.iterator
   }
 
   /** Degeneracy gate (the ann_*_exhaustive trick): ONE band spanning the

@@ -119,8 +119,14 @@ object ModelStore {
     lock.synchronized {
       val data = s"$p/vectors"
       if (!marker(p).exists()) {
+        // same temp-dir + atomic-rename discipline as tableOrCompute
+        val tmp = s"$p/vectors.tmp-${System.nanoTime()}"
         compute.toDF("grp", "idx", "vec")
-          .coalesce(1).write.mode("overwrite").parquet(data)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        rmTree(new File(data))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(data),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         if (!marker(p).createNewFile())
           sys.error(s"ModelStore: could not commit marker for $p")
       }
@@ -147,12 +153,27 @@ object ModelStore {
     lock.synchronized {
       val data = s"$p/table"
       if (!marker(p).exists()) {
-        compute.write.mode("overwrite").parquet(data)
+        // temp dir + atomic rename (the VersionedTable discipline): the
+        // JVM-local lock cannot order a CONCURRENT PROCESS's read against
+        // this write, but after the move a reader can only ever observe a
+        // complete artifact dir — never a half-written parquet
+        val tmp = s"$p/table.tmp-${System.nanoTime()}"
+        compute.write.mode("overwrite").parquet(tmp)
+        rmTree(new File(data)) // a crashed prior writer's partial output
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(data),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         if (!marker(p).createNewFile())
           sys.error(s"ModelStore: could not commit marker for $p")
       }
       spark.read.parquet(data)
     }
+  }
+
+  private def rmTree(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmTree)
+    f.delete(); ()
   }
 
   /** Drop a persisted model (specs use this to force a refit). */

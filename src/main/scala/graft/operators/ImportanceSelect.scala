@@ -41,9 +41,16 @@ object ImportanceSelect {
 
   /** Per-doc importance + deterministic acceptance. `isTarget` marks
     * the in-domain sample rows. Returns (doc_id, n_tokens,
-    * importance_micros, selected). */
+    * importance_micros, selected). `idCol` must be an INTEGRAL column:
+    * the acceptance draw is the portableBucket LCG over `id % 100003`,
+    * which has no meaning for strings — hash such ids first (e.g.
+    * xxhash64, mirrored in the oracle) before calling. */
   def importanceSelect(docs: DataFrame, idCol: String, textCol: String,
                        isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val idType = docs.schema(idCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(idType.typeName),
+      s"importanceSelect: idCol '$idCol' must be integral (got $idType) — " +
+        "the portableBucket acceptance draw is modular integer arithmetic")
     val words = docs
       .select(col(idCol), isTarget.as("__tgt"),
         explode(split(col(textCol), "\\s+")).as("__w"))

@@ -93,4 +93,105 @@ object Zorder {
     s"""SELECT l_orderkey, l_linenumber, l_partkey,
        |  ${zvalueSql(Seq("l_orderkey", "l_partkey"), bits = 20)} AS zvalue
        |FROM lineitem""".stripMargin
+
+  // ---- z-order × zone-map: the layout actually pays on BOTH keys ----
+
+  /** Exact RANK buckets (skew-robust, unlike [[cluster]]'s min/max
+    * linear grid): bucket(v) = ⌊rank_start(v)·B / n⌋ over the
+    * distinct-value histogram — every row of a value lands in one
+    * bucket, deterministically, on any engine. The cumulative count
+    * runs through [[SaltedCumSum]] (two-phase, no corpus-wide window). */
+  def rankBuckets(df: DataFrame, valueCol: String, b: Int): DataFrame = {
+    val hist = df.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cum = SaltedCumSum(hist, partCols = Seq.empty,
+      orderCols = Seq(col("__v")), valueCol = "__cnt",
+      saltCol = expr("CAST(__v AS BIGINT) DIV 1000"), out = "__cum")
+    val total = hist.agg(sum("__cnt").as("__tot"))
+    cum.crossJoin(broadcast(total))
+      // SaltedCumSum carries the cumsum as a double (exact to 2^53 —
+      // the TokenPack discipline); land it back in BIGINT before the
+      // bucket arithmetic
+      .select(col("__v"),
+        expr(s"((CAST(__cum AS BIGINT) - __cnt) * $b) div __tot").as("__bucket"))
+  }
+
+  /** The multi-column clustering id the versioned-table OPTIMIZE flow
+    * wants (the lakehouse `OPTIMIZE ... ZORDER BY (k1, k2)` semantics,
+    * re-expressed portable): interleave the two keys' 4-bit RANK
+    * buckets into one 0..255 range id; `repartitionByRange` on it and
+    * write, and every file's zone map is tight in BOTH keys. */
+  def rangeIds(df: DataFrame, c1: String, c2: String,
+               bits: Int = 4): DataFrame = {
+    val b = 1 << bits
+    val b1 = rankBuckets(df, c1, b)
+      .select(col("__v").as(c1), col("__bucket").as("__b1"))
+    val b2 = rankBuckets(df, c2, b)
+      .select(col("__v").as(c2), col("__bucket").as("__b2"))
+    df.join(b1, c1).join(b2, c2)
+      .withColumn("range_id", zvalue(Seq(col("__b1"), col("__b2")), bits))
+      .drop("__b1", "__b2")
+  }
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** Gated instance: lineitem range-ids over (l_orderkey, l_partkey)
+    * rank buckets, zone-map audited for a selective range predicate on
+    * EACH key — the audit proves both predicates prune zones under the
+    * one interleaved layout (a single-key sort prunes only its own
+    * key; ZorderZonemapSpec pins the physical files-skipped version). */
+  def zorderZonemap(spark: SparkSession, dir: String): DataFrame = {
+    val z = rangeIds(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey")
+      .localCheckpoint() // audited twice, one zone id computation
+    val byOrder = graft.sources.ZoneMap.pruneAudit(z, col("range_id"),
+        col("l_orderkey"), lo = 0L, hi = 1000L)
+      .withColumn("dim", lit("l_orderkey"))
+    val byPart = graft.sources.ZoneMap.pruneAudit(z, col("range_id"),
+        col("l_partkey"), lo = 0L, hi = 50L)
+      .withColumn("dim", lit("l_partkey"))
+    byOrder.unionByName(byPart)
+      .select("dim", "zone", "n_rows", "zmin", "zmax", "scanned",
+        "n_matched", "zones_total", "zones_scanned", "rows_total",
+        "rows_scanned", "rows_matched")
+  }
+
+  private def bucketCte(name: String, c: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT v, ((cum - cnt) * 16) // tot AS b FROM (
+       |    SELECT v, cnt,
+       |      SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+       |      SUM(cnt) OVER () AS tot
+       |    FROM (SELECT $c AS v, CAST(count(*) AS BIGINT) AS cnt
+       |          FROM lineitem GROUP BY 1) h) w)""".stripMargin
+
+  private def auditSql(dim: String, lo: Long, hi: Long): String =
+    s"""SELECT '$dim' AS dim, zone, n_rows, zmin, zmax,
+       |  zmin <= $hi AND zmax >= $lo AS scanned, n_matched,
+       |  CAST(count(*) OVER () AS BIGINT) AS zones_total,
+       |  CAST(sum(CASE WHEN zmin <= $hi AND zmax >= $lo THEN 1 ELSE 0 END)
+       |    OVER () AS BIGINT) AS zones_scanned,
+       |  CAST(sum(n_rows) OVER () AS BIGINT) AS rows_total,
+       |  CAST(coalesce(sum(CASE WHEN zmin <= $hi AND zmax >= $lo
+       |    THEN n_rows END) OVER (), 0) AS BIGINT) AS rows_scanned,
+       |  CAST(sum(n_matched) OVER () AS BIGINT) AS rows_matched
+       |FROM (
+       |  SELECT range_id AS zone, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(min($dim) AS BIGINT) AS zmin, CAST(max($dim) AS BIGINT) AS zmax,
+       |    CAST(sum(CASE WHEN $dim BETWEEN $lo AND $hi THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_matched
+       |  FROM z GROUP BY 1) a""".stripMargin
+
+  def zonemapOracleSql: String =
+    "WITH " + bucketCte("ob", "l_orderkey") + ",\n" +
+      bucketCte("pb", "l_partkey") + ",\n" +
+      s"""z AS MATERIALIZED (
+         |  SELECT l.l_orderkey, l.l_partkey,
+         |    ${zvalueSql(Seq("ob.b", "pb.b"), bits = 4)} AS range_id
+         |  FROM lineitem l
+         |  JOIN ob ON ob.v = l.l_orderkey
+         |  JOIN pb ON pb.v = l.l_partkey)""".stripMargin + "\n" +
+      auditSql("l_orderkey", 0L, 1000L) + "\nUNION ALL\n" +
+      auditSql("l_partkey", 0L, 50L)
 }

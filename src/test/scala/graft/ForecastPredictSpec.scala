@@ -89,9 +89,14 @@ class ForecastPredictSpec extends SparkSpec {
           if (t.taskMetrics != null)
             records.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
       }
+      // drain the async bus BEFORE installing (a late event from the
+      // cold run must not leak into the hit window) and after the work
+      org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext, 30000)
       spark.sparkContext.addSparkListener(listener)
-      try { work; Thread.sleep(500) } // listener bus is async
-      finally spark.sparkContext.removeSparkListener(listener)
+      try {
+        work
+        org.apache.spark.graftbridge.BusDrain.drain(spark.sparkContext, 30000)
+      } finally spark.sparkContext.removeSparkListener(listener)
       records.get()
     }
     ModelStore.invalidate(ForecastPredict.storeKey(sfDir))
