@@ -115,6 +115,8 @@ object SparkEntry {
     "row_serialize"         -> (Serialize.rowSerializeOrders(_, _)),
     "decontaminate"         -> (Decontaminate.decontaminateDocuments(_, _)),
     "curation_pipeline"     -> (graft.operators.CurationPipeline.curationPipelineDocs(_, _)),
+    "curation_trace"        -> (graft.operators.CurationPipeline.curationTraceDocs(_, _)),
+    "ctx_truncation"        -> (graft.functions.BpeEncode.ctxTruncationDocs(_, _)),
     "submix_temperature"    -> (Sampling.submixTemperatureDocuments(_, _)),
     "colnames_camel"        -> (ColumnNames.colnamesCamelOrders(_, _)),
     "submix_sample"         -> (Sampling.submixDocuments(_, _)),
@@ -810,6 +812,8 @@ object SparkEntry {
     "row_serialize"         -> Serialize.oracleSql,
     "decontaminate"         -> Decontaminate.oracleSql,
     "curation_pipeline"     -> graft.operators.CurationPipeline.oracleSql,
+    "curation_trace"        -> graft.operators.CurationPipeline.traceOracleSql,
+    "ctx_truncation"        -> graft.functions.BpeEncode.ctxTruncationOracleSql,
     "submix_temperature"    -> Sampling.submixTemperatureOracleSql,
     "colnames_camel"        -> ColumnNames.oracleSql,
     "submix_sample"         -> Sampling.oracleSql,

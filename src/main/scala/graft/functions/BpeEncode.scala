@@ -104,6 +104,28 @@ object BpeEncode {
         "doc_id", "n_tokens", budget = 512L)
       .select("doc_id", "n_tokens", "pack_id", "pack_offset")
 
+  /** Context-length truncation/padding audit at `ctxLen`, the
+    * per-example accounting behind the reference's
+    * `padding='max_length', truncation=True, max_length=ctx_len`
+    * tokenizer call (/root/reference/MachineLearning/Ray/zephyr/
+    * daily_eval.py:173-176): kept/dropped/pad token counts and the
+    * window utilization in exact permille — the batch-shape / waste
+    * report every fixed-window serving loop needs. Map-side arithmetic
+    * over the encode output. */
+  def ctxTruncation(encoded: DataFrame, ctxLen: Long): DataFrame =
+    encoded.select(col("doc_id"), col("n_tokens"),
+      least(col("n_tokens"), lit(ctxLen)).as("tokens_kept"),
+      greatest(col("n_tokens") - ctxLen, lit(0L)).as("tokens_dropped"),
+      greatest(lit(ctxLen) - col("n_tokens"), lit(0L)).as("pad_tokens"),
+      (col("n_tokens") > ctxLen).as("truncated"),
+      expr(s"(1000 * least(n_tokens, $ctxLen)) div $ctxLen")
+        .as("utilization_permille"))
+
+  val GatedCtxLen = 256L
+
+  def ctxTruncationDocs(spark: SparkSession, dir: String): DataFrame =
+    ctxTruncation(bpeEncodeDocs(spark, dir), GatedCtxLen)
+
   // ---- oracle: k unrolled learn+apply rounds over the wrapped vocab ----
 
   /** Each vocab word rides as chr(1)‖sym‖chr(2) boundary-wrapped
@@ -176,6 +198,17 @@ object BpeEncode {
   def vocabOracleSql: String =
     "WITH " + oracleEncChain(GatedK) +
       "\nSELECT w, freq, n_toks, toks FROM enc"
+
+  def ctxTruncationOracleSql: String =
+    "WITH " + oracleEncChain(GatedK) + ",\n" + docJoinSql + "\n" +
+      s"""SELECT doc_id, n_tokens,
+         |  least(n_tokens, $GatedCtxLen) AS tokens_kept,
+         |  greatest(n_tokens - $GatedCtxLen, 0) AS tokens_dropped,
+         |  greatest($GatedCtxLen - n_tokens, 0) AS pad_tokens,
+         |  n_tokens > $GatedCtxLen AS truncated,
+         |  (1000 * least(n_tokens, $GatedCtxLen)) // $GatedCtxLen
+         |    AS utilization_permille
+         |FROM perdoc""".stripMargin
 
   def tokenPackOracleSql: String =
     "WITH " + oracleEncChain(GatedK) + ",\n" + docJoinSql + ",\n" +

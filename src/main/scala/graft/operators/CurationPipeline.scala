@@ -107,16 +107,40 @@ object CurationPipeline {
     }.toSeq.toDF("stage_rank", "stage", "n_in", "n_kept", "n_dropped")
   }
 
-  // ---- query-map entry (hash-gated) ----
+  // ---- query-map entries (hash-gated) ----
 
   def curationPipelineDocs(spark: SparkSession, dir: String): DataFrame =
     accounting(Tables.documents(spark, dir)
       .select("doc_id", "text", "source", "lang"))
 
+  /** Per-document drop attribution: the FIRST stage that dropped each
+    * doc (or 'kept') — the lineage answer a curation run owes its
+    * operators ("why is doc X missing from the training mix?"). Seven
+    * left semi-flags over the stage survivor frames, first-null wins;
+    * entirely reuses [[stageFrames]]'s checkpointed stages. */
+  def trace(docs: DataFrame): DataFrame = {
+    val frames = stageFrames(docs)
+    val base = frames.head._2
+    val flagged = frames.tail.zipWithIndex.foldLeft(
+        base.select("doc_id")) { case (acc, ((name, df), i)) =>
+      acc.join(df.select(col("doc_id"), lit(true).as(s"__in$i")),
+        Seq("doc_id"), "left")
+    }
+    val stageNames = frames.tail.map(_._1)
+    val firstDrop = stageNames.indices.foldRight(lit("kept"): org.apache.spark.sql.Column) {
+      case (i, acc) => when(col(s"__in$i").isNull, lit(stageNames(i))).otherwise(acc)
+    }
+    flagged.select(col("doc_id"), firstDrop.as("stage_dropped"))
+  }
+
+  def curationTraceDocs(spark: SparkSession, dir: String): DataFrame =
+    trace(Tables.documents(spark, dir)
+      .select("doc_id", "text", "source", "lang"))
+
   /** Every stage CTE is the sibling gate's SQL re-anchored on the
     * previous stage (anchors in the scaladoc above); MATERIALIZED
-    * throughout. */
-  def oracleSql: String = {
+    * throughout. Shared by the accounting and trace oracles. */
+  private def oracleStageCtes: String = {
     val stages =
       s"""base AS MATERIALIZED (
          |  SELECT doc_id, text, source, lang FROM documents),
@@ -212,6 +236,10 @@ object CurationPipeline {
          |  SELECT i.* FROM s5 i JOIN mf USING (lang)
          |  WHERE ((doc_id % 100003) * 1103515245 + 12345) % 1000000 < thr),
          |s7 AS MATERIALIZED (SELECT * FROM s6)""".stripMargin
+    stages
+  }
+
+  def oracleSql: String = {
     val rows = Seq("s1" -> ("base", "quality_floor"),
       "s2" -> ("s1", "dedup_exact"), "s3" -> ("s2", "substring_cut"),
       "s4" -> ("s3", "decontaminate"), "s5" -> ("s4", "importance_select"),
@@ -222,6 +250,18 @@ object CurationPipeline {
          |  (SELECT count(*) FROM $out) AS n_kept,
          |  (SELECT count(*) FROM $in) - (SELECT count(*) FROM $out) AS n_dropped""".stripMargin
     }.mkString("\nUNION ALL\n")
-    "WITH " + stages + "\n" + sel
+    "WITH " + oracleStageCtes + "\n" + sel
   }
+
+  def traceOracleSql: String =
+    "WITH " + oracleStageCtes + "\n" +
+      """SELECT b.doc_id,
+        |  CASE WHEN b.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'quality_floor'
+        |       WHEN b.doc_id NOT IN (SELECT doc_id FROM s2) THEN 'dedup_exact'
+        |       WHEN b.doc_id NOT IN (SELECT doc_id FROM s3) THEN 'substring_cut'
+        |       WHEN b.doc_id NOT IN (SELECT doc_id FROM s4) THEN 'decontaminate'
+        |       WHEN b.doc_id NOT IN (SELECT doc_id FROM s5) THEN 'importance_select'
+        |       WHEN b.doc_id NOT IN (SELECT doc_id FROM s6) THEN 'submix_temperature'
+        |       ELSE 'kept' END AS stage_dropped
+        |FROM base b""".stripMargin
 }

@@ -34,6 +34,39 @@ class CurationPipelineSpec extends SparkSpec {
     assert(fin < corpus && fin > 0)
   }
 
+  test("trace: per-doc drop attribution ties out against the accounting") {
+    val acc = CurationPipeline.curationPipelineDocs(spark, sfDir)
+      .as[(Int, String, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._5).toMap
+    val trace = CurationPipeline.curationTraceDocs(spark, sfDir)
+      .groupBy("stage_dropped").count()
+      .as[(String, Long)].collect().toMap
+    acc.foreach { case (stage, nDropped) =>
+      assert(trace.getOrElse(stage, 0L) == nDropped,
+        s"trace count for $stage must equal the accounting's n_dropped")
+    }
+    // kept count = final survivors
+    val fin = CurationPipeline.curationPipelineDocs(spark, sfDir)
+      .orderBy(desc("stage_rank")).limit(1)
+      .select("n_kept").as[Long].head()
+    assert(trace("kept") == fin)
+  }
+
+  test("ctx_truncation: kept+dropped = n_tokens, pad complements to ctx") {
+    val out = graft.functions.BpeEncode.ctxTruncationDocs(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Boolean, Long)].collect()
+    assert(out.nonEmpty)
+    val ctx = graft.functions.BpeEncode.GatedCtxLen
+    out.foreach { case (_, n, kept, dropped, pad, trunc, util) =>
+      assert(kept + dropped == n)
+      assert(kept + pad >= ctx && (pad == 0 || dropped == 0))
+      assert(trunc == (n > ctx))
+      assert(util == (1000L * kept) / ctx)
+    }
+    // both regimes occur in the corpus at ctx=256
+    assert(out.exists(_._6) && out.exists(!_._6))
+  }
+
   test("inter-stage contracts: dedup before substring, bench fully excluded") {
     val frames = CurationPipeline.stageFrames(
       graft.Tables.documents(spark, sfDir)
