@@ -178,6 +178,7 @@ object SparkEntry {
     "class_weights"         -> (SchemaTools.classWeightsOrders(_, _)),
     "dim_date"              -> (DimDate.dimDate(_, _)),
     "hierarchy_flatten"     -> (Hierarchy.customerHierarchy(_, _)),
+    "bom_explode"           -> (graft.operators.BomExplode.bomExplodeCustomers(_, _)),
     // pointer-jumping connected components, gated against a DuckDB
     // recursive-CTE transitive-closure oracle on the star lineage graph
     "graph_components"      -> (graft.operators.Graph.graphComponents(_, _)),
@@ -856,6 +857,7 @@ object SparkEntry {
     "sketch_distinct_exact"  -> graft.functions.DistinctSketch.oracleSql,
     "audience_overlap"       -> graft.functions.DistinctSketch.overlapOracleSql,
     "hierarchy_flatten"     -> Hierarchy.oracleSql,
+    "bom_explode"           -> graft.operators.BomExplode.oracleSql,
     "graph_components"      -> graft.operators.Graph.graphComponentsOracleSql,
     "text_tokens"           -> TextFunctions.textTokensOracleSql,
     "pii_redact"            -> graft.functions.TextClean.piiRedactOracleSql,
