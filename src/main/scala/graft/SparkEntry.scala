@@ -140,6 +140,7 @@ object SparkEntry {
     "jsonl_roundtrip"       -> (graft.sources.Formats.jsonlRoundtrip(_, _)),
     "chat_template"         -> (graft.operators.ChatTemplate.chatTemplateDocs(_, _)),
     "json_field_eval"       -> (graft.operators.JsonFieldEval.jsonFieldEvalDocs(_, _)),
+    "eval_experiment_delta" -> (graft.operators.JsonFieldEval.evalExperimentDeltaDocs(_, _)),
     "orc_roundtrip"         -> (graft.sources.Formats.orcRoundtrip(_, _)),
     "csv_roundtrip"         -> (graft.sources.Formats.csvRoundtrip(_, _)),
     "embed_docs"            -> (EmbedDocs.embedDocuments(_, _)),
@@ -830,6 +831,7 @@ object SparkEntry {
     "jsonl_roundtrip"       -> graft.sources.Formats.oracleSql,
     "chat_template"         -> graft.operators.ChatTemplate.oracleSql,
     "json_field_eval"       -> graft.operators.JsonFieldEval.oracleSql,
+    "eval_experiment_delta" -> graft.operators.JsonFieldEval.deltaOracleSql,
     "orc_roundtrip"         -> graft.sources.Formats.oracleSql,
     "csv_roundtrip"         -> graft.sources.Formats.oracleSql,
     // embed_docs: encoder vectors are engine-internal — rows-gated;

@@ -70,6 +70,24 @@ class ChatEvalSpec extends SparkSpec {
     assert(got((1, "all_fields")) == ((2L, 2L, 0L, 0L)))
   }
 
+  test("eval_experiment_delta: fixing the malformed class moves the right fields") {
+    val out = JsonFieldEval.evalExperimentDeltaDocs(spark, sfDir)
+      .as[(String, String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("action", "chimera_type", "all_fields"))
+    out.values.foreach { case (_, a, b, nA, nB, accA, accB, d) =>
+      assert(a == "base" && b == "candidate")
+      assert(nA == nB) // same corpus, both variants score every doc
+      assert(d == accB - accA)
+      assert(accA >= 0 && accA <= 1000 && accB >= 0 && accB <= 1000)
+    }
+    // candidate fixed malformed outputs AND the missing-field class but
+    // regressed a new wrong-Action class: chimera accuracy must IMPROVE
+    // (mod-7 + mod-11 recovered, no new chimera defect)
+    assert(out("chimera_type")._8 > 0L,
+      "chimera_type delta must be positive for the candidate")
+  }
+
   test("json_field_eval gated instance: every defect class fires, permille exact") {
     val out = JsonFieldEval.jsonFieldEvalDocs(spark, sfDir)
       .as[(Int, String, Long, Long, Long, Long)].collect()
