@@ -100,7 +100,12 @@ object BpeEncode {
     * order. */
   def tokenPackBpeDocs(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TokenPack.pack(
-        bpeEncodeDocs(spark, dir).select("doc_id", "n_tokens"),
+        // pin the encode output: the pack's two-phase cumsum reads its
+        // input from BOTH the slice pass and the offset rollup, and the
+        // encode DAG (k learn rounds + the vocab join) must run once,
+        // not once per reference (3x at the 100x replica)
+        bpeEncodeDocs(spark, dir).select("doc_id", "n_tokens")
+          .localCheckpoint(),
         "doc_id", "n_tokens", budget = 512L)
       .select("doc_id", "n_tokens", "pack_id", "pack_offset")
 
