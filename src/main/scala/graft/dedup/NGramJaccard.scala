@@ -57,52 +57,84 @@ object NGramJaccard {
   def hashedShingles(text: Column): Column =
     array_sort(transform(shingles(text), s => xxhash64(s)))
 
-  /** Verified similarity pairs (a_id < b_id) with Jaccard ≥ threshold. */
+  /** Verified similarity pairs (a_id < b_id) with Jaccard ≥ threshold.
+    *
+    * Exact-dup-collapse discipline (the [[SimHashDedup]] move): the
+    * prefix machinery, candidate join, and verification all run over
+    * DISTINCT shingle SETS, never per document — identical texts are
+    * ubiquitous at corpus scale (the r16 100×-replica run, 100 copies
+    * per text, OOM'd the per-doc prefix self-join on the m²·prefixLen
+    * within-cluster blowup). Member expansion happens only at OUTPUT:
+    * cross-set pairs inherit the set pair's verified (n_common,
+    * jaccard); within-set pairs are jaccard-1 by construction. Pair
+    * output for an m-sized identical cluster is still m(m−1)/2 —
+    * intrinsic to the pair contract; component-style callers should
+    * use rep assignment instead. */
   def similarPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
     // one pass computes the hashed shingle sets, materialized once since
-    // the candidate step and the verify step both read it. localCheckpoint
-    // (not cache/persist): checkpoint blocks are released by the
-    // ContextCleaner when the plan is GC'd, so a library caller looping
-    // over corpora doesn't accumulate pinned shingle tables — the same
-    // lifecycle fix MinHashLsh.nearDupPairs got in round 7.
+    // the set collapse and the member expansion both read it.
     val sh = docs.select(col(idCol).as("__id"), hashedShingles(col(textCol)).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .localCheckpoint()
+    // one row per DISTINCT set, keyed by the set itself (exact — a hash
+    // key would merge colliding sets); __sid = min member id
+    val sets = sh.groupBy(col("__sh"))
+      .agg(min(col("__id")).as("__sid"), count(lit(1)).as("__m"))
       .withColumn("__n", size(col("__sh")))
       .localCheckpoint()
 
-    // global shingle document frequencies; re-sort each doc's shingles
+    // global shingle SET-frequencies; re-sort each set's shingles
     // rarest-first and take the prefix from that order
-    val ex = sh.select(col("__id"), col("__n"), explode(col("__sh")).as("__tok"))
+    val ex = sets.select(col("__sid"), col("__n"), explode(col("__sh")).as("__tok"))
     val tokDf = ex.groupBy("__tok").agg(count(lit(1)).as("__df"))
     val prefixLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
     val prefixes = ex.join(tokDf, "__tok")
-      .groupBy("__id")
+      .groupBy("__sid")
       .agg(max("__n").as("__n"),
         sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__ord"))
-      .select(col("__id"), col("__n"),
+      .select(col("__sid"), col("__n"),
         explode(slice(transform(col("__ord"), s => s.getField("__tok")),
           lit(1), prefixLen)).as("__tok"))
 
     // size-compatibility prunes pairs the verify step would reject anyway
     val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id") &&
+        col("a.__tok") === col("b.__tok") && col("a.__sid") < col("b.__sid") &&
           col("b.__n") * lit(threshold) <= col("a.__n") &&
           col("a.__n") * lit(threshold) <= col("b.__n"))
-      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
+      .select(col("a.__sid").as("__sa"), col("b.__sid").as("__sb"))
       .distinct()
 
-    val withSets = cand
-      .join(sh.select(col("__id").as("a_id"), col("__sh").as("__sha")), "a_id")
-      .join(sh.select(col("__id").as("b_id"), col("__sh").as("__shb")), "b_id")
-    val nCommon = size(array_intersect(col("__sha"), col("__shb")))
-    withSets
-      .withColumn("n_common", nCommon.cast("int"))
+    val verified = cand
+      .join(sets.select(col("__sid").as("__sa"), col("__sh").as("__sha")), "__sa")
+      .join(sets.select(col("__sid").as("__sb"), col("__sh").as("__shb")), "__sb")
+      .withColumn("n_common",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("int"))
       .withColumn("jaccard",
         col("n_common").cast("double")
           / (size(col("__sha")) + size(col("__shb")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "n_common", "jaccard")
+      .select(col("__sa"), col("__sb"), col("n_common"), col("jaccard"))
+      .localCheckpoint() // expanded by the member join below
+
+    // membership (set rep -> doc id); cross-set expansion re-normalizes
+    // the id order since members interleave across sets
+    val mem = sh.join(sets.select(col("__sh"), col("__sid")), Seq("__sh"))
+      .select(col("__sid"), col("__id"))
+    val cross = verified
+      .join(mem.select(col("__sid").as("__sa"), col("__id").as("__ida")), "__sa")
+      .join(mem.select(col("__sid").as("__sb"), col("__id").as("__idb")), "__sb")
+      .select(least(col("__ida"), col("__idb")).as("a_id"),
+        greatest(col("__ida"), col("__idb")).as("b_id"),
+        col("n_common"), col("jaccard"))
+    // identical sets: every member pair is jaccard 1 (n_common = |set|)
+    val within = mem.as("a").join(mem.as("b"),
+        col("a.__sid") === col("b.__sid") && col("a.__id") < col("b.__id"))
+      .join(sets.select(col("__sid").as("__ws"), col("__n")),
+        col("a.__sid") === col("__ws"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        col("__n").cast("int").as("n_common"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   // ---- query-map entry (#30) ----

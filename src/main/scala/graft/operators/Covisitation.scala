@@ -109,37 +109,46 @@ object Covisitation {
       col("n_users")))
   }
 
+  /** How many covisit-matrix rows the scoring join will broadcast; a
+    * (item_a, item_b, n_users) row hashes to well under 100 bytes, so
+    * the cap stays inside a few-hundred-MB relation. */
+  val BroadcastCovisitMaxRows = 4000000L
+
   /** Top-K recommendations per user from a capped co-visitation
     * matrix: score(u,j) = Σ_{i ∈ history(u)} n_users(i,j), items
     * already in history excluded, ranked (score DESC, item ASC).
     * Output: (user, item, score, rk ≤ k).
     *
-    * The capped matrix broadcasts by default (|items|·m rows — a
-    * retail-scale catalog fits executor memory and the history scan
-    * then never shuffles for the score join); pass
-    * `broadcastCovisit = false` for catalogs past the broadcast
-    * budget. Per-user top-K is a user-partitioned window rank (see
+    * The broadcast decision is MEASURED, never unconditional: the
+    * matrix is |items|·m rows (catalog-scaled — it fits at retail
+    * scale and outgrows any budget at the r16 100×-replica's catalog,
+    * where the old unconditional hint OOM'd), so the matrix row count
+    * — one cheap scan of the caller's checkpointed frame — picks
+    * broadcast fan-out vs a plain shuffle join on the item key. AQE
+    * cannot make this call here: localCheckpoint hides size stats, so
+    * an un-hinted plan stays sort-merge even at gate SF (the r16
+    * interim regression). The already-seen anti join is never
+    * broadcast: `scored` leaves the aggregate already partitioned by
+    * (u, j), so the anti join only shuffles the history-sized probe
+    * side. Per-user top-K is a user-partitioned window rank (see
     * [[covisitTopM]] for why the window beats the bounded udaf). */
   def recommend(history: DataFrame, covisit: DataFrame,
-                userCol: String, itemCol: String, k: Int,
-                broadcastCovisit: Boolean = true): DataFrame = {
+                userCol: String, itemCol: String, k: Int): DataFrame = {
     val hist = history
       .select(col(userCol).as("u"), col(itemCol).cast("long").as("i"))
       .distinct()
-    val cov = if (broadcastCovisit) broadcast(covisit) else covisit
-    // under the same broadcast budget, ship the history to the
-    // already-seen anti join too: a shuffled anti join repartitions the
-    // |history|·M candidate fan-out a second time for a dimension-sized
-    // probe side
-    val seen = hist.withColumnRenamed("i", "j")
-    val anti = if (broadcastCovisit) broadcast(seen) else seen
-    // colocate each user's history BEFORE the broadcast fan-out: the
-    // per-(u,j) partial aggregate then collapses the |history(u)|·M
-    // candidate explosion inside the map task (history rows arrive
-    // hash-scattered by (u,i) from the distinct), so the (u,j) shuffle
-    // carries candidates, not candidate-occurrences
-    val scored = hist.repartition(col("u"))
-      .join(cov, hist("i") === cov("item_a"))
+    val doBroadcast = covisit.count() <= BroadcastCovisitMaxRows
+    val anti = hist.withColumnRenamed("i", "j")
+    // broadcast path: colocate each user's history BEFORE the fan-out —
+    // the per-(u,j) partial aggregate then collapses the |history(u)|·M
+    // candidate explosion inside the map task. Shuffle path: plain
+    // item-key join; the (u,j) aggregate shuffle bounds what moves.
+    val joined =
+      if (doBroadcast)
+        hist.repartition(col("u"))
+          .join(broadcast(covisit), hist("i") === covisit("item_a"))
+      else hist.join(covisit, hist("i") === covisit("item_a"))
+    val scored = joined
       .groupBy(col("u"), col("item_b").as("j"))
       .agg(sum(col("n_users")).as("score"))
       .join(anti, Seq("u", "j"), "left_anti")
@@ -220,10 +229,12 @@ object Covisitation {
 
   private def purchases(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-      // orders is the 1/4-size dimension side here: broadcast it so the
-      // lineitem scan never shuffles for this join
-      .join(broadcast(Tables.orders(spark, dir)
-        .select("o_orderkey", "o_custkey", "o_orderdate")),
+      // orders is the 1/4-size side but still FACT-scaled — no
+      // broadcast hint; AQE broadcasts it at gate SF and shuffle-joins
+      // once it outgrows the budget (it OOM'd hinted at the 100×
+      // replica)
+      .join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("item"),
         col("o_orderdate").as("d"))
