@@ -414,6 +414,9 @@ object SparkEntry {
     "linreg_normal_eq"      -> (graft.ml.LinReg.linregLineitem(_, _)),
     // ridge shrinkage path over the same Gram sums; c=0 row == OLS
     "ridge_normal_eq"       -> (graft.ml.Ridge.ridgeLineitem(_, _)),
+    // closed-form linear SHAP: mean-|phi| feature ranking + probe-row
+    // explanation, two corpus scans total (the SHAP-demo readout)
+    "linear_shap"           -> (graft.ml.LinearShap.shapLineitem(_, _)),
     // pairwise Welch t² in staged exact-integer quantization
     "welch_t"               -> (graft.operators.WelchT.welchReturnflag(_, _)),
     // interval UNION per key: the other sweep next to peak_concurrency
@@ -947,6 +950,7 @@ object SparkEntry {
     "session_paths"         -> graft.operators.SessionPaths.oracleSql,
     "linreg_normal_eq"      -> graft.ml.LinReg.oracleSql,
     "ridge_normal_eq"       -> graft.ml.Ridge.oracleSql,
+    "linear_shap"           -> graft.ml.LinearShap.oracleSql,
     "welch_t"               -> graft.operators.WelchT.oracleSql,
     "interval_islands"      -> graft.operators.Intervals.islandsOracleSql,
     "glove_cooccur"         -> graft.functions.NgramStats.gloveOracleSql,

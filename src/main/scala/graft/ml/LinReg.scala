@@ -38,13 +38,13 @@ import graft.Tables
   */
 object LinReg {
 
-  /** Fit y ≈ b0 + b1·x1 + b2·x2 from integer-scaled columns and return
-    * ONE row: (n, b0_micros, b1_micros, b2_micros, yhat_probe_micros),
-    * the last being the fitted prediction at (`probeX1`, `probeX2`) —
-    * a fixed probe point that makes the solved plane legible in the
-    * output. Collinear inputs (det = 0) yield NULL coefficients. */
-  def fitTwoFeature(df: DataFrame, y: Column, x1: Column, x2: Column,
-                    probeX1: Long, probeX2: Long): DataFrame = {
+  /** The sufficient-statistics row + Cramer solve, exposed so siblings
+    * (e.g. [[LinearShap]]) can reuse the fitted coefficients TOGETHER
+    * with the raw sums (n, s1, s2 are the means' exact numerators):
+    * one row carrying n, the DECIMAL(38,0) sums, and
+    * b0/b1/b2_micros. Collinear inputs (det = 0) yield NULL
+    * coefficients. */
+  def sumsAndSolve(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
     val sums = df.select(y.as("__y"), x1.as("__x1"), x2.as("__x2"))
       .agg(count(lit(1)).as("n"),
         sum("__x1").as("s1"), sum("__x2").as("s2"), sum("__y").as("sy"),
@@ -60,7 +60,7 @@ object LinReg {
         d.withColumn(s"${c}d", col(c).cast("decimal(38,0)"))
       }
     dec.selectExpr(
-      "n",
+      "n", "s1d", "s2d",
       // det of the symmetric normal matrix [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
       """(nd * (s11d * s22d - s12d * s12d)
          - s1d * (s1d * s22d - s12d * s2d)
@@ -77,10 +77,21 @@ object LinReg {
          - s1d * (s1d * s2yd - s1yd * s2d)
          + syd * (s1d * s12d - s11d * s2d)) AS det2""")
       .selectExpr(
-        "n",
+        "n", "s1d", "s2d",
         "CASE WHEN det <> 0 THEN (det0 * 1000000) div det END AS b0_micros",
         "CASE WHEN det <> 0 THEN (det1 * 1000000) div det END AS b1_micros",
         "CASE WHEN det <> 0 THEN (det2 * 1000000) div det END AS b2_micros")
+  }
+
+  /** Fit y ≈ b0 + b1·x1 + b2·x2 from integer-scaled columns and return
+    * ONE row: (n, b0_micros, b1_micros, b2_micros, yhat_probe_micros),
+    * the last being the fitted prediction at (`probeX1`, `probeX2`) —
+    * a fixed probe point that makes the solved plane legible in the
+    * output. Collinear inputs (det = 0) yield NULL coefficients. */
+  def fitTwoFeature(df: DataFrame, y: Column, x1: Column, x2: Column,
+                    probeX1: Long, probeX2: Long): DataFrame = {
+    sumsAndSolve(df, y, x1, x2)
+      .select(col("n"), col("b0_micros"), col("b1_micros"), col("b2_micros"))
       .withColumn("yhat_probe_micros",
         col("b0_micros") + lit(probeX1) * col("b1_micros")
           + lit(probeX2) * col("b2_micros"))
