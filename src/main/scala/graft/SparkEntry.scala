@@ -92,6 +92,9 @@ object SparkEntry {
     "holt_winters_backtest" -> (graft.operators.HoltWinters.holtWintersEvents(_, _)),
     // Theta method (SES + half-OLS-drift) in integer fixed-point
     "theta_backtest"        -> (graft.operators.Theta.thetaEvents(_, _)),
+    // AR(2) via closed-form Yule-Walker on the same series — the
+    // autoregressive leg of the model zoo, exact integer micros
+    "yule_walker_ar2"       -> (graft.operators.YuleWalker.yuleWalkerEvents(_, _)),
     // AutoETS-style per-series model selection over the three exact models
     "auto_forecast"         -> (graft.operators.AutoForecast.autoForecastEvents(_, _)),
     "forecast_cv_leaderboard" -> (graft.operators.ForecastCv.forecastCvEvents(_, _)),
@@ -793,6 +796,7 @@ object SparkEntry {
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,
     "holt_winters_backtest" -> graft.operators.HoltWinters.oracleSql,
     "theta_backtest"        -> graft.operators.Theta.oracleSql,
+    "yule_walker_ar2"       -> graft.operators.YuleWalker.oracleSql,
     "auto_forecast"         -> graft.operators.AutoForecast.oracleSql,
     "forecast_cv_leaderboard" -> graft.operators.ForecastCv.oracleSql,
     "gbt_stump"             -> graft.ml.GbtStump.oracleSql,
