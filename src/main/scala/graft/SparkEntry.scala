@@ -81,6 +81,9 @@ object SparkEntry {
     "group_split"           -> (FeaturePipeline.groupSplitEvents(_, _)),
     // interval join as day-bucketed equi-join (no nested-loop fallback)
     "range_join"            -> (graft.operators.RangeJoin.rangeJoinEvents(_, _)),
+    // interval-OVERLAP join via calendar tiling + first-overlap-bucket
+    // dedup: cross-product semantics at linear shuffle cost
+    "interval_overlap_join" -> (graft.operators.IntervalJoin.maintenanceOverlap(_, _)),
     // bloom pre-filter + residual semi join == plain semi join (FN-free)
     "bloom_prune_join"      -> (graft.operators.BloomPrune.bloomPruneLineitem(_, _)),
     // split-conformal calibration: order-statistic threshold + coverage
@@ -791,6 +794,7 @@ object SparkEntry {
     "impute_median"         -> FeaturePipeline.imputeMedianOracleSql,
     "group_split"           -> FeaturePipeline.groupSplitOracleSql,
     "range_join"            -> graft.operators.RangeJoin.oracleSql,
+    "interval_overlap_join" -> graft.operators.IntervalJoin.oracleSql,
     "bloom_prune_join"      -> graft.operators.BloomPrune.oracleSql,
     "conformal_calibrate"   -> graft.operators.Conformal.oracleSql,
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,
