@@ -84,6 +84,8 @@ object SparkEntry {
     // interval-OVERLAP join via calendar tiling + first-overlap-bucket
     // dedup: cross-product semantics at linear shuffle cost
     "interval_overlap_join" -> (graft.operators.IntervalJoin.maintenanceOverlap(_, _)),
+    // ordered JSON combine per sequence + last-wins dict merge
+    "json_merge_agg"        -> (graft.operators.JsonMerge.jsonMergeEvents(_, _)),
     // bloom pre-filter + residual semi join == plain semi join (FN-free)
     "bloom_prune_join"      -> (graft.operators.BloomPrune.bloomPruneLineitem(_, _)),
     // split-conformal calibration: order-statistic threshold + coverage
@@ -795,6 +797,7 @@ object SparkEntry {
     "group_split"           -> FeaturePipeline.groupSplitOracleSql,
     "range_join"            -> graft.operators.RangeJoin.oracleSql,
     "interval_overlap_join" -> graft.operators.IntervalJoin.oracleSql,
+    "json_merge_agg"        -> graft.operators.JsonMerge.oracleSql,
     "bloom_prune_join"      -> graft.operators.BloomPrune.oracleSql,
     "conformal_calibrate"   -> graft.operators.Conformal.oracleSql,
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,
