@@ -322,6 +322,9 @@ object SparkEntry {
     "table_merge_pruned"    -> (graft.sources.VersionedTable.tableMergePruned(_, _)),
     // merge-on-read row deletes via deletion vectors, compaction materializes
     "table_dv_delete"       -> (graft.sources.VersionedTable.tableDvDelete(_, _)),
+    // retention vacuum: fence + physical delete + surviving snapshots
+    // re-read from disk, file accounting in the hashed output
+    "table_vacuum"          -> (graft.sources.VersionedTable.tableVacuum(_, _)),
     // valid-time x transaction-time grid over a versioned SCD2 dim
     "bitemporal_lookup"     -> (graft.operators.Bitemporal.bitemporalOrders(_, _)),
     // event-sequence behavioral stats: lead-window transition pairs;
@@ -930,6 +933,7 @@ object SparkEntry {
     "table_checkpoint"      -> graft.sources.VersionedTable.checkpointOracleSql,
     "table_merge_pruned"    -> graft.sources.VersionedTable.mergePrunedOracleSql,
     "table_dv_delete"       -> graft.sources.VersionedTable.dvDeleteOracleSql,
+    "table_vacuum"          -> graft.sources.VersionedTable.vacuumOracleSql,
     "bitemporal_lookup"     -> graft.operators.Bitemporal.oracleSql,
     "markov_transitions"    -> graft.operators.BehaviorStats.markovOracleSql,
     "decay_user_value"      -> graft.operators.BehaviorStats.decayOracleSql,

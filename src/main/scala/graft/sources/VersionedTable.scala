@@ -1341,4 +1341,71 @@ object VersionedTable {
       |UNION ALL SELECT CAST(1 AS BIGINT), * FROM agg1
       |UNION ALL SELECT CAST(2 AS BIGINT), * FROM agg2
       |UNION ALL SELECT CAST(3 AS BIGINT), * FROM agg2""".stripMargin
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** Gated vacuum instance — the retention flow the reference's
+    * autocompact job implies (DataEngineering/DataBricks/
+    * autocompact_delta.py: OPTIMIZE + VACUUM keeps a Delta table's
+    * file count and history bounded): a 4-version table built ONLY
+    * from single-group commits (append g0 / append g1 / overwrite g2
+    * / append g3 — exactly one data dir each, so the file accounting
+    * is provable in SQL), then `vacuum(retainVersions = 2)`. The gate
+    * pins, per version: the fence (v0/v1 must FAIL the read — their
+    * groups are gone), the surviving snapshots' exact aggregates
+    * (v2/v3 read from disk AFTER deletion — any live-set resolution
+    * error surfaces as a broken hash), and the physical dir
+    * accounting (2 live, 2 deleted) carried on every row. */
+  def tableVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_vtable_vac_${math.abs(dir.hashCode.toLong)}").toString
+    fs(spark, table).delete(new Path(table), true)
+    val o = ordersFrame(spark, dir)
+    val d95 = lit("1995-01-01").cast("date")
+    val d97 = lit("1997-01-01").cast("date")
+    val d98 = lit("1998-01-01").cast("date")
+    append(spark, table, o.filter(col("d") < d95))
+    append(spark, table, o.filter(col("d") >= d95 && col("d") < d97))
+    overwrite(spark, table, o.filter(col("d") >= d97 && col("d") < d98))
+    append(spark, table, o.filter(col("d") >= d98))
+    val deleted = vacuum(spark, table, retainVersions = 2, minAgeMillis = 0L)
+    val liveDirs = fs(spark, table).listStatus(dataDir(table)).length
+    val rows = (0L to 3L).map { v =>
+      val agg = try {
+        val r = readVersion(spark, table, v)
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("cents").cast("long").as("s")).collect()(0)
+        Some((r.getLong(0), r.getLong(1)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+      (v, if (agg.isDefined) 1 else 0,
+        agg.map(_._1), agg.map(_._2))
+    }
+    import spark.implicits._
+    rows.toDF("version", "readable", "n_rows", "sum_cents")
+      .withColumn("n_live_dirs", lit(liveDirs))
+      .withColumn("n_deleted_dirs", lit(deleted.length))
+  }
+
+  def vacuumOracleSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(o_orderdate AS DATE) AS d
+      |  FROM orders
+      |), v2 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+      |  FROM o WHERE d >= DATE '1997-01-01' AND d < DATE '1998-01-01'
+      |), v3 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+      |  FROM o WHERE d >= DATE '1997-01-01'
+      |)
+      |SELECT CAST(0 AS BIGINT) AS version, 0 AS readable,
+      |  CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS sum_cents,
+      |  2 AS n_live_dirs, 2 AS n_deleted_dirs
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 2, 2
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 1, n, s, 2, 2 FROM v2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 1, n, s, 2, 2 FROM v3""".stripMargin
 }

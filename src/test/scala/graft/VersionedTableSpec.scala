@@ -407,4 +407,13 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == Set((1L, 10L, None), (2L, 20L, Some("x")),
       (3L, 30L, None)))
   }
+
+  test("gated vacuum instance: fence pattern, accounting, survivors re-read") {
+    val all = VersionedTable.tableVacuum(spark, sfDir).collect()
+    val rows = all.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(0, 0, 1, 1),
+      "v0/v1 fenced, v2/v3 readable")
+    assert(all.forall(r => r.getInt(4) == 2 && r.getInt(5) == 2),
+      "2 live dirs survive, 2 deleted")
+  }
 }
