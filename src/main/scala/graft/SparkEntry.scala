@@ -86,6 +86,9 @@ object SparkEntry {
     "interval_overlap_join" -> (graft.operators.IntervalJoin.maintenanceOverlap(_, _)),
     // ordered JSON combine per sequence + last-wins dict merge
     "json_merge_agg"        -> (graft.operators.JsonMerge.jsonMergeEvents(_, _)),
+    // sentinel->NULL + per-feature attention masks + typed fill (the
+    // masked-tabular-transformer prep), one map-side projection
+    "feature_attnmask"      -> (graft.operators.AttnMask.attnMaskCustomer(_, _)),
     // bloom pre-filter + residual semi join == plain semi join (FN-free)
     "bloom_prune_join"      -> (graft.operators.BloomPrune.bloomPruneLineitem(_, _)),
     // split-conformal calibration: order-statistic threshold + coverage
@@ -801,6 +804,7 @@ object SparkEntry {
     "range_join"            -> graft.operators.RangeJoin.oracleSql,
     "interval_overlap_join" -> graft.operators.IntervalJoin.oracleSql,
     "json_merge_agg"        -> graft.operators.JsonMerge.oracleSql,
+    "feature_attnmask"      -> graft.operators.AttnMask.oracleSql,
     "bloom_prune_join"      -> graft.operators.BloomPrune.oracleSql,
     "conformal_calibrate"   -> graft.operators.Conformal.oracleSql,
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,
