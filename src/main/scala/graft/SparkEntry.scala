@@ -89,6 +89,9 @@ object SparkEntry {
     // sentinel->NULL + per-feature attention masks + typed fill (the
     // masked-tabular-transformer prep), one map-side projection
     "feature_attnmask"      -> (graft.operators.AttnMask.attnMaskCustomer(_, _)),
+    // t-closeness: ordinal EMD of each QI cell's sensitive distribution
+    // vs global, exact integer micros (completes the k/l/Mondrian/DP set)
+    "t_closeness"           -> (graft.operators.TCloseness.tClosenessCustomer(_, _)),
     // bloom pre-filter + residual semi join == plain semi join (FN-free)
     "bloom_prune_join"      -> (graft.operators.BloomPrune.bloomPruneLineitem(_, _)),
     // split-conformal calibration: order-statistic threshold + coverage
@@ -805,6 +808,7 @@ object SparkEntry {
     "interval_overlap_join" -> graft.operators.IntervalJoin.oracleSql,
     "json_merge_agg"        -> graft.operators.JsonMerge.oracleSql,
     "feature_attnmask"      -> graft.operators.AttnMask.oracleSql,
+    "t_closeness"           -> graft.operators.TCloseness.oracleSql,
     "bloom_prune_join"      -> graft.operators.BloomPrune.oracleSql,
     "conformal_calibrate"   -> graft.operators.Conformal.oracleSql,
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,
