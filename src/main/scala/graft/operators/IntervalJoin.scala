@@ -60,10 +60,14 @@ object IntervalJoin {
 
   /** Gated instance: 14-day supplier maintenance windows (start =
     * 1995-01-01 + suppkey·24 mod 2400 — deterministic, spread over the
-    * calendar) overlap-joined with NO equi key against every order
-    * fulfillment span [o_orderdate, l_shipdate]; per supplier the
-    * in-flight count and total overlap days. Inner semantics: windows
-    * overlapping nothing are absent (the oracle mirrors). */
+    * calendar) overlap-joined ON THE SUPPLIER KEY against that
+    * supplier's own order fulfillment spans [o_orderdate, l_shipdate]:
+    * per supplier the count and total overlap days of ITS shipments in
+    * flight during ITS window. The equi key keeps pair volume linear
+    * in the fact at any SF (an UNKEYED corpus×corpus overlap join
+    * inherently produces |matches| ∝ L·R·selectivity pairs — ask it
+    * only of bounded interval sets; the spec covers that path). Inner
+    * semantics: windows overlapping nothing are absent. */
   def maintenanceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val win = Tables.supplier(spark, dir).select(
       col("s_suppkey"),
@@ -73,9 +77,11 @@ object IntervalJoin {
     val span = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir),
         col("l_orderkey") === col("o_orderkey"))
-      .select(to_date(col("o_orderdate")).as("f_start"),
+      .select(col("l_suppkey"),
+        to_date(col("o_orderdate")).as("f_start"),
         to_date(col("l_shipdate")).as("f_end"))
-    overlapPairs(win, span, "w_start", "w_end", "f_start", "f_end")
+    overlapPairs(win, span, "w_start", "w_end", "f_start", "f_end",
+        equiKeys = Seq("s_suppkey" -> "l_suppkey"))
       .groupBy("s_suppkey")
       .agg(count(lit(1)).as("n_in_flight"),
         sum(datediff(least(col("w_end"), col("f_end")),
@@ -89,13 +95,14 @@ object IntervalJoin {
       |    DATE '1995-01-01' + CAST((s_suppkey * 24) % 2400 AS INT) + 13 AS w_end
       |  FROM supplier),
       |span AS (
-      |  SELECT CAST(o.o_orderdate AS DATE) AS f_start,
+      |  SELECT l.l_suppkey, CAST(o.o_orderdate AS DATE) AS f_start,
       |    CAST(l.l_shipdate AS DATE) AS f_end
       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       |  WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE))
       |SELECT w.s_suppkey, count(*) AS n_in_flight,
       |  CAST(sum(CAST(least(w.w_end, s.f_end) - greatest(w.w_start, s.f_start) AS BIGINT) + 1) AS BIGINT) AS overlap_days
       |FROM win w JOIN span s
-      |  ON w.w_start <= s.f_end AND s.f_start <= w.w_end
+      |  ON s.l_suppkey = w.s_suppkey
+      |  AND w.w_start <= s.f_end AND s.f_start <= w.w_end
       |GROUP BY w.s_suppkey""".stripMargin
 }
