@@ -92,6 +92,9 @@ object SparkEntry {
     // t-closeness: ordinal EMD of each QI cell's sensitive distribution
     // vs global, exact integer micros (completes the k/l/Mondrian/DP set)
     "t_closeness"           -> (graft.operators.TCloseness.tClosenessCustomer(_, _)),
+    // pair-terminal betweenness: exact BFS path counting, integer
+    // stress + floored per-pair betweenness micros
+    "path_betweenness"      -> (graft.operators.GraphMetrics.pathBetweennessCoSupply(_, _)),
     // bloom pre-filter + residual semi join == plain semi join (FN-free)
     "bloom_prune_join"      -> (graft.operators.BloomPrune.bloomPruneLineitem(_, _)),
     // split-conformal calibration: order-statistic threshold + coverage
@@ -809,6 +812,7 @@ object SparkEntry {
     "json_merge_agg"        -> graft.operators.JsonMerge.oracleSql,
     "feature_attnmask"      -> graft.operators.AttnMask.oracleSql,
     "t_closeness"           -> graft.operators.TCloseness.oracleSql,
+    "path_betweenness"      -> graft.operators.GraphMetrics.pathBetweennessOracleSql,
     "bloom_prune_join"      -> graft.operators.BloomPrune.oracleSql,
     "conformal_calibrate"   -> graft.operators.Conformal.oracleSql,
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,

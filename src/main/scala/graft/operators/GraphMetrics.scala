@@ -833,4 +833,124 @@ object GraphMetrics {
        |    ELSE CAST(0 AS BIGINT) END AS closeness_permicro
        |FROM d3 GROUP BY src""".stripMargin
   }
+
+  /** Pair-terminal betweenness — the centrality the family still
+    * lacked next to closeness/harmonic: which nodes do the shortest
+    * paths BETWEEN chosen terminals run through (bridge/chokepoint
+    * detection on the co-supply network)? Exact Brandes-style path
+    * counting kept INTEGER: one multi-source BFS from the `nTerminals`
+    * smallest nodes carries (dist, σ) per (terminal, node) — σ(v) =
+    * Σ σ(pred) over first-arrival predecessors, the standard BFS
+    * sigma — then for every terminal pair (a, b) a node v lies on a
+    * shortest a–b path iff d_a(v) + d_b(v) = d_a(b), contributing
+    * σ_a(v)·σ_b(v) of the σ_ab paths. Output per node: pair count,
+    * raw through-path count (stress centrality, exact), and
+    * betweenness as Σ_pairs ⌊10⁶·σ_a(v)·σ_b(v)/σ_ab⌋ micros.
+    * Endpoints are excluded per the standard definition.
+    *
+    * Scale: the BFS state is (terminals × reached) rows — degree-
+    * bounded on the top-K graph, so ≤ T·(2K)^depth regardless of |V|;
+    * each level is one frontier⋈edges shuffle + an anti-join against
+    * the settled set (localCheckpoint'ed, R-independent plan). The
+    * pair algebra is three joins at state cardinality. */
+  def pathBetweenness(edges: DataFrame, nTerminals: Int,
+                      maxDepth: Int): DataFrame = {
+    val und = edges.select(col("u").as("s"), col("v").as("t"))
+      .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
+      .localCheckpoint()
+    val terms = und.select(col("s").as("node")).distinct()
+      .orderBy("node").limit(nTerminals).localCheckpoint()
+    var settled = terms.select(col("node").as("src"), col("node"),
+      lit(0).as("d"), lit(1L).as("sigma")).localCheckpoint()
+    var frontier = settled
+    for (level <- 1 to maxDepth) {
+      val nxt = frontier
+        .select(col("src"), col("node").as("__fn"), col("sigma").as("__fs"))
+        .join(und, col("__fn") === col("s"))
+        .groupBy(col("src"), col("t").as("node"))
+        .agg(sum(col("__fs")).as("sigma"))
+        .join(settled.select(col("src"), col("node")),
+          Seq("src", "node"), "left_anti")
+        .select(col("src"), col("node"), lit(level).as("d"), col("sigma"))
+        .localCheckpoint()
+      settled = settled.unionByName(nxt).localCheckpoint()
+      frontier = nxt
+    }
+    val pairs = terms.select(col("node").as("a"))
+      .crossJoin(terms.select(col("node").as("b")))
+      .filter(col("a") < col("b"))
+    val dab = pairs.join(settled.select(col("src").as("a"),
+      col("node").as("b"), col("d").as("d_ab"),
+      col("sigma").as("sigma_ab")), Seq("a", "b"))
+    val sa = settled.select(col("src").as("a"), col("node"),
+      col("d").as("da"), col("sigma").as("s_a"))
+    val sb = settled.select(col("src").as("b"), col("node"),
+      col("d").as("db"), col("sigma").as("s_b"))
+    dab.join(sa, Seq("a")).join(sb, Seq("b", "node"))
+      .filter(col("da") + col("db") === col("d_ab") &&
+        col("node") =!= col("a") && col("node") =!= col("b"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_pairs_on"),
+        sum(col("s_a") * col("s_b")).as("through_paths"),
+        // numerator and divisor positive: div IS floor on both engines
+        sum(expr("(1000000 * s_a * s_b) div sigma_ab"))
+          .as("betweenness_micros"))
+  }
+
+  /** Gated instance: 4 terminals (smallest suppliers), depth 4, over
+    * the top-8 co-supply graph. */
+  def pathBetweennessCoSupply(spark: SparkSession, dir: String): DataFrame =
+    pathBetweenness(topKCoSupplyEdges(Tables.lineitem(spark, dir), K),
+      nTerminals = 4, maxDepth = 4)
+
+  /** The BFS is unrolled per level with a settled anti-join (the
+    * bfs/sssp oracle discipline) rather than enumerated as walks: a
+    * recursive all-walks CTE multiplies through high-in-degree hubs
+    * (a popular supplier sits in MANY nodes' top-K, so undirected
+    * degree is unbounded) and detonates at the 10× replica; the
+    * level-unrolled form is ≤ terminals·|V| rows per level. */
+  def pathBetweennessOracleSql: String = {
+    def level(i: Int): String =
+      s"""l${i + 1} AS MATERIALIZED (
+         |  SELECT f.src, un.t AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM l$i f JOIN un ON un.s = f.node
+         |  LEFT JOIN s$i p ON p.src = f.src AND p.node = un.t
+         |  WHERE p.node IS NULL GROUP BY 1, 2
+         |), s${i + 1} AS MATERIALIZED (
+         |  SELECT * FROM s$i
+         |  UNION ALL SELECT src, node, ${i + 1} AS d, sigma FROM l${i + 1}
+         |)""".stripMargin
+    s"""WITH $edgesCte, un AS MATERIALIZED (
+       |  SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e
+       |), terms AS MATERIALIZED (
+       |  SELECT node FROM (
+       |    SELECT u AS node FROM e UNION SELECT v FROM e
+       |  ) GROUP BY node ORDER BY node LIMIT 4
+       |), l0 AS MATERIALIZED (
+       |  SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma FROM terms
+       |), s0 AS MATERIALIZED (
+       |  SELECT src, node, 0 AS d, sigma FROM l0
+       |),
+       |${(0 until 4).map(level).mkString(",\n")},
+       |sig AS MATERIALIZED (SELECT * FROM s4), pr AS (
+       |  SELECT a.node AS a, b.node AS b
+       |  FROM terms a JOIN terms b ON a.node < b.node
+       |), dab AS (
+       |  SELECT pr.a, pr.b, s.d AS d_ab, s.sigma AS sigma_ab
+       |  FROM pr JOIN sig s ON s.src = pr.a AND s.node = pr.b
+       |), thr AS (
+       |  SELECT sa.node, sa.sigma * sb.sigma AS through, dab.sigma_ab
+       |  FROM dab
+       |  JOIN sig sa ON sa.src = dab.a
+       |  JOIN sig sb ON sb.src = dab.b AND sb.node = sa.node
+       |  WHERE sa.d + sb.d = dab.d_ab
+       |    AND sa.node <> dab.a AND sa.node <> dab.b
+       |)
+       |SELECT CAST(node AS BIGINT) AS node,
+       |  CAST(count(*) AS BIGINT) AS n_pairs_on,
+       |  CAST(sum(through) AS BIGINT) AS through_paths,
+       |  CAST(sum((1000000 * through) // sigma_ab) AS BIGINT)
+       |    AS betweenness_micros
+       |FROM thr GROUP BY node""".stripMargin
+  }
 }
