@@ -95,6 +95,8 @@ object SparkEntry {
     // pair-terminal betweenness: exact BFS path counting, integer
     // stress + floored per-pair betweenness micros
     "path_betweenness"      -> (graft.operators.GraphMetrics.pathBetweennessCoSupply(_, _)),
+    // ROUGE-1 clipped-unigram generation scoring, pooled per class
+    "rouge1_eval"           -> (graft.operators.RougeEval.rouge1Docs(_, _)),
     // bloom pre-filter + residual semi join == plain semi join (FN-free)
     "bloom_prune_join"      -> (graft.operators.BloomPrune.bloomPruneLineitem(_, _)),
     // split-conformal calibration: order-statistic threshold + coverage
@@ -813,6 +815,7 @@ object SparkEntry {
     "feature_attnmask"      -> graft.operators.AttnMask.oracleSql,
     "t_closeness"           -> graft.operators.TCloseness.oracleSql,
     "path_betweenness"      -> graft.operators.GraphMetrics.pathBetweennessOracleSql,
+    "rouge1_eval"           -> graft.operators.RougeEval.oracleSql,
     "bloom_prune_join"      -> graft.operators.BloomPrune.oracleSql,
     "conformal_calibrate"   -> graft.operators.Conformal.oracleSql,
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,

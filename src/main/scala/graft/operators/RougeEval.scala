@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** ROUGE-1 generation scoring — the reference's eval loop metric
+  * (/root/reference/NLP/llama2/src/eval.py:45,77-88 scores every
+  * prediction against gold with rouge1 precision/recall): unigram
+  * overlap with CLIPPED counts,
+  *   prec = Σ_w min(c_pred(w), c_gold(w)) / |pred|,
+  *   recall = same numerator / |gold|,  F1 = 2·Σmin / (|pred|+|gold|)
+  * — all ratios of integers, so the whole metric is exact micros.
+  *
+  * Relational shape: explode both token arrays, count per (id, word)
+  * each side, one equi-join on (id, word) takes the min — never a
+  * per-row bag-intersection UDF — then pooled per class by dividing
+  * the SUMMED numerators by the SUMMED lengths (micro-average, the
+  * way a daily eval rolls up; per-example macro means hide length
+  * effects and stack float error). Every count is BIGINT; divisions
+  * are truncating with positive operands (= floor) on both engines.
+  *
+  * Scale: two explodes + one (id, word)-keyed join — linear in token
+  * volume, the same cost envelope as [[graft.functions.TextScoring]]'s
+  * tf-idf; nothing driver-side.
+  */
+object RougeEval {
+
+  /** Pooled ROUGE-1 per class: (eval_class, n_docs, clipped_tokens,
+    * pred_tokens, gold_tokens, prec_micros, recall_micros, f1_micros).
+    * `predToks`/`goldToks` are array<string> columns. */
+  def rouge1Pooled(pairs: DataFrame, idCol: String, classCol: String,
+                   predToks: Column, goldToks: Column): DataFrame = {
+    val base = pairs.select(col(idCol).as("__id"),
+      col(classCol).as("eval_class"),
+      predToks.as("__p"), goldToks.as("__g"))
+      .localCheckpoint() // consumed by the explode pass AND the length pass
+    val cp = base.select(col("__id"), explode(col("__p")).as("__w"))
+      .groupBy("__id", "__w").agg(count(lit(1)).as("__cp"))
+    val cg = base.select(col("__id"), explode(col("__g")).as("__w"))
+      .groupBy("__id", "__w").agg(count(lit(1)).as("__cg"))
+    val clip = cp.join(cg, Seq("__id", "__w"))
+      .groupBy("__id")
+      .agg(sum(least(col("__cp"), col("__cg"))).as("__clip"))
+    base.select(col("__id"), col("eval_class"),
+        size(col("__p")).cast("long").as("__pl"),
+        size(col("__g")).cast("long").as("__gl"))
+      .join(clip, Seq("__id"), "left")
+      .na.fill(0L, Seq("__clip"))
+      .groupBy("eval_class")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__clip").as("clipped_tokens"),
+        sum("__pl").as("pred_tokens"),
+        sum("__gl").as("gold_tokens"))
+      .selectExpr("eval_class", "n_docs", "clipped_tokens",
+        "pred_tokens", "gold_tokens",
+        "(1000000 * clipped_tokens) div pred_tokens AS prec_micros",
+        "(1000000 * clipped_tokens) div gold_tokens AS recall_micros",
+        "(2000000 * clipped_tokens) div (pred_tokens + gold_tokens) AS f1_micros")
+  }
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** Gated instance over documents: gold = the doc's own lowercased
+    * whitespace tokens; predictions planted per doc-id class so every
+    * branch of the metric fires — `dup_half` (first half REPEATED:
+    * clipping must cap the duplicates), `subst3` (first three tokens
+    * replaced by an out-of-vocab token: symmetric misses), `head5`
+    * (truncation: precision 1, low recall), `exact` (both 1). Class
+    * precedence mirrors [[JsonFieldEval]]: first match wins. */
+  def rouge1Docs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val withPred = d.select(col("doc_id"), col("toks"),
+      when(pmod(col("doc_id"), lit(7)) === 3, lit("dup_half"))
+        .when(pmod(col("doc_id"), lit(5)) === 2, lit("subst3"))
+        .when(pmod(col("doc_id"), lit(11)) === 4, lit("head5"))
+        .otherwise(lit("exact")).as("eval_class"),
+      expr("""CASE
+        | WHEN doc_id % 7 = 3 THEN concat(
+        |   slice(toks, 1, greatest(1, n div 2)),
+        |   slice(toks, 1, greatest(1, n div 2)))
+        | WHEN doc_id % 5 = 2 THEN CASE WHEN n >= 4
+        |   THEN concat(array('zzz', 'zzz', 'zzz'), slice(toks, 4, n - 3))
+        |   ELSE array('zzz') END
+        | WHEN doc_id % 11 = 4 THEN slice(toks, 1, least(5, n))
+        | ELSE toks END""".stripMargin).as("pred"))
+    rouge1Pooled(withPred, "doc_id", "eval_class",
+      col("pred"), col("toks"))
+  }
+
+  def oracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+      |    len(string_split_regex(lower(text), '\s+')) AS n
+      |  FROM documents
+      |), wp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 3 THEN 'dup_half'
+      |         WHEN doc_id % 5 = 2 THEN 'subst3'
+      |         WHEN doc_id % 11 = 4 THEN 'head5'
+      |         ELSE 'exact' END AS eval_class,
+      |    CASE
+      |      WHEN doc_id % 7 = 3 THEN list_concat(
+      |        list_slice(toks, 1, greatest(1, n // 2)),
+      |        list_slice(toks, 1, greatest(1, n // 2)))
+      |      WHEN doc_id % 5 = 2 THEN CASE WHEN n >= 4
+      |        THEN list_concat(['zzz', 'zzz', 'zzz'], list_slice(toks, 4, n))
+      |        ELSE ['zzz'] END
+      |      WHEN doc_id % 11 = 4 THEN list_slice(toks, 1, least(5, n))
+      |      ELSE toks END AS pred,
+      |    toks AS gold
+      |  FROM d
+      |), cp AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(pred) AS w FROM wp) GROUP BY 1, 2
+      |), cg AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(gold) AS w FROM wp) GROUP BY 1, 2
+      |), clip AS (
+      |  SELECT cp.doc_id, CAST(sum(least(cp.c, cg.c)) AS BIGINT) AS clip
+      |  FROM cp JOIN cg ON cg.doc_id = cp.doc_id AND cg.w = cp.w
+      |  GROUP BY 1
+      |), rows_ AS (
+      |  SELECT wp.eval_class, CAST(len(wp.pred) AS BIGINT) AS pl,
+      |    CAST(len(wp.gold) AS BIGINT) AS gl, coalesce(c.clip, 0) AS clip
+      |  FROM wp LEFT JOIN clip c ON c.doc_id = wp.doc_id
+      |)
+      |SELECT eval_class, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(clip) AS BIGINT) AS clipped_tokens,
+      |  CAST(sum(pl) AS BIGINT) AS pred_tokens,
+      |  CAST(sum(gl) AS BIGINT) AS gold_tokens,
+      |  CAST((1000000 * sum(clip)) // sum(pl) AS BIGINT) AS prec_micros,
+      |  CAST((1000000 * sum(clip)) // sum(gl) AS BIGINT) AS recall_micros,
+      |  CAST((2000000 * sum(clip)) // (sum(pl) + sum(gl)) AS BIGINT) AS f1_micros
+      |FROM rows_ GROUP BY eval_class""".stripMargin
+}

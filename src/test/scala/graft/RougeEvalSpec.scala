@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ROUGE-1 clipped-unigram scoring on hand pairs. */
+class RougeEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clipping caps repeated prediction tokens at the gold count") {
+    // pred [a,a,b] vs gold [a,b,b]: clip = min(2,1)+min(1,2) = 2
+    val pairs = Seq((1L, "x", Seq("a", "a", "b"), Seq("a", "b", "b")))
+      .toDF("id", "cls", "pred", "gold")
+    val r = graft.operators.RougeEval
+      .rouge1Pooled(pairs, "id", "cls", col("pred"), col("gold"))
+      .collect()(0)
+    assert(r.getLong(2) === 2L) // clipped
+    assert(r.getLong(5) === 666666L) // prec 2/3
+    assert(r.getLong(6) === 666666L) // recall 2/3
+    assert(r.getLong(7) === 666666L) // f1 4/6
+  }
+
+  test("disjoint tokens score zero; exact match scores one") {
+    val pairs = Seq(
+      (1L, "dis", Seq("x", "y"), Seq("a", "b")),
+      (2L, "ex", Seq("a", "b", "c"), Seq("a", "b", "c"))
+    ).toDF("id", "cls", "pred", "gold")
+    val got = graft.operators.RougeEval
+      .rouge1Pooled(pairs, "id", "cls", col("pred"), col("gold"))
+      .collect().map(r => r.getString(0) -> (r.getLong(5), r.getLong(6),
+        r.getLong(7))).toMap
+    assert(got("dis") === ((0L, 0L, 0L)))
+    assert(got("ex") === ((1000000L, 1000000L, 1000000L)))
+  }
+
+  test("pooling is micro-average: long docs weigh more than short") {
+    // class with one perfect 8-token doc and one fully-wrong 2-token
+    // doc: pooled prec = 8/10, NOT mean(1, 0) = 0.5
+    val pairs = Seq(
+      (1L, "m", Seq.fill(8)("a"), Seq.fill(8)("a")),
+      (2L, "m", Seq("x", "y"), Seq("p", "q"))
+    ).toDF("id", "cls", "pred", "gold")
+    val r = graft.operators.RougeEval
+      .rouge1Pooled(pairs, "id", "cls", col("pred"), col("gold"))
+      .collect()(0)
+    assert(r.getLong(5) === 800000L)
+  }
+
+  test("gated instance: class invariants hold") {
+    val got = graft.operators.RougeEval.rouge1Docs(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("dup_half", "subst3", "head5", "exact"))
+    val exact = got("exact")
+    assert(exact.getLong(5) === 1000000L && exact.getLong(6) === 1000000L)
+    val head5 = got("head5")
+    assert(head5.getLong(5) === 1000000L, "truncation keeps precision 1")
+    assert(head5.getLong(6) < 1000000L, "truncation loses recall")
+    val dup = got("dup_half")
+    assert(dup.getLong(5) < 1000000L, "duplicated half is clipped")
+    val sub = got("subst3")
+    assert(sub.getLong(5) < 1000000L && sub.getLong(6) < 1000000L)
+  }
+}
