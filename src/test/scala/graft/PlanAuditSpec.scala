@@ -119,7 +119,12 @@ class PlanAuditSpec extends SparkSpec {
     // nb_classify crosses the vocab with the label-domain classes frame
     // (2 labels) to build the smoothing grid — the audience_overlap
     // grouped-but-tiny case
-    "nb_classify" -> 1)
+    "nb_classify" -> 1,
+    // path_betweenness crosses the nTerminals-row terminal list with
+    // itself under a < to enumerate pairs (4×4 → 6 rows) — a
+    // parameter-bounded expansion, never data-shaped; the BFS frontier
+    // joins are equi-keyed and sit behind localCheckpoints
+    "path_betweenness" -> 1)
   // gbt_stump2 needs no entry: its side tagging (1-row root-split
   // broadcast) is behind an eager localCheckpoint, so the audited
   // level-2 plan starts at the materialized sided frame
