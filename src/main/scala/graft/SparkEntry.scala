@@ -97,6 +97,8 @@ object SparkEntry {
     "path_betweenness"      -> (graft.operators.GraphMetrics.pathBetweennessCoSupply(_, _)),
     // ROUGE-1 clipped-unigram generation scoring, pooled per class
     "rouge1_eval"           -> (graft.operators.RougeEval.rouge1Docs(_, _)),
+    // data-constrained repeated-epoch allocation (water-fill at cap 4)
+    "epoch_plan"            -> (graft.operators.EpochPlan.epochPlanDocs(_, _)),
     // bloom pre-filter + residual semi join == plain semi join (FN-free)
     "bloom_prune_join"      -> (graft.operators.BloomPrune.bloomPruneLineitem(_, _)),
     // split-conformal calibration: order-statistic threshold + coverage
@@ -816,6 +818,7 @@ object SparkEntry {
     "t_closeness"           -> graft.operators.TCloseness.oracleSql,
     "path_betweenness"      -> graft.operators.GraphMetrics.pathBetweennessOracleSql,
     "rouge1_eval"           -> graft.operators.RougeEval.oracleSql,
+    "epoch_plan"            -> graft.operators.EpochPlan.oracleSql,
     "bloom_prune_join"      -> graft.operators.BloomPrune.oracleSql,
     "conformal_calibrate"   -> graft.operators.Conformal.oracleSql,
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,
