@@ -113,6 +113,8 @@ object SparkEntry {
     // AR(2) via closed-form Yule-Walker on the same series — the
     // autoregressive leg of the model zoo, exact integer micros
     "yule_walker_ar2"       -> (graft.operators.YuleWalker.yuleWalkerEvents(_, _)),
+    // four-candidate selection: AR(2) joins SN/HW/Theta in the zoo
+    "auto_forecast4"        -> (graft.operators.AutoForecast.autoForecast4Events(_, _)),
     // AutoETS-style per-series model selection over the three exact models
     "auto_forecast"         -> (graft.operators.AutoForecast.autoForecastEvents(_, _)),
     "forecast_cv_leaderboard" -> (graft.operators.ForecastCv.forecastCvEvents(_, _)),
@@ -825,6 +827,7 @@ object SparkEntry {
     "holt_winters_backtest" -> graft.operators.HoltWinters.oracleSql,
     "theta_backtest"        -> graft.operators.Theta.oracleSql,
     "yule_walker_ar2"       -> graft.operators.YuleWalker.oracleSql,
+    "auto_forecast4"        -> graft.operators.AutoForecast.autoForecast4OracleSql,
     "auto_forecast"         -> graft.operators.AutoForecast.oracleSql,
     "forecast_cv_leaderboard" -> graft.operators.ForecastCv.oracleSql,
     "gbt_stump"             -> graft.ml.GbtStump.oracleSql,

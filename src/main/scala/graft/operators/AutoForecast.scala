@@ -42,7 +42,77 @@ object AutoForecast {
         least(col("mae_hw_cents"), col("mae_theta_cents"),
           col("mae_sn_cents")).as("best_mae_cents"))
 
+  /** Four-candidate variant: [[YuleWalker]] AR(2) joins the zoo. AR(2)
+    * declines short/degenerate series (T < 4 or zero Cauchy-Schwarz
+    * margin), so it enters by LEFT join and an absent MAE never wins
+    * (coalesced to 1e18 inside the comparison only; the emitted column
+    * stays NULL). Tie order extends the three-model contract:
+    * holt_winters ≥ theta ≥ ar2 ≥ seasonal_naive. */
+  def leaderboard4(sn: DataFrame, hw: DataFrame, th: DataFrame,
+                   ar: DataFrame, keyCol: String): DataFrame = {
+    val far = col("__ar")
+    hw.select(col(keyCol), col("mae_cents").as("mae_hw_cents"))
+      .join(th.select(col(keyCol), col("mae_cents").as("mae_theta_cents")), keyCol)
+      .join(sn.select(col(keyCol), col("mae_cents").as("mae_sn_cents")), keyCol)
+      .join(ar.select(col(keyCol), col("mae_cents").as("mae_ar2_cents")),
+        Seq(keyCol), "left")
+      .withColumn("__ar", coalesce(col("mae_ar2_cents"), lit(1e18)))
+      .select(col(keyCol), col("mae_sn_cents"), col("mae_hw_cents"),
+        col("mae_theta_cents"), col("mae_ar2_cents"),
+        when(col("mae_hw_cents") <= col("mae_theta_cents") &&
+             col("mae_hw_cents") <= far &&
+             col("mae_hw_cents") <= col("mae_sn_cents"), lit("holt_winters"))
+          .when(col("mae_theta_cents") <= far &&
+                col("mae_theta_cents") <= col("mae_sn_cents"), lit("theta"))
+          .when(far <= col("mae_sn_cents"), lit("ar2"))
+          .otherwise(lit("seasonal_naive")).as("best_model"),
+        least(col("mae_hw_cents"), col("mae_theta_cents"), far,
+          col("mae_sn_cents")).as("best_mae_cents"))
+  }
+
   // ---- query-map entry (hash-gated) ----
+
+  def autoForecast4Events(spark: SparkSession, dir: String): DataFrame = {
+    val dense = Resample
+      .dailySpineFill(Tables.events(spark, dir), "user_id", "ts", "value")
+      .select(col("key").as("user_id"), col("day"), col("cents"))
+      .localCheckpoint()
+    leaderboard4(
+      Forecast.forecastBacktestEvents(spark, dir),
+      HoltWinters.backtest(dense, "user_id", "day", "cents",
+        season = 7, horizon = 7),
+      Theta.backtest(dense, "user_id", "day", "cents", horizon = 7),
+      YuleWalker.backtest(dense, "user_id", "day", "cents", horizon = 7),
+      "user_id")
+  }
+
+  def autoForecast4OracleSql: String =
+    s"""WITH RECURSIVE
+       |${HoltWinters.oracleCtePrefix()},
+       |${Theta.oracleCtes()},
+       |${YuleWalker.oracleCtes()},
+       |$oracleLeaderboardCtes,
+       |ar AS (
+       |  SELECT p.user_id, CAST(sum(abs(e.cents - p.yhat)) AS DOUBLE) / count(*) AS mae
+       |  FROM ywpreds p JOIN ev e ON e.user_id = p.user_id AND e.k = p.k
+       |  GROUP BY p.user_id),
+       |lb4 AS (
+       |  SELECT hw.user_id, sn.mae AS mae_sn_cents, hw.mae AS mae_hw_cents,
+       |    th.mae AS mae_theta_cents, ar.mae AS mae_ar2_cents,
+       |    coalesce(ar.mae, 1e18) AS fmae
+       |  FROM hw JOIN th USING (user_id) JOIN sn USING (user_id)
+       |  LEFT JOIN ar USING (user_id))
+       |SELECT user_id, mae_sn_cents, mae_hw_cents, mae_theta_cents,
+       |  mae_ar2_cents,
+       |  CASE WHEN mae_hw_cents <= mae_theta_cents AND mae_hw_cents <= fmae
+       |         AND mae_hw_cents <= mae_sn_cents THEN 'holt_winters'
+       |       WHEN mae_theta_cents <= fmae
+       |         AND mae_theta_cents <= mae_sn_cents THEN 'theta'
+       |       WHEN fmae <= mae_sn_cents THEN 'ar2'
+       |       ELSE 'seasonal_naive' END AS best_model,
+       |  least(mae_hw_cents, mae_theta_cents, fmae, mae_sn_cents)
+       |    AS best_mae_cents
+       |FROM lb4""".stripMargin
 
   def autoForecastEvents(spark: SparkSession, dir: String): DataFrame = {
     // HW and Theta fit the same dense spine — build it once and pin it

@@ -82,10 +82,13 @@ object YuleWalker {
       .withColumn("__c2d", col("__c2").cast("decimal(38,0)"))
       .withColumn("__den", expr("__c0d * __c0d - __c1d * __c1d"))
       .filter(col("__den") > 0)
+      // the division stays CASE-guarded even though the filter already
+      // dropped den = 0: project/filter evaluation order is not
+      // guaranteed after plan collapse, and ANSI pmod(x, 0) throws
       .withColumn("__p1", expr(
-        s"GREATEST(CAST(-2000000 AS BIGINT), LEAST(CAST(2000000 AS BIGINT), CAST(${fd("__c1d * (__c0d - __c2d) * 1000000", "__den")} AS BIGINT)))"))
+        s"CASE WHEN __den > 0 THEN GREATEST(CAST(-2000000 AS BIGINT), LEAST(CAST(2000000 AS BIGINT), CAST(${fd("__c1d * (__c0d - __c2d) * 1000000", "__den")} AS BIGINT))) END"))
       .withColumn("__p2", expr(
-        s"GREATEST(CAST(-2000000 AS BIGINT), LEAST(CAST(2000000 AS BIGINT), CAST(${fd("(__c2d * __c0d - __c1d * __c1d) * 1000000", "__den")} AS BIGINT)))"))
+        s"CASE WHEN __den > 0 THEN GREATEST(CAST(-2000000 AS BIGINT), LEAST(CAST(2000000 AS BIGINT), CAST(${fd("(__c2d * __c0d - __c1d * __c1d) * 1000000", "__den")} AS BIGINT))) END"))
       .select(col("__key"), col("__m"), col("__p1"), col("__p2"),
         col("__d1"), col("__d2"))
   }
@@ -138,56 +141,66 @@ object YuleWalker {
       .select("user_id", "p1_micros", "p2_micros", "n_eval", "mae_cents",
         "bias_cents")
 
-  def oracleSql: String = {
+  /** The AR(2) CTE chain over [[HoltWinters.oracleSeriesCtes]]'s shared
+    * `train$sfx`/`ev$sfx`, yw-prefixed so it composes next to the HW
+    * (`preds`) and Theta (`tpreds`) chains in one statement. Final CTE
+    * `ywpreds$sfx` carries (user_id, k, yhat, p1, p2). */
+  def oracleCtes(sfx: String = "", horizon: Int = 7): String = {
     def fdx(e: String, d: String): String =
       s"((($e) - ((($e) % ($d)) + ($d)) % ($d)) // ($d))"
-    s"""WITH RECURSIVE
-       |${HoltWinters.oracleSeriesCtes()},
-       |sagg AS (
+    s"""ywagg$sfx AS (
        |  SELECT user_id, max(t) AS tn, CAST(sum(cents) AS BIGINT) AS s
-       |  FROM train GROUP BY user_id HAVING max(t) >= 4),
-       |mz AS (SELECT user_id, tn, ${fdx("s", "tn")} AS m FROM sagg),
-       |z AS (
+       |  FROM train$sfx GROUP BY user_id HAVING max(t) >= 4),
+       |ywm$sfx AS (SELECT user_id, tn, ${fdx("s", "tn")} AS m FROM ywagg$sfx),
+       |ywz$sfx AS (
        |  SELECT t.user_id, t.t, t.cents - m.m AS z, m.m, m.tn
-       |  FROM train t JOIN mz m USING (user_id)),
-       |c0 AS (SELECT user_id, CAST(sum(z * z) AS HUGEINT) AS c0 FROM z GROUP BY user_id),
-       |c1 AS (SELECT a.user_id, CAST(sum(a.z * b.z) AS HUGEINT) AS c1
-       |  FROM z a JOIN z b ON b.user_id = a.user_id AND b.t = a.t + 1
+       |  FROM train$sfx t JOIN ywm$sfx m USING (user_id)),
+       |ywc0$sfx AS (SELECT user_id, CAST(sum(z * z) AS HUGEINT) AS c0
+       |  FROM ywz$sfx GROUP BY user_id),
+       |ywc1$sfx AS (SELECT a.user_id, CAST(sum(a.z * b.z) AS HUGEINT) AS c1
+       |  FROM ywz$sfx a JOIN ywz$sfx b
+       |    ON b.user_id = a.user_id AND b.t = a.t + 1
        |  GROUP BY a.user_id),
-       |c2 AS (SELECT a.user_id, CAST(sum(a.z * b.z) AS HUGEINT) AS c2
-       |  FROM z a JOIN z b ON b.user_id = a.user_id AND b.t = a.t + 2
+       |ywc2$sfx AS (SELECT a.user_id, CAST(sum(a.z * b.z) AS HUGEINT) AS c2
+       |  FROM ywz$sfx a JOIN ywz$sfx b
+       |    ON b.user_id = a.user_id AND b.t = a.t + 2
        |  GROUP BY a.user_id),
-       |phi AS (
-       |  SELECT c0.user_id,
+       |ywphi$sfx AS (
+       |  SELECT ywc0$sfx.user_id,
        |    GREATEST(CAST(-2000000 AS HUGEINT), LEAST(CAST(2000000 AS HUGEINT),
        |      ${fdx("c1 * (c0 - c2) * 1000000", "c0 * c0 - c1 * c1")})) AS p1,
        |    GREATEST(CAST(-2000000 AS HUGEINT), LEAST(CAST(2000000 AS HUGEINT),
        |      ${fdx("(c2 * c0 - c1 * c1) * 1000000", "c0 * c0 - c1 * c1")})) AS p2
-       |  FROM c0 JOIN c1 USING (user_id) JOIN c2 USING (user_id)
+       |  FROM ywc0$sfx JOIN ywc1$sfx USING (user_id) JOIN ywc2$sfx USING (user_id)
        |  WHERE c0 * c0 - c1 * c1 > 0),
-       |seed AS (
+       |ywseed$sfx AS (
        |  SELECT z1.user_id, z1.z AS d1, z2.z AS d2, z1.m
-       |  FROM z z1 JOIN z z2
+       |  FROM ywz$sfx z1 JOIN ywz$sfx z2
        |    ON z2.user_id = z1.user_id AND z2.t = z1.tn - 1
        |  WHERE z1.t = z1.tn),
-       |rec AS (
+       |ywrec$sfx AS (
        |  SELECT s.user_id, 0 AS k, CAST(s.d1 AS HUGEINT) AS a,
        |    CAST(s.d2 AS HUGEINT) AS b, s.m, p.p1, p.p2
-       |  FROM seed s JOIN phi p USING (user_id)
+       |  FROM ywseed$sfx s JOIN ywphi$sfx p USING (user_id)
        |  UNION ALL
        |  SELECT user_id, k + 1, ${fdx("p1 * a + p2 * b", "1000000")}, a, m, p1, p2
-       |  FROM rec WHERE k < 7),
-       |preds AS (
+       |  FROM ywrec$sfx WHERE k < $horizon),
+       |ywpreds$sfx AS (
        |  SELECT user_id, k, CAST(m + a AS BIGINT) AS yhat,
        |    CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2
-       |  FROM rec WHERE k >= 1)
+       |  FROM ywrec$sfx WHERE k >= 1)""".stripMargin
+  }
+
+  def oracleSql: String =
+    s"""WITH RECURSIVE
+       |${HoltWinters.oracleSeriesCtes()},
+       |${oracleCtes()}
        |SELECT p.user_id,
        |  CAST(min(p.p1) AS BIGINT) AS p1_micros,
        |  CAST(min(p.p2) AS BIGINT) AS p2_micros,
        |  count(*) AS n_eval,
        |  CAST(sum(abs(e.cents - p.yhat)) AS DOUBLE) / count(*) AS mae_cents,
        |  CAST(sum(e.cents - p.yhat) AS DOUBLE) / count(*) AS bias_cents
-       |FROM preds p JOIN ev e ON e.user_id = p.user_id AND e.k = p.k
+       |FROM ywpreds p JOIN ev e ON e.user_id = p.user_id AND e.k = p.k
        |GROUP BY p.user_id""".stripMargin
-  }
 }

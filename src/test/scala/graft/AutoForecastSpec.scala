@@ -88,4 +88,44 @@ class AutoForecastSpec extends SparkSpec {
         col("mae_theta_cents") > col("mae_sn_cents"))).count()
     assert(bad == 0)
   }
+
+  test("four-candidate leaderboard: AR(2) wins its home turf, absents never win") {
+    // key 4: strong 2-day oscillation around a level — AR(2) fits
+    // x_t = -x_{t-1} deviations exactly; SN copies the lag-7 phase
+    // (also exact here: 7 is odd -> antiphase!), so use an asymmetric
+    // 2-cycle (+a, -b) that a weekly copy misses: pattern period 2
+    // with amplitudes (4000, -2000): lag-7 lands on the OPPOSITE
+    // element; HW's weekly season also misfits; theta smooths to the
+    // mean and eats the full swing
+    val osc = (0 until 42).map { t =>
+      val dev = if (t % 2 == 0) 4000L else -2000L
+      (4L, Date.valueOf(day0.plusDays(t)), 10000L + dev)
+    }.toDF("key", "day", "cents")
+    val asEvents = osc.select(col("key"),
+      col("day").cast("timestamp").as("ts"),
+      (col("cents").cast("double") / 100.0).as("value"))
+    val sn = Forecast.seasonalNaiveBacktest(asEvents, "key", "ts", "value", 7, 7)
+    val hw = HoltWinters.backtest(osc, "key", "day", "cents", 7, 7)
+    val th = Theta.backtest(osc, "key", "day", "cents", 7)
+    val ar = graft.operators.YuleWalker.backtest(osc, "key", "day", "cents", 7)
+    val row = AutoForecast.leaderboard4(sn, hw, th, ar, "key").collect()(0)
+    assert(row.getString(5) === "ar2",
+      s"asymmetric 2-cycle must go to AR(2): $row")
+    // a constant series is DROPPED by AR(2); the 4-way leaderboard must
+    // still rank it among the remaining three (never null-win)
+    val const = (0 until 42).map(t =>
+      (5L, Date.valueOf(day0.plusDays(t)), 10000L)).toDF("key", "day", "cents")
+    val constEvents = const.select(col("key"),
+      col("day").cast("timestamp").as("ts"),
+      (col("cents").cast("double") / 100.0).as("value"))
+    val r5 = AutoForecast.leaderboard4(
+      Forecast.seasonalNaiveBacktest(constEvents, "key", "ts", "value", 7, 7),
+      HoltWinters.backtest(const, "key", "day", "cents", 7, 7),
+      Theta.backtest(const, "key", "day", "cents", 7),
+      graft.operators.YuleWalker.backtest(const, "key", "day", "cents", 7),
+      "key").collect()(0)
+    assert(r5.isNullAt(4), "AR(2) declines the constant series")
+    assert(r5.getString(5) !== "ar2")
+    assert(r5.getDouble(6) === 0.0, "the others forecast a constant exactly")
+  }
 }
