@@ -99,6 +99,9 @@ object SparkEntry {
     "rouge1_eval"           -> (graft.operators.RougeEval.rouge1Docs(_, _)),
     // data-constrained repeated-epoch allocation (water-fill at cap 4)
     "epoch_plan"            -> (graft.operators.EpochPlan.epochPlanDocs(_, _)),
+    // Carlini-style memorization audit: verbatim k-gram window rate of
+    // generations against the training corpus
+    "memorization_audit"    -> (graft.operators.MemorizationAudit.memorizationDocs(_, _)),
     // bloom pre-filter + residual semi join == plain semi join (FN-free)
     "bloom_prune_join"      -> (graft.operators.BloomPrune.bloomPruneLineitem(_, _)),
     // split-conformal calibration: order-statistic threshold + coverage
@@ -821,6 +824,7 @@ object SparkEntry {
     "path_betweenness"      -> graft.operators.GraphMetrics.pathBetweennessOracleSql,
     "rouge1_eval"           -> graft.operators.RougeEval.oracleSql,
     "epoch_plan"            -> graft.operators.EpochPlan.oracleSql,
+    "memorization_audit"    -> graft.operators.MemorizationAudit.oracleSql,
     "bloom_prune_join"      -> graft.operators.BloomPrune.oracleSql,
     "conformal_calibrate"   -> graft.operators.Conformal.oracleSql,
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,
