@@ -412,6 +412,8 @@ object SparkEntry {
     // k=1 degeneracy: first merge == SQL argmax over weighted pair counts
     "bpe_first_merge"       -> (graft.functions.BpeMerges.bpeFirstMerge(_, _)),
     "bpe_encode"            -> (graft.functions.BpeEncode.bpeEncodeDocs(_, _)),
+    // per-source tokenizer fertility (tokens/word) over the encode output
+    "bpe_fertility"         -> (graft.functions.BpeEncode.bpeFertilityDocs(_, _)),
     "bpe_vocab"             -> (graft.functions.BpeEncode.bpeVocabDocs(_, _)),
     "token_pack_bpe"        -> (graft.functions.BpeEncode.tokenPackBpeDocs(_, _)),
     // exact per-group discrete quantiles (indexed order statistics over
@@ -848,6 +850,7 @@ object SparkEntry {
     "forecast_predict"      -> graft.operators.ForecastPredict.oracleSql,
     "bpe_first_merge"       -> graft.functions.BpeMerges.firstMergeOracleSql,
     "bpe_encode"            -> graft.functions.BpeEncode.encodeOracleSql,
+    "bpe_fertility"         -> graft.functions.BpeEncode.fertilityOracleSql,
     "bpe_vocab"             -> graft.functions.BpeEncode.vocabOracleSql,
     "token_pack_bpe"        -> graft.functions.BpeEncode.tokenPackOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,

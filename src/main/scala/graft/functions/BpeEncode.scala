@@ -131,6 +131,30 @@ object BpeEncode {
   def ctxTruncationDocs(spark: SparkSession, dir: String): DataFrame =
     ctxTruncation(bpeEncodeDocs(spark, dir), GatedCtxLen)
 
+  /** Tokenizer FERTILITY per corpus slice — the tokens-per-word
+    * quality readout a tokenizer owner tracks per language/domain
+    * (high fertility on a slice means the vocab underserves it; the
+    * reference's tokenize-before-stats pass in prepare_dataset.py is
+    * where this is measured): per source, pooled words/tokens and
+    * fertility = tokens/word in exact permille, plus mean tokens per
+    * doc. One narrow join of the encode output to the doc dimension +
+    * one aggregate. */
+  def bpeFertility(encoded: DataFrame, dims: DataFrame, idCol: String,
+                   sliceCol: String): DataFrame =
+    encoded.join(dims.select(col(idCol), col(sliceCol)), idCol)
+      .groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"))
+      .withColumn("fertility_permille",
+        expr("(1000 * n_tokens) div n_words"))
+      .withColumn("tokens_per_doc_permille",
+        expr("(1000 * n_tokens) div n_docs"))
+
+  def bpeFertilityDocs(spark: SparkSession, dir: String): DataFrame =
+    bpeFertility(bpeEncodeDocs(spark, dir),
+      Tables.documents(spark, dir), "doc_id", "source")
+
   // ---- oracle: k unrolled learn+apply rounds over the wrapped vocab ----
 
   /** Each vocab word rides as chr(1)‖sym‖chr(2) boundary-wrapped
@@ -203,6 +227,18 @@ object BpeEncode {
   def vocabOracleSql: String =
     "WITH " + oracleEncChain(GatedK) +
       "\nSELECT w, freq, n_toks, toks FROM enc"
+
+  def fertilityOracleSql: String =
+    "WITH " + oracleEncChain(GatedK) + ",\n" + docJoinSql + "\n" +
+      """SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(p.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST((1000 * sum(p.n_tokens)) // sum(p.n_words) AS BIGINT)
+        |    AS fertility_permille,
+        |  CAST((1000 * sum(p.n_tokens)) // count(*) AS BIGINT)
+        |    AS tokens_per_doc_permille
+        |FROM perdoc p JOIN documents d USING (doc_id)
+        |GROUP BY d.source""".stripMargin
 
   def ctxTruncationOracleSql: String =
     "WITH " + oracleEncChain(GatedK) + ",\n" + docJoinSql + "\n" +

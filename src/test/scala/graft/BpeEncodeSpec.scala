@@ -76,4 +76,26 @@ class BpeEncodeSpec extends SparkSpec {
       cum += n
     }
   }
+
+  test("bpe_fertility: per-source pools tie out against the encode output") {
+    val enc = graft.functions.BpeEncode.bpeEncodeDocs(spark, sfDir)
+      .localCheckpoint()
+    val fert = graft.functions.BpeEncode
+      .bpeFertility(enc, graft.Tables.documents(spark, sfDir),
+        "doc_id", "source")
+      .collect()
+    assert(fert.nonEmpty)
+    val encTotals = enc.agg(org.apache.spark.sql.functions.sum("n_words"),
+      org.apache.spark.sql.functions.sum("n_tokens")).collect()(0)
+    assert(fert.map(_.getLong(2)).sum === encTotals.getLong(0),
+      "source words sum to corpus words")
+    assert(fert.map(_.getLong(3)).sum === encTotals.getLong(1))
+    fert.foreach { r =>
+      val (nw, nt, f, tpd) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+      assert(f === 1000L * nt / nw, "fertility is the floored pooled ratio")
+      assert(f >= 1000L, "a token count below one per word is impossible")
+      assert(tpd === 1000L * nt / r.getLong(1))
+    }
+  }
 }
