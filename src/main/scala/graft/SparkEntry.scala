@@ -102,6 +102,9 @@ object SparkEntry {
     // Carlini-style memorization audit: verbatim k-gram window rate of
     // generations against the training corpus
     "memorization_audit"    -> (graft.operators.MemorizationAudit.memorizationDocs(_, _)),
+    // execute the epoch plan: whole-epoch repeats + deterministic
+    // fractional-epoch admission per doc
+    "epoch_materialize"     -> (graft.operators.EpochPlan.epochMaterializeDocs(_, _)),
     // bloom pre-filter + residual semi join == plain semi join (FN-free)
     "bloom_prune_join"      -> (graft.operators.BloomPrune.bloomPruneLineitem(_, _)),
     // split-conformal calibration: order-statistic threshold + coverage
@@ -827,6 +830,7 @@ object SparkEntry {
     "rouge1_eval"           -> graft.operators.RougeEval.oracleSql,
     "epoch_plan"            -> graft.operators.EpochPlan.oracleSql,
     "memorization_audit"    -> graft.operators.MemorizationAudit.oracleSql,
+    "epoch_materialize"     -> graft.operators.EpochPlan.materializeOracleSql,
     "bloom_prune_join"      -> graft.operators.BloomPrune.oracleSql,
     "conformal_calibrate"   -> graft.operators.Conformal.oracleSql,
     "forecast_backtest"     -> graft.operators.Forecast.oracleSql,

@@ -87,8 +87,51 @@ object EpochPlan {
     plan(u, "source", "unique_tokens", budget, epochCap = 4)
   }
 
-  def oracleSql: String =
-    """WITH u AS (
+  /** Execute a plan: expand each document to its repeat copies — the
+    * shard-writer step after [[plan]]. Whole epochs repeat every doc;
+    * the fractional remainder epoch admits docs by the deterministic
+    * [[Sampling.portableBucket]] draw against the per-source threshold
+    * ⌊rem·M/U⌋, so the materialized token count matches the allocation
+    * in expectation with zero RNG state (the importance_select
+    * discipline). Output: (doc id, slice, copy_idx, tokens) — one
+    * broadcast of the domain-sized plan + one explode, linear in the
+    * output. Requires an integral id column (the portableBucket
+    * contract). */
+  def materialize(docs: DataFrame, idCol: String, sliceCol: String,
+                  tokCol: String, planned: DataFrame): DataFrame = {
+    val p = planned.select(col("source"), col("unique_tokens"),
+      col("alloc_tokens"))
+    docs.select(col(idCol), col(sliceCol).as("source"),
+        col(tokCol).cast("long").as("n_tokens"))
+      .join(broadcast(p), "source")
+      .withColumn("__full", expr("alloc_tokens div unique_tokens"))
+      .withColumn("__thr", expr(
+        s"((alloc_tokens - __full * unique_tokens) * ${Sampling.M}) div unique_tokens"))
+      .withColumn("n_copies", col("__full") +
+        when(Sampling.portableBucket(col(idCol)) < col("__thr"), 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select(col(idCol), col("source"),
+        explode(expr("sequence(1, n_copies)")).as("copy_idx"),
+        col("n_tokens"))
+  }
+
+  def epochMaterializeDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("toks"))
+      .localCheckpoint() // feeds the plan aggregate AND the expansion
+    val u = docs.groupBy("source").agg(sum("toks").as("unique_tokens"))
+      .localCheckpoint()
+    val budget = u.agg(sum("unique_tokens")).collect()(0).getLong(0) * 39L / 10L
+    materialize(docs, "doc_id", "source", "toks",
+      plan(u, "source", "unique_tokens", budget, epochCap = 4))
+  }
+
+  /** The plan chain (u/b/s/f/lvl) shared by both oracles; the final
+    * per-source allocation is the `f`+`lvl` CASE. */
+  private def planOracleCtes: String =
+    """u AS (
       |  SELECT source,
       |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
       |      AS unique_tokens
@@ -113,16 +156,46 @@ object EpochPlan {
       |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS ncap,
       |    CAST(max(n) AS BIGINT) AS nn, max(budget) AS budget
       |  FROM f
-      |)
-      |SELECT f.source, f.unique_tokens, f.capacity_tokens,
-      |  CAST(CASE WHEN f.capped THEN f.capacity_tokens
-      |    ELSE least(f.capacity_tokens,
-      |      (l.budget - l.capsum) // (l.nn - l.ncap)) END AS BIGINT)
-      |    AS alloc_tokens,
-      |  CAST((1000 * (CASE WHEN f.capped THEN f.capacity_tokens
-      |    ELSE least(f.capacity_tokens,
-      |      (l.budget - l.capsum) // (l.nn - l.ncap)) END))
-      |    // f.unique_tokens AS BIGINT) AS epochs_permille,
-      |  f.capped
-      |FROM f CROSS JOIN lvl l""".stripMargin
+      |), alloc AS (
+      |  SELECT f.source, f.unique_tokens, f.capacity_tokens,
+      |    CAST(CASE WHEN f.capped THEN f.capacity_tokens
+      |      ELSE least(f.capacity_tokens,
+      |        (l.budget - l.capsum) // (l.nn - l.ncap)) END AS BIGINT)
+      |      AS alloc_tokens,
+      |    f.capped
+      |  FROM f CROSS JOIN lvl l
+      |)""".stripMargin
+
+  def oracleSql: String =
+    "WITH " + planOracleCtes + "\n" +
+      """SELECT source, unique_tokens, capacity_tokens, alloc_tokens,
+        |  CAST((1000 * alloc_tokens) // unique_tokens AS BIGINT)
+        |    AS epochs_permille,
+        |  capped
+        |FROM alloc""".stripMargin
+
+  def materializeOracleSql: String =
+    "WITH " + planOracleCtes + ",\n" +
+      s"""docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), mm AS (
+        |  SELECT d.doc_id, d.source, d.n_tokens,
+        |    a.alloc_tokens // a.unique_tokens AS fullc,
+        |    ((a.alloc_tokens - (a.alloc_tokens // a.unique_tokens) * a.unique_tokens)
+        |      * ${Sampling.M}) // a.unique_tokens AS thr
+        |  FROM docs d JOIN alloc a USING (source)
+        |), e AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    fullc + CASE WHEN
+        |      (((doc_id % 100003) * 1103515245 + 12345) % ${Sampling.M}
+        |        + ${Sampling.M}) % ${Sampling.M} < thr
+        |      THEN 1 ELSE 0 END AS n_copies
+        |  FROM mm
+        |)
+        |SELECT doc_id, source,
+        |  CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx,
+        |  n_tokens
+        |FROM e WHERE n_copies >= 1""".stripMargin
 }

@@ -42,6 +42,27 @@ class EpochPlanSpec extends SparkSpec {
     }
   }
 
+  test("materialize: copies = whole epochs + thresholded fractional draw") {
+    import org.apache.spark.sql.functions._
+    // one source, U = 30, alloc = 75 -> full = 2, rem = 15, thr = 500000
+    val docs = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L))
+      .toDF("id", "src", "toks")
+    val planned = Seq(("a", 30L, 120L, 75L, 2500L, false))
+      .toDF("source", "unique_tokens", "capacity_tokens", "alloc_tokens",
+        "epochs_permille", "capped")
+    val out = graft.operators.EpochPlan
+      .materialize(docs, "id", "src", "toks", planned)
+      .groupBy("id").agg(count(lit(1)).as("n"), max("copy_idx").as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every doc gets >= 2 copies; the fractional third copy follows the
+    // portable bucket draw at threshold 500000
+    out.foreach { case (id, (n, mx)) =>
+      val bucket = ((id % 100003L) * 1103515245L + 12345L) % 1000000L
+      val want = 2L + (if (((bucket % 1000000L) + 1000000L) % 1000000L < 500000L) 1L else 0L)
+      assert(n === want && mx === want, s"doc $id")
+    }
+  }
+
   test("gated instance: both branches present, allocation ties out") {
     val rows = graft.operators.EpochPlan.epochPlanDocs(spark, sfDir).collect()
     assert(rows.nonEmpty)
