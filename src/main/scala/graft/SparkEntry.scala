@@ -97,6 +97,8 @@ object SparkEntry {
     "path_betweenness"      -> (graft.operators.GraphMetrics.pathBetweennessCoSupply(_, _)),
     // ROUGE-1 clipped-unigram generation scoring, pooled per class
     "rouge1_eval"           -> (graft.operators.RougeEval.rouge1Docs(_, _)),
+    // ROUGE-2: the same clipped counts over adjacent-token bigrams
+    "rouge2_eval"           -> (graft.operators.RougeEval.rouge2Docs(_, _)),
     // data-constrained repeated-epoch allocation (water-fill at cap 4)
     "epoch_plan"            -> (graft.operators.EpochPlan.epochPlanDocs(_, _)),
     // Carlini-style memorization audit: verbatim k-gram window rate of
@@ -828,6 +830,7 @@ object SparkEntry {
     "t_closeness"           -> graft.operators.TCloseness.oracleSql,
     "path_betweenness"      -> graft.operators.GraphMetrics.pathBetweennessOracleSql,
     "rouge1_eval"           -> graft.operators.RougeEval.oracleSql,
+    "rouge2_eval"           -> graft.operators.RougeEval.rouge2OracleSql,
     "epoch_plan"            -> graft.operators.EpochPlan.oracleSql,
     "memorization_audit"    -> graft.operators.MemorizationAudit.oracleSql,
     "epoch_materialize"     -> graft.operators.EpochPlan.materializeOracleSql,

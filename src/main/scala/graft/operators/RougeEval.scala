@@ -59,20 +59,21 @@ object RougeEval {
         "(2000000 * clipped_tokens) div (pred_tokens + gold_tokens) AS f1_micros")
   }
 
-  // ---- query-map entry (hash-gated) ----
+  // ---- query-map entries (hash-gated) ----
 
-  /** Gated instance over documents: gold = the doc's own lowercased
-    * whitespace tokens; predictions planted per doc-id class so every
-    * branch of the metric fires — `dup_half` (first half REPEATED:
-    * clipping must cap the duplicates), `subst3` (first three tokens
-    * replaced by an out-of-vocab token: symmetric misses), `head5`
-    * (truncation: precision 1, low recall), `exact` (both 1). Class
-    * precedence mirrors [[JsonFieldEval]]: first match wins. */
-  def rouge1Docs(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared planted (pred, gold) pairs: gold = the doc's own
+    * lowercased whitespace tokens; predictions planted per doc-id
+    * class so every branch of the metric fires — `dup_half` (first
+    * half REPEATED: clipping must cap the duplicates), `subst3` (first
+    * three tokens replaced by an out-of-vocab token: symmetric
+    * misses), `head5` (truncation: precision 1, low recall), `exact`
+    * (both 1). Class precedence mirrors [[JsonFieldEval]]: first match
+    * wins. */
+  private def plantedPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .withColumn("n", size(col("toks")))
-    val withPred = d.select(col("doc_id"), col("toks"),
+    d.select(col("doc_id"), col("toks"),
       when(pmod(col("doc_id"), lit(7)) === 3, lit("dup_half"))
         .when(pmod(col("doc_id"), lit(5)) === 2, lit("subst3"))
         .when(pmod(col("doc_id"), lit(11)) === 4, lit("head5"))
@@ -86,16 +87,40 @@ object RougeEval {
         |   ELSE array('zzz') END
         | WHEN doc_id % 11 = 4 THEN slice(toks, 1, least(5, n))
         | ELSE toks END""".stripMargin).as("pred"))
-    rouge1Pooled(withPred, "doc_id", "eval_class",
-      col("pred"), col("toks"))
   }
 
-  def oracleSql: String =
-    """WITH d AS (
+  def rouge1Docs(spark: SparkSession, dir: String): DataFrame = {
+    val p = plantedPairs(spark, dir)
+    rouge1Pooled(p, "doc_id", "eval_class", col("pred"), col("toks"))
+  }
+
+  /** Adjacent-token bigram of an array column expression by NAME. */
+  private def bigrams(c: String): Column =
+    when(size(col(c)) >= 2, expr(
+      s"zip_with(slice($c, 1, size($c) - 1), slice($c, 2, size($c) - 1), " +
+        "(a, b) -> concat(a, ' ', b))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+
+  /** ROUGE-2: the same clipped-count machinery over adjacent-token
+    * BIGRAMS (eval.py's scorer exposes rouge2 the same way) — order
+    * now matters: `dup_half`'s repeat seam and `subst3`'s boundary
+    * bigrams miss where their unigrams hit. Pairs shorter than 2
+    * tokens contribute zero windows on that side (pooled micro-average
+    * absorbs them; a zero pooled length would be a degenerate corpus). */
+  def rouge2Docs(spark: SparkSession, dir: String): DataFrame = {
+    val p = plantedPairs(spark, dir)
+      .select(col("doc_id"), col("eval_class"),
+        bigrams("pred").as("pred2"), bigrams("toks").as("gold2"))
+    rouge1Pooled(p, "doc_id", "eval_class", col("pred2"), col("gold2"))
+  }
+
+  /** The planted-pairs CTE chain (`d`, `wp` with pred/gold lists). */
+  private def plantedCtes: String =
+    """d AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
       |    len(string_split_regex(lower(text), '\s+')) AS n
       |  FROM documents
-      |), wp AS (
+      |), wp0 AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 7 = 3 THEN 'dup_half'
       |         WHEN doc_id % 5 = 2 THEN 'subst3'
@@ -112,7 +137,12 @@ object RougeEval {
       |      ELSE toks END AS pred,
       |    toks AS gold
       |  FROM d
-      |), cp AS (
+      |)""".stripMargin
+
+  /** The clipped-count scoring chain over a `wp(doc_id, eval_class,
+    * pred, gold)` CTE. */
+  private def scoringSql: String =
+    """cp AS (
       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
       |  FROM (SELECT doc_id, unnest(pred) AS w FROM wp) GROUP BY 1, 2
       |), cg AS (
@@ -135,4 +165,21 @@ object RougeEval {
       |  CAST((1000000 * sum(clip)) // sum(gl) AS BIGINT) AS recall_micros,
       |  CAST((2000000 * sum(clip)) // (sum(pl) + sum(gl)) AS BIGINT) AS f1_micros
       |FROM rows_ GROUP BY eval_class""".stripMargin
+
+  def oracleSql: String =
+    "WITH " + plantedCtes + ",\n" +
+      "wp AS (SELECT * FROM wp0),\n" + scoringSql
+
+  def rouge2OracleSql: String =
+    "WITH " + plantedCtes + ",\n" +
+      """wp AS (
+        |  SELECT doc_id, eval_class,
+        |    CASE WHEN len(pred) >= 2
+        |      THEN [pred[i] || ' ' || pred[i + 1] FOR i IN range(1, len(pred))]
+        |      ELSE [] END AS pred,
+        |    CASE WHEN len(gold) >= 2
+        |      THEN [gold[i] || ' ' || gold[i + 1] FOR i IN range(1, len(gold))]
+        |      ELSE [] END AS gold
+        |  FROM wp0
+        |)""".stripMargin + ",\n" + scoringSql
 }

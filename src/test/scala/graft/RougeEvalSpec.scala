@@ -45,6 +45,21 @@ class RougeEvalSpec extends SparkSpec {
     assert(r.getLong(5) === 800000L)
   }
 
+  test("rouge2: order sensitivity — unigram-perfect reversal scores zero bigrams") {
+    val got = graft.operators.RougeEval.rouge2Docs(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("dup_half", "subst3", "head5", "exact"))
+    assert(got("exact").getLong(7) === 1000000L)
+    // the dup seam bigram (last||first of the half) misses: prec < 1
+    assert(got("dup_half").getLong(5) < 1000000L)
+    // truncation keeps bigram precision 1 (a contiguous prefix)
+    assert(got("head5").getLong(5) === 1000000L)
+    // rouge2 recall can only be <= rouge1 recall per class
+    val r1 = graft.operators.RougeEval.rouge1Docs(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    got.foreach { case (c, r) => assert(r.getLong(6) <= r1(c) + 1) }
+  }
+
   test("gated instance: class invariants hold") {
     val got = graft.operators.RougeEval.rouge1Docs(spark, sfDir)
       .collect().map(r => r.getString(0) -> r).toMap
