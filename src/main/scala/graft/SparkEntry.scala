@@ -99,6 +99,8 @@ object SparkEntry {
     "rouge1_eval"           -> (graft.operators.RougeEval.rouge1Docs(_, _)),
     // ROUGE-2: the same clipped counts over adjacent-token bigrams
     "rouge2_eval"           -> (graft.operators.RougeEval.rouge2Docs(_, _)),
+    // distinct-1 / distinct-2 generation diversity, exact permille
+    "gen_diversity"         -> (graft.operators.RougeEval.genDiversityDocs(_, _)),
     // data-constrained repeated-epoch allocation (water-fill at cap 4)
     "epoch_plan"            -> (graft.operators.EpochPlan.epochPlanDocs(_, _)),
     // Carlini-style memorization audit: verbatim k-gram window rate of
@@ -831,6 +833,7 @@ object SparkEntry {
     "path_betweenness"      -> graft.operators.GraphMetrics.pathBetweennessOracleSql,
     "rouge1_eval"           -> graft.operators.RougeEval.oracleSql,
     "rouge2_eval"           -> graft.operators.RougeEval.rouge2OracleSql,
+    "gen_diversity"         -> graft.operators.RougeEval.genDiversityOracleSql,
     "epoch_plan"            -> graft.operators.EpochPlan.oracleSql,
     "memorization_audit"    -> graft.operators.MemorizationAudit.oracleSql,
     "epoch_materialize"     -> graft.operators.EpochPlan.materializeOracleSql,

@@ -114,6 +114,59 @@ object RougeEval {
     rouge1Pooled(p, "doc_id", "eval_class", col("pred2"), col("gold2"))
   }
 
+  /** Generation diversity — distinct-1 / distinct-2 (Li et al. 2016,
+    * "A Diversity-Promoting Objective", arXiv:1510.03055: the ratio of
+    * DISTINCT n-grams to total n-grams across a generation set; low
+    * values expose mode collapse / repetition): pooled per class over
+    * the same planted generations, exact permille. Two explode +
+    * count/count-distinct aggregates — the [[graft.functions
+    * .TextFunctions]] cost envelope. The dup_half class MUST score
+    * lower distinct-1 than exact (its duplicates halve the distinct
+    * mass) — pinned in the spec. */
+  def genDiversity(pairs: DataFrame, classCol: String,
+                   toksCol: Column): DataFrame = {
+    val p = pairs.select(col(classCol).as("eval_class"),
+        toksCol.as("pred"))
+      .withColumn("pred2", bigrams("pred"))
+      .localCheckpoint() // consumed by both n-gram passes
+    def level(c: String, n: Int): DataFrame =
+      p.select(col("eval_class"), explode(col(c)).as("__w"))
+        .groupBy("eval_class")
+        .agg(count(lit(1)).as(s"n_${n}grams"),
+          countDistinct(col("__w")).as(s"distinct_$n"))
+        .withColumn(s"d${n}_permille",
+          expr(s"(1000 * distinct_$n) div n_${n}grams"))
+    level("pred", 1).join(level("pred2", 2), "eval_class")
+  }
+
+  def genDiversityDocs(spark: SparkSession, dir: String): DataFrame =
+    genDiversity(plantedPairs(spark, dir), "eval_class", col("pred"))
+
+  def genDiversityOracleSql: String =
+    "WITH " + plantedCtes + ",\n" +
+      """u1 AS (
+        |  SELECT eval_class, CAST(count(*) AS BIGINT) AS n_1grams,
+        |    CAST(count(DISTINCT w) AS BIGINT) AS distinct_1
+        |  FROM (SELECT eval_class, unnest(pred) AS w FROM wp0)
+        |  GROUP BY eval_class
+        |), b0 AS (
+        |  SELECT eval_class,
+        |    CASE WHEN len(pred) >= 2
+        |      THEN [pred[i] || ' ' || pred[i + 1] FOR i IN range(1, len(pred))]
+        |      ELSE [] END AS pred2
+        |  FROM wp0
+        |), u2 AS (
+        |  SELECT eval_class, CAST(count(*) AS BIGINT) AS n_2grams,
+        |    CAST(count(DISTINCT w) AS BIGINT) AS distinct_2
+        |  FROM (SELECT eval_class, unnest(pred2) AS w FROM b0)
+        |  GROUP BY eval_class
+        |)
+        |SELECT u1.eval_class, u1.n_1grams, u1.distinct_1,
+        |  CAST((1000 * u1.distinct_1) // u1.n_1grams AS BIGINT) AS d1_permille,
+        |  u2.n_2grams, u2.distinct_2,
+        |  CAST((1000 * u2.distinct_2) // u2.n_2grams AS BIGINT) AS d2_permille
+        |FROM u1 JOIN u2 USING (eval_class)""".stripMargin
+
   /** The planted-pairs CTE chain (`d`, `wp` with pred/gold lists). */
   private def plantedCtes: String =
     """d AS (

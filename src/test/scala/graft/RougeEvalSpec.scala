@@ -60,6 +60,28 @@ class RougeEvalSpec extends SparkSpec {
     got.foreach { case (c, r) => assert(r.getLong(6) <= r1(c) + 1) }
   }
 
+  test("gen_diversity: duplication halves distinct mass, permille exact") {
+    val got = graft.operators.RougeEval.genDiversityDocs(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet === Set("dup_half", "subst3", "head5", "exact"))
+    got.foreach { case (_, (n1, d1, p1, n2, d2, p2)) =>
+      assert(d1 <= n1 && d2 <= n2)
+      assert(p1 === 1000L * d1 / n1 && p2 === 1000L * d2 / n2)
+    }
+    // cross-class permilles are NOT comparable (pool sizes differ) —
+    // the hand check below pins the metric itself
+    val hand = graft.operators.RougeEval.genDiversity(
+      Seq(("x", Seq("a", "a", "b")), ("y", Seq("a", "b", "c")))
+        .toDF("cls", "toks"),
+      "cls", col("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(6))).toMap
+    // x: distinct-1 = 2/3; bigrams [a a, a b] distinct 2/2
+    assert(hand("x") === ((666L, 1000L)))
+    assert(hand("y") === ((1000L, 1000L)))
+  }
+
   test("gated instance: class invariants hold") {
     val got = graft.operators.RougeEval.rouge1Docs(spark, sfDir)
       .collect().map(r => r.getString(0) -> r).toMap
