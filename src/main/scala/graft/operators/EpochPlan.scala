@@ -83,8 +83,16 @@ object EpochPlan {
         size(split(col("text"), "\\s+")).cast("long").as("toks"))
       .groupBy("source").agg(sum("toks").as("unique_tokens"))
       .localCheckpoint() // consumed by the plan AND the budget scalar
-    val budget = u.agg(sum("unique_tokens")).collect()(0).getLong(0) * 39L / 10L
-    plan(u, "source", "unique_tokens", budget, epochCap = 4)
+    plan(u, "source", "unique_tokens", corpusBudget(u), epochCap = 4)
+  }
+
+  /** ⌊3.9 × corpus tokens⌋, with a loud failure on an empty corpus
+    * (a null sum would otherwise surface as an opaque NPE at getLong). */
+  private def corpusBudget(u: DataFrame): Long = {
+    val row = u.agg(sum("unique_tokens")).collect()(0)
+    require(!row.isNullAt(0),
+      "epoch plan: empty corpus — no per-source token counts to budget")
+    row.getLong(0) * 39L / 10L
   }
 
   /** Execute a plan: expand each document to its repeat copies — the
@@ -96,7 +104,15 @@ object EpochPlan {
     * discipline). Output: (doc id, slice, copy_idx, tokens) — one
     * broadcast of the domain-sized plan + one explode, linear in the
     * output. Requires an integral id column (the portableBucket
-    * contract). */
+    * contract).
+    *
+    * PRECONDITION: every `sliceCol` value in `docs` must appear in
+    * `planned` (docs-sources ⊆ plan-sources) — the plan join is inner,
+    * so a document whose slice is absent from the plan is treated as
+    * allocated zero copies. Both gated instances derive the plan from
+    * the same docs frame, which satisfies this by construction; a
+    * caller pairing a stale plan with a grown corpus must re-plan (or
+    * diff `docs.select(slice).distinct` against the plan) first. */
   def materialize(docs: DataFrame, idCol: String, sliceCol: String,
                   tokCol: String, planned: DataFrame): DataFrame = {
     val p = planned.select(col("source"), col("unique_tokens"),
@@ -123,9 +139,8 @@ object EpochPlan {
       .localCheckpoint() // feeds the plan aggregate AND the expansion
     val u = docs.groupBy("source").agg(sum("toks").as("unique_tokens"))
       .localCheckpoint()
-    val budget = u.agg(sum("unique_tokens")).collect()(0).getLong(0) * 39L / 10L
     materialize(docs, "doc_id", "source", "toks",
-      plan(u, "source", "unique_tokens", budget, epochCap = 4))
+      plan(u, "source", "unique_tokens", corpusBudget(u), epochCap = 4))
   }
 
   /** The plan chain (u/b/s/f/lvl) shared by both oracles; the final

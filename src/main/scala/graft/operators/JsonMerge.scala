@@ -70,7 +70,7 @@ object JsonMerge {
       |  FROM events),
       |comb AS (
       |  SELECT user_id, seq_day, count(*) AS n_events,
-      |    '[' || string_agg(props, ', ' ORDER BY ts, event_id) || ']' AS combined_json
+      |    '[' || string_agg(props, ', ' ORDER BY ts, event_id, props) || ']' AS combined_json
       |  FROM ev GROUP BY user_id, seq_day),
       |rk AS (
       |  SELECT *, ROW_NUMBER() OVER (

@@ -43,10 +43,9 @@ object PpsSample {
       units, strataCols, Seq(col(orderCol)), weightCol,
       saltCol = expr(s"$orderCol div $saltWidth"),
       out = "cum_hi")
-      // SaltedCumSum's offset coalesce widens to DOUBLE; integer sums
-      // are exact there to 2^53 (≈9·10¹⁵ — two orders above the 100 TB
-      // cumulative-weight envelope), and the long cast restores the
-      // integer contract the stride arithmetic needs
+      // SaltedCumSum keeps long weights long (typed offset zero); the
+      // cast is a no-op that pins the integer contract the stride
+      // arithmetic needs
       .withColumn("cum_hi", col("cum_hi").cast("long"))
     val wTot = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)

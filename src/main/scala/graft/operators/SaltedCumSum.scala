@@ -35,11 +35,16 @@ object SaltedCumSum {
 
     // per-slice totals: |keys|×|buckets| rows — tiny relative to the fact
     val wRoll = Window.partitionBy(partCols.map(col): _*).orderBy(col("__salt"))
-    val offsets = withSalt
+    val totals = withSalt
       .groupBy(saltKeys.map(col): _*)
       .agg(sum(valueCol).as("__sliceTotal"))
+    // zero of the SUM's own type: a double-literal coalesce here used to
+    // widen integer/decimal carries to double (exact only to 2^53); the
+    // typed zero keeps long counts long and decimal weights decimal
+    val zero = lit(0).cast(totals.schema("__sliceTotal").dataType)
+    val offsets = totals
       .withColumn("__offset",
-        coalesce(sum(lag("__sliceTotal", 1).over(wRoll)).over(wRoll), lit(0.0)))
+        coalesce(sum(lag("__sliceTotal", 1).over(wRoll)).over(wRoll), zero))
       .drop("__sliceTotal")
 
     sliced

@@ -17,9 +17,9 @@ import graft.functions.TextFunctions
   * The global token cumsum is the [[SaltedCumSum]] two-phase shape — no
   * single task ever windows the whole corpus; the per-bucket rollup table
   * is the only unpartitioned window and is |buckets| rows (corpus/1000),
-  * the bounded-aggregate stance used across the engine. Token counts sum
-  * exactly in doubles up to 2^53 (a 100 TB corpus is ~10^13 tokens, well
-  * inside), so the cast back to long is lossless.
+  * the bounded-aggregate stance used across the engine. Long token
+  * counts now stay long through the cumsum (SaltedCumSum's offset zero
+  * is typed to the sum), so the cast back to long is a no-op.
   */
 object TokenPack {
 

@@ -71,9 +71,13 @@ object YuleWalker {
       .withColumn("__z2", lag(col("__z"), 2).over(w))
     z.groupBy(col("__key"))
       .agg(first(col("__m")).as("__m"), first(col("__tn")).as("__tn"),
-        sum(col("__z") * col("__z")).as("__c0"),
-        sum(col("__z") * col("__z1")).as("__c1"),
-        sum(col("__z") * col("__z2")).as("__c2"),
+        // products cast to DECIMAL(38,0) BEFORE the sum: the oracle
+        // accumulates these in HUGEINT, and a BIGINT sum of z² terms
+        // would wrap silently (ANSI off) on a very long/large-cents
+        // series instead of matching it
+        sum((col("__z").cast("decimal(38,0)")) * col("__z")).as("__c0"),
+        sum((col("__z").cast("decimal(38,0)")) * col("__z1")).as("__c1"),
+        sum((col("__z").cast("decimal(38,0)")) * col("__z2")).as("__c2"),
         max(when(col("__t") === col("__tn"), col("__z"))).as("__d1"),
         max(when(col("__t") === col("__tn") - 1, col("__z"))).as("__d2"))
       // quadratic forms in DECIMAL(38,0) — c ~ T·z² overflows BIGINT squared

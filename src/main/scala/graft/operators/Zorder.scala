@@ -104,14 +104,15 @@ object Zorder {
   def rankBuckets(df: DataFrame, valueCol: String, b: Int): DataFrame = {
     val hist = df.groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__cnt"))
-    val cum = SaltedCumSum(hist, partCols = Seq.empty,
-      orderCols = Seq(col("__v")), valueCol = "__cnt",
+    // the cumsum rides in DECIMAL(38,0) end to end — no precision edge
+    // at any corpus size a BIGINT row count can represent
+    val cum = SaltedCumSum(
+      hist.withColumn("__cntd", col("__cnt").cast("decimal(38,0)")),
+      partCols = Seq.empty,
+      orderCols = Seq(col("__v")), valueCol = "__cntd",
       saltCol = expr("CAST(__v AS BIGINT) DIV 1000"), out = "__cum")
     val total = hist.agg(sum("__cnt").as("__tot"))
     cum.crossJoin(broadcast(total))
-      // SaltedCumSum carries the cumsum as a double (exact to 2^53 —
-      // the TokenPack discipline); land it back in BIGINT before the
-      // bucket arithmetic
       .select(col("__v"),
         expr(s"((CAST(__cum AS BIGINT) - __cnt) * $b) div __tot").as("__bucket"))
   }
