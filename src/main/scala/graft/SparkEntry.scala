@@ -423,6 +423,9 @@ object SparkEntry {
     "bpe_fertility"         -> (graft.functions.BpeEncode.bpeFertilityDocs(_, _)),
     "bpe_vocab"             -> (graft.functions.BpeEncode.bpeVocabDocs(_, _)),
     "token_pack_bpe"        -> (graft.functions.BpeEncode.tokenPackBpeDocs(_, _)),
+    // T5 MLM span corruption over the encode output: hash-deterministic
+    // noise spans -> sentinel input + span targets (the collator step)
+    "span_corrupt"          -> (graft.operators.SpanCorrupt.spanCorruptDocs(_, _)),
     // exact per-group discrete quantiles (indexed order statistics over
     // value cells — the GK sketch family's exact baseline, grouped)
     "group_quantiles"       -> (graft.operators.GroupQuantiles.quantilesLineitem(_, _)),
@@ -863,6 +866,7 @@ object SparkEntry {
     "bpe_fertility"         -> graft.functions.BpeEncode.fertilityOracleSql,
     "bpe_vocab"             -> graft.functions.BpeEncode.vocabOracleSql,
     "token_pack_bpe"        -> graft.functions.BpeEncode.tokenPackOracleSql,
+    "span_corrupt"          -> graft.operators.SpanCorrupt.oracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,
     "skew_salted_join"      -> graft.operators.SkewJoin.oracleSql,
     "sample_k_per_group"    -> Sampling.sampleKOracleSql,
