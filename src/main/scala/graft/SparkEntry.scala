@@ -393,6 +393,9 @@ object SparkEntry {
     "rf_param_sweep"        -> (graft.ml.ParamSweep.rfParamSweep(_, _)),
     // ASHA successive halving over nested hash-fraction rungs
     "asha_sweep"            -> (graft.ml.AshaSweep.ashaOrders(_, _)),
+    // TPE proposal over the completed ASHA trials: good/bad quantile
+    // split -> triangular-kernel densities -> argmax l(x)/g(x)
+    "tpe_sweep"             -> (graft.ml.TpeSweep.tpeOrders(_, _)),
     // PSI distribution drift: exact integer bins, smoothed shares,
     // micros log terms (fixed cardinality after one scan per side)
     "psi_value_drift"       -> (graft.operators.Drift.psiValueDrift(_, _)),
@@ -851,6 +854,7 @@ object SparkEntry {
     "forecast_cv_leaderboard" -> graft.operators.ForecastCv.oracleSql,
     "gbt_stump"             -> graft.ml.GbtStump.oracleSql,
     "asha_sweep"            -> graft.ml.AshaSweep.oracleSql,
+    "tpe_sweep"             -> graft.ml.TpeSweep.oracleSql,
     "stump_attribution"     -> graft.ml.GbtStump.attributionOracleSql,
     "gbt_stump2"            -> graft.ml.GbtStump.oracle2Sql,
     "kmeans_step"           -> graft.ann.KmeansStep.oracleSql,

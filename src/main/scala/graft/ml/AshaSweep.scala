@@ -104,7 +104,10 @@ object AshaSweep {
           .as("label01")),
       "id", "dollars", "label01", Grid)
 
-  def oracleSql: String = {
+  /** The sweep chain through `s2` (config scores + promotion flags) —
+    * shared with [[TpeSweep]]'s oracle, which models over the completed
+    * trial table. */
+  def oracleCtes: String = {
     val bucket = "(((id % 100003) * 1103515245 + 12345) % 1000000 + 1000000) % 1000000"
     val caps = Seq(25000L, 50000L, 100000L, 200000L)
     val aggCols = (0 to 3).map { r =>
@@ -116,7 +119,7 @@ object AshaSweep {
     val accCols = (0 to 3).map(r =>
       s"CASE WHEN n_$r > 0 THEN (1000000 * c_$r) // n_$r ELSE 0 END AS acc_$r")
       .mkString(",\n  ")
-    s"""WITH o AS (
+    s"""o AS (
        |  SELECT o_orderkey AS id,
        |    CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS dollars,
        |    CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END AS y
@@ -154,8 +157,12 @@ object AshaSweep {
        |  SELECT *, promoted_1 AND row_number() OVER (PARTITION BY promoted_1
        |    ORDER BY acc_2 DESC, config_id) <= 2 AS promoted_2
        |  FROM s1
-       |)
-       |SELECT config_id, threshold,
+       |)""".stripMargin
+  }
+
+  def oracleSql: String =
+    "WITH " + oracleCtes + "\n" +
+      s"""SELECT config_id, threshold,
        |  n_0, CAST(acc_0 AS BIGINT) AS acc_0, n_1,
        |  CAST(acc_1 AS BIGINT) AS acc_1, n_2,
        |  CAST(acc_2 AS BIGINT) AS acc_2, n_3,
@@ -166,5 +173,4 @@ object AshaSweep {
        |  CAST(promoted_2 AND row_number() OVER (PARTITION BY promoted_2
        |    ORDER BY acc_3 DESC, config_id) = 1 AS INT) AS winner
        |FROM s2""".stripMargin
-  }
 }

@@ -1,0 +1,127 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tree-structured-Parzen-Estimator proposal step — the model-based
+  * search half of the reference's tune loop (ray.tune HyperOptSearch
+  * next to the ASHAScheduler: /root/reference/MachineLearning/
+  * Kubernetes/src/neural_forecast_tune.py:6,10 and the same pair in
+  * Ray/tabular/tune.py): after a sweep completes, split the observed
+  * trials into a GOOD quantile and the rest, model each side's density
+  * over the search dimension, and propose the candidate maximizing
+  * l(x)/g(x) (Bergstra et al. 2011, "Algorithms for Hyper-Parameter
+  * Optimization") — the argmax of expected improvement under the
+  * two-density model.
+  *
+  * Exact-integer re-expression: each trial's OBSERVED accuracy is the
+  * deepest rung it was actually evaluated at before ASHA killed it
+  * (killed at rung r ⇒ acc_r; the survivor reads acc_3) — the trial
+  * table a real scheduler hands its searcher. Densities are triangular
+  * kernel COUNTS, good_density(c) = Σ_good max(0, W − |c − t|), an
+  * integer; the proposal score is (10⁶·(good+1)) div (bad+1) —
+  * truncating ratio of integers, Laplace-smoothed so empty densities
+  * stay ordered — and the argmax is total-ordered by (score desc,
+  * candidate asc). The gated output is the whole scored candidate
+  * table with a `proposed` flag, the way gbt_stump gates the tree
+  * STEP rather than a converged loop.
+  *
+  * Scale: trials and candidates are grid-bounded (16 × 64 here); the
+  * only corpus-sized work is the sweep that produced the trial table.
+  * The density join is a bounded cross join over broadcast frames.
+  */
+object TpeSweep {
+
+  val Gamma = 4        // |good| — top quantile of the 16 trials
+  val BandW = 40000L   // triangular kernel half-width (2 grid steps)
+  val CandN = 64       // candidate grid size
+  val CandLo = 55000L  // candidate grid: 55000 + 5000·j
+  val CandStep = 5000L
+
+  /** Score the candidate grid against a completed trial table
+    * (config_id, threshold, obs_acc): (candidate_id, cand_threshold,
+    * good_density, bad_density, score_micros, proposed). */
+  def propose(trials: DataFrame): DataFrame = {
+    val spark = trials.sparkSession
+    import spark.implicits._
+    val ranked = trials
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("obs_acc").desc, col("config_id").asc)))
+      .withColumn("is_good", col("__r") <= Gamma)
+    val cand = (0 until CandN)
+      .map(j => (j.toLong, CandLo + CandStep * j))
+      .toDF("candidate_id", "cand_threshold")
+    val dens = cand.crossJoin(broadcast(ranked))
+      .withColumn("__kern",
+        greatest(lit(0L), lit(BandW) - abs(col("cand_threshold") - col("threshold"))))
+      .groupBy("candidate_id", "cand_threshold")
+      .agg(
+        sum(when(col("is_good"), col("__kern")).otherwise(0L))
+          .as("good_density"),
+        sum(when(!col("is_good"), col("__kern")).otherwise(0L))
+          .as("bad_density"))
+      .withColumn("score_micros",
+        expr("(1000000 * (good_density + 1)) div (bad_density + 1)"))
+    dens
+      .withColumn("proposed",
+        (row_number().over(Window.orderBy(col("score_micros").desc,
+          col("candidate_id").asc)) === 1).cast("int"))
+      .select("candidate_id", "cand_threshold", "good_density",
+        "bad_density", "score_micros", "proposed")
+  }
+
+  /** Observed accuracy per trial from the sweep output: the deepest
+    * rung the config was evaluated at (ASHA kills between rungs). */
+  def observed(sweep: DataFrame): DataFrame =
+    sweep.select(col("config_id"), col("threshold"),
+      when(col("promoted_2") === 1, col("acc_3"))
+        .when(col("promoted_1") === 1, col("acc_2"))
+        .when(col("promoted_0") === 1, col("acc_1"))
+        .otherwise(col("acc_0")).as("obs_acc"))
+
+  // ---- query-map entry (hash-gated) ----
+
+  /** One TPE round over [[AshaSweep.ashaOrders]]'s completed trials. */
+  def tpeOrders(spark: SparkSession, dir: String): DataFrame =
+    propose(observed(AshaSweep.ashaOrders(spark, dir)))
+
+  def oracleSql: String =
+    "WITH " + AshaSweep.oracleCtes + ",\n" +
+      s"""obs AS (
+         |  SELECT config_id, threshold,
+         |    CASE WHEN promoted_2 THEN acc_3
+         |         WHEN promoted_1 THEN acc_2
+         |         WHEN promoted_0 THEN acc_1
+         |         ELSE acc_0 END AS obs_acc
+         |  FROM s2
+         |), rk AS (
+         |  SELECT config_id, threshold,
+         |    row_number() OVER (ORDER BY obs_acc DESC, config_id) <= $Gamma
+         |      AS is_good
+         |  FROM obs
+         |), cand AS (
+         |  SELECT CAST(j AS BIGINT) AS candidate_id,
+         |    CAST($CandLo + $CandStep * j AS BIGINT) AS cand_threshold
+         |  FROM generate_series(0, ${CandN - 1}) t(j)
+         |), dens AS (
+         |  SELECT c.candidate_id, c.cand_threshold,
+         |    CAST(sum(CASE WHEN r.is_good
+         |      THEN greatest(0, $BandW - abs(c.cand_threshold - r.threshold))
+         |      ELSE 0 END) AS BIGINT) AS good_density,
+         |    CAST(sum(CASE WHEN NOT r.is_good
+         |      THEN greatest(0, $BandW - abs(c.cand_threshold - r.threshold))
+         |      ELSE 0 END) AS BIGINT) AS bad_density
+         |  FROM cand c CROSS JOIN rk r
+         |  GROUP BY 1, 2
+         |), tpescored AS (
+         |  SELECT *, (1000000 * (good_density + 1)) // (bad_density + 1)
+         |    AS score_micros
+         |  FROM dens
+         |)
+         |SELECT candidate_id, cand_threshold, good_density, bad_density,
+         |  CAST(score_micros AS BIGINT) AS score_micros,
+         |  CAST(row_number() OVER (ORDER BY score_micros DESC, candidate_id)
+         |    = 1 AS INT) AS proposed
+         |FROM tpescored""".stripMargin
+}
