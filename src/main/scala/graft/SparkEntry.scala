@@ -273,7 +273,10 @@ object SparkEntry {
     "concurrent_table_stats" -> (Concurrent.concurrentTableStats(_, _)),
     // sketch_*: rows-gated (DuckDB's sketch internals differ, so no hash
     // oracle exists); tolerance vs exact answers asserted in SketchSpec
-    "sketch_distinct_events"   -> (Sketches.sketchDistinctEvents(_, _)),
+    // re-pointed (r17) at the PORTABLE grouped dense-HLL so the key
+    // hash-gates; the Spark-native approx_count_distinct variant stays
+    // spec-gated in SketchSpec (engine-specific registers, no oracle)
+    "sketch_distinct_events"   -> (graft.functions.Hll.hllDistinctEventTypes(_, _)),
     // exact-under-cap mergeable distinct sketch; cap >= cardinality
     // degenerates to exact COUNT(DISTINCT) == the hash gate
     "sketch_distinct_exact"    -> (graft.functions.DistinctSketch.sketchDistinctExact(_, _)),
@@ -1093,6 +1096,7 @@ object SparkEntry {
     "diff_in_diff"          -> graft.operators.ExperimentDesign.didOracleSql,
     "dbscan_classify"       -> graft.operators.Dbscan.oracleSql,
     "hll_registers"         -> graft.functions.Hll.oracleSql,
+    "sketch_distinct_events" -> graft.functions.Hll.groupedOracleSql,
     "survival_km"           -> graft.operators.Survival.oracleSql,
     "feature_hash"          -> graft.functions.FeatureHash.oracleSql,
     "bootstrap_ci"          -> graft.operators.Bootstrap.oracleSql,

@@ -94,6 +94,64 @@ object Hll {
   def hllOrders(spark: SparkSession, dir: String): DataFrame =
     sketch(Tables.orders(spark, dir).select(col("o_custkey")), "o_custkey")
 
+  /** GROUPED portable-HLL estimate — one row per group: (group,
+    * n_rows, n_zero, sum_inv_nanos, raw_est_micro, est_micro). The
+    * same engine-identical register pipeline as [[sketch]], pooled per
+    * group WITHOUT a register spine: a missing bucket is a zero
+    * register, so n_zero = m − |present buckets| and its inv-power
+    * mass is (m − present)·10⁹ — two aggregates (per-(group, bucket)
+    * max-rank with map-side partial max, then the per-group rollup)
+    * plus the broadcast lookup joins. At 100 TB the shuffle carries
+    * ≤ m rows per group, a true mergeable sketch. */
+  def sketchBy(df: DataFrame, grpCol: String, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col(grpCol).as("__g"),
+        Native.call("graft_mix_mod61",
+          exprs => MixMod61(exprs.head), col(keyCol).cast("long")).as("h"))
+      .select(col("__g"), expr(s"h % $M").as("bucket"),
+        expr(s"h div $M").as("w"))
+    val ranks = RankTable.toDF("lowbit", "rank")
+    val regs = hashed
+      .withColumn("lowbit", expr("w & -w"))
+      .join(broadcast(ranks), Seq("lowbit"), "left")
+      .select(col("__g"), col("bucket"),
+        coalesce(col("rank"), lit(MaxRank)).as("rank"))
+      .groupBy("__g", "bucket").agg(max(col("rank")).as("register"))
+    val invs = InvPowNanos.toDF("register", "inv_nanos")
+    val lc = LinearCountMicro.toDF("v", "lc_micro")
+    val counts = df.groupBy(col(grpCol).as("__g"))
+      .agg(count(lit(1)).as("n_rows"))
+    regs.join(broadcast(invs), "register")
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__present"),
+        sum(col("inv_nanos")).as("__s"))
+      .withColumn("n_zero", lit(M.toLong) - col("__present"))
+      .withColumn("sum_inv_nanos",
+        col("__s") + col("n_zero") * lit(1000000000L))
+      .withColumn("raw_est_micro",
+        expr(s"(${AlphaMicro}L * ${M.toLong * M}L * 1000000000L) div sum_inv_nanos"))
+      .join(broadcast(lc), col("n_zero") === col("v"), "left")
+      .join(counts, "__g")
+      .select(col("__g").as(grpCol), col("n_rows"), col("n_zero"),
+        col("sum_inv_nanos"), col("raw_est_micro"),
+        when(col("n_zero") > 0L &&
+             col("raw_est_micro") <= lit(5L * M / 2 * 1000000L),
+          coalesce(col("lc_micro"), lit(0L)))
+          .otherwise(col("raw_est_micro")).as("est_micro"))
+  }
+
+  /** The portable re-point of the `sketch_distinct_events` gate:
+    * per-event-type approximate distinct users from the
+    * engine-identical dense HLL (the Spark-native
+    * `approx_count_distinct` variant stays available via
+    * [[graft.operators.Sketches.approxDistinct]], spec-gated — its
+    * sketch internals are engine-specific and can never hash-match an
+    * oracle). */
+  def hllDistinctEventTypes(spark: SparkSession, dir: String): DataFrame =
+    sketchBy(Tables.events(spark, dir).select("event_type", "user_id"),
+      "event_type", "user_id")
+
   private def valuesList(t: Seq[(Long, Long)]): String =
     t.map { case (a, b) => s"($a, $b)" }.mkString(", ")
 
@@ -141,4 +199,51 @@ object Hll {
       |SELECT r.bucket, r.register, f.n_zero, f.sum_inv_nanos,
       |  f.raw_est_micro, f.est_micro
       |FROM regs r CROSS JOIN final_est f""".stripMargin
+
+  def groupedOracleSql: String =
+    s"""WITH h1s AS (
+      |  SELECT event_type, CAST((CAST($A AS HUGEINT) * user_id + $B) % $P
+      |    AS BIGINT) AS h1
+      |  FROM events
+      |), h2s AS (
+      |  SELECT event_type, CAST((CAST($A2 AS HUGEINT) * xor(h1, h1 >> 30)) % $P
+      |    AS BIGINT) AS h2
+      |  FROM h1s
+      |), hashed AS (
+      |  SELECT event_type, xor(h2, h2 >> 27) AS h FROM h2s
+      |), parts AS (
+      |  SELECT event_type, h % $M AS bucket, h // $M AS w FROM hashed
+      |), rt(lowbit, rank) AS (VALUES ${valuesList(RankTable)}),
+      |ranked AS (
+      |  SELECT p.event_type, p.bucket, coalesce(rt.rank, $MaxRank) AS rank
+      |  FROM parts p LEFT JOIN rt ON (p.w & -p.w) = rt.lowbit
+      |), regs AS (
+      |  SELECT event_type, bucket, max(rank) AS register
+      |  FROM ranked GROUP BY 1, 2
+      |), ip(register, inv_nanos) AS (VALUES ${valuesList(InvPowNanos)}),
+      |lc(v, lc_micro) AS (VALUES ${valuesList(LinearCountMicro)}),
+      |stats AS (
+      |  SELECT event_type,
+      |    $M - CAST(count(*) AS BIGINT) AS n_zero,
+      |    CAST(sum(ip.inv_nanos) AS BIGINT)
+      |      + ($M - CAST(count(*) AS BIGINT)) * 1000000000 AS sum_inv_nanos
+      |  FROM regs JOIN ip USING (register) GROUP BY event_type
+      |), est AS (
+      |  SELECT event_type, n_zero, sum_inv_nanos,
+      |    CAST((CAST($AlphaMicro AS HUGEINT) * ${M.toLong * M}
+      |      * 1000000000) // sum_inv_nanos AS BIGINT) AS raw_est_micro
+      |  FROM stats
+      |), cnts AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_type, c.n_rows, e.n_zero,
+      |  CAST(e.sum_inv_nanos AS BIGINT) AS sum_inv_nanos,
+      |  e.raw_est_micro,
+      |  CASE WHEN e.n_zero > 0 AND e.raw_est_micro <= ${5L * M / 2 * 1000000L}
+      |    THEN coalesce(lc.lc_micro, 0)
+      |    ELSE e.raw_est_micro END AS est_micro
+      |FROM est e
+      |LEFT JOIN lc ON e.n_zero = lc.v
+      |JOIN cnts c USING (event_type)""".stripMargin
 }

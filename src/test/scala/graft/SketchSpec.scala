@@ -78,6 +78,29 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("portable grouped HLL estimate within m=64 error envelope of exact") {
+    val events = Tables.events(spark, sfDir)
+    val est = graft.functions.Hll
+      .sketchBy(events.select("event_type", "user_id"), "event_type", "user_id")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_rows"),
+        r.getAs[Long]("est_micro")))).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("d"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, (d, n)) =>
+      val (nRows, em) = est(k)
+      assert(nRows === n)
+      val e = em / 1e6
+      // m = 64 registers: rse = 1.04/sqrt(64) = 13%; 4 sigma + small-n
+      // slack is a deterministic envelope the validated constants meet
+      val tol = math.max(3.0, 4 * (1.04 / 8.0) * d)
+      assert(math.abs(e - d) <= tol,
+        s"portable HLL estimate $e vs exact $d for $k exceeds $tol")
+    }
+  }
+
   test("percentile_approx within GK rank-error bound of exact per group") {
     val li = Tables.lineitem(spark, sfDir)
     val qs = Seq(0.5, 0.9, 0.99)
