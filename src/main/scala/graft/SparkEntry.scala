@@ -128,6 +128,9 @@ object SparkEntry {
     // AutoETS-style per-series model selection over the three exact models
     "auto_forecast"         -> (graft.operators.AutoForecast.autoForecastEvents(_, _)),
     "forecast_cv_leaderboard" -> (graft.operators.ForecastCv.forecastCvEvents(_, _)),
+    // supervised (input[L], horizon[h]) window frames + exact norm
+    // constants over the dense spine (the neural-forecast data layer)
+    "neural_window_frames"  -> (graft.operators.NeuralWindows.neuralWindowsEvents(_, _)),
     // split-conformal intervals around the HW forecast (two-window fit)
     "forecast_intervals"    -> (graft.operators.ForecastIntervals.forecastIntervalsEvents(_, _)),
     // inverse-calibration-SAE weighted blend of the three exact models,
@@ -855,6 +858,7 @@ object SparkEntry {
     "auto_forecast4"        -> graft.operators.AutoForecast.autoForecast4OracleSql,
     "auto_forecast"         -> graft.operators.AutoForecast.oracleSql,
     "forecast_cv_leaderboard" -> graft.operators.ForecastCv.oracleSql,
+    "neural_window_frames"  -> graft.operators.NeuralWindows.oracleSql,
     "gbt_stump"             -> graft.ml.GbtStump.oracleSql,
     "asha_sweep"            -> graft.ml.AshaSweep.oracleSql,
     "tpe_sweep"             -> graft.ml.TpeSweep.oracleSql,
