@@ -99,6 +99,8 @@ object SparkEntry {
     "rouge1_eval"           -> (graft.operators.RougeEval.rouge1Docs(_, _)),
     // ROUGE-2: the same clipped counts over adjacent-token bigrams
     "rouge2_eval"           -> (graft.operators.RougeEval.rouge2Docs(_, _)),
+    // LCS-based ROUGE-L over the same planted chain (codegen'd DP)
+    "rougeL_eval"           -> (graft.operators.RougeEval.rougeLDocs(_, _)),
     // distinct-1 / distinct-2 generation diversity, exact permille
     "gen_diversity"         -> (graft.operators.RougeEval.genDiversityDocs(_, _)),
     // data-constrained repeated-epoch allocation (water-fill at cap 4)
@@ -845,6 +847,7 @@ object SparkEntry {
     "path_betweenness"      -> graft.operators.GraphMetrics.pathBetweennessOracleSql,
     "rouge1_eval"           -> graft.operators.RougeEval.oracleSql,
     "rouge2_eval"           -> graft.operators.RougeEval.rouge2OracleSql,
+    "rougeL_eval"           -> graft.operators.RougeEval.rougeLOracleSql,
     "gen_diversity"         -> graft.operators.RougeEval.genDiversityOracleSql,
     "epoch_plan"            -> graft.operators.EpochPlan.oracleSql,
     "memorization_audit"    -> graft.operators.MemorizationAudit.oracleSql,

@@ -114,6 +114,92 @@ object RougeEval {
     rouge1Pooled(p, "doc_id", "eval_class", col("pred2"), col("gold2"))
   }
 
+  /** ROUGE-L — LCS-based scoring over the SAME planted-pairs chain
+    * (eval.py's rouge_scorer exposes rougeL through the identical
+    * interface): prec = LCS/|pred|, recall = LCS/|gold|, pooled exact
+    * micros like [[rouge1Pooled]]. Both sides are token-capped at
+    * [[RougeLCap]] (eval metrics run over bounded summaries; an
+    * uncapped corpus-side LCS is inherently quadratic — declared), and
+    * the LCS itself is the codegen'd [[graft.functions.LcsLength]]
+    * primitive loop, not an interpreted HOF fold. Unlike clipped
+    * n-grams, LCS respects order WITHOUT requiring adjacency: a
+    * transposition costs exactly one token (spec-pinned). */
+  def rougeLPooled(pairs: DataFrame, idCol: String, classCol: String,
+                   predToks: Column, goldToks: Column,
+                   cap: Int): DataFrame = {
+    val base = pairs.select(col(idCol).as("__id"),
+      col(classCol).as("eval_class"),
+      slice(predToks, 1, cap).as("__p"), slice(goldToks, 1, cap).as("__g"))
+    base.select(col("eval_class"),
+        graft.functions.Native.call("graft_lcs_length",
+          exprs => graft.functions.LcsLength(exprs(0), exprs(1)),
+          col("__p"), col("__g")).as("__lcs"),
+        size(col("__p")).cast("long").as("__pl"),
+        size(col("__g")).cast("long").as("__gl"))
+      .groupBy("eval_class")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__lcs").as("lcs_tokens"),
+        sum("__pl").as("pred_tokens"),
+        sum("__gl").as("gold_tokens"))
+      .selectExpr("eval_class", "n_docs", "lcs_tokens",
+        "pred_tokens", "gold_tokens",
+        "(1000000 * lcs_tokens) div pred_tokens AS prec_micros",
+        "(1000000 * lcs_tokens) div gold_tokens AS recall_micros",
+        "(2000000 * lcs_tokens) div (pred_tokens + gold_tokens) AS f1_micros")
+  }
+
+  val RougeLCap = 40
+
+  def rougeLDocs(spark: SparkSession, dir: String): DataFrame = {
+    val p = plantedPairs(spark, dir)
+    rougeLPooled(p, "doc_id", "eval_class", col("pred"), col("toks"),
+      RougeLCap)
+  }
+
+  /** LCS in the oracle: the classic DP folded with list_reduce — the
+    * accumulator is the DP row, each pred token rides as its gold
+    * MATCH VECTOR (so accumulator and elements share the LIST<BIGINT>
+    * type list_reduce requires), and the sequential dp_new[j−1]
+    * dependency is eliminated by the prefix-max identity
+    * dp_new[j] = max(dp_old[j], max_{k≤j, gold_k=p}(dp_old[k−1]+1)).
+    * O(cap³) per doc — fine at the oracle's sf0.01 gate. */
+  def rougeLOracleSql: String =
+    "WITH " + plantedCtes + ",\n" +
+      s"""wp AS (
+        |  SELECT doc_id, eval_class,
+        |    pred[1:least(len(pred), $RougeLCap)] AS pred,
+        |    gold[1:least(len(gold), $RougeLCap)] AS gold
+        |  FROM wp0
+        |), mv AS (
+        |  SELECT doc_id, eval_class,
+        |    CAST(len(pred) AS BIGINT) AS pl, CAST(len(gold) AS BIGINT) AS gl,
+        |    list_transform(pred, p -> list_transform(gold,
+        |      g -> CAST(CASE WHEN g = p THEN 1 ELSE 0 END AS BIGINT))) AS mvs,
+        |    [CAST(0 AS BIGINT)
+        |     FOR x IN range(0, CAST(len(gold) AS BIGINT) + 1)] AS ini
+        |  FROM wp
+        |), l AS (
+        |  SELECT doc_id, eval_class, pl, gl,
+        |    coalesce(list_max(
+        |      list_reduce(list_prepend(ini, mvs), (dp, m) ->
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          [greatest(dp[CAST(j AS INT) + 1],
+        |             coalesce(list_max([dp[CAST(k AS INT)] + 1
+        |               FOR k IN range(1, j + 1) IF m[CAST(k AS INT)] = 1]), 0))
+        |           FOR j IN range(1, CAST(len(m) AS BIGINT) + 1)]))), 0)
+        |      AS lcs
+        |  FROM mv
+        |)
+        |SELECT eval_class, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(lcs) AS BIGINT) AS lcs_tokens,
+        |  CAST(sum(pl) AS BIGINT) AS pred_tokens,
+        |  CAST(sum(gl) AS BIGINT) AS gold_tokens,
+        |  CAST((1000000 * sum(lcs)) // sum(pl) AS BIGINT) AS prec_micros,
+        |  CAST((1000000 * sum(lcs)) // sum(gl) AS BIGINT) AS recall_micros,
+        |  CAST((2000000 * sum(lcs)) // (sum(pl) + sum(gl)) AS BIGINT)
+        |    AS f1_micros
+        |FROM l GROUP BY eval_class""".stripMargin
+
   /** Generation diversity — distinct-1 / distinct-2 (Li et al. 2016,
     * "A Diversity-Promoting Objective", arXiv:1510.03055: the ratio of
     * DISTINCT n-grams to total n-grams across a generation set; low

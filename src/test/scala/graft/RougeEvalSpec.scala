@@ -82,6 +82,53 @@ class RougeEvalSpec extends SparkSpec {
     assert(hand("y") === ((1000L, 1000L)))
   }
 
+  test("rougeL: transposition costs exactly one token, not a bigram break") {
+    // pred = gold with tokens 2,3 swapped: LCS = n - 1 (drop one of the
+    // swapped pair); rouge2 would lose up to 3 bigrams at the seam
+    val pairs = Seq(
+      (1L, "tr", Seq("a", "c", "b", "d", "e"), Seq("a", "b", "c", "d", "e")),
+      (2L, "ex", Seq("x", "y", "z"), Seq("x", "y", "z")),
+      (3L, "dis", Seq("p", "q"), Seq("r", "s")))
+      .toDF("id", "cls", "pred", "gold")
+    val got = graft.operators.RougeEval
+      .rougeLPooled(pairs, "id", "cls", col("pred"), col("gold"), cap = 40)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(5)))).toMap
+    assert(got("tr") === ((4L, 800000L))) // LCS 4 of 5
+    assert(got("ex") === ((3L, 1000000L)))
+    assert(got("dis") === ((0L, 0L)))
+  }
+
+  test("rougeL: cap truncates both sides; order beyond adjacency is rewarded") {
+    // interleaved-but-ordered subsequence: rouge2 = 0, rougeL = 3
+    val pairs = Seq(
+      (1L, "sub", Seq("a", "x", "b", "y", "c"), Seq("a", "b", "c")))
+      .toDF("id", "cls", "pred", "gold")
+    val l = graft.operators.RougeEval
+      .rougeLPooled(pairs, "id", "cls", col("pred"), col("gold"), cap = 40)
+      .collect()(0)
+    assert(l.getLong(2) === 3L)
+    val capped = graft.operators.RougeEval
+      .rougeLPooled(pairs, "id", "cls", col("pred"), col("gold"), cap = 2)
+      .collect()(0)
+    assert(capped.getLong(3) === 2L && capped.getLong(4) === 2L) // lens capped
+    assert(capped.getLong(2) === 1L) // LCS of [a,x] vs [a,b]
+  }
+
+  test("lcs_length kernel: classic cases incl. empties and repeats") {
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), Seq("a", "c", "b", "d"), 3L),
+      (Seq.empty[String], Seq("a"), 0L),
+      (Seq("a"), Seq.empty[String], 0L),
+      (Seq("a", "a", "b", "a"), Seq("a", "b", "a", "a"), 3L),
+      (Seq("q"), Seq("q"), 1L))
+      .toDF("a", "b", "want")
+    val got = df.select(
+      graft.functions.Native.call("graft_lcs_length",
+        e => graft.functions.LcsLength(e(0), e(1)), col("a"), col("b"))
+        .as("lcs"), col("want")).collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("gated instance: class invariants hold") {
     val got = graft.operators.RougeEval.rouge1Docs(spark, sfDir)
       .collect().map(r => r.getString(0) -> r).toMap
