@@ -154,6 +154,9 @@ object SparkEntry {
     "decontaminate"         -> (Decontaminate.decontaminateDocuments(_, _)),
     "curation_pipeline"     -> (graft.operators.CurationPipeline.curationPipelineDocs(_, _)),
     "curation_trace"        -> (graft.operators.CurationPipeline.curationTraceDocs(_, _)),
+    // streaming twin: a new batch curated against the standing
+    // registry + fixed benchmark state (incremental == batch gate)
+    "curation_incremental"  -> (graft.operators.CurationIncremental.curationIncrementalDocs(_, _)),
     "ctx_truncation"        -> (graft.functions.BpeEncode.ctxTruncationDocs(_, _)),
     "submix_temperature"    -> (Sampling.submixTemperatureDocuments(_, _)),
     "colnames_camel"        -> (ColumnNames.colnamesCamelOrders(_, _)),
@@ -888,6 +891,7 @@ object SparkEntry {
     "decontaminate"         -> Decontaminate.oracleSql,
     "curation_pipeline"     -> graft.operators.CurationPipeline.oracleSql,
     "curation_trace"        -> graft.operators.CurationPipeline.traceOracleSql,
+    "curation_incremental"  -> graft.operators.CurationIncremental.oracleSql,
     "ctx_truncation"        -> graft.functions.BpeEncode.ctxTruncationOracleSql,
     "submix_temperature"    -> Sampling.submixTemperatureOracleSql,
     "colnames_camel"        -> ColumnNames.oracleSql,
