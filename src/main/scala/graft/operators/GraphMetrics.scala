@@ -700,11 +700,32 @@ object GraphMetrics {
     * ≤ |V|·(2K)^depth rows, LINEAR in |V| with a constant set by the
     * declared (K, depth) contract, never |V|². Each round is one
     * dist⋈edges shuffle + a min-groupBy, lineage truncated per round
-    * — [[bfsLayers]]' envelope fanned out across sources. */
+    * — [[bfsLayers]]' envelope fanned out across sources.
+    *
+    * Partition scaling (r17 lesson, measured): each round's aggregate
+    * inherits the GLOBAL shuffle-partition count, but the state is
+    * |V|·(2K)^depth — at the 100× replica (100k suppliers, ~4×10⁸
+    * (src, node) pairs) 32 partitions put >10M-entry hash maps in
+    * every task and the round-3 aggregate died with SparkOutOfMemory.
+    * The state bound is known in ADVANCE from |V| and the (K, depth)
+    * contract, so the rounds repartition by (src, node) with a count
+    * scaled to ~1M pairs per partition (floored at the session
+    * default, capped at 4096) — the knob a cluster job would set; the
+    * explicit hash repartitioning on the grouping keys satisfies the
+    * aggregate's distribution requirement, so no extra shuffle
+    * appears. */
   def harmonicCloseness(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
     val und = edges.select(col("u").as("s"), col("v").as("t"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint() // reused every round
+    val nV = math.max(1L, und.select(col("s")).distinct().count())
+    val kOut = math.max(2L, und.count() / nV)
+    val sessionParts =
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val stateBound = nV.toDouble * math.pow(kOut.toDouble, maxDepth.toDouble)
+    val parts = math.max(sessionParts,
+      math.min(4096.0, stateBound / 1e6).toInt)
     var dist = und.select(col("s").as("src")).distinct()
       .select(col("src"), col("src").as("node"), lit(0L).as("d"))
     for (_ <- 1 to maxDepth) {
@@ -714,8 +735,17 @@ object GraphMetrics {
         .select(col("src"), col("t").as("node"), (col("__fd") + lit(1L)).as("d"))
       // per-round checkpoint measured FASTER than relying on
       // ReuseExchange over the doubling replay tree (8.7 s vs 11.6 s
-      // at sf0.1): the frontier frame is small, the replayed plan isn't
-      dist = dist.unionByName(next)
+      // at sf0.1): the frontier frame is small, the replayed plan isn't.
+      // The explicit repartition engages only ABOVE the session
+      // partition count: pre-satisfying the aggregate's distribution
+      // suppresses its map-side partial combine, a good trade only when
+      // the alternative is 10M-entry per-task hash maps
+      val merged = dist.unionByName(next)
+      val shaped =
+        if (parts > sessionParts)
+          merged.repartition(parts, col("src"), col("node"))
+        else merged
+      dist = shaped
         .groupBy("src", "node").agg(min("d").as("d"))
         .localCheckpoint()
     }

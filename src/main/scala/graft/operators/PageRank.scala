@@ -78,18 +78,28 @@ object PageRank {
 
   /** Gated instance: the customer↔supplier trade graph (an edge per
     * distinct trading pair from orders⋈lineitem, BOTH directions so rank
-    * circulates), 3 iterations. Node ids are prefixed strings so the two
-    * entity spaces can't collide. */
+    * circulates), 3 iterations. The output keeps the prefixed-string
+    * node ids (the two entity spaces can't collide), but the ITERATION
+    * runs on parity-encoded LONG keys (2·custkey / 2·suppkey+1): at the
+    * 100× replica the string-keyed frames (~11M nodes × 3 joins ×
+    * 32 concurrent tasks) blew the default heap, while long keys join
+    * radix-style, halve every shuffle row, and land the same hash gate
+    * — the id-encoding move a 100 TB graph job makes on day one. */
   def pagerankTrade(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("c"),
-        concat(lit("s"), col("l_suppkey")).as("s"))
+      .select((col("o_custkey") * 2L).as("c"),
+        (col("l_suppkey") * 2L + 1L).as("s"))
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-    ranks(edges, iters = 3).select("node", "rank_micros")
+    ranks(edges, iters = 3)
+      .select(
+        when(col("node") % 2 === 0, concat(lit("c"), (col("node") / 2).cast("long")))
+          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+          .as("node"),
+        col("rank_micros"))
   }
 
   def oracleSql: String = {
