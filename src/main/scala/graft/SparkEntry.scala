@@ -440,6 +440,10 @@ object SparkEntry {
     // T5 MLM span corruption over the encode output: hash-deterministic
     // noise spans -> sentinel input + span targets (the collator step)
     "span_corrupt"          -> (graft.operators.SpanCorrupt.spanCorruptDocs(_, _)),
+    // p99.9 length -> max_length budget -> truncation-waste report
+    "ctx_budget"            -> (graft.functions.BpeEncode.ctxBudgetDocs(_, _)),
+    // packed-sequence boundary manifest (attention-mask sidecar)
+    "pack_boundaries"       -> (graft.functions.BpeEncode.packBoundariesDocs(_, _)),
     // exact per-group discrete quantiles (indexed order statistics over
     // value cells — the GK sketch family's exact baseline, grouped)
     "group_quantiles"       -> (graft.operators.GroupQuantiles.quantilesLineitem(_, _)),
@@ -884,6 +888,8 @@ object SparkEntry {
     "bpe_vocab"             -> graft.functions.BpeEncode.vocabOracleSql,
     "token_pack_bpe"        -> graft.functions.BpeEncode.tokenPackOracleSql,
     "span_corrupt"          -> graft.operators.SpanCorrupt.oracleSql,
+    "ctx_budget"            -> graft.functions.BpeEncode.ctxBudgetOracleSql,
+    "pack_boundaries"       -> graft.functions.BpeEncode.packBoundariesOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,
     "skew_salted_join"      -> graft.operators.SkewJoin.oracleSql,
     "sample_k_per_group"    -> Sampling.sampleKOracleSql,

@@ -131,6 +131,85 @@ object BpeEncode {
   def ctxTruncationDocs(spark: SparkSession, dir: String): DataFrame =
     ctxTruncation(bpeEncodeDocs(spark, dir), GatedCtxLen)
 
+  /** Sequence-length BUDGET selection + the truncation report AT that
+    * budget — the reference's exact flow for choosing max_length
+    * (/root/reference/MachineLearning/Ray/zephyr/template_dataset.py:
+    * 163-183: tokenize, sort lengths, take the 99.9th-percentile index
+    * `round(n·0.999) − 1`, print the length — 841 — and size the
+    * window to it): the percentile is an EXACT order statistic over
+    * the per-doc token counts (value-domain histogram + cumulative
+    * rank — the [[graft.operators.GroupQuantiles]] discipline, never a
+    * corpus-wide sort), and the pooled truncation accounting at that
+    * data-derived budget is one aggregate over the encode output.
+    * Index rounding is half-up, declared (Python's round is
+    * banker's; at the gate sizes the two agree). One row:
+    * (p_permille, budget_tokens, n_docs, n_truncated, tokens_kept,
+    * tokens_dropped, pad_tokens, utilization_permille). */
+  def ctxBudget(encoded: DataFrame, pPermille: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = encoded.localCheckpoint() // histogram pass + accounting pass
+    val hist = enc.groupBy(col("n_tokens").as("__len"))
+      .agg(count(lit(1)).as("__c"))
+    // value-domain window: one row per DISTINCT length, bounded by the
+    // longest document, never corpus-sized
+    val cum = hist.withColumn("__cum",
+      sum("__c").over(Window.orderBy("__len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val budget = cum
+      .crossJoin(broadcast(enc.agg(count(lit(1)).as("__n"))))
+      .withColumn("__idx", expr(s"($pPermille * __n + 500) div 1000"))
+      .filter(col("__cum") >= col("__idx"))
+      .agg(min("__len").as("budget_tokens"))
+    enc.crossJoin(broadcast(budget))
+      .agg(
+        first(col("budget_tokens")).as("budget_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") > col("budget_tokens"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(least(col("n_tokens"), col("budget_tokens"))).as("tokens_kept"),
+        sum(greatest(col("n_tokens") - col("budget_tokens"), lit(0L)))
+          .as("tokens_dropped"),
+        sum(greatest(col("budget_tokens") - col("n_tokens"), lit(0L)))
+          .as("pad_tokens"))
+      .select(lit(pPermille).as("p_permille"), col("budget_tokens"),
+        col("n_docs"), col("n_truncated"), col("tokens_kept"),
+        col("tokens_dropped"), col("pad_tokens"),
+        expr("(1000 * tokens_kept) div (n_docs * budget_tokens)")
+          .as("utilization_permille"))
+  }
+
+  val GatedPctPermille = 999L
+
+  def ctxBudgetDocs(spark: SparkSession, dir: String): DataFrame =
+    ctxBudget(bpeEncodeDocs(spark, dir).select("doc_id", "n_tokens"),
+      GatedPctPermille)
+
+  /** Packed-sequence BOUNDARY manifest per pack — the attention-mask
+    * sidecar every packed trainer needs (docs concatenated into fixed
+    * windows must not attend across document boundaries; the packer
+    * emits where each doc starts): per [[graft.operators.TokenPack]]
+    * pack, the count of docs STARTING in it, their sorted start
+    * offsets as the boundary list, the tokens they contribute, and
+    * whether the pack opens mid-document (first boundary > 0 — the
+    * spillover of a doc that started in an earlier pack). One groupBy
+    * over the pack assignment; boundary lists are pack-bounded
+    * (≤ budget docs). */
+  def packBoundaries(packed: DataFrame): DataFrame =
+    packed
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs_start"),
+        sum("n_tokens").as("tokens_started"),
+        min("pack_offset").as("__first"),
+        concat_ws(",",
+          expr("transform(array_sort(collect_list(pack_offset))," +
+            " x -> CAST(x AS STRING))")).as("boundaries"))
+      .select(col("pack_id"), col("n_docs_start"), col("tokens_started"),
+        col("boundaries"),
+        (col("__first") > 0L).cast("int").as("opens_mid_doc"))
+
+  def packBoundariesDocs(spark: SparkSession, dir: String): DataFrame =
+    packBoundaries(tokenPackBpeDocs(spark, dir))
+
   /** Tokenizer FERTILITY per corpus slice — the tokens-per-word
     * quality readout a tokenizer owner tracks per language/domain
     * (high fertility on a slice means the vocab underserves it; the
@@ -262,4 +341,55 @@ object BpeEncode {
         |  CAST(st // 512 AS BIGINT) AS pack_id,
         |  CAST(st % 512 AS BIGINT) AS pack_offset
         |FROM cum""".stripMargin
+
+  def ctxBudgetOracleSql: String =
+    "WITH " + oracleEncChain(GatedK) + ",\n" + docJoinSql + ",\n" +
+      s"""hist AS (
+        |  SELECT n_tokens AS len, CAST(count(*) AS BIGINT) AS c
+        |  FROM perdoc GROUP BY 1
+        |), cum AS (
+        |  SELECT len, CAST(sum(c) OVER (ORDER BY len
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm
+        |  FROM hist
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM perdoc),
+        |bud AS (
+        |  SELECT CAST(min(len) AS BIGINT) AS budget_tokens
+        |  FROM cum CROSS JOIN nn
+        |  WHERE cm >= ($GatedPctPermille * n + 500) // 1000
+        |)
+        |SELECT CAST($GatedPctPermille AS BIGINT) AS p_permille,
+        |  b.budget_tokens,
+        |  (SELECT n FROM nn) AS n_docs,
+        |  CAST(sum(CASE WHEN p.n_tokens > b.budget_tokens THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_truncated,
+        |  CAST(sum(least(p.n_tokens, b.budget_tokens)) AS BIGINT)
+        |    AS tokens_kept,
+        |  CAST(sum(greatest(p.n_tokens - b.budget_tokens, 0)) AS BIGINT)
+        |    AS tokens_dropped,
+        |  CAST(sum(greatest(b.budget_tokens - p.n_tokens, 0)) AS BIGINT)
+        |    AS pad_tokens,
+        |  CAST((1000 * sum(least(p.n_tokens, b.budget_tokens)))
+        |    // ((SELECT n FROM nn) * b.budget_tokens) AS BIGINT)
+        |    AS utilization_permille
+        |FROM perdoc p CROSS JOIN bud b
+        |GROUP BY b.budget_tokens""".stripMargin
+
+  def packBoundariesOracleSql: String =
+    "WITH " + oracleEncChain(GatedK) + ",\n" + docJoinSql + ",\n" +
+      """cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_tokens AS st
+        |  FROM perdoc),
+        |packed AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(st // 512 AS BIGINT) AS pack_id,
+        |    CAST(st % 512 AS BIGINT) AS pack_offset
+        |  FROM cum)
+        |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs_start,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+        |  string_agg(CAST(pack_offset AS VARCHAR), ',' ORDER BY pack_offset)
+        |    AS boundaries,
+        |  CAST(min(pack_offset) > 0 AS INT) AS opens_mid_doc
+        |FROM packed GROUP BY pack_id""".stripMargin
 }

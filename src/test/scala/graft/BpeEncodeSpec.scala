@@ -98,4 +98,40 @@ class BpeEncodeSpec extends SparkSpec {
       assert(tpd === 1000L * nt / r.getLong(1))
     }
   }
+
+  test("ctx_budget: exact order-statistic percentile + truncation accounting") {
+    import org.apache.spark.sql.functions._
+    // lengths 1..100: p90 (permille 900) index = (900*100+500)/1000 = 90
+    // -> budget = the 90th smallest = 90
+    val enc = (1L to 100L).map(i => (i, i)).toDF("doc_id", "n_tokens")
+    val r = graft.functions.BpeEncode.ctxBudget(enc, 900L).collect()(0)
+    assert(r.getAs[Long]("budget_tokens") === 90L)
+    assert(r.getAs[Long]("n_truncated") === 10L)
+    // dropped = sum(91..100) - 10*90 = 955 - 900 = 55
+    assert(r.getAs[Long]("tokens_dropped") === 55L)
+    // pad = sum(90 - i for i in 1..89) = 90*89 - 89*90/2 = 4005
+    assert(r.getAs[Long]("pad_tokens") === 4005L)
+    assert(r.getAs[Long]("tokens_kept") ===
+      (1L to 89L).sum + 11L * 90L)
+    // p100 never truncates
+    val full = graft.functions.BpeEncode.ctxBudget(enc, 1000L).collect()(0)
+    assert(full.getAs[Long]("budget_tokens") === 100L)
+    assert(full.getAs[Long]("n_truncated") === 0L)
+  }
+
+  test("pack_boundaries: manifest reconstructs the pack layout") {
+    import org.apache.spark.sql.functions._
+    // three docs of 300 tokens into 512-packs: starts 0, 300, 600
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 300L))
+      .toDF("doc_id", "n_tokens")
+    val packed = graft.operators.TokenPack.pack(docs, "doc_id", "n_tokens", 512L)
+    val m = graft.functions.BpeEncode.packBoundaries(packed)
+      .collect().map(r => r.getAs[Long]("pack_id") ->
+        ((r.getAs[Long]("n_docs_start"), r.getAs[String]("boundaries"),
+          r.getAs[Int]("opens_mid_doc")))).toMap
+    // pack 0: docs 1 (off 0) and 2 (off 300); pack 1: doc 3 (off 88,
+    // since 600 - 512), opening mid-doc (doc 2 spills in)
+    assert(m(0L) === ((2L, "0,300", 0)))
+    assert(m(1L) === ((1L, "88", 1)))
+  }
 }
