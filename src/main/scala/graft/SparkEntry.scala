@@ -407,6 +407,9 @@ object SparkEntry {
     // TPE proposal over the completed ASHA trials: good/bad quantile
     // split -> triangular-kernel densities -> argmax l(x)/g(x)
     "tpe_sweep"             -> (graft.ml.TpeSweep.tpeOrders(_, _)),
+    // suggest -> observe -> suggest: round 1's proposal evaluated on
+    // the full pool, appended as config 16, re-proposed
+    "tpe_round2"            -> (graft.ml.TpeSweep.tpeRound2Orders(_, _)),
     // PSI distribution drift: exact integer bins, smoothed shares,
     // micros log terms (fixed cardinality after one scan per side)
     "psi_value_drift"       -> (graft.operators.Drift.psiValueDrift(_, _)),
@@ -872,6 +875,7 @@ object SparkEntry {
     "gbt_stump"             -> graft.ml.GbtStump.oracleSql,
     "asha_sweep"            -> graft.ml.AshaSweep.oracleSql,
     "tpe_sweep"             -> graft.ml.TpeSweep.oracleSql,
+    "tpe_round2"            -> graft.ml.TpeSweep.round2OracleSql,
     "stump_attribution"     -> graft.ml.GbtStump.attributionOracleSql,
     "gbt_stump2"            -> graft.ml.GbtStump.oracle2Sql,
     "kmeans_step"           -> graft.ann.KmeansStep.oracleSql,

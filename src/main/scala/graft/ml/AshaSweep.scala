@@ -26,6 +26,19 @@ import graft.operators.Sampling
   */
 object AshaSweep {
 
+  /** The shared validation pool: top 20% of the bucket space (the
+    * complement of the 0.8 train split the tree-model gates use);
+    * nested rungs are prefixes of it. (__vb, __x, __y) — also consumed
+    * by [[TpeSweep]]'s full-pool proposal evaluation. */
+  def validationPool(validation: DataFrame, idCol: String,
+                     valueCol: String, labelCol: String): DataFrame = {
+    val b = Sampling.portableBucket(col(idCol))
+    validation
+      .filter(b >= lit((0.8 * Sampling.M).toLong))
+      .select((b - lit((0.8 * Sampling.M).toLong)).as("__vb"),
+        col(valueCol).as("__x"), col(labelCol).cast("long").as("__y"))
+  }
+
   /** Threshold-classifier sweep: config j predicts positive iff
     * `valueCol` > thresholds(j). Returns one row per config:
     * (config_id, threshold, n_0..n_3, acc_0..acc_3 ppm,
@@ -36,14 +49,7 @@ object AshaSweep {
     import spark.implicits._
     val cfg = thresholds.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("config_id", "threshold")
-    val b = Sampling.portableBucket(col(idCol))
-    // validation pool = top 20% of the bucket space (the complement of
-    // the 0.8 train split the tree-model gates use); nested rungs are
-    // prefixes of it
-    val pool = validation
-      .filter(b >= lit((0.8 * Sampling.M).toLong))
-      .select((b - lit((0.8 * Sampling.M).toLong)).as("__vb"),
-        col(valueCol).as("__x"), col(labelCol).cast("long").as("__y"))
+    val pool = validationPool(validation, idCol, valueCol, labelCol)
     val rungCap = (r: Int) => lit((0.2 * Sampling.M).toLong / (8L >> r))
     val scored = pool.crossJoin(broadcast(cfg))
       .withColumn("__pred", (col("__x") > col("threshold")).cast("long"))

@@ -86,42 +86,107 @@ object TpeSweep {
   def tpeOrders(spark: SparkSession, dir: String): DataFrame =
     propose(observed(AshaSweep.ashaOrders(spark, dir)))
 
+  /** CLOSE the loop: evaluate round 1's proposal on the FULL
+    * validation pool (the resource a finished trial gets), append it
+    * to the trial table as config 16, and re-propose — the
+    * suggest→observe→suggest cycle a real searcher runs. Everything
+    * stays dataframe-side: the proposal row broadcasts into the pool
+    * scan, the augmented trial table is a 17-row union. Gated output:
+    * the ROUND-2 scored candidate table (the hash covers the
+    * evaluation, the augmented split, and both density models). */
+  def tpeRound2Orders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trials = observed(AshaSweep.ashaOrders(spark, dir))
+      .localCheckpoint() // consumed by round 1, the union, and round 2
+    val prop1 = propose(trials).filter(col("proposed") === 1)
+      .select(col("cand_threshold").as("__thr"))
+    val pool = AshaSweep.validationPool(
+      graft.Tables.orders(spark, dir).select(col("o_orderkey").as("id"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100")
+          .as("dollars"),
+        when(col("o_totalprice") > 250000.0, 1L).otherwise(0L)
+          .as("label01")),
+      "id", "dollars", "label01")
+    val eval = pool.crossJoin(broadcast(prop1))
+      .agg(
+        first(col("__thr")).as("threshold"),
+        expr("(1000000 * sum(CASE WHEN (__x > __thr) = (__y = 1)" +
+          " THEN 1L ELSE 0L END)) div count(1)").as("obs_acc"))
+      .select(lit(16L).as("config_id"), col("threshold"), col("obs_acc"))
+    propose(trials.unionByName(eval))
+  }
+
+  /** The obs CTE (trial table) over the shared sweep chain. */
+  private def obsCte: String =
+    """obs AS (
+      |  SELECT config_id, threshold,
+      |    CASE WHEN promoted_2 THEN acc_3
+      |         WHEN promoted_1 THEN acc_2
+      |         WHEN promoted_0 THEN acc_1
+      |         ELSE acc_0 END AS obs_acc
+      |  FROM s2
+      |)""".stripMargin
+
+  /** The density/score chain over a (config_id, threshold, obs_acc)
+    * trial CTE, with CTE names prefixed so two rounds can coexist. */
+  private def proposalCtes(trialsCte: String, p: String): String =
+    s"""${p}rk AS (
+       |  SELECT config_id, threshold,
+       |    row_number() OVER (ORDER BY obs_acc DESC, config_id) <= $Gamma
+       |      AS is_good
+       |  FROM $trialsCte
+       |), ${p}cand AS (
+       |  SELECT CAST(j AS BIGINT) AS candidate_id,
+       |    CAST($CandLo + $CandStep * j AS BIGINT) AS cand_threshold
+       |  FROM generate_series(0, ${CandN - 1}) t(j)
+       |), ${p}dens AS (
+       |  SELECT c.candidate_id, c.cand_threshold,
+       |    CAST(sum(CASE WHEN r.is_good
+       |      THEN greatest(0, $BandW - abs(c.cand_threshold - r.threshold))
+       |      ELSE 0 END) AS BIGINT) AS good_density,
+       |    CAST(sum(CASE WHEN NOT r.is_good
+       |      THEN greatest(0, $BandW - abs(c.cand_threshold - r.threshold))
+       |      ELSE 0 END) AS BIGINT) AS bad_density
+       |  FROM ${p}cand c CROSS JOIN ${p}rk r
+       |  GROUP BY 1, 2
+       |), ${p}scored AS (
+       |  SELECT *, (1000000 * (good_density + 1)) // (bad_density + 1)
+       |    AS score_micros
+       |  FROM ${p}dens
+       |)""".stripMargin
+
+  private def proposalSelect(p: String): String =
+    s"""SELECT candidate_id, cand_threshold, good_density, bad_density,
+       |  CAST(score_micros AS BIGINT) AS score_micros,
+       |  CAST(row_number() OVER (ORDER BY score_micros DESC, candidate_id)
+       |    = 1 AS INT) AS proposed
+       |FROM ${p}scored""".stripMargin
+
   def oracleSql: String =
-    "WITH " + AshaSweep.oracleCtes + ",\n" +
-      s"""obs AS (
-         |  SELECT config_id, threshold,
-         |    CASE WHEN promoted_2 THEN acc_3
-         |         WHEN promoted_1 THEN acc_2
-         |         WHEN promoted_0 THEN acc_1
-         |         ELSE acc_0 END AS obs_acc
-         |  FROM s2
-         |), rk AS (
-         |  SELECT config_id, threshold,
-         |    row_number() OVER (ORDER BY obs_acc DESC, config_id) <= $Gamma
-         |      AS is_good
-         |  FROM obs
-         |), cand AS (
-         |  SELECT CAST(j AS BIGINT) AS candidate_id,
-         |    CAST($CandLo + $CandStep * j AS BIGINT) AS cand_threshold
-         |  FROM generate_series(0, ${CandN - 1}) t(j)
-         |), dens AS (
-         |  SELECT c.candidate_id, c.cand_threshold,
-         |    CAST(sum(CASE WHEN r.is_good
-         |      THEN greatest(0, $BandW - abs(c.cand_threshold - r.threshold))
-         |      ELSE 0 END) AS BIGINT) AS good_density,
-         |    CAST(sum(CASE WHEN NOT r.is_good
-         |      THEN greatest(0, $BandW - abs(c.cand_threshold - r.threshold))
-         |      ELSE 0 END) AS BIGINT) AS bad_density
-         |  FROM cand c CROSS JOIN rk r
-         |  GROUP BY 1, 2
-         |), tpescored AS (
-         |  SELECT *, (1000000 * (good_density + 1)) // (bad_density + 1)
-         |    AS score_micros
-         |  FROM dens
-         |)
-         |SELECT candidate_id, cand_threshold, good_density, bad_density,
-         |  CAST(score_micros AS BIGINT) AS score_micros,
-         |  CAST(row_number() OVER (ORDER BY score_micros DESC, candidate_id)
-         |    = 1 AS INT) AS proposed
-         |FROM tpescored""".stripMargin
+    "WITH " + AshaSweep.oracleCtes + ",\n" + obsCte + ",\n" +
+      proposalCtes("obs", "tpe") + "\n" + proposalSelect("tpe")
+
+  def round2OracleSql: String =
+    "WITH " + AshaSweep.oracleCtes + ",\n" + obsCte + ",\n" +
+      proposalCtes("obs", "tpe") + ",\n" +
+      s"""prop1 AS (
+         |  SELECT cand_threshold AS thr FROM (
+         |    SELECT cand_threshold,
+         |      row_number() OVER (ORDER BY score_micros DESC, candidate_id)
+         |        AS rn
+         |    FROM tpescored) z
+         |  WHERE rn = 1
+         |), ev AS (
+         |  SELECT CAST(16 AS BIGINT) AS config_id,
+         |    CAST(p1.thr AS BIGINT) AS threshold,
+         |    CAST((1000000 * sum(CASE WHEN (pool.dollars > p1.thr)
+         |        = (pool.y = 1) THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         |      AS obs_acc
+         |  FROM pool CROSS JOIN prop1 p1
+         |  GROUP BY p1.thr
+         |), trials2 AS (
+         |  SELECT * FROM obs UNION ALL SELECT * FROM ev
+         |),
+         |${proposalCtes("trials2", "r2")}
+         |${proposalSelect("r2")}""".stripMargin
 }

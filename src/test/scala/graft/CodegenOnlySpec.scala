@@ -70,6 +70,29 @@ class CodegenOnlySpec extends SparkSpec {
     }
   }
 
+  test("lcs_length compiles in both nullability regimes") {
+    withCodegenOnly {
+      // non-nullable: literal-built arrays
+      val df = spark.range(2).select(
+        array(lit("a"), lit("b"), lit("c")).as("p"),
+        array(lit("a"), lit("c")).as("g"))
+      val out = df.select(graft.functions.Native.call("graft_lcs_cg_test",
+        exprs => graft.functions.LcsLength(exprs(0), exprs(1)),
+        col("p"), col("g")).as("l")).collect().map(_.getLong(0))
+      assert(out.toSeq == Seq(2L, 2L))
+      // nullable input column with a null row
+      val dfn = spark.range(3).select(
+        when(col("id") =!= 1, array(lit("x"))).as("p"),
+        array(lit("x")).as("g"))
+      val outn = dfn.select(graft.functions.Native.call("graft_lcs_cg_test",
+        exprs => graft.functions.LcsLength(exprs(0), exprs(1)),
+        col("p"), col("g")).as("l")).collect()
+      assert(outn.count(_.isNullAt(0)) == 1)
+      assert(outn.filter(!_.isNullAt(0)).map(_.getLong(0)).toSeq ==
+        Seq(1L, 1L))
+    }
+  }
+
   test("quantize compiles over a NON-nullable float array") {
     withCodegenOnly {
       val df = spark.range(3).select(

@@ -37,6 +37,24 @@ class TpeSweepSpec extends SparkSpec {
     assert(gFar === 0L && bFar > 0)
   }
 
+  test("round 2: the loop closes — the evaluated proposal reshapes the model") {
+    val r1 = graft.ml.TpeSweep.tpeOrders(spark, sfDir)
+      .filter("proposed = 1").collect()(0)
+    val r2 = graft.ml.TpeSweep.tpeRound2Orders(spark, sfDir).collect()
+    assert(r2.length === 64)
+    assert(r2.count(_.getAs[Int]("proposed") == 1) === 1)
+    // the new trial at round 1's proposed threshold contributes kernel
+    // mass: total density at that candidate strictly grows
+    val at = r2.filter(_.getAs[Long]("cand_threshold") ==
+      r1.getAs[Long]("cand_threshold"))(0)
+    val r1row = graft.ml.TpeSweep.tpeOrders(spark, sfDir).collect()
+      .filter(_.getAs[Long]("cand_threshold") ==
+        r1.getAs[Long]("cand_threshold"))(0)
+    val d1 = r1row.getAs[Long]("good_density") + r1row.getAs[Long]("bad_density")
+    val d2 = at.getAs[Long]("good_density") + at.getAs[Long]("bad_density")
+    assert(d2 > d1, "the evaluated trial must add kernel mass at its threshold")
+  }
+
   test("exactly one proposal; observed picks the deepest evaluated rung") {
     val sweep = Seq(
       // (config, thr, n/acc per rung..., promoted flags)
