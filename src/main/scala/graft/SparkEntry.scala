@@ -447,6 +447,9 @@ object SparkEntry {
     "ctx_budget"            -> (graft.functions.BpeEncode.ctxBudgetDocs(_, _)),
     // packed-sequence boundary manifest (attention-mask sidecar)
     "pack_boundaries"       -> (graft.functions.BpeEncode.packBoundariesDocs(_, _)),
+    // T5 group_texts: concatenate-and-chunk with remainder drop,
+    // docs SPLIT across chunk boundaries (vs token_pack's doc packs)
+    "group_texts_chunks"    -> (graft.functions.BpeEncode.groupTextsDocs(_, _)),
     // exact per-group discrete quantiles (indexed order statistics over
     // value cells — the GK sketch family's exact baseline, grouped)
     "group_quantiles"       -> (graft.operators.GroupQuantiles.quantilesLineitem(_, _)),
@@ -894,6 +897,7 @@ object SparkEntry {
     "span_corrupt"          -> graft.operators.SpanCorrupt.oracleSql,
     "ctx_budget"            -> graft.functions.BpeEncode.ctxBudgetOracleSql,
     "pack_boundaries"       -> graft.functions.BpeEncode.packBoundariesOracleSql,
+    "group_texts_chunks"    -> graft.functions.BpeEncode.groupTextsOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,
     "skew_salted_join"      -> graft.operators.SkewJoin.oracleSql,
     "sample_k_per_group"    -> Sampling.sampleKOracleSql,

@@ -210,6 +210,64 @@ object BpeEncode {
   def packBoundariesDocs(spark: SparkSession, dir: String): DataFrame =
     packBoundaries(tokenPackBpeDocs(spark, dir))
 
+  /** T5 `group_texts` — concatenate every document's token stream and
+    * cut fixed-length training chunks, dropping the tail remainder
+    * (/root/reference/NLP/accelerate_pretrain_t5_base_mlm.py:56-76:
+    * `total_length = (total_length // expanded_inputs_length) *
+    * expanded_inputs_length` then slices of exactly that length) —
+    * unlike [[graft.operators.TokenPack]] (docs keep identity, packs
+    * are where docs START), group_texts SPLITS documents across chunk
+    * boundaries: a chunk owns token positions [c·L, (c+1)·L).
+    *
+    * Relational shape: the doc-order token cumsum assigns each doc its
+    * global [st, st+n) interval; a doc touches chunks ⌊st/L⌋ ..
+    * ⌊(st+n−1)/L⌋ — ONE bounded explode per doc (≤ n/L + 1 chunks),
+    * then a per-chunk rollup of the overlap lengths. Output per FULL
+    * chunk: (chunk_id, n_docs, first_doc_id, last_doc_id,
+    * tokens_from_first, tokens_from_last) — boundary accounting the
+    * collator's examples inherit. Linear in tokens/L; the cumsum is
+    * [[graft.operators.SaltedCumSum]]'s two-phase shape. */
+  def groupTexts(encoded: DataFrame, idCol: String, tokCol: String,
+                 chunkLen: Long): DataFrame = {
+    require(chunkLen >= 1)
+    val cum = graft.operators.SaltedCumSum(
+      encoded.select(col(idCol), col(tokCol)),
+      partCols = Seq.empty, orderCols = Seq(col(idCol)),
+      valueCol = tokCol,
+      saltCol = expr(s"CAST($idCol AS BIGINT) DIV 1000"), out = "__cum")
+      .withColumn("__st", col("__cum") - col(tokCol))
+      .localCheckpoint() // consumed by the explode AND the total
+    val total = cum.agg(sum(col(tokCol)).as("__tot"))
+    cum.crossJoin(broadcast(total))
+      .filter(col(tokCol) > 0)
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(__st div $chunkLen, (__st + $tokCol - 1) div $chunkLen)")))
+      // full chunks only: the remainder tail is DROPPED, per group_texts
+      .filter(col("chunk_id") < expr(s"__tot div $chunkLen"))
+      .withColumn("__ov",
+        least(col("__st") + col(tokCol), (col("chunk_id") + 1) * chunkLen) -
+          greatest(col("__st"), col("chunk_id") * chunkLen))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("first_doc_id"),
+        max(col(idCol)).as("last_doc_id"),
+        // doc ids are unique, so the struct extrema ARE argmin/argmax
+        max(struct(col(idCol).as("__id"), col("__ov")))
+          .getField("__ov").as("tokens_from_last"),
+        min(struct(col(idCol).as("__id"), col("__ov")))
+          .getField("__ov").as("tokens_from_first"))
+      .select(col("chunk_id"), col("n_docs"), col("first_doc_id"),
+        col("last_doc_id"), col("tokens_from_first"),
+        col("tokens_from_last"))
+  }
+
+  val GatedChunkLen = 568L // the reference's expanded_inputs_length
+
+  def groupTextsDocs(spark: SparkSession, dir: String): DataFrame =
+    groupTexts(bpeEncodeDocs(spark, dir).select("doc_id", "n_tokens")
+        .localCheckpoint(), // pin the encode DAG (token_pack_bpe lesson)
+      "doc_id", "n_tokens", GatedChunkLen)
+
   /** Tokenizer FERTILITY per corpus slice — the tokens-per-word
     * quality readout a tokenizer owner tracks per language/domain
     * (high fertility on a slice means the vocab underserves it; the
@@ -373,6 +431,32 @@ object BpeEncode {
         |    AS utilization_permille
         |FROM perdoc p CROSS JOIN bud b
         |GROUP BY b.budget_tokens""".stripMargin
+
+  def groupTextsOracleSql: String =
+    "WITH " + oracleEncChain(GatedK) + ",\n" + docJoinSql + ",\n" +
+      s"""cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_tokens AS BIGINT) AS st
+        |  FROM perdoc),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM perdoc),
+        |touch AS (
+        |  SELECT c.doc_id, c.n_tokens, c.st, CAST(i AS BIGINT) AS chunk_id
+        |  FROM cum c CROSS JOIN tot,
+        |    unnest(generate_series(c.st // $GatedChunkLen,
+        |      (c.st + c.n_tokens - 1) // $GatedChunkLen)) AS u(i)
+        |  WHERE c.n_tokens > 0 AND i < tot.t // $GatedChunkLen),
+        |ov AS (
+        |  SELECT chunk_id, doc_id,
+        |    least(st + n_tokens, (chunk_id + 1) * $GatedChunkLen)
+        |      - greatest(st, chunk_id * $GatedChunkLen) AS o
+        |  FROM touch)
+        |SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc_id,
+        |  CAST(min_by(o, doc_id) AS BIGINT) AS tokens_from_first,
+        |  CAST(max_by(o, doc_id) AS BIGINT) AS tokens_from_last
+        |FROM ov GROUP BY chunk_id""".stripMargin
 
   def packBoundariesOracleSql: String =
     "WITH " + oracleEncChain(GatedK) + ",\n" + docJoinSql + ",\n" +

@@ -52,6 +52,19 @@ class NeuralWindowsSpec extends SparkSpec {
       Date.valueOf("2024-01-20"))
   }
 
+  test("plan shape: one exchange — all window frames share the per-key sort") {
+    val f = NeuralWindows.frames(dense(20), "key", "day", "cents",
+      "n_events", inputLen = 5, horizon = 3)
+    val plan = f.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"expected exactly one shuffle (hash by key), plan:\n$plan")
+    // lead() and both ROWS BETWEEN sums must ride one Window operator
+    // family over the same (key, day) sort — no re-sort between them
+    val sorts = "Sort ".r.findAllIn(plan).length
+    assert(sorts <= 2, s"window frames re-sorting, plan:\n$plan")
+  }
+
   test("two keys window independently") {
     val two = dense(12, "a").union(dense(9, "b"))
     val f = NeuralWindows.frames(two, "key", "day", "cents", "n_events",
