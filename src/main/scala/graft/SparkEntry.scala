@@ -450,6 +450,8 @@ object SparkEntry {
     // T5 group_texts: concatenate-and-chunk with remainder drop,
     // docs SPLIT across chunk boundaries (vs token_pack's doc packs)
     "group_texts_chunks"    -> (graft.functions.BpeEncode.groupTextsDocs(_, _)),
+    // the full T5 composition: group_texts chunks through the collator
+    "span_corrupt_chunks"   -> (graft.operators.SpanCorrupt.spanCorruptChunks(_, _)),
     // exact per-group discrete quantiles (indexed order statistics over
     // value cells — the GK sketch family's exact baseline, grouped)
     "group_quantiles"       -> (graft.operators.GroupQuantiles.quantilesLineitem(_, _)),
@@ -898,6 +900,7 @@ object SparkEntry {
     "ctx_budget"            -> graft.functions.BpeEncode.ctxBudgetOracleSql,
     "pack_boundaries"       -> graft.functions.BpeEncode.packBoundariesOracleSql,
     "group_texts_chunks"    -> graft.functions.BpeEncode.groupTextsOracleSql,
+    "span_corrupt_chunks"   -> graft.operators.SpanCorrupt.chunksOracleSql,
     "freq_topk_exact"       -> graft.operators.FreqSketch.oracleSql,
     "skew_salted_join"      -> graft.operators.SkewJoin.oracleSql,
     "sample_k_per_group"    -> Sampling.sampleKOracleSql,

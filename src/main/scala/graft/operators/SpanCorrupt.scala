@@ -149,24 +149,59 @@ object SpanCorrupt {
     corrupt(docTokens(Tables.documents(spark, dir), "doc_id", "text",
       BpeEncode.GatedK))
 
-  def oracleSql: String = {
-    import graft.functions.Hll.{A, A2, B, P}
+  /** The reference's ACTUAL composition — tokenize → group_texts →
+    * collator: [[BpeEncode.groupTexts]]' fixed-length chunks
+    * reassembled as token sequences (doc-order cumsum → global
+    * positions → per-chunk sort, each chunk exactly L tokens, the
+    * remainder dropped) and corrupted with the identical
+    * hash-deterministic span draw keyed on chunk_id. */
+  def spanCorruptChunks(spark: SparkSession, dir: String): DataFrame = {
+    val L = BpeEncode.GatedChunkLen
+    val dt = docTokens(Tables.documents(spark, dir), "doc_id", "text",
+        BpeEncode.GatedK)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .localCheckpoint() // feeds the cumsum, the total AND the explode
+    val cum = graft.operators.SaltedCumSum(dt, partCols = Seq.empty,
+        orderCols = Seq(col("doc_id")), valueCol = "n",
+        saltCol = expr("CAST(doc_id AS BIGINT) DIV 1000"), out = "__cum")
+      .withColumn("__st", col("__cum") - col("n"))
+    val tot = dt.agg(sum("n").as("__tot"))
+    val chunks = cum.crossJoin(broadcast(tot))
+      .select(col("__st"), col("__tot"),
+        posexplode(col("toks")).as(Seq("__i", "tok")))
+      .withColumn("gpos", col("__st") + col("__i"))
+      .withColumn("doc_id", expr(s"gpos div $L"))
+      .filter(col("doc_id") < expr(s"__tot div $L"))
+      .groupBy("doc_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(gpos, tok)))," +
+          " x -> x.tok)").as("toks"))
+    corrupt(chunks).withColumnRenamed("doc_id", "chunk_id")
+  }
+
+  /** The doc-token CTE prefix shared with [[chunksOracleSql]]. */
+  private def docToksCtes: String =
     "WITH " + BpeEncode.oracleEncChain(BpeEncode.GatedK) + ",\n" +
-      s"""wordpos AS MATERIALIZED (
+      """wordpos AS MATERIALIZED (
          |  SELECT doc_id, i AS widx, ws[CAST(i AS INT)] AS w
-         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+         |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
          |        FROM documents) d,
          |    unnest(generate_series(1, len(ws))) AS t(i)
          |  WHERE len(ws[CAST(i AS INT)]) > 0),
          |doctoks AS MATERIALIZED (
          |  SELECT wp.doc_id,
          |    flatten(list(string_split(e.toks, ' ') ORDER BY wp.widx)) AS toks
-         |  FROM wordpos wp JOIN enc e USING (w) GROUP BY wp.doc_id),
-         |perdoc AS MATERIALIZED (
+         |  FROM wordpos wp JOIN enc e USING (w) GROUP BY wp.doc_id)""".stripMargin
+
+  /** The corruption chain over ANY (doc_id, toks) CTE named `src`;
+    * `idOut` aliases the id column of the final select. */
+  private def corruptionSql(src: String, idOut: String): String = {
+    import graft.functions.Hll.{A, A2, B, P}
+    s"""perdoc AS MATERIALIZED (
          |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
          |    greatest(1, least(CAST(len(toks) AS BIGINT) - 1,
          |      (3 * CAST(len(toks) AS BIGINT) + 10) // 20)) AS m
-         |  FROM doctoks),
+         |  FROM $src),
          |pk AS MATERIALIZED (
          |  SELECT doc_id, toks, n, m,
          |    greatest(1, least((2 * m + 3) // 6, least(m, n - m))) AS k
@@ -224,7 +259,7 @@ object SpanCorrupt {
          |      coalesce(cl.c2, [])), [p.n - p.m]) AS mb
          |  FROM pk p LEFT JOIN cl USING (doc_id)
          |  WHERE p.n >= 2)
-         |SELECT doc_id, n AS n_tokens, m AS n_noise, k AS n_spans,
+         |SELECT doc_id AS $idOut, n AS n_tokens, m AS n_noise, k AS n_spans,
          |  array_to_string([
          |    array_to_string(toks[
          |      CAST(mb[j + 1] + nb[j + 1] + 1 AS INT) :
@@ -240,9 +275,39 @@ object SpanCorrupt {
          |    || ' <extra_id_' || k || '>' AS target_text
          |FROM bounds
          |UNION ALL
-         |SELECT doc_id, n AS n_tokens, CAST(0 AS BIGINT) AS n_noise,
+         |SELECT doc_id AS $idOut, n AS n_tokens, CAST(0 AS BIGINT) AS n_noise,
          |  CAST(0 AS BIGINT) AS n_spans,
          |  array_to_string(toks, ' ') AS input_text, '' AS target_text
          |FROM pk WHERE n < 2""".stripMargin
   }
+
+  def oracleSql: String =
+    docToksCtes + ",\n" + corruptionSql("doctoks", "doc_id")
+
+  /** `span_corrupt_chunks`: the collator applied to [[BpeEncode
+    * .groupTexts]]'s fixed-length chunks — the reference's ACTUAL
+    * composition (tokenize → group_texts → DataCollatorForT5MLM):
+    * global token positions from the doc-order cumsum, full chunks
+    * reassembled, then the identical hash-deterministic corruption
+    * keyed on chunk_id. Every chunk is exactly L tokens, so m and k
+    * are constant (round(.15·568) = 85 noise tokens in 28 spans). */
+  def chunksOracleSql: String =
+    docToksCtes + ",\n" +
+      s"""docst AS MATERIALIZED (
+         |  SELECT doc_id, toks,
+         |    CAST(sum(len(toks)) OVER (ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - len(toks) AS BIGINT) AS st
+         |  FROM doctoks),
+         |gtot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS t FROM doctoks),
+         |tokpos AS MATERIALIZED (
+         |  SELECT (d.st + i - 1) // ${BpeEncode.GatedChunkLen} AS chunk_id,
+         |    d.st + i - 1 AS gpos, d.toks[CAST(i AS INT)] AS tok
+         |  FROM docst d CROSS JOIN gtot,
+         |    unnest(generate_series(1, len(d.toks))) AS u(i)
+         |  WHERE (d.st + i - 1) // ${BpeEncode.GatedChunkLen}
+         |    < gtot.t // ${BpeEncode.GatedChunkLen}),
+         |chunktoks AS MATERIALIZED (
+         |  SELECT chunk_id AS doc_id, list(tok ORDER BY gpos) AS toks
+         |  FROM tokpos GROUP BY chunk_id),
+         |""".stripMargin + corruptionSql("chunktoks", "chunk_id")
 }

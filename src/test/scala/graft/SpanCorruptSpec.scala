@@ -105,6 +105,21 @@ class SpanCorruptSpec extends SparkSpec {
     }
   }
 
+  test("chunked composition: every chunk is exactly L tokens with constant m, k") {
+    val got = SpanCorrupt.spanCorruptChunks(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val L = graft.functions.BpeEncode.GatedChunkLen
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === L)
+      assert(r.getAs[Long]("n_noise") === (3 * L + 10) / 20) // 85
+      val m = (3 * L + 10) / 20
+      assert(r.getAs[Long]("n_spans") === (2 * m + 3) / 6) // 28
+    }
+    // chunk ids are dense 0..n-1 (full chunks only, remainder dropped)
+    val ids = got.map(_.getAs[Long]("chunk_id")).sorted
+    assert(ids.toSeq === (0L until ids.length).toSeq)
+  }
+
   test("gated instance is deterministic across runs") {
     val a = SpanCorrupt.spanCorruptDocs(spark, sfDir).orderBy("doc_id")
       .collect().map(_.toString)
