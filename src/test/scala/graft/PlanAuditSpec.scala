@@ -124,7 +124,13 @@ class PlanAuditSpec extends SparkSpec {
     // itself under a < to enumerate pairs (4×4 → 6 rows) — a
     // parameter-bounded expansion, never data-shaped; the BFS frontier
     // joins are equi-keyed and sit behind localCheckpoints
-    "path_betweenness" -> 1)
+    "path_betweenness" -> 1,
+    // r17: the TPE density model crosses the 64-row candidate grid with
+    // the ≤17-row trial table (grid × grid, the asha_sweep case), and
+    // the round-1 trial derivation re-crosses asha's validation pool
+    // with its 16-row config grid; round 2 adds nothing — its pool
+    // evaluation broadcasts a 1-row proposal (scalar attachment)
+    "tpe_sweep" -> 2, "tpe_round2" -> 2)
   // gbt_stump2 needs no entry: its side tagging (1-row root-split
   // broadcast) is behind an eager localCheckpoint, so the audited
   // level-2 plan starts at the materialized sided frame
