@@ -161,8 +161,11 @@ object BpeEncode {
       .filter(col("__cum") >= col("__idx"))
       .agg(min("__len").as("budget_tokens"))
     enc.crossJoin(broadcast(budget))
+      // grouped on the (constant) budget, not a global agg: an empty
+      // corpus then yields ZERO rows on both engines instead of a
+      // Spark-only all-null row (the EpochPlan empty-corpus lesson)
+      .groupBy("budget_tokens")
       .agg(
-        first(col("budget_tokens")).as("budget_tokens"),
         count(lit(1)).as("n_docs"),
         sum(when(col("n_tokens") > col("budget_tokens"), 1L).otherwise(0L))
           .as("n_truncated"),

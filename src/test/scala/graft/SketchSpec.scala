@@ -101,6 +101,24 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("portable HLL is mergeable: disjoint-half estimates equal the whole") {
+    // the sketch state is per-bucket MAX rank, so sketching any
+    // partition split and max-merging must reproduce the full sketch;
+    // splitting by event parity and re-grouping under one key is
+    // exactly that merge (the groupBy max IS the merge operator)
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("event_id"))
+    val whole = graft.functions.Hll
+      .sketchBy(events.select("event_type", "user_id"), "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_micro")).toMap
+    // shuffle the rows arbitrarily (repartition) — estimates must not move
+    val shuffled = graft.functions.Hll
+      .sketchBy(events.repartition(7, col("event_id"))
+        .select("event_type", "user_id"), "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_micro")).toMap
+    assert(whole === shuffled)
+  }
+
   test("percentile_approx within GK rank-error bound of exact per group") {
     val li = Tables.lineitem(spark, sfDir)
     val qs = Seq(0.5, 0.9, 0.99)
