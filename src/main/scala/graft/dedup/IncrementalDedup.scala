@@ -48,11 +48,7 @@ object IncrementalDedup {
     * read back THROUGH the table — the hash breaks if either the
     * dedup logic or the registry round-trip drifts. */
   def incrementalDocs(spark: SparkSession, dir: String): DataFrame = {
-    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_fpreg_${math.abs(dir.hashCode.toLong)}").toString
-    new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val table = graft.TmpPaths.unique("graft_fpreg")
     val docs = Tables.documents(spark, dir)
     val seeded = docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"),

@@ -194,24 +194,43 @@ object BpeEncode {
     * pack, the count of docs STARTING in it, their sorted start
     * offsets as the boundary list, the tokens they contribute, and
     * whether the pack opens mid-document (first boundary > 0 — the
-    * spillover of a doc that started in an earlier pack). One groupBy
-    * over the pack assignment; boundary lists are pack-bounded
+    * spillover of a doc that started in an earlier pack).
+    *
+    * Packs in which NO doc starts (fully interior to a doc longer
+    * than `budget`) are emitted too, as (0, 0, '', opens_mid_doc=1)
+    * rows — without them the sidecar cannot distinguish an
+    * all-one-doc pack from a nonexistent pack id. Interior packs come
+    * from a per-doc bounded explode of the packs the doc spills into
+    * (≤ n_tokens/budget + 1 rows per doc, the groupTexts envelope);
+    * one groupBy over starts ∪ spill; boundary lists are pack-bounded
     * (≤ budget docs). */
-  def packBoundaries(packed: DataFrame): DataFrame =
-    packed
+  def packBoundaries(packed: DataFrame, budget: Long): DataFrame = {
+    val starts =
+      packed.select(col("pack_id"), col("n_tokens"), col("pack_offset"))
+    val spill = packed
+      .filter(col("pack_offset") + col("n_tokens") > budget)
+      .select(
+        explode(expr(s"sequence(pack_id + 1, " +
+          s"(pack_id * $budget + pack_offset + n_tokens - 1) div $budget)"))
+          .as("pack_id"),
+        lit(null).cast("long").as("n_tokens"),
+        lit(null).cast("long").as("pack_offset"))
+    starts.unionByName(spill)
       .groupBy("pack_id")
-      .agg(count(lit(1)).as("n_docs_start"),
-        sum("n_tokens").as("tokens_started"),
+      .agg(count(col("pack_offset")).as("n_docs_start"),
+        coalesce(sum("n_tokens"), lit(0L)).as("tokens_started"),
         min("pack_offset").as("__first"),
         concat_ws(",",
           expr("transform(array_sort(collect_list(pack_offset))," +
             " x -> CAST(x AS STRING))")).as("boundaries"))
       .select(col("pack_id"), col("n_docs_start"), col("tokens_started"),
         col("boundaries"),
-        (col("__first") > 0L).cast("int").as("opens_mid_doc"))
+        coalesce(col("__first") > 0L, lit(true)).cast("int")
+          .as("opens_mid_doc"))
+  }
 
   def packBoundariesDocs(spark: SparkSession, dir: String): DataFrame =
-    packBoundaries(tokenPackBpeDocs(spark, dir))
+    packBoundaries(tokenPackBpeDocs(spark, dir), budget = 512L)
 
   /** T5 `group_texts` — concatenate every document's token stream and
     * cut fixed-length training chunks, dropping the tail remainder
@@ -472,11 +491,22 @@ object BpeEncode {
         |  SELECT doc_id, n_tokens,
         |    CAST(st // 512 AS BIGINT) AS pack_id,
         |    CAST(st % 512 AS BIGINT) AS pack_offset
-        |  FROM cum)
-        |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs_start,
-        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
-        |  string_agg(CAST(pack_offset AS VARCHAR), ',' ORDER BY pack_offset)
-        |    AS boundaries,
-        |  CAST(min(pack_offset) > 0 AS INT) AS opens_mid_doc
-        |FROM packed GROUP BY pack_id""".stripMargin
+        |  FROM cum),
+        |spill AS (
+        |  SELECT unnest(generate_series(pack_id + 1,
+        |      (pack_id * 512 + pack_offset + n_tokens - 1) // 512))
+        |    AS pack_id
+        |  FROM packed WHERE pack_offset + n_tokens > 512),
+        |allrows AS (
+        |  SELECT pack_id, n_tokens, pack_offset FROM packed
+        |  UNION ALL
+        |  SELECT pack_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM spill)
+        |SELECT pack_id, CAST(count(pack_offset) AS BIGINT) AS n_docs_start,
+        |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS tokens_started,
+        |  coalesce(string_agg(CAST(pack_offset AS VARCHAR), ','
+        |      ORDER BY pack_offset), '') AS boundaries,
+        |  CAST(coalesce(min(pack_offset) > 0, TRUE) AS INT)
+        |    AS opens_mid_doc
+        |FROM allrows GROUP BY pack_id""".stripMargin
 }

@@ -8,14 +8,19 @@ import graft.Tables
 /** Multimodal binary-column handling: opaque `binary` payloads + typed
   * metadata + deterministic frame sampling.
   *
-  * The container has no image/audio codecs, so DECODE IS STUBBED — the
-  * "header parse" is arithmetic over payload bytes (clearly fake, but
-  * fully deterministic and cross-engine checkable) and the batched
-  * [[decodeBatch]] path mirrors how a real decoder plugs in. Everything
-  * Spark-side is real: the binary column type, the typed metadata schema,
-  * the codegen'd per-row metadata expressions, and the explode-based
-  * frame sampler whose output is one row per sampled frame with its byte
-  * offset — the shape a video training-data pipeline shuffles and joins.
+  * Decode status: BMP, WAV, PNG, and GIF are REAL pure-JVM codecs
+  * (BmpCodec.scala and friends — byte-level header/pixel/sample parses,
+  * each hash-gated by its mm_decode_* key). ONLY VIDEO DECODE IS
+  * STUBBED — the container ships no video codec, so the video "header
+  * parse" is arithmetic over payload bytes (clearly fake, but fully
+  * deterministic and cross-engine checkable); the batched
+  * [[decodeBatch]] path mirrors how a real decoder plugs in and routes
+  * structurally-validated image/audio payloads through the real codecs.
+  * Everything Spark-side is real: the binary column type, the typed
+  * metadata schema, the codegen'd per-row metadata expressions, and the
+  * explode-based frame sampler whose output is one row per sampled frame
+  * with its byte offset — the shape a video training-data pipeline
+  * shuffles and joins.
   *
   * Scale shape: metadata extraction and frame explosion are map-side
   * expressions (no shuffle, no UDF); the explode multiplies rows by

@@ -51,11 +51,7 @@ object Bitemporal {
   /** Gated instance: the 3×3 (transaction version × valid date) grid —
     * (txn_version, valid_date, n_active, n_current). */
   def bitemporalOrders(spark: SparkSession, dir: String): DataFrame = {
-    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_bitemp_${math.abs(dir.hashCode.toLong)}").toString
-    new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val table = graft.TmpPaths.unique("graft_bitemp")
     val orders = Tables.orders(spark, dir)
     Cutoffs.foreach(c => VersionedTable.overwrite(spark, table,
       dimOf(orders, c)))

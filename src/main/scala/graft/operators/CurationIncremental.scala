@@ -78,11 +78,7 @@ object CurationIncremental {
     * batch. */
   def curationIncrementalDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_creg_${math.abs(dir.hashCode.toLong)}").toString
-    new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(table), true)
+    val table = graft.TmpPaths.unique("graft_creg")
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "text", "source", "lang")
       .localCheckpoint()

@@ -707,10 +707,12 @@ object GraphMetrics {
     * |V|·(2K)^depth — at the 100× replica (100k suppliers, ~4×10⁸
     * (src, node) pairs) 32 partitions put >10M-entry hash maps in
     * every task and the round-3 aggregate died with SparkOutOfMemory.
-    * The state bound is known in ADVANCE from |V| and the (K, depth)
-    * contract, so the rounds repartition by (src, node) with a count
-    * scaled to ~1M pairs per partition (floored at the session
-    * default, capped at 4096) — the knob a cluster job would set; the
+    * The state bound is known in ADVANCE from |V|, the MAX degree
+    * (one degree aggregate up front — average degree would under-scale
+    * on skewed graphs), and depth, so the rounds repartition by
+    * (src, node) with a count scaled to ~1M pairs per partition
+    * (floored at the session default, capped at 4096) — the knob a
+    * cluster job would set; the
     * explicit hash repartitioning on the grouping keys satisfies the
     * aggregate's distribution requirement, so no extra shuffle
     * appears. */
@@ -719,8 +721,16 @@ object GraphMetrics {
     val und = edges.select(col("u").as("s"), col("v").as("t"))
       .unionByName(edges.select(col("v").as("s"), col("u").as("t")))
       .localCheckpoint() // reused every round
-    val nV = math.max(1L, und.select(col("s")).distinct().count())
-    val kOut = math.max(2L, und.count() / nV)
+    // nV and the MAX out-degree in one job (not two): the state bound
+    // is |V|·maxDeg^depth — sizing from the AVERAGE degree under-scales
+    // on skewed graphs and the OOM this repartition exists to prevent
+    // recurs. On the degree-bounded top-K graph maxDeg = 2K, so this is
+    // exactly the documented (2K)^depth envelope.
+    val degStats = und.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("nv"), max(col("deg")).as("maxdeg"))
+      .head()
+    val nV = math.max(1L, degStats.getLong(0))
+    val kOut = math.max(2L, degStats.getLong(1))
     val sessionParts =
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val stateBound = nV.toDouble * math.pow(kOut.toDouble, maxDepth.toDouble)

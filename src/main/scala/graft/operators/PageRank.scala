@@ -96,8 +96,8 @@ object PageRank {
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
     ranks(edges, iters = 3)
       .select(
-        when(col("node") % 2 === 0, concat(lit("c"), (col("node") / 2).cast("long")))
-          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+        when(col("node") % 2 === 0, concat(lit("c"), shiftright(col("node"), 1)))
+          .otherwise(concat(lit("s"), shiftright(col("node"), 1)))
           .as("node"),
         col("rank_micros"))
   }

@@ -939,15 +939,14 @@ object VersionedTable {
 
   /** Build the canonical 4-version demo table (append pre-1995, append
     * 1995–96, upsert doubling %97 keys + inserting 1997+, overwrite
-    * with the 1998 slice) under a deterministic per-(dir, suffix) tmp
-    * path, deleted and rebuilt each call so every gated run exercises
-    * the whole write path. Distinct suffixes keep the gated keys
-    * independent under the concurrent runner. */
+    * with the 1998 slice) under a per-invocation UNIQUE tmp path
+    * ([[graft.TmpPaths.unique]]), rebuilt each call so every gated run
+    * exercises the whole write path. Unique paths (not fixed
+    * per-(dir,suffix) names) keep concurrent drivers — Verify and
+    * Bench over the same data dir — from racing on delete/append/read. */
   private[graft] def buildOrdersTable(spark: SparkSession, dir: String,
                                suffix: String): String = {
-    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_vtable_${suffix}_${math.abs(dir.hashCode.toLong)}").toString
-    fs(spark, table).delete(new Path(table), true)
+    val table = graft.TmpPaths.unique(s"graft_vtable_${suffix}")
     val o = ordersFrame(spark, dir)
     val d95 = lit("1995-01-01").cast("date")
     val d97 = lit("1997-01-01").cast("date")
@@ -970,9 +969,7 @@ object VersionedTable {
     * the same per-era recomputation) — the hash breaks if checkpoint
     * state capture or tail replay diverges from log replay in any way. */
   def tableCheckpoint(spark: SparkSession, dir: String): DataFrame = {
-    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_vtable_ck_${math.abs(dir.hashCode.toLong)}").toString
-    fs(spark, table).delete(new Path(table), true)
+    val table = graft.TmpPaths.unique("graft_vtable_ck")
     val o = ordersFrame(spark, dir)
     val d95 = lit("1995-01-01").cast("date")
     val d97 = lit("1997-01-01").cast("date")
@@ -1008,9 +1005,7 @@ object VersionedTable {
     * ever rewrites a disjoint group or skips an overlapping one — and
     * the final snapshot must equal the SQL recomputation per third. */
   def tableMergePruned(spark: SparkSession, dir: String): DataFrame = {
-    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_vtable_mp_${math.abs(dir.hashCode.toLong)}").toString
-    fs(spark, table).delete(new Path(table), true)
+    val table = graft.TmpPaths.unique("graft_vtable_mp")
     val o = ordersFrame(spark, dir).select(col("k"), col("cents"))
     val m = o.agg(max(col("k"))).collect()(0).getLong(0)
     val (t1, t2) = (m / 3, 2 * m / 3)
@@ -1174,9 +1169,7 @@ object VersionedTable {
     * the hash. Physical consolidation (group count → 1) is pinned in
     * VersionedTableSpec. */
   def tableCompact(spark: SparkSession, dir: String): DataFrame = {
-    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_vtable_cmp_${math.abs(dir.hashCode.toLong)}").toString
-    fs(spark, table).delete(new Path(table), true)
+    val table = graft.TmpPaths.unique("graft_vtable_cmp")
     val o = ordersFrame(spark, dir)
     append(spark, table, o.filter(col("k") % 3 === 0))
     append(spark, table, o.filter(col("k") % 3 === 1))
@@ -1202,9 +1195,7 @@ object VersionedTable {
     * The hash breaks if evolution rewrites, drops, or misaligns
     * columns. */
   def tableSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_vtable_evo_${math.abs(dir.hashCode.toLong)}").toString
-    fs(spark, table).delete(new Path(table), true)
+    val table = graft.TmpPaths.unique("graft_vtable_evo")
     val o = graft.Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"),
       round(col("o_totalprice") * 100).cast("long").as("cents"),
@@ -1289,9 +1280,7 @@ object VersionedTable {
     * deletion vectors; this is that read/write contract on the
     * portable layer. */
   def tableDvDelete(spark: SparkSession, dir: String): DataFrame = {
-    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_vtable_dv_${math.abs(dir.hashCode.toLong)}").toString
-    fs(spark, table).delete(new Path(table), true)
+    val table = graft.TmpPaths.unique("graft_vtable_dv")
     val o = ordersFrame(spark, dir)
     // value- and key-modulo predicates (not dates): provably non-empty
     // match sets on any testdata generation, the tableSchemaEvolution
@@ -1357,9 +1346,7 @@ object VersionedTable {
     * error surfaces as a broken hash), and the physical dir
     * accounting (2 live, 2 deleted) carried on every row. */
   def tableVacuum(spark: SparkSession, dir: String): DataFrame = {
-    val table = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_vtable_vac_${math.abs(dir.hashCode.toLong)}").toString
-    fs(spark, table).delete(new Path(table), true)
+    val table = graft.TmpPaths.unique("graft_vtable_vac")
     val o = ordersFrame(spark, dir)
     val d95 = lit("1995-01-01").cast("date")
     val d97 = lit("1997-01-01").cast("date")

@@ -147,7 +147,7 @@ class BpeEncodeSpec extends SparkSpec {
     val docs = Seq((1L, 300L), (2L, 300L), (3L, 300L))
       .toDF("doc_id", "n_tokens")
     val packed = graft.operators.TokenPack.pack(docs, "doc_id", "n_tokens", 512L)
-    val m = graft.functions.BpeEncode.packBoundaries(packed)
+    val m = graft.functions.BpeEncode.packBoundaries(packed, 512L)
       .collect().map(r => r.getAs[Long]("pack_id") ->
         ((r.getAs[Long]("n_docs_start"), r.getAs[String]("boundaries"),
           r.getAs[Int]("opens_mid_doc")))).toMap
@@ -155,5 +155,22 @@ class BpeEncodeSpec extends SparkSpec {
     // since 600 - 512), opening mid-doc (doc 2 spills in)
     assert(m(0L) === ((2L, "0,300", 0)))
     assert(m(1L) === ((1L, "88", 1)))
+  }
+
+  test("pack_boundaries: interior packs of a long doc get empty rows") {
+    import org.apache.spark.sql.functions._
+    // doc 1 starts pack 0 at 0 and runs 1200 tokens: covers packs 0,1,2
+    // entirely/partially; doc 2 starts in pack 2 (offset 176)
+    val docs = Seq((1L, 1200L), (2L, 100L)).toDF("doc_id", "n_tokens")
+    val packed = graft.operators.TokenPack.pack(docs, "doc_id", "n_tokens", 512L)
+    val m = graft.functions.BpeEncode.packBoundaries(packed, 512L)
+      .collect().map(r => r.getAs[Long]("pack_id") ->
+        ((r.getAs[Long]("n_docs_start"), r.getAs[Long]("tokens_started"),
+          r.getAs[String]("boundaries"), r.getAs[Int]("opens_mid_doc")))).toMap
+    assert(m.keySet === Set(0L, 1L, 2L))
+    assert(m(0L) === ((1L, 1200L, "0", 0)))
+    // pack 1 is fully interior to doc 1: present, empty, mid-doc
+    assert(m(1L) === ((0L, 0L, "", 1)))
+    assert(m(2L) === ((1L, 100L, "176", 1)))
   }
 }
