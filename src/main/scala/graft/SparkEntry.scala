@@ -410,6 +410,7 @@ object SparkEntry {
     // suggest -> observe -> suggest: round 1's proposal evaluated on
     // the full pool, appended as config 16, re-proposed
     "tpe_round2"            -> (graft.ml.TpeSweep.tpeRound2Orders(_, _)),
+    "tpe_forecast"          -> (graft.ml.TpeForecast.tpeForecastEvents(_, _)),
     // PSI distribution drift: exact integer bins, smoothed shares,
     // micros log terms (fixed cardinality after one scan per side)
     "psi_value_drift"       -> (graft.operators.Drift.psiValueDrift(_, _)),
@@ -881,6 +882,7 @@ object SparkEntry {
     "asha_sweep"            -> graft.ml.AshaSweep.oracleSql,
     "tpe_sweep"             -> graft.ml.TpeSweep.oracleSql,
     "tpe_round2"            -> graft.ml.TpeSweep.round2OracleSql,
+    "tpe_forecast"          -> graft.ml.TpeForecast.oracleSql,
     "stump_attribution"     -> graft.ml.GbtStump.attributionOracleSql,
     "gbt_stump2"            -> graft.ml.GbtStump.oracle2Sql,
     "kmeans_step"           -> graft.ann.KmeansStep.oracleSql,

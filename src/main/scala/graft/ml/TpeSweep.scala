@@ -42,19 +42,26 @@ object TpeSweep {
   /** Score the candidate grid against a completed trial table
     * (config_id, threshold, obs_acc): (candidate_id, cand_threshold,
     * good_density, bad_density, score_micros, proposed). */
-  def propose(trials: DataFrame): DataFrame = {
+  def propose(trials: DataFrame): DataFrame =
+    proposeGrid(trials, Gamma, BandW, CandLo, CandStep, CandN)
+
+  /** [[propose]] with an explicit grid/kernel parameterization — the
+    * same two-density machinery reused by [[TpeForecast]] over an
+    * α-scaled candidate grid. */
+  def proposeGrid(trials: DataFrame, gamma: Int, bandW: Long,
+                  candLo: Long, candStep: Long, candN: Int): DataFrame = {
     val spark = trials.sparkSession
     import spark.implicits._
     val ranked = trials
       .withColumn("__r", row_number().over(
         Window.orderBy(col("obs_acc").desc, col("config_id").asc)))
-      .withColumn("is_good", col("__r") <= Gamma)
-    val cand = (0 until CandN)
-      .map(j => (j.toLong, CandLo + CandStep * j))
+      .withColumn("is_good", col("__r") <= gamma)
+    val cand = (0 until candN)
+      .map(j => (j.toLong, candLo + candStep * j))
       .toDF("candidate_id", "cand_threshold")
     val dens = cand.crossJoin(broadcast(ranked))
       .withColumn("__kern",
-        greatest(lit(0L), lit(BandW) - abs(col("cand_threshold") - col("threshold"))))
+        greatest(lit(0L), lit(bandW) - abs(col("cand_threshold") - col("threshold"))))
       .groupBy("candidate_id", "cand_threshold")
       .agg(
         sum(when(col("is_good"), col("__kern")).otherwise(0L))
@@ -130,22 +137,29 @@ object TpeSweep {
   /** The density/score chain over a (config_id, threshold, obs_acc)
     * trial CTE, with CTE names prefixed so two rounds can coexist. */
   private def proposalCtes(trialsCte: String, p: String): String =
+    proposalCtesGrid(trialsCte, p, Gamma, BandW, CandLo, CandStep, CandN)
+
+  /** Grid-parameterized form of the density/score chain — the oracle
+    * twin of [[proposeGrid]], reused by [[TpeForecast]]. */
+  private[ml] def proposalCtesGrid(trialsCte: String, p: String,
+                                   gamma: Int, bandW: Long, candLo: Long,
+                                   candStep: Long, candN: Int): String =
     s"""${p}rk AS (
        |  SELECT config_id, threshold,
-       |    row_number() OVER (ORDER BY obs_acc DESC, config_id) <= $Gamma
+       |    row_number() OVER (ORDER BY obs_acc DESC, config_id) <= $gamma
        |      AS is_good
        |  FROM $trialsCte
        |), ${p}cand AS (
        |  SELECT CAST(j AS BIGINT) AS candidate_id,
-       |    CAST($CandLo + $CandStep * j AS BIGINT) AS cand_threshold
-       |  FROM generate_series(0, ${CandN - 1}) t(j)
+       |    CAST($candLo + $candStep * j AS BIGINT) AS cand_threshold
+       |  FROM generate_series(0, ${candN - 1}) t(j)
        |), ${p}dens AS (
        |  SELECT c.candidate_id, c.cand_threshold,
        |    CAST(sum(CASE WHEN r.is_good
-       |      THEN greatest(0, $BandW - abs(c.cand_threshold - r.threshold))
+       |      THEN greatest(0, $bandW - abs(c.cand_threshold - r.threshold))
        |      ELSE 0 END) AS BIGINT) AS good_density,
        |    CAST(sum(CASE WHEN NOT r.is_good
-       |      THEN greatest(0, $BandW - abs(c.cand_threshold - r.threshold))
+       |      THEN greatest(0, $bandW - abs(c.cand_threshold - r.threshold))
        |      ELSE 0 END) AS BIGINT) AS bad_density
        |  FROM ${p}cand c CROSS JOIN ${p}rk r
        |  GROUP BY 1, 2
@@ -155,7 +169,7 @@ object TpeSweep {
        |  FROM ${p}dens
        |)""".stripMargin
 
-  private def proposalSelect(p: String): String =
+  private[ml] def proposalSelect(p: String): String =
     s"""SELECT candidate_id, cand_threshold, good_density, bad_density,
        |  CAST(score_micros AS BIGINT) AS score_micros,
        |  CAST(row_number() OVER (ORDER BY score_micros DESC, candidate_id)

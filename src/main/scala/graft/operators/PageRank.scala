@@ -33,14 +33,19 @@ object PageRank {
 
   /** (node, rank_micros) after `iters` iterations from a uniform
     * 1_000_000-micros start. `edges` must have `src`/`dst` columns;
-    * parallel edges are counted once (deduped). */
-  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    * parallel edges are counted once (deduped). Callers that already
+    * guarantee distinct edges pass `edgesDistinct = true` to skip the
+    * dedup — on a fact-derived edge list that distinct is the single
+    * most memory-hungry aggregate of the whole job. */
+  def ranks(edges: DataFrame, iters: Int,
+            edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     // materialize the loop invariants ONCE: every iteration's plan (and
     // the final action) would otherwise replay the caller's edge
     // derivation — typically a join — once per occurrence. localCheckpoint
     // blocks are freed by the ContextCleaner when the plans are GC'd.
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val eRaw = edges.select(col("src"), col("dst"))
+    val e = (if (edgesDistinct) eRaw else eRaw.distinct()).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     // out-degree is loop-INVARIANT: bake it into the edge table once so
@@ -84,17 +89,38 @@ object PageRank {
     * 100× replica the string-keyed frames (~11M nodes × 3 joins ×
     * 32 concurrent tasks) blew the default heap, while long keys join
     * radix-style, halve every shuffle row, and land the same hash gate
-    * — the id-encoding move a 100 TB graph job makes on day one. */
+    * — the id-encoding move a 100 TB graph job makes on day one.
+    *
+    * Memory envelope (r18): the pair-build `distinct()` over the
+    * FACT-sized join output was the one aggregate that still needed a
+    * 32g driver at the 100× replica — its map-side partial hash tables
+    * grow with the per-task distinct-pair count. Two-phase fix in the
+    * harmonicCloseness discipline: the pair state bound is known in
+    * advance (≤ fact rows, one parquet-footer count), so above the
+    * session partition count the join output is hash-repartitioned on
+    * (c, s) to ~1M pairs/partition (cap 4096) BEFORE the distinct —
+    * the repartition satisfies the aggregate's required distribution,
+    * eliminating the unbounded partial phase; and `ranks` is told the
+    * edges are already distinct (both directions are disjoint by
+    * parity), removing the second fact-sized dedup entirely. At bench
+    * SFs the threshold never engages, so the plan is unchanged. */
   def pagerankTrade(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey"),
-        col("o_orderkey") === col("l_orderkey"))
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val factRows = li.count() // parquet-footer count; the pair bound
+    val sessionParts =
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val parts = math.max(sessionParts,
+      math.min(4096L, factRows / 1000000L).toInt)
+    val joined = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2L).as("c"),
         (col("l_suppkey") * 2L + 1L).as("s"))
-      .distinct()
+    val pairs =
+      (if (parts > sessionParts) joined.repartition(parts, col("c"), col("s"))
+       else joined).distinct()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-    ranks(edges, iters = 3)
+    ranks(edges, iters = 3, edgesDistinct = true)
       .select(
         when(col("node") % 2 === 0, concat(lit("c"), shiftright(col("node"), 1)))
           .otherwise(concat(lit("s"), shiftright(col("node"), 1)))

@@ -18,16 +18,30 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   */
 class PlanAuditSpec extends SparkSpec {
 
-  /** A subtree that ends in a global (grouping-free) aggregate produces
-    * at most one row no matter the input size — joins against it are
-    * broadcast scalar attachment, not quadratic blowup. Joins OF such
-    * single-row frames (`stats.crossJoin(stats2)`) stay single-row, so
-    * containment is the right test. */
-  private def singleRowSide(p: SparkPlan): Boolean = p.collectFirst {
-    case a: HashAggregateExec if a.groupingExpressions.isEmpty       => ()
-    case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => ()
-    case a: SortAggregateExec if a.groupingExpressions.isEmpty       => ()
-  }.isDefined
+  /** A subtree that PRODUCES at most one row no matter the input size —
+    * joins against it are broadcast scalar attachment, not quadratic
+    * blowup. Decided structurally from the root down (r18 fix: the old
+    * "subtree CONTAINS a grouping-free aggregate" containment test was
+    * a false positive for any frame whose LINEAGE crossed a scalar —
+    * e.g. a groupBy downstream of a cutoff-bounds cross is corpus-sized
+    * yet contained the bounds agg): descend through row-non-increasing
+    * unary nodes; a grouping-free aggregate caps the side at one row; a
+    * join of two single-row sides stays single-row; anything else —
+    * including a grouped aggregate — is data-shaped. */
+  private def singleRowSide(p: SparkPlan): Boolean = p match {
+    case a: HashAggregateExec       => a.groupingExpressions.isEmpty
+    case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+    case a: SortAggregateExec       => a.groupingExpressions.isEmpty
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      // ANY join of two ≤1-row sides stays ≤1 row (incl. the
+      // BroadcastHashJoin two scalar stats frames compose into)
+      singleRowSide(j.left) && singleRowSide(j.right)
+    case j: CartesianProductExec =>
+      singleRowSide(j.left) && singleRowSide(j.right)
+    case u: org.apache.spark.sql.execution.UnaryExecNode =>
+      singleRowSide(u.child) // project/filter/exchange/sort/limit-like
+    case _ => false
+  }
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
     case j: BroadcastNestedLoopJoinExec
@@ -130,7 +144,34 @@ class PlanAuditSpec extends SparkSpec {
     // the round-1 trial derivation re-crosses asha's validation pool
     // with its 16-row config grid; round 2 adds nothing — its pool
     // evaluation broadcasts a 1-row proposal (scalar attachment)
-    "tpe_sweep" -> 2, "tpe_round2" -> 2)
+    "tpe_sweep" -> 2,
+    // r18: the singleRowSide heuristic became STRUCTURAL (root-down ≤1-row
+    // proof instead of "subtree contains a scalar agg" containment, which
+    // passed any corpus-sized frame whose lineage crossed a cutoff/bounds
+    // scalar). The keys below were passing through that hole; each cross
+    // is parameter- or calendar-bounded, now explicitly declared:
+    //  - ccf_lags crosses the calendar-bounded daily deviation spine with
+    //    the 15-row lag list (the pinball_loss parameter expansion)
+    "ccf_lags" -> 1,
+    //  - forecast_quantiles crosses the per-key ranked residuals with the
+    //    3-row τ list (same pattern)
+    "forecast_quantiles" -> 1,
+    //  - hll_registers crosses the M=64-row register table with its own
+    //    scalar estimate frame (M is the sketch parameter; the estimate
+    //    side mixes scalar aggs with the 55-row rank lookup, which the
+    //    structural walker correctly refuses to call single-row)
+    "hll_registers" -> 1,
+    //  - ts_cv_splits crosses day offsets (calendar-bounded) with the
+    //    k=5-row fold schedule
+    "ts_cv_splits" -> 1,
+    //  - tpe_forecast: the 16-config grid crossed with the |keys|-row
+    //    series table, and the 64-candidate × 16-trial density cross —
+    //    tpe_sweep's two grid crosses over the forecast search space
+    "tpe_forecast" -> 2,
+    //  - tpe_round2's third cross is the same candidate×trial density
+    //    cross in its ROUND-1 proposal subplan, previously hidden by the
+    //    containment hole (rounds 1 and 2 each score the grid)
+    "tpe_round2" -> 3)
   // gbt_stump2 needs no entry: its side tagging (1-row root-split
   // broadcast) is behind an eager localCheckpoint, so the audited
   // level-2 plan starts at the materialized sided frame
