@@ -411,6 +411,8 @@ object SparkEntry {
     // the full pool, appended as config 16, re-proposed
     "tpe_round2"            -> (graft.ml.TpeSweep.tpeRound2Orders(_, _)),
     "tpe_forecast"          -> (graft.ml.TpeForecast.tpeForecastEvents(_, _)),
+    "pointwise_fit"         -> (graft.ml.PointwiseRanker.pointwiseFit(_, _)),
+    "pointwise_eval"        -> (graft.ml.PointwiseRanker.pointwiseEval(_, _)),
     // PSI distribution drift: exact integer bins, smoothed shares,
     // micros log terms (fixed cardinality after one scan per side)
     "psi_value_drift"       -> (graft.operators.Drift.psiValueDrift(_, _)),
@@ -883,6 +885,8 @@ object SparkEntry {
     "tpe_sweep"             -> graft.ml.TpeSweep.oracleSql,
     "tpe_round2"            -> graft.ml.TpeSweep.round2OracleSql,
     "tpe_forecast"          -> graft.ml.TpeForecast.oracleSql,
+    "pointwise_fit"         -> graft.ml.PointwiseRanker.fitOracleSql,
+    "pointwise_eval"        -> graft.ml.PointwiseRanker.evalOracleSql,
     "stump_attribution"     -> graft.ml.GbtStump.attributionOracleSql,
     "gbt_stump2"            -> graft.ml.GbtStump.oracle2Sql,
     "kmeans_step"           -> graft.ann.KmeansStep.oracleSql,

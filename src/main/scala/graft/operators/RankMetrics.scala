@@ -28,10 +28,10 @@ import graft.Tables
 object RankMetrics {
 
   /** 1e6/log₂(pos+1) for pos = 1..k, micros-rounded once here. */
-  private def discounts(k: Int): Seq[Long] =
+  private[graft] def discounts(k: Int): Seq[Long] =
     (1 to k).map(p => math.round(1e6 / (math.log(p + 1.0) / math.log(2.0))))
 
-  private def discountSql(k: Int): String =
+  private[graft] def discountSql(k: Int): String =
     discounts(k).mkString("[", ", ", "]")
 
   /** Per-group ranking metrics over (group, item, score, rel) rows:
