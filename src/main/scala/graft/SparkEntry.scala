@@ -412,6 +412,7 @@ object SparkEntry {
     "tpe_round2"            -> (graft.ml.TpeSweep.tpeRound2Orders(_, _)),
     "tpe_forecast"          -> (graft.ml.TpeForecast.tpeForecastEvents(_, _)),
     "pointwise_fit"         -> (graft.ml.PointwiseRanker.pointwiseFit(_, _)),
+    "embed_docs_exhaustive" -> (graft.operators.EmbedDocs.embedDocumentsExhaustive(_, _)),
     "pointwise_eval"        -> (graft.ml.PointwiseRanker.pointwiseEval(_, _)),
     // PSI distribution drift: exact integer bins, smoothed shares,
     // micros log terms (fixed cardinality after one scan per side)
@@ -886,6 +887,7 @@ object SparkEntry {
     "tpe_round2"            -> graft.ml.TpeSweep.round2OracleSql,
     "tpe_forecast"          -> graft.ml.TpeForecast.oracleSql,
     "pointwise_fit"         -> graft.ml.PointwiseRanker.fitOracleSql,
+    "embed_docs_exhaustive" -> graft.functions.BowVectors.embedBowOracleSql,
     "pointwise_eval"        -> graft.ml.PointwiseRanker.evalOracleSql,
     "stump_attribution"     -> graft.ml.GbtStump.attributionOracleSql,
     "gbt_stump2"            -> graft.ml.GbtStump.oracle2Sql,

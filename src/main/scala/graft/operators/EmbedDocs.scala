@@ -123,6 +123,36 @@ object EmbedDocs {
     def create(): BatchEncoder = HashedBowEncoder
   }
 
+  /** Identity-projection degeneracy encoder — the hash gate for the
+    * PLUMBING itself: each token maps to the signed-BoW bucket of the
+    * SAME poly hash the hash-gated `embed_bow_expr` uses
+    * ([[graft.functions.PolyFingerprint]]; bucket = (h div 2) mod 64,
+    * sign = 1 − 2·(h mod 2)), totally UNNORMALIZED, with per-bucket
+    * token counts carried in the array's upper half so touched-but-
+    * zero-sum buckets stay distinguishable (the sparse representation
+    * keeps them). Exploding the output reproduces `embed_bow_expr`
+    * bit-for-bit, so any batching / ordering / flatten / per-partition-
+    * init bug in the mapPartitions path breaks a DuckDB hash instead
+    * of a rows-only check. Tokenization is Spark's `split(text, '\\s+')`
+    * exactly (limit −1). */
+  object SignedBowIntEncoder extends BatchEncoder {
+    val BowDim = 64
+    def encodeBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+      val v = new Array[Float](2 * BowDim)
+      for (tok <- t.split("\\s+", -1)) {
+        val h = graft.functions.PolyFingerprint.compute(tok)
+        val b = ((h / 2) % BowDim).toInt
+        v(b) += (1L - 2L * (h % 2)).toFloat
+        v(BowDim + b) += 1f
+      }
+      v
+    }
+  }
+
+  object SignedBowIntEncoderFactory extends EncoderFactory {
+    def create(): BatchEncoder = SignedBowIntEncoder
+  }
+
   /** Append an `embedding array<float>` column computed in batches. */
   def embed(docs: DataFrame, idCol: String, textCol: String,
             factory: EncoderFactory = RandomProjectionEncoderFactory): DataFrame = {
@@ -161,6 +191,28 @@ object EmbedDocs {
     * end-to-end (vector-level semantics asserted in PipelineOpsSpec). */
   def embedDocumentsBow(spark: SparkSession, dir: String): DataFrame =
     embedSummary(spark, dir, HashedBowEncoderFactory)
+
+  /** HASH-gated plumbing twin: [[embed]] (the factory/mapPartitions/
+    * batch path the float keys use) under the identity-projection
+    * [[SignedBowIntEncoder]], exploded back to (doc_id, dim, val) long
+    * rows — output ≡ the hash-gated `embed_bow_expr`, whose DuckDB
+    * oracle this key SHARES verbatim. Fences the last rows-gated
+    * surface whose plumbing had no hash twin. */
+  def embedDocumentsExhaustive(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = SignedBowIntEncoder.BowDim
+    embed(Tables.documents(spark, dir).select("doc_id", "text"),
+        "doc_id", "text", SignedBowIntEncoderFactory)
+      .select(col("doc_id"), expr(
+        s"""filter(
+           |  transform(sequence(0, ${d - 1}), j -> named_struct(
+           |    'dim', CAST(j AS BIGINT),
+           |    'val', CAST(embedding[j] AS LONG),
+           |    'cnt', embedding[j + $d])),
+           |  s -> s.cnt > CAST(0 AS FLOAT))""".stripMargin).as("__rows"))
+      .select(col("doc_id"), explode(col("__rows")).as("__r"))
+      .select(col("doc_id"), col("__r.dim").as("dim"), col("__r.val").as("val"))
+  }
 
   private def embedSummary(spark: SparkSession, dir: String,
                            factory: EncoderFactory): DataFrame = {

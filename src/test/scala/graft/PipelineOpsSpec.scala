@@ -159,6 +159,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cos(got(4), RandomProjectionEncoder.encodeBatch(Seq("the")).head) > 0.999,
       "repeated single token must normalize to the token direction")
   }
+
+  test("identity-projection twin: embed plumbing output ≡ embed_bow_expr") {
+    // the degeneracy gate's core claim, asserted frame-level: the
+    // mapPartitions/factory/batch path under SignedBowIntEncoder
+    // reproduces the expression-built sparse BoW rows exactly —
+    // including touched-but-zero-sum buckets — at any partitioning
+    val viaPlumbing = EmbedDocs.embedDocumentsExhaustive(spark, sfDir)
+    val viaExpr = graft.functions.BowVectors.embedBowExpr(spark, sfDir)
+    assert(viaPlumbing.exceptAll(viaExpr).isEmpty &&
+      viaExpr.exceptAll(viaPlumbing).isEmpty,
+      "plumbing twin diverged from the expression form")
+  }
 }
 
 /** Test double for [[EmbedDocs.EncoderFactory]]: counts model inits and
