@@ -958,6 +958,7 @@ object SparkEntry {
     "dim_date"              -> DimDate.oracleSql,
     "concurrent_table_stats" -> Concurrent.oracleSql,
     "sketch_quantiles_exact" -> Sketches.quantilesExactOracleSql,
+    "sketch_quantiles_lineitem" -> Sketches.gkOracleSql,
     "sketch_distinct_exact"  -> graft.functions.DistinctSketch.oracleSql,
     "audience_overlap"       -> graft.functions.DistinctSketch.overlapOracleSql,
     "hierarchy_flatten"     -> Hierarchy.oracleSql,

@@ -171,7 +171,11 @@ class PlanAuditSpec extends SparkSpec {
     //  - tpe_round2's third cross is the same candidate×trial density
     //    cross in its ROUND-1 proposal subplan, previously hidden by the
     //    containment hole (rounds 1 and 2 each score the grid)
-    "tpe_round2" -> 3)
+    "tpe_round2" -> 3,
+    //  - sketch_quantiles_lineitem crosses the ~EpsDen-row-per-group
+    //    summary with the 4-row q list (the pinball_loss parameter
+    //    expansion)
+    "sketch_quantiles_lineitem" -> 1)
   // gbt_stump2 needs no entry: its side tagging (1-row root-split
   // broadcast) is behind an eager localCheckpoint, so the audited
   // level-2 plan starts at the materialized sided frame

@@ -147,6 +147,49 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("portable quantile summary: rank within n/EpsDen, value a real cell") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val qs = Seq(250L, 500L, 750L, 990L)
+    val got = Sketches.gkQuantiles(li, "l_returnflag", "cents", qs)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("q_permille")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("quantile_dollars")))).toMap
+    val byGroup = li.collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 / Sketches.GkValueScale).sorted).toMap
+    for ((flag, cells) <- byGroup; q <- qs) {
+      val (n, est) = got((flag, q))
+      assert(n === cells.length.toLong)
+      // rank guarantee: est's cell rank within n/EpsDen (+1 discrete
+      // slack) ABOVE the target (the summary answers the smallest grid
+      // rank at/past the target, never below it)
+      val target = math.ceil(q.toDouble * n / 1000.0)
+      val rankLo = cells.count(_ < est) + 1 // first position of est's cell
+      val rankHi = cells.count(_ <= est)
+      val tol = n.toDouble / Sketches.GkEpsDen + 1
+      assert(rankHi >= target - tol && rankLo <= target + tol,
+        s"$flag q=$q: est cell $est spans ranks [$rankLo,$rankHi], " +
+          s"target $target ± $tol (n=$n)")
+      assert(cells.contains(est), s"$flag q=$q: $est is not a data cell")
+    }
+  }
+
+  test("portable quantile summary is mergeable: split halves ≡ whole") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val whole = Sketches.gkQuantiles(li, "l_returnflag", "cents", Seq(500L, 990L))
+    // the mergeable state is the (group, cell) count table: feeding the
+    // same rows as two unioned halves at a different partitioning must
+    // reproduce the summary bit-for-bit (map-side partials merge)
+    val a = li.filter(col("cents") % 2 === 0).repartition(3)
+    val b = li.filter(col("cents") % 2 =!= 0).repartition(5)
+    val merged = Sketches.gkQuantiles(a.unionByName(b), "l_returnflag",
+      "cents", Seq(500L, 990L))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
+
   test("approximate Misra-Gries honors the N/k error guarantee under eviction") {
     import graft.operators.FreqSketch
     // zipf-ish planted corpus: 3 heavy items over 60 light singletons,
