@@ -707,12 +707,17 @@ object GraphMetrics {
     * |V|·(2K)^depth — at the 100× replica (100k suppliers, ~4×10⁸
     * (src, node) pairs) 32 partitions put >10M-entry hash maps in
     * every task and the round-3 aggregate died with SparkOutOfMemory.
-    * The state bound is known in ADVANCE from |V|, the MAX degree
-    * (one degree aggregate up front — average degree would under-scale
-    * on skewed graphs), and depth, so the rounds repartition by
-    * (src, node) with a count scaled to ~1M pairs per partition
-    * (floored at the session default, capped at 4096) — the knob a
-    * cluster job would set; the
+    * Sizing is ADAPTIVE (r18): each round repartitions by (src, node)
+    * to ~1M pairs per partition using the bound
+    * |prev state|·(maxDeg+1) — the previous round's MEASURED count
+    * (nearly free on its localCheckpoint) times the exact one-hop
+    * growth factor (max degree from one up-front aggregate). A-priori
+    * nV·deg^depth estimates both failed at the 100× replica: average
+    * degree under-scales on skew (the r17 OOM), max degree
+    * over-partitions into the 4096 cap (hub nodes sit in many top-K
+    * lists, so maxDeg ≫ 2K — measured 2× slower). Floored at the
+    * session default, capped at 4096 — the knob a cluster job would
+    * set; the
     * explicit hash repartitioning on the grouping keys satisfies the
     * aggregate's distribution requirement, so no extra shuffle
     * appears. */
@@ -733,12 +738,21 @@ object GraphMetrics {
     val kOut = math.max(2L, degStats.getLong(1))
     val sessionParts =
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val stateBound = nV.toDouble * math.pow(kOut.toDouble, maxDepth.toDouble)
-    val parts = math.max(sessionParts,
-      math.min(4096.0, stateBound / 1e6).toInt)
     var dist = und.select(col("s").as("src")).distinct()
       .select(col("src"), col("src").as("node"), lit(0L).as("d"))
+    // ADAPTIVE state sizing (r18): the a-priori nV·maxDeg^depth bound
+    // over-partitions badly — on the top-K graph a hub supplier sits
+    // in MANY nodes' top-K lists, so maxDeg ≫ 2K and the estimate
+    // slams into the 4096 cap (measured 2× slower at the 100× replica
+    // than the r17 average-degree form). Instead each round sizes from
+    // the PREVIOUS round's MEASURED pair count: the next state is
+    // ≤ |dist|·(maxDeg + 1) exactly (every pair spawns ≤ maxDeg
+    // one-hop extensions and survives itself), and the count is nearly
+    // free on the just-materialized localCheckpoint.
+    var distCount = nV
     for (_ <- 1 to maxDepth) {
+      val parts = math.max(sessionParts, math.min(4096.0,
+        distCount.toDouble * (kOut + 1).toDouble / 1e6).toInt)
       val next = dist
         .select(col("src"), col("node").as("__fn"), col("d").as("__fd"))
         .join(und, col("__fn") === col("s"))
@@ -758,6 +772,7 @@ object GraphMetrics {
       dist = shaped
         .groupBy("src", "node").agg(min("d").as("d"))
         .localCheckpoint()
+      distCount = dist.count() // anchors the next round's sizing
     }
     dist.groupBy(col("src").as("node"))
       .agg((count(lit(1)) - lit(1L)).as("n_reached"),
