@@ -411,6 +411,7 @@ object SparkEntry {
     // the full pool, appended as config 16, re-proposed
     "tpe_round2"            -> (graft.ml.TpeSweep.tpeRound2Orders(_, _)),
     "tpe_forecast"          -> (graft.ml.TpeForecast.tpeForecastEvents(_, _)),
+    "tpe_forecast_round2"   -> (graft.ml.TpeForecast.tpeForecastRound2(_, _)),
     "pointwise_fit"         -> (graft.ml.PointwiseRanker.pointwiseFit(_, _)),
     "embed_docs_exhaustive" -> (graft.operators.EmbedDocs.embedDocumentsExhaustive(_, _)),
     "pointwise_eval"        -> (graft.ml.PointwiseRanker.pointwiseEval(_, _)),
@@ -886,6 +887,7 @@ object SparkEntry {
     "tpe_sweep"             -> graft.ml.TpeSweep.oracleSql,
     "tpe_round2"            -> graft.ml.TpeSweep.round2OracleSql,
     "tpe_forecast"          -> graft.ml.TpeForecast.oracleSql,
+    "tpe_forecast_round2"   -> graft.ml.TpeForecast.round2OracleSql,
     "pointwise_fit"         -> graft.ml.PointwiseRanker.fitOracleSql,
     "embed_docs_exhaustive" -> graft.functions.BowVectors.embedBowOracleSql,
     "pointwise_eval"        -> graft.ml.PointwiseRanker.evalOracleSql,

@@ -118,13 +118,77 @@ object TpeForecast {
         .select(col("key"), col("day"), col("cents"))),
       TpeSweep.Gamma, BandW, CandLo, CandStep, CandN)
 
+  /** CLOSE the loop over the forecast objective (tpe_round2's move):
+    * round 1's proposed α — a candidate OFF the 1/16 trial grid, on
+    * the finer 1/64 candidate grid — is evaluated by the SAME
+    * exact-integer backtest (SES recursion at ℓ += ⌊p·(y−ℓ)/64⌋ where
+    * p = α_micros/15625), appended as trial 17, and the densities
+    * re-score. Gated output: the round-2 scored candidate table. The
+    * evaluation must run at the CANDIDATE grid's resolution — the
+    * suggest→observe edge a real searcher closes. */
+  def tpeForecastRound2(spark: SparkSession, dir: String): DataFrame = {
+    val dense = Resample
+      .dailySpineFill(Tables.events(spark, dir), "event_type", "ts", "value")
+      .select(col("key"), col("day"), col("cents"))
+      .localCheckpoint() // consumed by round-1 trials AND the round-2 eval
+    val t1 = trials(dense).localCheckpoint() // rounds 1 and 2 + the union
+    val prop1 = TpeSweep.proposeGrid(t1, TpeSweep.Gamma, BandW, CandLo,
+        CandStep, CandN)
+      .filter(col("proposed") === 1)
+      // p = α in 64ths: cand_threshold/15625 ∈ 1..64, exact
+      .select((col("cand_threshold") / lit(CandStep)).cast("long").as("__p"))
+    val bounds = dense.agg(max(col("day")).as("__hi"))
+      .select(date_sub(col("__hi"), Horizon).as("__cutoff"))
+    val withCut = dense.crossJoin(broadcast(bounds))
+    val testRows = withCut
+      .filter(col("day") > col("__cutoff") &&
+        datediff(col("day"), col("__cutoff")) <= Horizon)
+      .select(col("key").as("__key"),
+        datediff(col("day"), col("__cutoff")).as("__k"),
+        col("cents").as("__actual"))
+    val ser = withCut.filter(col("day") <= col("__cutoff"))
+      .groupBy(col("key").as("__key"))
+      .agg(expr("transform(sort_array(collect_list(struct(day, cents)))," +
+        " x -> x.cents)").as("__ys"))
+      .filter(expr("size(__ys) >= 2"))
+      .withColumn("__T", expr("CAST(size(__ys) AS BIGINT)"))
+      .withColumn("__sy", expr(
+        "aggregate(__ys, CAST(0 AS BIGINT), (a, y) -> a + y)"))
+      .withColumn("__sty", expr(
+        "aggregate(__ys, named_struct('i', CAST(0 AS BIGINT), 'a', " +
+          "CAST(0 AS BIGINT)), (st, y) -> named_struct('i', st.i + 1, " +
+          "'a', st.a + (st.i + 1) * y)).a"))
+      .withColumn("__num", expr("12 * __sty - 6 * (__T + 1) * __sy"))
+      .withColumn("__den", expr("2 * __T * (__T + 1) * (__T - 1)"))
+    val lvl = ser.crossJoin(broadcast(prop1))
+      .withColumn("__l", expr(
+        s"aggregate(slice(__ys, 2, size(__ys) - 1), element_at(__ys, 1), " +
+          s"(l, y) -> l + ${fd("__p * (y - l)", "64")})"))
+    val preds = lvl.select(col("__p"), col("__key"), explode(expr(
+        s"transform(sequence(1, $Horizon), k -> named_struct(" +
+          "'k', CAST(k AS INT), " +
+          s"'yhat', __l + ${fd("CAST(k AS BIGINT) * __num", "__den")}))"))
+        .as("__pp"))
+      .select(col("__p"), col("__key"),
+        col("__pp.k").as("__k"), col("__pp.yhat").as("__yhat"))
+    val eval = preds.join(testRows, Seq("__key", "__k"))
+      .groupBy(col("__p"))
+      .agg(sum(abs(col("__actual") - col("__yhat"))).as("__err"))
+      .select(lit(17L).as("config_id"),
+        (col("__p") * lit(CandStep)).as("threshold"),
+        (-col("__err")).as("obs_acc"))
+    TpeSweep.proposeGrid(t1.unionByName(eval), TpeSweep.Gamma, BandW,
+      CandLo, CandStep, CandN)
+  }
+
   /** The same trial recursion as a recursive CTE crossed with the
     * config grid, then [[TpeSweep.proposalCtesGrid]]'s density chain. */
-  def oracleSql: String = {
-    def fdx(e: String, d: String): String =
-      s"((($e) - ((($e) % ($d)) + ($d)) % ($d)) // ($d))"
-    s"""WITH RECURSIVE
-       |b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+  private def fdx(e: String, d: String): String =
+    s"((($e) - ((($e) % ($d)) + ($d)) % ($d)) // ($d))"
+
+  /** Everything through the `obs` trial CTE — shared by both rounds. */
+  private def baseCtes: String =
+    s"""b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
        |cut AS (SELECT hi - $Horizon AS cutoff FROM b),
        |kk AS (SELECT DISTINCT event_type FROM events),
        |spine AS (
@@ -176,9 +240,57 @@ object TpeForecast {
        |    CAST(p.cfg * ${1000000L / AlphaDen} AS BIGINT) AS threshold,
        |    CAST(-sum(abs(e.cents - p.yhat)) AS BIGINT) AS obs_acc
        |  FROM preds p JOIN ev e ON e.event_type = p.event_type AND e.k = p.k
-       |  GROUP BY p.cfg),
+       |  GROUP BY p.cfg)""".stripMargin
+  def oracleSql: String =
+    s"""WITH RECURSIVE
+       |$baseCtes,
        |${TpeSweep.proposalCtesGrid("obs", "tf", TpeSweep.Gamma, BandW,
             CandLo, CandStep, CandN)}
        |${TpeSweep.proposalSelect("tf")}""".stripMargin
-  }
+
+  /** Round 2: round 1's winner evaluated at the 1/64 grid by the same
+    * recursion, appended as trial 17, densities re-scored. */
+  def round2OracleSql: String =
+    s"""WITH RECURSIVE
+       |$baseCtes,
+       |${TpeSweep.proposalCtesGrid("obs", "tf", TpeSweep.Gamma, BandW,
+            CandLo, CandStep, CandN)},
+       |prop1 AS (
+       |  SELECT CAST(cand_threshold // $CandStep AS BIGINT) AS p FROM (
+       |    SELECT cand_threshold,
+       |      row_number() OVER (ORDER BY score_micros DESC, candidate_id)
+       |        AS rn
+       |    FROM tfscored) z
+       |  WHERE rn = 1),
+       |ses2 AS (
+       |  SELECT pr.p AS pp, y.event_type, CAST(1 AS BIGINT) AS t,
+       |    y.cents AS l
+       |  FROM train y CROSS JOIN prop1 pr WHERE y.t = 1
+       |  UNION ALL
+       |  SELECT r.pp, r.event_type, r.t + 1,
+       |    r.l + ${fdx("r.pp * (y.cents - r.l)", "64")}
+       |  FROM ses2 r JOIN train y
+       |    ON y.event_type = r.event_type AND y.t = r.t + 1),
+       |fin2 AS (
+       |  SELECT s.pp, s.event_type, s.l,
+       |    12 * a.sty - 6 * (a.tn + 1) * a.sy AS num,
+       |    2 * a.tn * (a.tn + 1) * (a.tn - 1) AS den
+       |  FROM ses2 s
+       |  JOIN tmax m ON s.event_type = m.event_type AND s.t = m.tn
+       |  JOIN tagg a ON s.event_type = a.event_type),
+       |preds2 AS (
+       |  SELECT f.pp, f.event_type, CAST(k AS INT) AS k,
+       |    f.l + ${fdx("CAST(k AS BIGINT) * f.num", "f.den")} AS yhat
+       |  FROM fin2 f, unnest(generate_series(1, $Horizon)) AS u(k)),
+       |ev17 AS (
+       |  SELECT CAST(17 AS BIGINT) AS config_id,
+       |    CAST(p.pp * $CandStep AS BIGINT) AS threshold,
+       |    CAST(-sum(abs(e.cents - p.yhat)) AS BIGINT) AS obs_acc
+       |  FROM preds2 p JOIN ev e
+       |    ON e.event_type = p.event_type AND e.k = p.k
+       |  GROUP BY p.pp),
+       |trials2 AS (SELECT * FROM obs UNION ALL SELECT * FROM ev17),
+       |${TpeSweep.proposalCtesGrid("trials2", "r2", TpeSweep.Gamma, BandW,
+            CandLo, CandStep, CandN)}
+       |${TpeSweep.proposalSelect("r2")}""".stripMargin
 }

@@ -168,6 +168,13 @@ class PlanAuditSpec extends SparkSpec {
     //    series table, and the 64-candidate × 16-trial density cross —
     //    tpe_sweep's two grid crosses over the forecast search space
     "tpe_forecast" -> 2,
+    //  - tpe_forecast_round2: the round-1 density cross, the 1-row
+    //    proposed-α broadcast onto the |keys|-row series table (1-row by
+    //    the rank window's construction — the stump_attribution case the
+    //    structural walker can't see through a filter), and the round-2
+    //    density cross; the trial-building confs cross sits behind the
+    //    eager localCheckpoint and never reaches the audited plan
+    "tpe_forecast_round2" -> 3,
     //  - tpe_round2's third cross is the same candidate×trial density
     //    cross in its ROUND-1 proposal subplan, previously hidden by the
     //    containment hole (rounds 1 and 2 each score the grid)

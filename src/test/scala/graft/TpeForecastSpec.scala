@@ -75,6 +75,23 @@ class TpeForecastSpec extends SparkSpec {
     assert(t.forall(_.getAs[Long]("obs_acc") <= 0L))
   }
 
+  test("round 2: the loop closes over the forecast objective") {
+    val r1 = TpeForecast.tpeForecastEvents(spark, sfDir)
+      .filter("proposed = 1").collect()(0)
+    val r2 = TpeForecast.tpeForecastRound2(spark, sfDir).collect()
+    assert(r2.length === TpeForecast.CandN)
+    assert(r2.count(_.getAs[Int]("proposed") == 1) === 1)
+    // trial 17 (round 1's winner, backtested at the 1/64 grid) adds
+    // kernel mass at round 1's proposed candidate: total density there
+    // strictly grows
+    val at2 = r2.filter(_.getAs[Long]("cand_threshold") ==
+      r1.getAs[Long]("cand_threshold"))(0)
+    val dens1 = r1.getAs[Long]("good_density") + r1.getAs[Long]("bad_density")
+    val dens2 = at2.getAs[Long]("good_density") + at2.getAs[Long]("bad_density")
+    assert(dens2 > dens1,
+      s"round-2 density $dens2 did not grow past round-1 $dens1 at the winner")
+  }
+
   test("gated instance: 64 scored candidates, exactly one proposed") {
     val out = TpeForecast.tpeForecastEvents(spark, sfDir).collect()
     assert(out.length === TpeForecast.CandN)
