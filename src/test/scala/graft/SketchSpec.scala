@@ -175,6 +175,37 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("portable quantile summary: seeded random frames honor the guarantee") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      val n = 200 + rnd.nextInt(2000)
+      val dist = rnd.nextInt(3)
+      val vals = Seq.fill(n)(dist match {
+        case 0 => rnd.nextInt(1000000).toLong                // uniform
+        case 1 => math.abs(rnd.nextGaussian() * 50000).toLong // half-normal
+        case 2 => (math.pow(10, rnd.nextDouble() * 5)).toLong // log-uniform
+      })
+      val df = vals.map(("g", _)).toDF("key", "cents")
+      val qs = Seq(100L, 500L, 900L)
+      val got = Sketches.gkQuantiles(df, "key", "cents", qs)
+        .collect().map(r => r.getAs[Long]("q_permille") ->
+          r.getAs[Long]("quantile_dollars")).toMap
+      val cells = vals.map(_ / Sketches.GkValueScale).sorted
+      for (q <- qs) {
+        val est = got(q)
+        val target = math.ceil(q.toDouble * n / 1000.0)
+        val rankLo = cells.count(_ < est) + 1
+        val rankHi = cells.count(_ <= est)
+        val tol = n.toDouble / Sketches.GkEpsDen + 1
+        assert(rankHi >= target - tol && rankLo <= target + tol,
+          s"trial $trial dist $dist n=$n q=$q: est $est spans " +
+            s"[$rankLo,$rankHi], target $target ± $tol")
+        assert(cells.contains(est))
+      }
+    }
+  }
+
   test("portable quantile summary is mergeable: split halves ≡ whole") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"),
