@@ -413,6 +413,10 @@ object SparkEntry {
     "tpe_forecast"          -> (graft.ml.TpeForecast.tpeForecastEvents(_, _)),
     "tpe_forecast_round2"   -> (graft.ml.TpeForecast.tpeForecastRound2(_, _)),
     "pointwise_fit"         -> (graft.ml.PointwiseRanker.pointwiseFit(_, _)),
+    // tune×recsys: TPE over the pointwise ranker's ridge strength,
+    // observed by the exact-mean nDCG scoreboard (ray_tune_pointwise)
+    "tpe_pointwise"         -> (graft.ml.TpePointwise.tpePointwiseOrders(_, _)),
+    "tpe_pointwise_round2"  -> (graft.ml.TpePointwise.tpePointwiseRound2(_, _)),
     "embed_docs_exhaustive" -> (graft.operators.EmbedDocs.embedDocumentsExhaustive(_, _)),
     "pointwise_eval"        -> (graft.ml.PointwiseRanker.pointwiseEval(_, _)),
     // PSI distribution drift: exact integer bins, smoothed shares,
@@ -889,6 +893,8 @@ object SparkEntry {
     "tpe_forecast"          -> graft.ml.TpeForecast.oracleSql,
     "tpe_forecast_round2"   -> graft.ml.TpeForecast.round2OracleSql,
     "pointwise_fit"         -> graft.ml.PointwiseRanker.fitOracleSql,
+    "tpe_pointwise"         -> graft.ml.TpePointwise.oracleSql,
+    "tpe_pointwise_round2"  -> graft.ml.TpePointwise.round2OracleSql,
     "embed_docs_exhaustive" -> graft.functions.BowVectors.embedBowOracleSql,
     "pointwise_eval"        -> graft.ml.PointwiseRanker.evalOracleSql,
     "stump_attribution"     -> graft.ml.GbtStump.attributionOracleSql,

@@ -40,6 +40,10 @@ object PointwiseRanker {
     * (user_id, item_id, label, item_pop, user_act). */
   def labeledFeatures(spark: SparkSession, dir: String): DataFrame = {
     val labeled = NegativeSample.negativeSampleOrders(spark, dir)
+    // count(*) below EQUALS "distinct purchasers"/"distinct items" only
+    // because NegativeSample's positives are DISTINCT (user, item)
+    // pairs (its `pos` CTE is SELECT DISTINCT); if that invariant ever
+    // relaxes, these must become countDistinct.
     val pos = labeled.filter(col("label") === 1)
       .select("user_id", "item_id")
     val itemPop = pos.groupBy("item_id")
@@ -96,8 +100,8 @@ object PointwiseRanker {
   }
 
   /** The labeled-frame + feature CTEs (composes NegativeSample's
-    * gated chain verbatim). */
-  private def featCtes: String =
+    * gated chain verbatim). Shared with [[TpePointwise]]'s oracle. */
+  private[ml] def featCtes: String =
     """pos AS (
       |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -131,9 +135,11 @@ object PointwiseRanker {
       |  LEFT JOIN ua ON ua.user_id = l.user_id
       |)""".stripMargin
 
-  /** The Newton-step chain over the feature CTEs (LogRegStep's Cramer
-    * solve with z = 2·label − 1, x₁ = item_pop, x₂ = user_act). */
-  private def fitCtes: String =
+  /** The nine-sufficient-sums CTE over `feat` (LogRegStep's stats with
+    * z = 2·label − 1, x₁ = item_pop, x₂ = user_act) — shared with
+    * [[TpePointwise]]'s ridge-regularized re-solve, which reuses these
+    * λ-INDEPENDENT sums across its whole trial grid. */
+  private[ml] def statsCte: String =
     """s AS (
       |  SELECT CAST(count(*) AS HUGEINT) AS n,
       |    CAST(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
@@ -149,7 +155,11 @@ object PointwiseRanker {
       |      item_pop AS x1, user_act AS x2
       |    FROM feat
       |  )
-      |), d AS (
+      |)""".stripMargin
+
+  /** The Newton-step Cramer chain (d, w) over the stats CTE. */
+  private def fitCtes: String = statsCte + ",\n" +
+    """d AS (
       |  SELECT CAST(n AS BIGINT) AS n, n_pos,
       |    (n * (s11 * s22 - s12 * s12)
       |     - s1 * (s1 * s22 - s12 * s2)

@@ -1,0 +1,425 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.RankMetrics
+
+/** TPE proposal over the POINTWISE RANKER — the tune×recsys seam the
+  * reference runs as one workflow (/root/reference/MachineLearning/Ray/
+  * recsys/ray_tune_pointwise.py:12-14: `HyperOptSearch` +
+  * `ASHAScheduler` over the pointwise model's hyperparameters, with the
+  * ranking scoreboard as the reported objective). [[TpeSweep]] gates
+  * the proposal kernel, [[PointwiseRanker]] gates the fit and the
+  * scoreboard; this key closes their edge exactly the way
+  * [[TpeForecast]] closed tune×forecasting: real trials of a REAL
+  * hyperparameter of the pointwise model, observed by the already-gated
+  * exact ranking metric, proposed over by the identical kernel.
+  *
+  * Search dimension: the NEGATIVE-SAMPLING RATIO — how many
+  * deterministic negative draws per positive the ranker trains on, the
+  * canonical implicit-feedback knob (every positive gets j of
+  * [[graft.operators.NegativeSample]]'s LCG candidate draws; trial j
+  * trains on draws 0..j−1). Trials stay one-corpus-pass cheap because
+  * each candidate pair carries its MINIMUM draw index: the nine
+  * Newton-step sufficient sums group by that index (≤17 groups) and
+  * trial j's sums are the prefix-sum over indices < j — sixteen exact
+  * fits from one aggregate. Thresholds are micros of the draw-budget
+  * fraction j/16; the 64-point candidate grid refines it to p/64.
+  *
+  * Observed objective per trial: the exact-mean nDCG@10 permicro of
+  * [[PointwiseRanker.pointwiseEval]]'s scoreboard discipline, scored on
+  * the FIXED full-budget eval frame (all 16 draws) so trials differ
+  * only through their fitted weights — the tuning contract (a shared
+  * validation set), not a moving target.
+  *
+  * Feature pair: unlike [[PointwiseRanker]]'s (item_pop, user_act) —
+  * where user_act is constant WITHIN a user, so per-user ranking
+  * collapses to the single item_pop order and no training knob can
+  * move the objective — the tuned model ranks by two ITEM-level
+  * signals: x₁ = item popularity (the gated frame's feature) and
+  * x₂ = item RECENCY (days from 1992-01-01 to the item's latest order
+  * date — the staple freshness feature). The class balance swings 1:1
+  * → 16:1 across the grid, the fitted recency coefficient genuinely
+  * changes sign, per-user order reranks, and the trial objective is a
+  * real function of the hyperparameter (three regimes at the gated
+  * corpus).
+  *
+  * Scale shape: one orders⋈lineitem pass builds positives AND recency;
+  * the candidate build is NegativeSample's map-side explode (×16) into
+  * one distinct-shuffle (min-draw aggregate); the sufficient sums are
+  * ONE map-side-combined aggregate (17 groups × nine BIGINTs); the 16
+  * Cramer solves are bounded rows in DECIMAL(38,0) (exact through the
+  * 10× replica; at ~100× the determinants outgrow 38 digits — the
+  * [[LogRegStep]] family's documented precision bound); scoring is one
+  * pass over eval×16 broadcast weight rows with per-(trial, user)
+  * windows at per-user candidate cardinality. Nothing quadratic,
+  * nothing collected.
+  */
+object TpePointwise {
+
+  val DrawN = 16        // full candidate-draw budget (trial j uses j draws)
+  val TrialN = 16
+  val BandW = 31250L    // triangular kernel half-width (2 cand steps)
+  val CandLo = 15625L   // candidate grid: fraction micros = 15625·(1..64)
+  val CandStep = 15625L
+  val CandN = 64
+  val K = 10            // nDCG@K of the observed scoreboard
+
+  /** The labeled frame with per-pair draw index and item features:
+    * (user_id, item_id, label, dmin, x1 item_pop, x2 rec_days).
+    * Positives carry dmin = −1 (in every trial's training set);
+    * negative candidates carry the MINIMUM draw index that produced
+    * them, so "train on j draws" is the filter dmin < j. The candidate
+    * hash is [[graft.operators.NegativeSample]]'s LCG verbatim. */
+  private[graft] def drawFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val oi = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"),
+        col("l_partkey").as("item_id"),
+        col("o_orderdate").cast("date").as("__d"))
+      .localCheckpoint() // the ONE fact join: feeds positives AND recency
+    val pos = oi.select("user_id", "item_id").distinct()
+      .localCheckpoint() // candidate anti-join + popularity + union
+    val ni = Tables.part(spark, dir).agg(max("p_partkey").as("__n"))
+    val cand = pos.crossJoin(broadcast(ni))
+      .withColumn("__v", explode(sequence(lit(0), lit(DrawN - 1))))
+      .select(col("user_id"),
+        expr("((user_id * 131071L + item_id * 524287L + __v * 8191L)" +
+          " % 1000003L) % __n + 1L").as("item_id"),
+        col("__v"))
+      .groupBy("user_id", "item_id").agg(min("__v").cast("long").as("dmin"))
+    val neg = cand.join(pos, Seq("user_id", "item_id"), "left_anti")
+    val labeled = pos.select(col("user_id"), col("item_id"),
+        lit(1).as("label"), lit(-1L).as("dmin"))
+      .unionByName(neg.select(col("user_id"), col("item_id"),
+        lit(0).as("label"), col("dmin")))
+    val ip = pos.groupBy("item_id").agg(count(lit(1)).as("item_pop"))
+    val rec = oi.groupBy("item_id")
+      .agg(datediff(max(col("__d")), lit("1992-01-01")).cast("long")
+        .as("rec_days"))
+    labeled
+      .join(ip, Seq("item_id"), "left")
+      .join(rec, Seq("item_id"), "left")
+      .select(col("user_id"), col("item_id"), col("label"), col("dmin"),
+        coalesce(col("item_pop"), lit(0L)).as("x1"),
+        coalesce(col("rec_days"), lit(0L)).as("x2"))
+  }
+
+  /** Nine sufficient sums grouped by draw index — the one corpus-sized
+    * aggregate all 16 trials share ([[LogRegStep.newtonStep]]'s stats
+    * with a dmin GROUP BY; ≤17 output rows). */
+  private[graft] def groupedSums(feats: DataFrame): DataFrame =
+    feats.select(
+        when(col("label") === 1, 1L).otherwise(-1L).as("__z"),
+        col("dmin"), col("x1").as("__x1"), col("x2").as("__x2"))
+      .groupBy("dmin")
+      .agg(count(lit(1)).as("n"),
+        sum("__x1").as("s1"), sum("__x2").as("s2"), sum("__z").as("sz"),
+        sum(col("__x1") * col("__x1")).as("s11"),
+        sum(col("__x1") * col("__x2")).as("s12"),
+        sum(col("__x2") * col("__x2")).as("s22"),
+        sum(col("__x1") * col("__z")).as("s1z"),
+        sum(col("__x2") * col("__z")).as("s2z"))
+
+  private val SumCols = Seq("n", "s1", "s2", "sz", "s11", "s12", "s22",
+    "s1z", "s2z")
+
+  /** Trial sums: config j = prefix-sum of the grouped sums over
+    * dmin < j (positives' dmin = −1 lands in every prefix). `confs` is
+    * (config_id, threshold, __cfg). */
+  private def prefixSums(gs: DataFrame, confs: DataFrame): DataFrame = {
+    val aggs = SumCols.map(c => sum(c).as(c))
+    confs.join(broadcast(gs), col("dmin") < col("__cfg"))
+      .groupBy("config_id", "threshold")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[LogRegStep]]'s 3×3 DECIMAL(38,0) Cramer over per-config sum
+    * rows: (config_id, threshold, w0/w1/w2 micros). */
+  private[graft] def cramer(trialSums: DataFrame): DataFrame = {
+    val dec = SumCols.foldLeft(trialSums) { (d, c) =>
+      d.withColumn(s"${c}d", col(c).cast("decimal(38,0)"))
+    }
+    dec.selectExpr(
+      "config_id", "threshold",
+      """(nd * (s11d * s22d - s12d * s12d)
+         - s1d * (s1d * s22d - s12d * s2d)
+         + s2d * (s1d * s12d - s11d * s2d)) AS det""",
+      """(szd * (s11d * s22d - s12d * s12d)
+         - s1d * (s1zd * s22d - s12d * s2zd)
+         + s2d * (s1zd * s12d - s11d * s2zd)) AS det0""",
+      """(nd * (s1zd * s22d - s12d * s2zd)
+         - szd * (s1d * s22d - s12d * s2d)
+         + s2d * (s1d * s2zd - s1zd * s2d)) AS det1""",
+      """(nd * (s11d * s2zd - s1zd * s12d)
+         - s1d * (s1d * s2zd - s1zd * s2d)
+         + szd * (s1d * s12d - s11d * s2d)) AS det2""")
+      .selectExpr(
+        "config_id", "threshold",
+        "CASE WHEN det <> 0 THEN (det0 * 2000000) div det END AS w0_micros",
+        "CASE WHEN det <> 0 THEN (det1 * 2000000) div det END AS w1_micros",
+        "CASE WHEN det <> 0 THEN (det2 * 2000000) div det END AS w2_micros")
+  }
+
+  /** Completed-trial table: each fit's weights broadcast into ONE
+    * scoring pass over the FIXED eval frame, per-(config, user) nDCG@K
+    * ([[RankMetrics]]'s discipline — precomputed integer-micros
+    * discounts, total-ordered ranks, truncating ratios), exact-mean
+    * per config. Output: (config_id, threshold, obs_acc). */
+  private[graft] def trialTable(feats: DataFrame, fits: DataFrame): DataFrame = {
+    val disc = RankMetrics.discounts(K)
+    val discArr = array(disc.map(lit): _*)
+    val wModel = Window.partitionBy(col("config_id"), col("user_id"))
+      .orderBy(col("__margin").desc, col("item_id").asc)
+    val wIdeal = Window.partitionBy(col("config_id"), col("user_id"))
+      .orderBy(col("label").desc, col("item_id").asc)
+    feats.crossJoin(broadcast(fits))
+      .select(col("config_id"), col("threshold"), col("user_id"),
+        col("item_id"), col("label"),
+        (col("w0_micros") + col("x1") * col("w1_micros")
+          + col("x2") * col("w2_micros")).as("__margin"))
+      .withColumn("__pos", row_number().over(wModel))
+      .withColumn("__ipos", row_number().over(wIdeal))
+      .withColumn("__gain",
+        when(col("__pos") <= K,
+          col("label") * element_at(discArr, col("__pos"))).otherwise(lit(0L)))
+      .withColumn("__igain",
+        when(col("__ipos") <= K,
+          col("label") * element_at(discArr, col("__ipos"))).otherwise(lit(0L)))
+      .groupBy(col("config_id"), col("threshold"), col("user_id"))
+      .agg(sum("__gain").as("__dcg"), sum("__igain").as("__idcg"))
+      .withColumn("__ndcg",
+        when(col("__idcg") > 0, expr("(1000000 * __dcg) div __idcg")))
+      .groupBy(col("config_id"), col("threshold"))
+      .agg(expr("sum(__ndcg) div count(__ndcg)").as("obs_acc"))
+  }
+
+  // ---- query-map entries (hash-gated) ----
+
+  /** Gated instance: 16 negative-ratio trials over the pointwise
+    * frame, TPE proposal over the 64-point fraction candidate grid. */
+  def tpePointwiseOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = drawFeatures(spark, dir)
+      .localCheckpoint() // consumed by the sums AND the scoring pass
+    val confs = (1 to TrialN)
+      .map(j => (j.toLong, j * (1000000L / TrialN), j.toLong))
+      .toDF("config_id", "threshold", "__cfg")
+    val fits = cramer(prefixSums(groupedSums(feats), confs))
+    TpeSweep.proposeGrid(trialTable(feats, fits),
+      TpeSweep.Gamma, BandW, CandLo, CandStep, CandN)
+  }
+
+  /** CLOSE the loop over the ranking objective (the tpe_round2 /
+    * tpe_forecast_round2 move): round 1's proposed fraction — a
+    * candidate OFF the 1/16 trial grid, on the finer 1/64 candidate
+    * grid — is REALIZED as a fractional draw ratio p/4: ⌊p/4⌋ full
+    * draws plus a deterministic hash-subsample ((user·31 + item) mod 4
+    * < p mod 4) of draw ⌊p/4⌋ — exactly how a production sampler
+    * realizes a non-integer negatives-per-positive ratio. The refit
+    * runs the same Cramer on sums over that training set, its
+    * scoreboard appends as trial 17, and the densities re-score. Gated
+    * output: the round-2 scored candidate table. */
+  def tpePointwiseRound2(spark: SparkSession, dir: String): DataFrame = {
+    val feats = drawFeatures(spark, dir)
+      .localCheckpoint() // sums, round-1 scoring, round-2 train + scoring
+    import feats.sparkSession.implicits._
+    val confs = (1 to TrialN)
+      .map(j => (j.toLong, j * (1000000L / TrialN), j.toLong))
+      .toDF("config_id", "threshold", "__cfg")
+    val t1 = trialTable(feats, cramer(prefixSums(groupedSums(feats), confs)))
+      .localCheckpoint() // rounds 1 and 2 + the union
+    val prop1 = TpeSweep.proposeGrid(t1, TpeSweep.Gamma, BandW, CandLo,
+        CandStep, CandN)
+      .filter(col("proposed") === 1)
+      // p = fraction in 64ths: cand_threshold/15625 ∈ 1..64, exact
+      .select(col("cand_threshold").as("threshold"),
+        (col("cand_threshold") / lit(CandStep)).cast("long").as("__p"))
+    val train2 = feats.crossJoin(broadcast(prop1))
+      .filter(col("label") === 1 ||
+        col("dmin") < expr("__p div 4") ||
+        (col("dmin") === expr("__p div 4") &&
+          pmod(col("user_id") * 31 + col("item_id"), lit(4)) < col("__p") % 4))
+    val z = when(col("label") === 1, 1L).otherwise(-1L)
+    val aggs2 = Seq(count(lit(1)).as("n"),
+      sum("x1").as("s1"), sum("x2").as("s2"), sum(z).as("sz"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * z).as("s1z"),
+      sum(col("x2") * z).as("s2z"))
+    val sums2 = train2
+      .groupBy(lit(17L).as("config_id"), col("threshold"))
+      .agg(aggs2.head, aggs2.tail: _*)
+    val t2 = trialTable(feats, cramer(sums2))
+    TpeSweep.proposeGrid(t1.unionByName(t2), TpeSweep.Gamma, BandW,
+      CandLo, CandStep, CandN)
+  }
+
+  // ---- DuckDB oracles (composed from the gated siblings' CTEs) ----
+
+  /** The draw-indexed labeled frame + grouped sums —
+    * [[graft.operators.NegativeSample]]'s gated candidate chain with
+    * v ∈ 0..15 and min-draw retention, the recency join, and the
+    * per-dmin stats. */
+  private def featCtes: String =
+    s"""oi AS MATERIALIZED (
+       |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+       |    CAST(o_orderdate AS DATE) AS d
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |pos AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, item_id FROM oi),
+       |ni AS (SELECT max(p_partkey) AS n FROM part),
+       |cand AS MATERIALIZED (
+       |  SELECT user_id, item_id, CAST(min(v) AS BIGINT) AS dmin FROM (
+       |    SELECT p.user_id,
+       |      ((p.user_id * 131071 + p.item_id * 524287 + j.v * 8191)
+       |        % 1000003) % (SELECT n FROM ni) + 1 AS item_id, j.v
+       |    FROM pos p, unnest(generate_series(0, ${DrawN - 1})) AS j(v)) c
+       |  GROUP BY 1, 2),
+       |neg AS (
+       |  SELECT c.user_id, c.item_id, c.dmin
+       |  FROM cand c ANTI JOIN pos p
+       |    ON p.user_id = c.user_id AND p.item_id = c.item_id),
+       |ip AS (SELECT item_id, CAST(count(*) AS BIGINT) AS item_pop
+       |       FROM pos GROUP BY 1),
+       |rec AS (
+       |  SELECT item_id,
+       |    CAST(datediff('day', DATE '1992-01-01', max(d)) AS BIGINT)
+       |      AS rdays
+       |  FROM oi GROUP BY 1),
+       |feat AS MATERIALIZED (
+       |  SELECT l.user_id, l.item_id, l.label, l.dmin,
+       |    coalesce(ip.item_pop, 0) AS x1, coalesce(rec.rdays, 0) AS x2
+       |  FROM (SELECT user_id, item_id, 1 AS label,
+       |          CAST(-1 AS BIGINT) AS dmin FROM pos
+       |        UNION ALL
+       |        SELECT user_id, item_id, 0, dmin FROM neg) l
+       |  LEFT JOIN ip USING (item_id)
+       |  LEFT JOIN rec ON rec.item_id = l.item_id),
+       |gs AS MATERIALIZED (
+       |  SELECT dmin,
+       |    CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+       |    CAST(sum(z) AS HUGEINT) AS sz,
+       |    CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+       |    CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+       |    CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+       |    CAST(sum(x1 * z) AS HUGEINT) AS s1z,
+       |    CAST(sum(x2 * z) AS HUGEINT) AS s2z
+       |  FROM (SELECT dmin, CASE WHEN label = 1 THEN 1 ELSE -1 END AS z,
+       |          x1, x2 FROM feat)
+       |  GROUP BY dmin)""".stripMargin
+
+  /** Cramer + scoring + per-config exact-mean nDCG over a per-config
+    * sums CTE `sumsCte` (config_id, threshold, n..s2z); `p` prefixes
+    * the CTE names so two rounds coexist. Ends at `${p}obs`. */
+  private def trialCtes(p: String, sumsCte: String): String =
+    s"""${p}dd AS (
+       |  SELECT config_id, threshold,
+       |    (n * (s11 * s22 - s12 * s12)
+       |     - s1 * (s1 * s22 - s12 * s2)
+       |     + s2 * (s1 * s12 - s11 * s2)) AS det,
+       |    (sz * (s11 * s22 - s12 * s12)
+       |     - s1 * (s1z * s22 - s12 * s2z)
+       |     + s2 * (s1z * s12 - s11 * s2z)) AS det0,
+       |    (n * (s1z * s22 - s12 * s2z)
+       |     - sz * (s1 * s22 - s12 * s2)
+       |     + s2 * (s1 * s2z - s1z * s2)) AS det1,
+       |    (n * (s11 * s2z - s1z * s12)
+       |     - s1 * (s1 * s2z - s1z * s2)
+       |     + sz * (s1 * s12 - s11 * s2)) AS det2
+       |  FROM $sumsCte),
+       |${p}ww AS MATERIALIZED (
+       |  SELECT config_id, threshold,
+       |    CASE WHEN det <> 0 THEN CAST((det0 * 2000000) // det AS BIGINT) END AS w0,
+       |    CASE WHEN det <> 0 THEN CAST((det1 * 2000000) // det AS BIGINT) END AS w1,
+       |    CASE WHEN det <> 0 THEN CAST((det2 * 2000000) // det AS BIGINT) END AS w2
+       |  FROM ${p}dd),
+       |${p}rk AS (
+       |  SELECT w.config_id, w.threshold, f.user_id, f.label,
+       |    ROW_NUMBER() OVER (PARTITION BY w.config_id, f.user_id
+       |      ORDER BY w.w0 + f.x1 * w.w1 + f.x2 * w.w2 DESC,
+       |        f.item_id ASC) AS pos,
+       |    ROW_NUMBER() OVER (PARTITION BY w.config_id, f.user_id
+       |      ORDER BY f.label DESC, f.item_id ASC) AS ipos
+       |  FROM feat f CROSS JOIN ${p}ww w),
+       |${p}pu AS (
+       |  SELECT config_id, threshold, user_id,
+       |    CAST(sum(CASE WHEN pos <= $K
+       |      THEN label * (${RankMetrics.discountSql(K)})[CAST(pos AS INT)]
+       |      ELSE 0 END) AS BIGINT) AS dcg,
+       |    CAST(sum(CASE WHEN ipos <= $K
+       |      THEN label * (${RankMetrics.discountSql(K)})[CAST(ipos AS INT)]
+       |      ELSE 0 END) AS BIGINT) AS idcg
+       |  FROM ${p}rk GROUP BY 1, 2, 3),
+       |${p}obs AS (
+       |  SELECT config_id, CAST(threshold AS BIGINT) AS threshold,
+       |    CAST(CAST(sum(ndcg) AS BIGINT) // count(ndcg) AS BIGINT) AS obs_acc
+       |  FROM (SELECT config_id, threshold,
+       |          CASE WHEN idcg > 0 THEN (1000000 * dcg) // idcg END AS ndcg
+       |        FROM ${p}pu)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def round1Sums: String =
+    s"""t1sums AS (
+       |  SELECT CAST(j AS BIGINT) AS config_id,
+       |    CAST(j * ${1000000L / TrialN} AS BIGINT) AS threshold,
+       |    sum(n) AS n, sum(s1) AS s1, sum(s2) AS s2, sum(sz) AS sz,
+       |    sum(s11) AS s11, sum(s12) AS s12, sum(s22) AS s22,
+       |    sum(s1z) AS s1z, sum(s2z) AS s2z
+       |  FROM generate_series(1, $TrialN) t(j) JOIN gs ON gs.dmin < j
+       |  GROUP BY 1, 2)""".stripMargin
+
+  def oracleSql: String =
+    s"""WITH $featCtes,
+       |$round1Sums,
+       |${trialCtes("t1", "t1sums")},
+       |${TpeSweep.proposalCtesGrid("t1obs", "tp", TpeSweep.Gamma, BandW,
+            CandLo, CandStep, CandN)}
+       |${TpeSweep.proposalSelect("tp")}""".stripMargin
+
+  /** Round 2: round 1's winning fraction realized at the 1/64 grid
+    * (⌊p/4⌋ full draws + hash-subsampled marginal draw), refit by the
+    * same chain, appended as trial 17, densities re-scored. */
+  def round2OracleSql: String =
+    s"""WITH $featCtes,
+       |$round1Sums,
+       |${trialCtes("t1", "t1sums")},
+       |${TpeSweep.proposalCtesGrid("t1obs", "tp", TpeSweep.Gamma, BandW,
+            CandLo, CandStep, CandN)},
+       |prop1 AS (
+       |  SELECT CAST(cand_threshold // $CandStep AS BIGINT) AS p,
+       |    CAST(cand_threshold AS BIGINT) AS threshold
+       |  FROM (
+       |    SELECT cand_threshold,
+       |      row_number() OVER (ORDER BY score_micros DESC, candidate_id)
+       |        AS rn
+       |    FROM tpscored) z
+       |  WHERE rn = 1),
+       |t2sums AS (
+       |  SELECT CAST(17 AS BIGINT) AS config_id, pr.threshold,
+       |    CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(f.x1) AS HUGEINT) AS s1,
+       |    CAST(sum(f.x2) AS HUGEINT) AS s2,
+       |    CAST(sum(CASE WHEN f.label = 1 THEN 1 ELSE -1 END) AS HUGEINT) AS sz,
+       |    CAST(sum(f.x1 * f.x1) AS HUGEINT) AS s11,
+       |    CAST(sum(f.x1 * f.x2) AS HUGEINT) AS s12,
+       |    CAST(sum(f.x2 * f.x2) AS HUGEINT) AS s22,
+       |    CAST(sum(f.x1 * (CASE WHEN f.label = 1 THEN 1 ELSE -1 END)) AS HUGEINT) AS s1z,
+       |    CAST(sum(f.x2 * (CASE WHEN f.label = 1 THEN 1 ELSE -1 END)) AS HUGEINT) AS s2z
+       |  FROM feat f CROSS JOIN prop1 pr
+       |  WHERE f.label = 1 OR f.dmin < pr.p // 4
+       |    OR (f.dmin = pr.p // 4
+       |        AND (f.user_id * 31 + f.item_id) % 4 < pr.p % 4)
+       |  GROUP BY 1, 2),
+       |${trialCtes("t2", "t2sums")},
+       |trials2 AS (SELECT * FROM t1obs UNION ALL SELECT * FROM t2obs),
+       |${TpeSweep.proposalCtesGrid("trials2", "r2", TpeSweep.Gamma, BandW,
+            CandLo, CandStep, CandN)}
+       |${TpeSweep.proposalSelect("r2")}""".stripMargin
+}
