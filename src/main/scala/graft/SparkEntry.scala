@@ -908,6 +908,7 @@ object SparkEntry {
     "forecast_quantiles"    -> graft.operators.ForecastQuantiles.oracleSql,
     "forecast_predict"      -> graft.operators.ForecastPredict.oracleSql,
     "bpe_first_merge"       -> graft.functions.BpeMerges.firstMergeOracleSql,
+    "bpe_merges"            -> graft.functions.BpeMerges.mergesOracleSql,
     "bpe_encode"            -> graft.functions.BpeEncode.encodeOracleSql,
     "bpe_fertility"         -> graft.functions.BpeEncode.fertilityOracleSql,
     "bpe_vocab"             -> graft.functions.BpeEncode.vocabOracleSql,

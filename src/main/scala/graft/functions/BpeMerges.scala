@@ -95,14 +95,75 @@ object BpeMerges {
     merges.result().toDF("merge_rank", "left", "right", "pair_count")
   }
 
-  // ---- query-map entry (rows-gated; merge order asserted in spec) ----
+  // ---- query-map entry (hash-gated; r19 closed the recursion gate) ----
 
-  /** Gated instance: top-8 merges over the documents corpus. Rows-gated
-    * (the greedy argmax recursion has no ANSI-SQL oracle); the exact
-    * merge sequence on a planted corpus is hand-verified in
-    * Round10OpsSpec. */
+  /** Gated instance: top-8 merges over the documents corpus. HASH-gated
+    * since round 19: the greedy argmax recursion IS expressible as a
+    * recursive DuckDB CTE (see [[mergesOracleSql]]) — each iteration
+    * re-derives the working vocabulary's best pair in a subquery over
+    * the recursive reference and applies it with a boundary-encoded
+    * `replace` — so the whole k=8 loop (vocab collapse, pair counting,
+    * argmax total order, leftmost-first merge application, early stop)
+    * sits inside the gate. The exact merge sequence on a planted corpus
+    * is additionally hand-verified in Round10OpsSpec. */
   def bpeMergesDocs(spark: SparkSession, dir: String): DataFrame =
     topMerges(Tables.documents(spark, dir), "text", k = 8)
+
+  /** The k=8 greedy recursion as one recursive CTE. State = the vocab
+    * with each word's symbol sequence BOUNDARY-ENCODED as
+    * ␞sym₁␟␞sym₂␟… (chr 30/31, absent from any whitespace-split word):
+    * applying merge (l,r) leftmost-first non-overlapping — the exact
+    * [[topMerges]] semantics, including the "aaa"→["aa","a"] skip — is
+    * then a single `replace(enc, ␞l␟␞r␟, ␞lr␟)`, since SQL replace
+    * scans left-to-right without rescanning its own output and the
+    * ␞…␟ framing makes matches align on symbol boundaries. Each
+    * iteration picks the (count DESC, l, r) argmax of the CURRENT
+    * working table in a derived subquery (DuckDB allows the second
+    * recursive reference) and stops when no pair repeats. The final
+    * merge table re-derives each round's argmax post-hoc with the
+    * identical total order — bit-equal to what the recursion applied. */
+  def mergesOracleSql: String =
+    """WITH RECURSIVE wd AS (
+      |  SELECT x AS w, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS x
+      |        FROM documents)
+      |  WHERE len(x) > 0 GROUP BY 1
+      |), init AS (
+      |  SELECT list_aggregate(list_transform(generate_series(1, length(w)),
+      |           i -> chr(30) || substr(w, i, 1) || chr(31)),
+      |           'string_agg', '') AS enc,
+      |         freq
+      |  FROM wd
+      |), rec AS (
+      |  SELECT 1 AS rnd, enc, freq FROM init
+      |  UNION ALL
+      |  SELECT rnd + 1,
+      |    replace(enc, chr(30) || b.l || chr(31) || chr(30) || b.r || chr(31),
+      |                 chr(30) || b.l || b.r || chr(31)),
+      |    freq
+      |  FROM rec, (
+      |    SELECT l, r FROM (
+      |      SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS c,
+      |        row_number() OVER (ORDER BY sum(freq) DESC, syms[i], syms[i + 1]) AS rn
+      |      FROM (SELECT string_split(substr(enc, 2, length(enc) - 2),
+      |              chr(31) || chr(30)) AS syms, freq FROM rec) t,
+      |        unnest(generate_series(1, len(syms) - 1)) AS u(i)
+      |      GROUP BY 1, 2 HAVING sum(freq) >= 2
+      |    ) WHERE rn = 1) b
+      |  WHERE rnd <= 8
+      |), pr AS (
+      |  SELECT rnd, syms[i] AS l, syms[i + 1] AS r,
+      |    CAST(sum(freq) AS BIGINT) AS c,
+      |    row_number() OVER (PARTITION BY rnd
+      |      ORDER BY sum(freq) DESC, syms[i], syms[i + 1]) AS rn
+      |  FROM (SELECT rnd, string_split(substr(enc, 2, length(enc) - 2),
+      |          chr(31) || chr(30)) AS syms, freq FROM rec) t,
+      |    unnest(generate_series(1, len(syms) - 1)) AS u(i)
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT CAST(rnd AS INT) AS merge_rank, l AS "left", r AS "right",
+      |  c AS pair_count
+      |FROM pr WHERE rn = 1 AND c >= 2 AND rnd <= 8""".stripMargin
 
   // ---- degeneracy-gated sibling (hash-gated) ----
 
