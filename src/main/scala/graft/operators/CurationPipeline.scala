@@ -16,19 +16,29 @@ import graft.dedup.{Decontaminate, ExactDedup, SubstringDedup}
   *
   *   1. quality_floor     — [[TextFunctions.withQuality]] score ≥ 0.45
   *   2. dedup_exact       — [[ExactDedup.dedup]] keep min-id per content
-  *   3. substring_cut     — [[SubstringDedup.repeatedWindowStats]]
+  *   3. neardup_minhash   — [[graft.dedup.MinHashLsh]] near-dup cut at
+  *                          the DEGENERATE 1-band/full-signature setting
+  *                          (threshold 1.0 ⇒ equal-shingle-set classes;
+  *                          keep the min id per class — equality is
+  *                          transitive, so class min ≡ component min),
+  *                          which keeps the stage SQL-expressible and
+  *                          the whole accounting hash-gated; the banded
+  *                          probabilistic form stays dedup_minhash_lsh's
+  *                          spec-gated 100 TB path (prepare_dataset.py
+  *                          dedups before templating)
+  *   4. substring_cut     — [[SubstringDedup.repeatedWindowStats]]
   *                          repeated_ppm < 250000 (docs too short for a
   *                          window carry no signal and are kept)
-  *   4. decontaminate     — [[Decontaminate.decontaminate]] vs the fixed
+  *   5. decontaminate     — [[Decontaminate.decontaminate]] vs the fixed
   *                          benchmark set (raw doc_id ≡ 0 mod 17), which
   *                          is itself excluded from the training corpus
-  *   5. importance_select — [[ImportanceSelect.importanceSelect]] DSIR
+  *   6. importance_select — [[ImportanceSelect.importanceSelect]] DSIR
   *                          acceptance toward source='src0', models fit
   *                          ON THE SURVIVORS (stage contract: upstream
   *                          cuts change the raw unigram model)
-  *   6. submix_temperature— [[Sampling.submixTemperature]] T=2 over
+  *   7. submix_temperature— [[Sampling.submixTemperature]] T=2 over
   *                          lang strata, 120-row target
-  *   7. shard_assign      — [[Sampling.shardAssign]] 64-row shards
+  *   8. shard_assign      — [[Sampling.shardAssign]] 64-row shards
   *                          (drops nothing; proves the export composes)
   *
   * The gated output is the STAGE ACCOUNTING — (stage_rank, stage,
@@ -40,7 +50,7 @@ import graft.dedup.{Decontaminate, ExactDedup, SubstringDedup}
   * plus two counts — default inlining would go exponential, the
   * BpeEncode lesson).
   *
-  * Scale: the chain is 7 sequential corpus-linear stages, each pinned
+  * Scale: the chain is 8 sequential corpus-linear stages, each pinned
   * by localCheckpoint so no stage's plan re-derives its predecessors;
   * per-stage shapes are documented on the operators themselves.
   */
@@ -67,9 +77,17 @@ object CurationPipeline {
       .select("doc_id", "text", "source", "lang")
       .localCheckpoint()
     val s2 = ExactDedup.dedup(s1, "doc_id", "text").localCheckpoint()
-    val stats = SubstringDedup.repeatedWindowStats(s2, "doc_id", "text",
+    // near-dup at the degenerate gate setting: pairs = docs with EQUAL
+    // trigram-shingle sets (MinHashLsh's 1-band/full-signature path);
+    // equality is an equivalence, so every non-class-minimum id appears
+    // as some pair's b_id — one distinct + one anti-join, no union-find
+    val nd = graft.dedup.MinHashLsh
+      .identicalShingleSetPairs(s2, "doc_id", "text")
+      .select(col("b_id").as("doc_id")).distinct()
+    val s2b = s2.join(nd, Seq("doc_id"), "left_anti").localCheckpoint()
+    val stats = SubstringDedup.repeatedWindowStats(s2b, "doc_id", "text",
       SubstringDedup.WindowTokens)
-    val s3 = s2.join(stats.select("doc_id", "repeated_ppm"), Seq("doc_id"), "left")
+    val s3 = s2b.join(stats.select("doc_id", "repeated_ppm"), Seq("doc_id"), "left")
       .filter(col("repeated_ppm").isNull ||
         col("repeated_ppm") < SubstringCutPpm)
       .select("doc_id", "text", "source", "lang")
@@ -90,12 +108,12 @@ object CurationPipeline {
       .select("doc_id", "text", "source", "lang")
       .localCheckpoint()
     Seq("input" -> base, "quality_floor" -> s1, "dedup_exact" -> s2,
-      "substring_cut" -> s3, "decontaminate" -> s4,
-      "importance_select" -> s5, "submix_temperature" -> s6,
-      "shard_assign" -> s7)
+      "neardup_minhash" -> s2b, "substring_cut" -> s3,
+      "decontaminate" -> s4, "importance_select" -> s5,
+      "submix_temperature" -> s6, "shard_assign" -> s7)
   }
 
-  /** (stage_rank, stage, n_in, n_kept, n_dropped) for the 7 stages. */
+  /** (stage_rank, stage, n_in, n_kept, n_dropped) for the 8 stages. */
   def accounting(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -109,9 +127,22 @@ object CurationPipeline {
 
   // ---- query-map entries (hash-gated) ----
 
+  /** The corpus carries no equal-shingle-set near-dups at test SF, so
+    * the gated instances PLANT them (the dedup_minhash_exhaustive
+    * discipline): every 20th doc re-keyed at +1,000,000 with every
+    * space DOUBLED — a different byte string (sha256 dedup keeps it, a
+    * quality score ≥ the original's since only the punctuation penalty
+    * moves, and downward) but the identical \s+-split word sequence,
+    * hence the identical trigram-shingle set the near-dup stage cuts. */
+  private[graft] def plantNearDups(docs: DataFrame): DataFrame =
+    docs.unionByName(docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text"),
+        col("source"), col("lang")))
+
   def curationPipelineDocs(spark: SparkSession, dir: String): DataFrame =
-    accounting(Tables.documents(spark, dir)
-      .select("doc_id", "text", "source", "lang"))
+    accounting(plantNearDups(Tables.documents(spark, dir)
+      .select("doc_id", "text", "source", "lang")))
 
   /** Per-document drop attribution: the FIRST stage that dropped each
     * doc (or 'kept') — the lineage answer a curation run owes its
@@ -134,8 +165,8 @@ object CurationPipeline {
   }
 
   def curationTraceDocs(spark: SparkSession, dir: String): DataFrame =
-    trace(Tables.documents(spark, dir)
-      .select("doc_id", "text", "source", "lang"))
+    trace(plantNearDups(Tables.documents(spark, dir)
+      .select("doc_id", "text", "source", "lang")))
 
   /** Every stage CTE is the sibling gate's SQL re-anchored on the
     * previous stage (anchors in the scaladoc above); MATERIALIZED
@@ -143,7 +174,10 @@ object CurationPipeline {
   private def oracleStageCtes: String = {
     val stages =
       s"""base AS MATERIALIZED (
-         |  SELECT doc_id, text, source, lang FROM documents),
+         |  SELECT doc_id, text, source, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, replace(text, ' ', '  '), source, lang
+         |  FROM documents WHERE doc_id % 20 = 0),
          |s1 AS MATERIALIZED (
          |  SELECT doc_id, text, source, lang FROM (
          |    SELECT doc_id, text, source, lang,
@@ -158,9 +192,20 @@ object CurationPipeline {
          |  SELECT i.* FROM s1 i
          |  JOIN (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY sha256(text)) k
          |    USING (doc_id)),
+         |shg AS MATERIALIZED (
+         |  SELECT doc_id, list_sort(list_distinct(
+         |    list_transform(generate_series(1, len(ws) - 2),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sg
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM s2)
+         |  WHERE len(ws) >= 3),
+         |s2b AS MATERIALIZED (
+         |  SELECT i.* FROM s2 i ANTI JOIN (
+         |    SELECT DISTINCT b.doc_id FROM shg a JOIN shg b
+         |      ON a.doc_id < b.doc_id AND a.sg = b.sg) d
+         |  ON i.doc_id = d.doc_id),
          |sw AS MATERIALIZED (
          |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS w
-         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM s2) s,
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM s2b) s,
          |    unnest(generate_series(1, len(t) - 7)) AS u(i)
          |  WHERE len(t) >= 8),
          |sp AS MATERIALIZED (
@@ -172,7 +217,7 @@ object CurationPipeline {
          |  GROUP BY doc_id),
          |s3 AS MATERIALIZED (
          |  SELECT i.doc_id, i.text, i.source, i.lang
-         |  FROM s2 i LEFT JOIN sp USING (doc_id)
+         |  FROM s2b i LEFT JOIN sp USING (doc_id)
          |  WHERE sp.p IS NULL OR sp.p < $SubstringCutPpm),
          |bench AS MATERIALIZED (
          |  SELECT doc_id, string_split_regex(text, '\\s+') AS w
@@ -241,7 +286,8 @@ object CurationPipeline {
 
   def oracleSql: String = {
     val rows = Seq("s1" -> ("base", "quality_floor"),
-      "s2" -> ("s1", "dedup_exact"), "s3" -> ("s2", "substring_cut"),
+      "s2" -> ("s1", "dedup_exact"), "s2b" -> ("s2", "neardup_minhash"),
+      "s3" -> ("s2b", "substring_cut"),
       "s4" -> ("s3", "decontaminate"), "s5" -> ("s4", "importance_select"),
       "s6" -> ("s5", "submix_temperature"), "s7" -> ("s6", "shard_assign"))
     val sel = rows.zipWithIndex.map { case ((out, (in, name)), i) =>
@@ -258,6 +304,7 @@ object CurationPipeline {
       """SELECT b.doc_id,
         |  CASE WHEN b.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'quality_floor'
         |       WHEN b.doc_id NOT IN (SELECT doc_id FROM s2) THEN 'dedup_exact'
+        |       WHEN b.doc_id NOT IN (SELECT doc_id FROM s2b) THEN 'neardup_minhash'
         |       WHEN b.doc_id NOT IN (SELECT doc_id FROM s3) THEN 'substring_cut'
         |       WHEN b.doc_id NOT IN (SELECT doc_id FROM s4) THEN 'decontaminate'
         |       WHEN b.doc_id NOT IN (SELECT doc_id FROM s5) THEN 'importance_select'

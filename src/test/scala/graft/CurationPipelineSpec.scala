@@ -13,8 +13,12 @@ class CurationPipelineSpec extends SparkSpec {
       .orderBy("stage_rank")
       .as[(Int, String, Long, Long, Long)].collect()
     assert(acc.map(_._2).toSeq == Seq("quality_floor", "dedup_exact",
-      "substring_cut", "decontaminate", "importance_select",
-      "submix_temperature", "shard_assign"))
+      "neardup_minhash", "substring_cut", "decontaminate",
+      "importance_select", "submix_temperature", "shard_assign"))
+    // the planted whitespace-doubled twins reach the near-dup stage
+    // (exact dedup can't see them) and are cut there
+    assert(acc.find(_._2 == "neardup_minhash").get._5 > 0,
+      "the near-dup stage dropped nothing despite the planted twins")
     acc.foreach { case (_, stage, nIn, nKept, nDropped) =>
       assert(nDropped == nIn - nKept, s"$stage accounting broken")
       assert(nKept >= 0 && nKept <= nIn, s"$stage kept outside [0, n_in]")
@@ -50,6 +54,12 @@ class CurationPipelineSpec extends SparkSpec {
       .orderBy(desc("stage_rank")).limit(1)
       .select("n_kept").as[Long].head()
     assert(trace("kept") == fin)
+    // every doc the near-dup stage dropped is a planted +1M twin (its
+    // original has the smaller id, so the class minimum is never cut)
+    val ndDropped = CurationPipeline.curationTraceDocs(spark, sfDir)
+      .filter($"stage_dropped" === "neardup_minhash")
+      .select("doc_id").as[Long].collect()
+    assert(ndDropped.nonEmpty && ndDropped.forall(_ >= 1000000L))
   }
 
   test("ctx_truncation: kept+dropped = n_tokens, pad complements to ctx") {
