@@ -96,7 +96,8 @@ object PageRank {
     * 32g driver at the 100× replica — its map-side partial hash tables
     * grow with the per-task distinct-pair count. Two-phase fix in the
     * harmonicCloseness discipline: the pair state bound is known in
-    * advance (≤ fact rows, one parquet-footer count), so above the
+    * advance (≤ fact rows, read from parquet footers via
+    * [[graft.ParquetMeta.rowCount]] — metadata-only, no scan job), so above the
     * session partition count the join output is hash-repartitioned on
     * (c, s) to ~1M pairs/partition (cap 4096) BEFORE the distinct —
     * the repartition satisfies the aggregate's required distribution,
@@ -106,7 +107,8 @@ object PageRank {
     * SFs the threshold never engages, so the plan is unchanged. */
   def pagerankTrade(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
-    val factRows = li.count() // parquet-footer count; the pair bound
+    // footer-only row count (no scan job) — needed only to bound pairs
+    val factRows = graft.ParquetMeta.rowCount(spark, s"$dir/lineitem.parquet")
     val sessionParts =
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val parts = math.max(sessionParts,

@@ -132,9 +132,9 @@ object Sketches {
 
   /** HASH-gated (re-pointed r18, the sketch_distinct_events move):
     * per-returnflag price quantiles from the portable grouped summary.
-    * The Spark-native percentile_approx variant stays available via
-    * [[approxQuantilesLong]] (spec-gated — its GK buffer internals are
-    * engine-specific and can never hash-match an oracle). */
+    * The Spark-native percentile_approx variant stays available as
+    * [[sketchQuantilesNative]] (spec-gated in SketchSpec — its GK buffer
+    * internals are engine-specific and can never hash-match an oracle). */
   def sketchQuantilesLineitem(spark: SparkSession, dir: String): DataFrame =
     gkQuantiles(
       Tables.lineitem(spark, dir)
@@ -142,7 +142,10 @@ object Sketches {
           round(col("l_extendedprice") * 100).cast("long").as("cents")),
       "l_returnflag", "cents", qPermilles = Seq(250L, 500L, 750L, 990L))
 
-  /** The rows-gated API-parity variant (Spark GK internals). */
+  /** The API-parity variant over Spark's own percentile_approx (GK
+    * internals — engine-specific, so never oracle-hashable). Spec-gated
+    * by SketchSpec's "sketchQuantilesNative" test: default qs/accuracy
+    * must honor the GK rank-error bound against exact sorted data. */
   def sketchQuantilesNative(spark: SparkSession, dir: String): DataFrame =
     approxQuantilesLong(Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice")
 

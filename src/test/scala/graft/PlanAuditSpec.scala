@@ -38,6 +38,11 @@ class PlanAuditSpec extends SparkSpec {
       singleRowSide(j.left) && singleRowSide(j.right)
     case j: CartesianProductExec =>
       singleRowSide(j.left) && singleRowSide(j.right)
+    // row-EXPANDING unary nodes: a generate (explode) or expand above a
+    // scalar aggregate — e.g. a date spine exploded from min/max bounds —
+    // is data-shaped again, so a nested loop against it must stay audited
+    case _: org.apache.spark.sql.execution.GenerateExec => false
+    case _: org.apache.spark.sql.execution.ExpandExec   => false
     case u: org.apache.spark.sql.execution.UnaryExecNode =>
       singleRowSide(u.child) // project/filter/exchange/sort/limit-like
     case _ => false
@@ -182,7 +187,29 @@ class PlanAuditSpec extends SparkSpec {
     //  - sketch_quantiles_lineitem crosses the ~EpsDen-row-per-group
     //    summary with the 4-row q list (the pinball_loss parameter
     //    expansion)
-    "sketch_quantiles_lineitem" -> 1)
+    "sketch_quantiles_lineitem" -> 1,
+    // r19: the walker now refuses row-EXPANDING unary nodes
+    // (GenerateExec/ExpandExec) — an explode above a scalar agg is
+    // data-shaped again. The keys below were passing through that hole;
+    // each side is parameter-bounded, now explicitly declared:
+    //  - tpe_pointwise: the 16-config grid non-equi-joined with the
+    //    ≤17-row per-dmin sums (grid × grid prefix sums), the 16-row fit
+    //    table crossed with the eval frame (every trial scores the pool —
+    //    tpe_forecast's grid-scoring case), and the 64-candidate ×
+    //    ≤17-trial density cross (the tpe_sweep case)
+    "tpe_pointwise" -> 3,
+    //  - tpe_pointwise_round2: the round-1 density cross (t1 itself sits
+    //    behind an eager localCheckpoint, so only proposeGrid's cross
+    //    appears), the 1-row proposed-ratio broadcast onto the training
+    //    frame (1-row by the proposal filter, unprovable through the rank
+    //    window), trial 17's scoring cross, and the round-2 density cross
+    "tpe_pointwise_round2" -> 4,
+    //  - vocab_growth: the 10-row decile-checkpoint spine (explode of a
+    //    literal 1..10 sequence above the max-doc-id scalar — bounded by
+    //    the sequence literal, not the data) non-equi-joined with the
+    //    first-occurrence histogram and with the per-doc token counts
+    //    (cumulative-decile semantics: each row aggregates a prefix)
+    "vocab_growth" -> 2)
   // gbt_stump2 needs no entry: its side tagging (1-row root-split
   // broadcast) is behind an eager localCheckpoint, so the audited
   // level-2 plan starts at the materialized sided frame

@@ -147,6 +147,30 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sketchQuantilesNative: API-parity wrapper honors the GK bound") {
+    // The Spark-native percentile_approx variant kept alongside the
+    // hash-gated portable summary (Sketches.scala `sketchQuantilesNative`
+    // scaladoc) — this is its spec gate: default qs/accuracy, same
+    // rank-error contract as the kernel test above.
+    val rows = Sketches.sketchQuantilesNative(spark, sfDir).collect()
+    val byGroup = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice")
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.map(_.getString(0)).toSet == byGroup.keySet)
+    assert(rows.length == byGroup.size * 3) // default qs = (0.5, 0.9, 0.99)
+    for (r <- rows) {
+      val (flag, q, est) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val vals = byGroup(flag)
+      val n = vals.length
+      val rank = vals.count(_ <= est)
+      val tol = n.toDouble / 10000 + 1
+      assert(math.abs(rank - q * n) <= tol,
+        s"native wrapper: q=$q flag=$flag est=$est rank=$rank target=${q * n} ± $tol")
+      assert(vals.contains(est))
+    }
+  }
+
   test("portable quantile summary: rank within n/EpsDen, value a real cell") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"),
