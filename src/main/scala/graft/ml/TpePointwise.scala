@@ -2,6 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.RankMetrics
@@ -52,10 +53,14 @@ import graft.operators.RankMetrics
   * ONE map-side-combined aggregate (17 groups × nine BIGINTs); the 16
   * Cramer solves are bounded rows in DECIMAL(38,0) (exact through the
   * 10× replica; at ~100× the determinants outgrow 38 digits — the
-  * [[LogRegStep]] family's documented precision bound); scoring is one
-  * pass over eval×16 broadcast weight rows with per-(trial, user)
-  * windows at per-user candidate cardinality. Nothing quadratic,
-  * nothing collected.
+  * [[LogRegStep]] family's documented precision bound); scoring ranks
+  * the ITEM DIM once per trial, attaches the per-trial ranks to each
+  * eval row as one array (fact⋈dim join, no trial× row expansion), and
+  * folds all trials' top-K DCGs in a single pass per user through the
+  * native [[graft.functions.MultiTopKDcg]] aggregate (idcg is a
+  * config-independent prefix-sum lookup). Nothing quadratic, nothing
+  * unbounded collected (the ≤17-row fits frame is), nothing
+  * corpus-sized sorted.
   */
 object TpePointwise {
 
@@ -169,29 +174,84 @@ object TpePointwise {
     * scoring pass over the FIXED eval frame, per-(config, user) nDCG@K
     * ([[RankMetrics]]'s discipline — precomputed integer-micros
     * discounts, total-ordered ranks, truncating ratios), exact-mean
-    * per config. Output: (config_id, threshold, obs_acc). */
+    * per config. Output: (config_id, threshold, obs_acc).
+    *
+    * Plan shape (r19 rework — values bit-identical to the original
+    * window form, same oracle). The window form expanded the eval frame
+    * T× (one copy per config) and sorted all of it per (config, user) —
+    * 160M sorted rows at sf0.1, ~30 s. Three exact structural facts
+    * remove all of that:
+    *
+    * 1. The IDEAL order (label desc, item asc) is config-independent
+    *    and puts a user's positives at positions 1..npos, so
+    *    idcg = Σ_{i≤min(npos,K)} disc(i) — a prefix-sum LOOKUP on one
+    *    corpus-sized count, not T sorted copies.
+    * 2. The margin is ITEM-level by construction (x₁, x₂ are item
+    *    features), so each config's candidate order is ONE global item
+    *    permutation: rank the ITEM DIM once per config (T·|items| rows
+    *    through a per-config window — dim-sized, not fact-sized) and
+    *    each user's model order is that rank restricted to their
+    *    candidates.
+    * 3. With the T per-config ranks attached to each eval row as one
+    *    array (a fact⋈dim equi-join — NO T× row expansion), the
+    *    per-(config, user) top-K·DCG folds in a SINGLE pass per user
+    *    through [[graft.functions.MultiTopKDcg]] — the native
+    *    TypedImperativeAggregate holding T bounded K-buffers (shuffle =
+    *    users·T·K longs, no encoder round-trip, no corpus sort).
+    *
+    * The ≤T-row fits frame is collected (the ParamSweep bounded-collect
+    * discipline) to drive the per-config margin literals. Null fit
+    * weights (a singular Cramer system) order exactly as the window
+    * form did: all-null margins rank by item id (desc_nulls_last +
+    * item-asc tiebreak in the dim window, same clause the old
+    * fact-sized window used). */
   private[graft] def trialTable(feats: DataFrame, fits: DataFrame): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
     val disc = RankMetrics.discounts(K)
-    val discArr = array(disc.map(lit): _*)
-    val wModel = Window.partitionBy(col("config_id"), col("user_id"))
+    val cumDisc = disc.scanLeft(0L)(_ + _).tail
+    val cumArr = array(cumDisc.map(lit): _*)
+    val idcg = feats.filter(col("label") === 1)
+      .groupBy("user_id").agg(count(lit(1)).as("__npos"))
+      .select(col("user_id"),
+        element_at(cumArr,
+          least(col("__npos"), lit(K.toLong)).cast("int")).as("__idcg"))
+
+    val cfgRows = fits.collect() // ≤ trials+1 rows by construction
+      .sortBy(_.getAs[Long]("config_id"))
+    val nCfg = cfgRows.length
+    val cfgDf = broadcast(cfgRows.zipWithIndex.map { case (r, i) =>
+      (i, r.getAs[Long]("config_id"), r.getAs[Long]("threshold"))
+    }.toSeq.toDF("__cfg_idx", "config_id", "threshold"))
+    val wDf = broadcast(cfgRows.zipWithIndex.map { case (r, i) =>
+      (i,
+        Option(r.getAs[java.lang.Long]("w0_micros")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("w1_micros")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("w2_micros")).map(_.longValue))
+    }.toSeq.toDF("__cfg_idx", "__w0", "__w1", "__w2"))
+
+    // per-config global item rank over the item DIM (distinct profiles)
+    val wRank = Window.partitionBy(col("__cfg_idx"))
       .orderBy(col("__margin").desc, col("item_id").asc)
-    val wIdeal = Window.partitionBy(col("config_id"), col("user_id"))
-      .orderBy(col("label").desc, col("item_id").asc)
-    feats.crossJoin(broadcast(fits))
-      .select(col("config_id"), col("threshold"), col("user_id"),
-        col("item_id"), col("label"),
-        (col("w0_micros") + col("x1") * col("w1_micros")
-          + col("x2") * col("w2_micros")).as("__margin"))
-      .withColumn("__pos", row_number().over(wModel))
-      .withColumn("__ipos", row_number().over(wIdeal))
-      .withColumn("__gain",
-        when(col("__pos") <= K,
-          col("label") * element_at(discArr, col("__pos"))).otherwise(lit(0L)))
-      .withColumn("__igain",
-        when(col("__ipos") <= K,
-          col("label") * element_at(discArr, col("__ipos"))).otherwise(lit(0L)))
-      .groupBy(col("config_id"), col("threshold"), col("user_id"))
-      .agg(sum("__gain").as("__dcg"), sum("__igain").as("__idcg"))
+    val itemGranks = feats.select("item_id", "x1", "x2").distinct()
+      .crossJoin(wDf)
+      .withColumn("__margin",
+        col("__w0") + col("x1") * col("__w1") + col("x2") * col("__w2"))
+      .withColumn("__grank", row_number().over(wRank).cast("long"))
+      .groupBy("item_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__cfg_idx"), col("__grank")))),
+        s => s.getField("__grank")).as("__granks"))
+
+    feats.join(itemGranks, Seq("item_id"))
+      .groupBy("user_id")
+      .agg(graft.functions.MultiTopKDcg.multiTopKDcg(
+        col("__granks"), col("label").cast("long"), disc, K, nCfg)
+        .as("__dcgs"))
+      .select(col("user_id"),
+        posexplode(col("__dcgs")).as(Seq("__cfg_idx", "__dcg")))
+      .join(cfgDf, Seq("__cfg_idx"))
+      .join(idcg, Seq("user_id"), "left")
       .withColumn("__ndcg",
         when(col("__idcg") > 0, expr("(1000000 * __dcg) div __idcg")))
       .groupBy(col("config_id"), col("threshold"))
@@ -210,8 +270,10 @@ object TpePointwise {
       .map(j => (j.toLong, j * (1000000L / TrialN), j.toLong))
       .toDF("config_id", "threshold", "__cfg")
     val fits = cramer(prefixSums(groupedSums(feats), confs))
-    TpeSweep.proposeGrid(trialTable(feats, fits),
-      TpeSweep.Gamma, BandW, CandLo, CandStep, CandN)
+    // ≤16 rows — pin them: proposeGrid's density windows reference the
+    // trial table several times and would recompute the corpus fold
+    val tt = trialTable(feats, fits).localCheckpoint()
+    TpeSweep.proposeGrid(tt, TpeSweep.Gamma, BandW, CandLo, CandStep, CandN)
   }
 
   /** CLOSE the loop over the ranking objective (the tpe_round2 /
@@ -256,6 +318,7 @@ object TpePointwise {
       .groupBy(lit(17L).as("config_id"), col("threshold"))
       .agg(aggs2.head, aggs2.tail: _*)
     val t2 = trialTable(feats, cramer(sums2))
+      .localCheckpoint() // 1 row; round-2 density windows re-reference it
     TpeSweep.proposeGrid(t1.unionByName(t2), TpeSweep.Gamma, BandW,
       CandLo, CandStep, CandN)
   }

@@ -192,18 +192,16 @@ class PlanAuditSpec extends SparkSpec {
     // (GenerateExec/ExpandExec) — an explode above a scalar agg is
     // data-shaped again. The keys below were passing through that hole;
     // each side is parameter-bounded, now explicitly declared:
-    //  - tpe_pointwise: the 16-config grid non-equi-joined with the
-    //    ≤17-row per-dmin sums (grid × grid prefix sums), the 16-row fit
-    //    table crossed with the eval frame (every trial scores the pool —
-    //    tpe_forecast's grid-scoring case), and the 64-candidate ×
-    //    ≤17-trial density cross (the tpe_sweep case)
-    "tpe_pointwise" -> 3,
-    //  - tpe_pointwise_round2: the round-1 density cross (t1 itself sits
-    //    behind an eager localCheckpoint, so only proposeGrid's cross
-    //    appears), the 1-row proposed-ratio broadcast onto the training
-    //    frame (1-row by the proposal filter, unprovable through the rank
-    //    window), trial 17's scoring cross, and the round-2 density cross
-    "tpe_pointwise_round2" -> 4,
+    //  - tpe_pointwise: the 64-candidate × ≤17-trial density cross (the
+    //    tpe_sweep case). The trial-building crosses (config×sums prefix,
+    //    item-dim × weight grid) sit behind the eager trial-table
+    //    localCheckpoint and never reach the audited plan
+    "tpe_pointwise" -> 1,
+    //  - tpe_pointwise_round2: the round-2 density cross only — t1, t2,
+    //    AND the 1-row proposed-ratio train pass all sit behind eager
+    //    localCheckpoints (t2's checkpoint hides the train2 cross and the
+    //    trial-17 scoring subplan)
+    "tpe_pointwise_round2" -> 1,
     //  - vocab_growth: the 10-row decile-checkpoint spine (explode of a
     //    literal 1..10 sequence above the max-doc-id scalar — bounded by
     //    the sequence literal, not the data) non-equi-joined with the
