@@ -92,20 +92,31 @@ case class MultiTopKDcg(
     buf
   }
 
+  // One k-long scratch per deserialized instance (= per task): merge is
+  // called once per partial-buffer row in the sort-based merge phase —
+  // millions of calls per task at the 10x replica — and a fresh
+  // nCfg*k array per call was the allocation site of the r19 heap OOM
+  // (untracked-by-Spark young-gen churn on a heap already holding the
+  // corpus checkpoint). In-place into b1 with a segment copy instead.
+  @transient private lazy val mergeScratch = new Array[Long](k)
+
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
-    val out = new Array[Long](nCfg * k)
+    val tmp = mergeScratch
     var c = 0
     while (c < nCfg) {
       val base = c * k
-      var i = base; var j = base; var o = base
+      System.arraycopy(b1, base, tmp, 0, k)
+      // ascending + MaxValue padding: the k smallest of the two sorted
+      // segments never index past tmp(k-1) / b2(base+k-1)
+      var i = 0; var j = base; var o = base
       while (o < base + k) {
-        if (b1(i) <= b2(j)) { out(o) = b1(i); i += 1 }
-        else { out(o) = b2(j); j += 1 }
+        if (tmp(i) <= b2(j)) { b1(o) = tmp(i); i += 1 }
+        else { b1(o) = b2(j); j += 1 }
         o += 1
       }
       c += 1
     }
-    out
+    b1
   }
 
   override def eval(buf: Array[Long]): Any = {

@@ -106,12 +106,29 @@ object TpePointwise {
     val rec = oi.groupBy("item_id")
       .agg(datediff(max(col("__d")), lit("1992-01-01")).cast("long")
         .as("rec_days"))
-    labeled
+    val out = labeled
       .join(ip, Seq("item_id"), "left")
       .join(rec, Seq("item_id"), "left")
       .select(col("user_id"), col("item_id"), col("label"), col("dmin"),
         coalesce(col("item_pop"), lit(0L)).as("x1"),
         coalesce(col("rec_days"), lit(0L)).as("x2"))
+    // State-bound repartition (the pagerank_trade discipline): feats is
+    // DRAWS-sized (≤ (DrawN+1)·fact rows) and the callers pin it with a
+    // serialized localCheckpoint — at the session partition count the
+    // 10x replica's blocks reach ~200MB serialized, and the block
+    // manager's whole-block allocations (disk-write buffers, the
+    // re-cache-on-read path) OOM'd the default heap (r19 measured).
+    // Bound blocks to ~1M rows using the fact's parquet-footer count
+    // (metadata-only, no scan job); at bench SFs the threshold never
+    // engages, so the plan is unchanged.
+    val factRows = graft.ParquetMeta.rowCount(spark, s"$dir/lineitem.parquet")
+    val sessionParts =
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val parts = math.max(sessionParts,
+      math.min(4096L, (DrawN + 1) * factRows / 1000000L).toInt)
+    if (parts > sessionParts)
+      out.repartition(parts, col("user_id"), col("item_id"))
+    else out
   }
 
   /** Nine sufficient sums grouped by draw index — the one corpus-sized
@@ -260,12 +277,38 @@ object TpePointwise {
 
   // ---- query-map entries (hash-gated) ----
 
+  /** Storage level for the pinned draws frame, chosen ADAPTIVELY from
+    * the fact's parquet-footer row count (metadata-only — the
+    * harmonicCloseness sizing discipline applied to a storage level).
+    * feats is DRAWS-sized (~(DrawN+1)x the fact: 10M rows at sf0.1,
+    * 100M at the 10x replica), and r19 measured BOTH fixed choices
+    * failing one scale each: the default deserialized in-heap level
+    * OOM'd the 10x scoring fold (the pin alone outgrows the default
+    * heap), and every memory-backed level thrashes once storage fills —
+    * disk-spilled blocks get re-promoted on read (maybeCacheDiskBytes-
+    * InMemory allocates whole blocks while evicting others faster than
+    * GC reclaims them). So: compact serialized-in-memory when the
+    * estimated frame fits well inside the executor heap (bench SFs —
+    * no disk roundtrip), DISK_ONLY (which never re-promotes) when it
+    * does not (measured +8 s at sf0.1 but the only level that is
+    * bounded at 10x). On a cluster the same estimate runs against each
+    * executor heap, which is exactly the quantity that decides. */
+  private def featsLevel(spark: SparkSession,
+      dir: String): org.apache.spark.storage.StorageLevel = {
+    val factRows = graft.ParquetMeta.rowCount(spark, s"$dir/lineitem.parquet")
+    val estBytes = (DrawN + 1) * factRows * 64L // 6 longs + row overhead
+    if (estBytes <= Runtime.getRuntime.maxMemory / 4)
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    else org.apache.spark.storage.StorageLevel.DISK_ONLY
+  }
+
+
   /** Gated instance: 16 negative-ratio trials over the pointwise
     * frame, TPE proposal over the 64-point fraction candidate grid. */
   def tpePointwiseOrders(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val feats = drawFeatures(spark, dir)
-      .localCheckpoint() // consumed by the sums AND the scoring pass
+      .localCheckpoint(true, featsLevel(spark, dir))
     val confs = (1 to TrialN)
       .map(j => (j.toLong, j * (1000000L / TrialN), j.toLong))
       .toDF("config_id", "threshold", "__cfg")
@@ -288,7 +331,8 @@ object TpePointwise {
     * output: the round-2 scored candidate table. */
   def tpePointwiseRound2(spark: SparkSession, dir: String): DataFrame = {
     val feats = drawFeatures(spark, dir)
-      .localCheckpoint() // sums, round-1 scoring, round-2 train + scoring
+      // sums, round-1 scoring, round-2 train + scoring
+      .localCheckpoint(true, featsLevel(spark, dir))
     import feats.sparkSession.implicits._
     val confs = (1 to TrialN)
       .map(j => (j.toLong, j * (1000000L / TrialN), j.toLong))
