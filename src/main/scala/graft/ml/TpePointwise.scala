@@ -153,7 +153,7 @@ object TpePointwise {
   /** Trial sums: config j = prefix-sum of the grouped sums over
     * dmin < j (positives' dmin = −1 lands in every prefix). `confs` is
     * (config_id, threshold, __cfg). */
-  private def prefixSums(gs: DataFrame, confs: DataFrame): DataFrame = {
+  private[graft] def prefixSums(gs: DataFrame, confs: DataFrame): DataFrame = {
     val aggs = SumCols.map(c => sum(c).as(c))
     confs.join(broadcast(gs), col("dmin") < col("__cfg"))
       .groupBy("config_id", "threshold")
@@ -187,7 +187,9 @@ object TpePointwise {
         "CASE WHEN det <> 0 THEN (det2 * 2000000) div det END AS w2_micros")
   }
 
-  /** Completed-trial table: each fit's weights broadcast into ONE
+  /** Per-(config, user) nDCG@K of each fit — the scoring fold behind
+    * [[trialTable]] (and the rung readouts of
+    * [[AshaPointwise]]): each fit's weights broadcast into ONE
     * scoring pass over the FIXED eval frame, per-(config, user) nDCG@K
     * ([[RankMetrics]]'s discipline — precomputed integer-micros
     * discounts, total-ordered ranks, truncating ratios), exact-mean
@@ -221,8 +223,9 @@ object TpePointwise {
     * weights (a singular Cramer system) order exactly as the window
     * form did: all-null margins rank by item id (desc_nulls_last +
     * item-asc tiebreak in the dim window, same clause the old
-    * fact-sized window used). */
-  private[graft] def trialTable(feats: DataFrame, fits: DataFrame): DataFrame = {
+    * fact-sized window used). Output: (config_id, threshold, user_id,
+    * __ndcg nullable). */
+  private[graft] def perUserNdcg(feats: DataFrame, fits: DataFrame): DataFrame = {
     val spark = feats.sparkSession
     import spark.implicits._
     val disc = RankMetrics.discounts(K)
@@ -271,9 +274,15 @@ object TpePointwise {
       .join(idcg, Seq("user_id"), "left")
       .withColumn("__ndcg",
         when(col("__idcg") > 0, expr("(1000000 * __dcg) div __idcg")))
+      .select("config_id", "threshold", "user_id", "__ndcg")
+  }
+
+  /** Completed-trial table: [[perUserNdcg]] folded to the per-config
+    * exact-mean. Output: (config_id, threshold, obs_acc). */
+  private[graft] def trialTable(feats: DataFrame, fits: DataFrame): DataFrame =
+    perUserNdcg(feats, fits)
       .groupBy(col("config_id"), col("threshold"))
       .agg(expr("sum(__ndcg) div count(__ndcg)").as("obs_acc"))
-  }
 
   // ---- query-map entries (hash-gated) ----
 
@@ -293,13 +302,11 @@ object TpePointwise {
     * does not (measured +8 s at sf0.1 but the only level that is
     * bounded at 10x). On a cluster the same estimate runs against each
     * executor heap, which is exactly the quantity that decides. */
-  private def featsLevel(spark: SparkSession,
+  private[graft] def featsLevel(spark: SparkSession,
       dir: String): org.apache.spark.storage.StorageLevel = {
     val factRows = graft.ParquetMeta.rowCount(spark, s"$dir/lineitem.parquet")
-    val estBytes = (DrawN + 1) * factRows * 64L // 6 longs + row overhead
-    if (estBytes <= Runtime.getRuntime.maxMemory / 4)
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    else org.apache.spark.storage.StorageLevel.DISK_ONLY
+    // ~17x fact rows, 6 longs + row overhead per row
+    graft.Checkpoints.adaptiveLevel((DrawN + 1) * factRows * 64L)
   }
 
 
@@ -373,7 +380,7 @@ object TpePointwise {
     * [[graft.operators.NegativeSample]]'s gated candidate chain with
     * v ∈ 0..15 and min-draw retention, the recency join, and the
     * per-dmin stats. */
-  private def featCtes: String =
+  private[graft] def featCtes: String =
     s"""oi AS MATERIALIZED (
        |  SELECT o_custkey AS user_id, l_partkey AS item_id,
        |    CAST(o_orderdate AS DATE) AS d
@@ -425,7 +432,7 @@ object TpePointwise {
   /** Cramer + scoring + per-config exact-mean nDCG over a per-config
     * sums CTE `sumsCte` (config_id, threshold, n..s2z); `p` prefixes
     * the CTE names so two rounds coexist. Ends at `${p}obs`. */
-  private def trialCtes(p: String, sumsCte: String): String =
+  private[graft] def fitPerUserCtes(p: String, sumsCte: String): String =
     s"""${p}dd AS (
        |  SELECT config_id, threshold,
        |    (n * (s11 * s22 - s12 * s12)
@@ -463,7 +470,12 @@ object TpePointwise {
        |    CAST(sum(CASE WHEN ipos <= $K
        |      THEN label * (${RankMetrics.discountSql(K)})[CAST(ipos AS INT)]
        |      ELSE 0 END) AS BIGINT) AS idcg
-       |  FROM ${p}rk GROUP BY 1, 2, 3),
+       |  FROM ${p}rk GROUP BY 1, 2, 3)""".stripMargin
+
+  /** [[fitPerUserCtes]] + the per-config exact-mean readout; ends at
+    * `${p}obs`. */
+  private def trialCtes(p: String, sumsCte: String): String =
+    s"""${fitPerUserCtes(p, sumsCte)},
        |${p}obs AS (
        |  SELECT config_id, CAST(threshold AS BIGINT) AS threshold,
        |    CAST(CAST(sum(ndcg) AS BIGINT) // count(ndcg) AS BIGINT) AS obs_acc
@@ -472,7 +484,7 @@ object TpePointwise {
        |        FROM ${p}pu)
        |  GROUP BY 1, 2)""".stripMargin
 
-  private def round1Sums: String =
+  private[graft] def round1Sums: String =
     s"""t1sums AS (
        |  SELECT CAST(j AS BIGINT) AS config_id,
        |    CAST(j * ${1000000L / TrialN} AS BIGINT) AS threshold,

@@ -94,20 +94,26 @@ object Covisitation {
       .groupBy("u").agg(sort_array(collect_list(col("i"))).as("items"))
       .filter(size(col("items")) <= maxBasket)
 
-  /** [[symmetricPairs]] from an already-built basket frame. */
-  def symmetricPairsFromBaskets(baskets: DataFrame): DataFrame = {
-    val canon = baskets
+  /** [[symmetricPairs]] from an already-built basket frame. Both
+    * directions of each canonical pair come out of ONE `inline`
+    * explode over the aggregate — not a union of the frame with its
+    * column-swapped self, which needed a checkpoint to avoid computing
+    * the pair aggregate twice and whose default in-heap pin was
+    * pair-frame-sized (the uncapped distinct-co-purchase frame is the
+    * LARGEST intermediate in the covisit chain; it OOM'd recsys_eval's
+    * 100x replica, r19 measured). One pass, no pin, identical rows. */
+  def symmetricPairsFromBaskets(baskets: DataFrame): DataFrame =
+    baskets
       .select(posexplode(col("items")).as(Seq("__p", "item_a")),
         col("items"))
       .select(col("item_a"), explode(expr(
         "slice(items, __p + 2, size(items))")).as("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_users"))
-      .localCheckpoint() // consumed by both union branches
-    canon.unionByName(canon.select(
-      col("item_b").as("item_a"), col("item_a").as("item_b"),
-      col("n_users")))
-  }
+      .select(inline(array(
+        struct(col("item_a"), col("item_b"), col("n_users")),
+        struct(col("item_b").as("item_a"), col("item_a").as("item_b"),
+          col("n_users")))))
 
   /** How many covisit-matrix rows the scoring join will broadcast; a
     * (item_a, item_b, n_users) row hashes to well under 100 bytes, so
@@ -251,12 +257,25 @@ object Covisitation {
   def recsysEval(spark: SparkSession, dir: String): DataFrame = {
     // one orders-lineitem join feeds covisit build, scoring history,
     // and holdout truth — without the checkpoint each consumer replays
-    // the scan+join (three fact passes for one)
-    val p = purchases(spark, dir).localCheckpoint()
+    // the scan+join (three fact passes for one). FACT-sized (one row
+    // per lineitem — the orderkey join is 1:1 from the lineitem side),
+    // so the pin level is chosen adaptively from the parquet-footer
+    // count: the default deserialized level filled the unified pool at
+    // the 100x replica until aggregates could not acquire their
+    // initial maps (r19 measured; ~56B/row = three 8B cols + row
+    // overhead, serialized)
+    val factRows = graft.ParquetMeta.rowCount(spark, s"$dir/lineitem.parquet")
+    val p = graft.Checkpoints.pin(purchases(spark, dir), factRows * 56L)
     val train = p.filter(col("d") < lit(SplitDate).cast("date"))
     val test = p.filter(col("d") >= lit(SplitDate).cast("date"))
-    val recs = recommend(train, covisitTopM(train, "cust", "item", M)
-      .localCheckpoint(), // covisit build reused by all score partitions
+    // covisit build reused by all score partitions; item-domain times M
+    // rows (~48B each serialized), so the pin level adapts off the part
+    // catalog's footer count — the default in-heap level was the second
+    // heap pin at the 100x replica
+    val partRows = graft.ParquetMeta.rowCount(spark, s"$dir/part.parquet")
+    val recs = recommend(train,
+      graft.Checkpoints.pin(covisitTopM(train, "cust", "item", M),
+        partRows * M * 48L),
       "cust", "item", K)
     evaluate(recs, test, "cust", "item", Seq(1, 5, 10, 20))
   }
