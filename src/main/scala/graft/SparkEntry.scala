@@ -415,6 +415,7 @@ object SparkEntry {
     "pointwise_fit"         -> (graft.ml.PointwiseRanker.pointwiseFit(_, _)),
     // tune×recsys: TPE over the pointwise ranker's ridge strength,
     // observed by the exact-mean nDCG scoreboard (ray_tune_pointwise)
+    "asha_pointwise"        -> (graft.ml.AshaPointwise.ashaPointwiseOrders(_, _)),
     "tpe_pointwise"         -> (graft.ml.TpePointwise.tpePointwiseOrders(_, _)),
     "tpe_pointwise_round2"  -> (graft.ml.TpePointwise.tpePointwiseRound2(_, _)),
     "embed_docs_exhaustive" -> (graft.operators.EmbedDocs.embedDocumentsExhaustive(_, _)),
@@ -893,6 +894,7 @@ object SparkEntry {
     "tpe_forecast"          -> graft.ml.TpeForecast.oracleSql,
     "tpe_forecast_round2"   -> graft.ml.TpeForecast.round2OracleSql,
     "pointwise_fit"         -> graft.ml.PointwiseRanker.fitOracleSql,
+    "asha_pointwise"        -> graft.ml.AshaPointwise.oracleSql,
     "tpe_pointwise"         -> graft.ml.TpePointwise.oracleSql,
     "tpe_pointwise_round2"  -> graft.ml.TpePointwise.round2OracleSql,
     "embed_docs_exhaustive" -> graft.functions.BowVectors.embedBowOracleSql,
