@@ -139,7 +139,8 @@ object Covisitation {
     * side. Per-user top-K is a user-partitioned window rank (see
     * [[covisitTopM]] for why the window beats the bounded udaf). */
   def recommend(history: DataFrame, covisit: DataFrame,
-                userCol: String, itemCol: String, k: Int): DataFrame = {
+                userCol: String, itemCol: String, k: Int,
+                parts: Int = 0): DataFrame = {
     val hist = history
       .select(col(userCol).as("u"), col(itemCol).cast("long").as("i"))
       .distinct()
@@ -149,11 +150,26 @@ object Covisitation {
     // the per-(u,j) partial aggregate then collapses the |history(u)|·M
     // candidate explosion inside the map task. Shuffle path: plain
     // item-key join; the (u,j) aggregate shuffle bounds what moves.
+    // `parts` > the session partition count engages the pagerank_trade
+    // state-bound discipline on the shuffle path: the scoring join's
+    // output is |history|·m rows, so at a replica scale where the
+    // session count would put tens of millions of rows in one task,
+    // both join sides pre-partition on the join key (no extra
+    // exchange — the repartition satisfies the join's distribution)
+    // and the candidate fan-out re-hashes on (u, j) so the aggregate
+    // runs complete-per-partition with a parts-bounded map instead of
+    // an unbounded 32-way partial phase (r19: recsys_eval's 100x
+    // replica OOM'd the candidate aggregate at the session count).
     val joined =
       if (doBroadcast)
         hist.repartition(col("u"))
           .join(broadcast(covisit), hist("i") === covisit("item_a"))
-      else hist.join(covisit, hist("i") === covisit("item_a"))
+      else if (parts > 0) {
+        val h = hist.repartition(parts, col("i"))
+        val c = covisit.repartition(parts, col("item_a"))
+        h.join(c, h("i") === c("item_a"))
+          .repartition(parts, col("u"), col("item_b"))
+      } else hist.join(covisit, hist("i") === covisit("item_a"))
     val scored = joined
       .groupBy(col("u"), col("item_b").as("j"))
       .agg(sum(col("n_users")).as("score"))
@@ -176,8 +192,13 @@ object Covisitation {
     * both engines identical. */
   def evaluate(recs: DataFrame, truth: DataFrame,
                userCol: String, itemCol: String, ks: Seq[Int]): DataFrame = {
+    // consumed per-k for hits AND for |truth(u)|; SERIALIZED level —
+    // the frame is holdout-fact-sized (~20M rows at the 100x replica,
+    // ~2GB deserialized: the third recsys_eval heap pin, r19 measured)
+    // and two longs per row serialize ~4x smaller, tracked, evictable
     val t = truth.select(col(userCol).as("u"), col(itemCol).as("j")).distinct()
-      .localCheckpoint() // consumed per-k for hits AND for |truth(u)|
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nRel = t.groupBy("u").agg(count(lit(1)).as("n_rel"))
     val marked = recs
       .select(col(userCol).as("u"), col(itemCol).as("j"), col("rk"))
@@ -203,7 +224,10 @@ object Covisitation {
     val perUser = marked.groupBy("u")
       .agg(aggCols.head, aggCols.tail: _*)
       .join(nRel, Seq("u"))
-      .localCheckpoint() // user-domain frame, reused per cutoff readout
+      // user-domain frame, reused per cutoff readout; serialized for
+      // the same reason as `t` (users scale with the corpus)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val perK = ks.map { k =>
       perUser
         .select(col("u"), col(s"hits_$k").as("hits"), col("n_rel"),
@@ -273,10 +297,18 @@ object Covisitation {
     // catalog's footer count — the default in-heap level was the second
     // heap pin at the 100x replica
     val partRows = graft.ParquetMeta.rowCount(spark, s"$dir/part.parquet")
+    // scoring-join state bound: ~M candidate rows per history row
+    // (~1.5M rows per task target, cap 4096); stays at the session
+    // count through gate SFs
+    val sessionParts =
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val scoreParts = math.max(sessionParts,
+      math.min(4096L, factRows * M / 1500000L).toInt)
     val recs = recommend(train,
       graft.Checkpoints.pin(covisitTopM(train, "cust", "item", M),
         partRows * M * 48L),
-      "cust", "item", K)
+      "cust", "item", K,
+      parts = if (scoreParts > sessionParts) scoreParts else 0)
     evaluate(recs, test, "cust", "item", Seq(1, 5, 10, 20))
   }
 

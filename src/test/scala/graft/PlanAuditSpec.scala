@@ -197,6 +197,12 @@ class PlanAuditSpec extends SparkSpec {
     //    item-dim × weight grid) sit behind the eager trial-table
     //    localCheckpoint and never reach the audited plan
     "tpe_pointwise" -> 1,
+    //  - asha_pointwise: the item-dim × ≤17-row broadcast WEIGHT frame
+    //    cross of perUserNdcg (dim-bounded × trial-bounded). Unlike
+    //    tpe_pointwise there is no trial-table checkpoint between the
+    //    scoring fold and the audited output, so this one cross is
+    //    visible; the rung windows add none
+    "asha_pointwise" -> 1,
     //  - tpe_pointwise_round2: the round-2 density cross only — t1, t2,
     //    AND the 1-row proposed-ratio train pass all sit behind eager
     //    localCheckpoints (t2's checkpoint hides the train2 cross and the
