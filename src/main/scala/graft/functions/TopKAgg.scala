@@ -48,38 +48,6 @@ class TopKAgg(k: Int)
     ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
-/** [[TopKAgg]] over BIGINT values: exact for integer-micros scores whose
-  * magnitude can exceed Double's 2⁵³ exact-integer range (e.g. a margin
-  * w·x where a 100 TB corpus pushes a popularity feature to ~1e8 against
-  * micros-scaled coefficients). Same bounded buffer, same total order. */
-class TopKLongAgg(k: Int)
-  extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
-
-  private val ord: Ordering[(Long, Long)] =
-    Ordering.by[(Long, Long), (Long, Long)] { case (v, id) => (-v, id) }
-
-  override def zero: Seq[(Long, Long)] = Seq.empty
-
-  override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] = {
-    if (b.length >= k && ord.gteq(a, b.last)) b
-    else {
-      val (lo, hi) = b.span(ord.lt(_, a))
-      val ins = (lo :+ a) ++ hi
-      if (ins.length > k) ins.take(k) else ins
-    }
-  }
-
-  override def merge(b1: Seq[(Long, Long)], b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
-    (b1 ++ b2).sorted(ord).take(k)
-
-  override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r.sorted(ord)
-
-  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
-    ExpressionEncoder[Seq[(Long, Long)]]()
-  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
-    ExpressionEncoder[Seq[(Long, Long)]]()
-}
-
 object TopKAgg {
   import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.functions.{col, explode}
@@ -88,10 +56,6 @@ object TopKAgg {
     * (value desc, id asc). */
   def topK(k: Int)(value: Column, id: Column): Column =
     udaf(new TopKAgg(k)).apply(value, id)
-
-  /** BIGINT-exact column form (see [[TopKLongAgg]]). */
-  def topKLong(k: Int)(value: Column, id: Column): Column =
-    udaf(new TopKLongAgg(k)).apply(value, id)
 
   // ---- query-map entry (extra beyond SURVEY §2) ----
 
