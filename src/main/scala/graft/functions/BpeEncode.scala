@@ -53,21 +53,29 @@ object BpeEncode {
 
   /** The word→tokens map: learn k merges, then tokenize each vocab
     * word — (w, freq, n_toks, toks) with `toks` the space-joined token
-    * sequence (words are whitespace-split, so tokens contain none). */
+    * sequence (words are whitespace-split, so tokens contain none).
+    *
+    * Plan shape (r19 optimization round, guide §4/§2.4): ONE corpus
+    * pass builds the boundary-encoded vocab pin; learning reads it per
+    * round and the final tokenization is the same literal codegen
+    * `replace` chain + one split — the old form paid a SECOND full
+    * corpus collapse (topMerges and the map each ran wordFreq) and ran
+    * the merge application as a per-row Scala closure through Dataset
+    * encoders. Values bit-identical ([[applyMerges]] stays as the spec
+    * reference; the replace-chain ≡ greedy-leftmost argument is the
+    * oracle's own boundary-encoding argument). */
   def vocabTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // ≤ k rows to the driver — the merge table, bounded by construction
-    val merges = BpeMerges.topMerges(docs, textCol, k)
-      .orderBy("merge_rank")
-      .select("left", "right").as[(String, String)].collect().toSeq
-    BpeMerges.wordFreq(docs, textCol)
-      .as[(String, Long)]
-      .map { case (w, f) =>
-        val t = applyMerges(w, merges)
-        (w, f, t.length.toLong, t.mkString(" "))
-      }
-      .toDF("w", "freq", "n_toks", "toks")
+    val vocab0 = BpeMerges.encodedVocab(docs, textCol).localCheckpoint()
+    // ≤ k merges to the driver — the merge table, bounded by construction
+    val merges = BpeMerges.learnMerges(vocab0.select("s", "freq"), k)
+      .map(m => (m._2, m._3))
+    vocab0
+      .withColumn("s", BpeMerges.applyMergesCol(col("s"), merges))
+      .withColumn("syms", split(expr("substring(s, 2, length(s) - 2)"),
+        BpeMerges.B2 + BpeMerges.B1))
+      .select(col("w"), col("freq"),
+        size(col("syms")).cast("long").as("n_toks"),
+        array_join(col("syms"), " ").as("toks"))
   }
 
   /** Per-document REAL token counts under the learned tokenizer:

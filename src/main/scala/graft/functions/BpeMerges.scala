@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -22,8 +22,6 @@ import graft.Tables
   * pass — same corpus, same merges, any partitioning.
   */
 object BpeMerges {
-
-  case class Vw(syms: Seq[String], freq: Long)
 
   /** Initial symbols = CODEPOINTS, not UTF-16 code units (`split("")`
     * halves astral characters into surrogate pairs, which both breaks
@@ -50,6 +48,92 @@ object BpeMerges {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
+  // Boundary sentinels for the encoded symbol string (the same trick the
+  // DuckDB oracle uses with chr(1)/chr(2)): each symbol rides as ␁sym␂,
+  // so a literal `replace(s, ␁l␂␁r␂, ␁lr␂)` is exactly one greedy
+  // leftmost non-overlapping merge pass — StringReplace scans the input
+  // left-to-right and never rescans its own output, and the consumed
+  // boundary chars make overlapping matches impossible and
+  // symbol-prefix/suffix false matches unrepresentable. Input words
+  // must not contain U+0001/U+0002 (declared on [[BpeEncode]]).
+  private[functions] val B1 = ""
+  private[functions] val B2 = ""
+
+  /** (w, freq, s) with `s` the boundary-encoded PER-CODEPOINT symbol
+    * string (Java regex `.` matches one code point, so astral chars
+    * stay whole symbols — the [[codepoints]] contract in expression
+    * space). One corpus pass; callers pin it. */
+  private[functions] def encodedVocab(docs: DataFrame, textCol: String): DataFrame =
+    wordFreq(docs, textCol)
+      .select(col("w"), col("freq"),
+        regexp_replace(col("w"), "(.)", B1 + "$1" + B2).as("s"))
+
+  /** The literal merge chain over an encoded symbol-string column: a
+    * left fold of `replace` passes over ONE array literal, in rank
+    * order — replaces the old per-row Scala closure
+    * ([[BpeEncode.applyMerges]] stays as the spec reference). The fold
+    * is deliberately `aggregate` over a `typedlit` rather than a chain
+    * of r `replace` calls: the chain's generated source CHANGES LENGTH
+    * every round, so each of the k learning rounds paid a fresh janino
+    * compile (measured ~0.6 s of the old bpe_merges key); the fold's
+    * plan shape is constant — the merge table lives in the literal
+    * references, one codegen unit for all rounds. Per-row cost is ≤ k
+    * interpreted UTF8String.replace calls on short strings. */
+  private[functions] def applyMergesCol(s: Column,
+      merges: Seq[(String, String)]): Column =
+    if (merges.isEmpty) s
+    else {
+      val pats = merges.map { case (l, r) =>
+        (B1 + l + B2 + B1 + r + B2, B1 + l + r + B2)
+      }
+      aggregate(typedlit(pats), s,
+        (acc, m) => replace(acc, m.getField("_1"), m.getField("_2")))
+    }
+
+  /** The adjacent-pair count table of an encoded vocab: (l, r, c).
+    * Explode + element_at at the top level (codegen), never a lambda —
+    * HOF lambdas run interpreted (the LongArrayDot lesson). */
+  private[functions] def pairCounts(encVocab: DataFrame): DataFrame =
+    encVocab
+      .select(col("freq"),
+        split(expr("substring(s, 2, length(s) - 2)"), B2 + B1).as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), col("syms"),
+        explode(expr("sequence(1, size(syms) - 1)")).as("i"))
+      .select(expr("element_at(syms, i)").as("l"),
+        expr("element_at(syms, i + 1)").as("r"), col("freq"))
+      .groupBy("l", "r").agg(sum("freq").as("c"))
+
+  /** Greedy merge learning over a pinned encoded vocab (s, freq):
+    * each round one pair-count aggregate + `limit(1)` argmax (a single
+    * row to the driver), the working vocab re-derived from the pin by
+    * the literal replace chain — map-side codegen replays instead of a
+    * per-round checkpoint job (k is small and bounded; Σr replays of a
+    * one-`replace` pass cost less than k materializations). */
+  private[functions] def learnMerges(vocab0: DataFrame,
+      k: Int): Seq[(Int, String, String, Long)] = {
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var applied = Vector.empty[(String, String)]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val cur = vocab0.select(applyMergesCol(col("s"), applied).as("s"),
+        col("freq"))
+      val best = pairCounts(cur)
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      best.headOption match {
+        case Some(row) if row.getLong(2) >= 2 =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          merges += ((round, l, r, row.getLong(2)))
+          applied :+= ((l, r))
+          round += 1
+        case _ => done = true // no pair repeats: a further merge is noise
+      }
+    }
+    merges.result()
+  }
+
   /** Top `k` BPE merges over whitespace-lowercase words of `textCol`:
     * (merge_rank, left, right, pair_count). Stops early if no pair
     * repeats. */
@@ -57,42 +141,9 @@ object BpeMerges {
     require(k >= 1, "need at least one merge")
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab: Dataset[Vw] = wordFreq(docs, textCol)
-      .as[(String, Long)]
-      .map { case (w, f) => Vw(codepoints(w), f) }
+    val vocab0 = encodedVocab(docs, textCol).select("s", "freq")
       .localCheckpoint()
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
-    var round = 1
-    var done = false
-    while (round <= k && !done) {
-      val best = vocab.flatMap { v =>
-          if (v.syms.length < 2) Iterator.empty
-          else v.syms.sliding(2).map(p => ((p(0), p(1)), v.freq))
-        }
-        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-        .map { case ((l, r), c) => (l, r, c) }
-        .toDF("l", "r", "c")
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).as[(String, String, Long)]
-        .collect()
-      best.headOption match {
-        case Some((l, r, c)) if c >= 2 =>
-          merges += ((round, l, r, c))
-          vocab = vocab.map { v =>
-            val out = Seq.newBuilder[String]
-            var i = 0
-            while (i < v.syms.length) {
-              if (i + 1 < v.syms.length && v.syms(i) == l && v.syms(i + 1) == r) {
-                out += (l + r); i += 2
-              } else { out += v.syms(i); i += 1 }
-            }
-            Vw(out.result(), v.freq)
-          }.localCheckpoint()
-          round += 1
-        case _ => done = true // no pair repeats: a further merge is noise
-      }
-    }
-    merges.result().toDF("merge_rank", "left", "right", "pair_count")
+    learnMerges(vocab0, k).toDF("merge_rank", "left", "right", "pair_count")
   }
 
   // ---- query-map entry (hash-gated; r19 closed the recursion gate) ----
