@@ -90,14 +90,16 @@ object AshaPointwise {
     * [[TpePointwise.tpePointwiseOrders]] raced through the four rungs. */
   def ashaPointwiseOrders(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = TpePointwise.drawFeatures(spark, dir)
+    val (featsRaw, itemDim) = TpePointwise.drawFeatures(spark, dir)
+    val feats = featsRaw
       .localCheckpoint(true, TpePointwise.featsLevel(spark, dir))
+    val partRows = graft.ParquetMeta.rowCount(spark, s"$dir/part.parquet")
     val confs = (1 to TpePointwise.TrialN)
       .map(j => (j.toLong, j * (1000000L / TpePointwise.TrialN), j.toLong))
       .toDF("config_id", "threshold", "__cfg")
     val fits = TpePointwise.cramer(
       TpePointwise.prefixSums(TpePointwise.groupedSums(feats), confs))
-    halve(TpePointwise.perUserNdcg(feats, fits))
+    halve(TpePointwise.perUserNdcg(feats, fits, Some(itemDim), partRows))
   }
 
   /** Composed DuckDB oracle: [[TpePointwise]]'s feature/fit/per-user

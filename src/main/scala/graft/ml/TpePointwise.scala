@@ -78,17 +78,38 @@ object TpePointwise {
     * negative candidates carry the MINIMUM draw index that produced
     * them, so "train on j draws" is the filter dmin < j. The candidate
     * hash is [[graft.operators.NegativeSample]]'s LCG verbatim. */
-  private[graft] def drawFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val oi = Tables.orders(spark, dir)
+  private[graft] def drawFeatures(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    // Post-checkpoint WIDEN (r19 optimization round, guide §2.5 "input
+    // skew → repartition after the read" applied to a pin): AQE
+    // rightly coalesces these small checkpoint writes (~5 blocks at
+    // sf0.1), but the NEXT map stage over them is the ×16 candidate
+    // explode / the pos-distinct partial — CPU-bound work that then
+    // runs on 5 of 32 cores (measured 3.8 s of tpe_pointwise). The
+    // widen is guarded on the materialized partition count, so at
+    // replica scale (blocks ≥ parallelism) it is the identity — no
+    // extra exchange in the plan that matters.
+    def widePin(df: DataFrame): DataFrame = {
+      val pinned = df.localCheckpoint()
+      val par = spark.sparkContext.defaultParallelism
+      if (pinned.rdd.getNumPartitions < par) {
+        // re-pin the widened copy and drop the narrow one — a bare
+        // repartition view would re-run its shuffle once per consumer
+        val wide = pinned.repartition(par).localCheckpoint()
+        pinned.unpersist(false)
+        wide
+      } else pinned
+    }
+    val oi = widePin(Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderdate")
       .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("user_id"),
         col("l_partkey").as("item_id"),
         col("o_orderdate").cast("date").as("__d"))
-      .localCheckpoint() // the ONE fact join: feeds positives AND recency
-    val pos = oi.select("user_id", "item_id").distinct()
-      .localCheckpoint() // candidate anti-join + popularity + union
+      ) // the ONE fact join: feeds positives AND recency
+    val pos = widePin(oi.select("user_id", "item_id").distinct()
+      ) // candidate anti-join + popularity + union
     val ni = Tables.part(spark, dir).agg(max("p_partkey").as("__n"))
     val cand = pos.crossJoin(broadcast(ni))
       .withColumn("__v", explode(sequence(lit(0), lit(DrawN - 1))))
@@ -106,12 +127,37 @@ object TpePointwise {
     val rec = oi.groupBy("item_id")
       .agg(datediff(max(col("__d")), lit("1992-01-01")).cast("long")
         .as("rec_days"))
-    val out = labeled
+    // The ITEM feature dim, built ONCE catalog-sized from the part
+    // table + the ip/rec aggregates and PINNED (tiny — one row per
+    // part key): it feeds (a) the labeled frame's x1/x2 attachment and
+    // (b) every scoring call's per-config item ranking. The old shape
+    // re-ran ip+rec per consumer (3× in round2, r19 profiled) and
+    // perUserNdcg additionally re-derived the dim with a draws-sized
+    // 10M-row distinct per scoring call. Part keys are dense
+    // 1..max(p_partkey), a SUPERSET of every labeled item (positives
+    // are real partkeys; negatives are hashed into 1..n): superset
+    // ranking preserves the relative order of any user's candidates
+    // under the strict (margin desc, item asc) total order, so every
+    // top-K DCG fold is value-identical, and the feats join below
+    // matches every labeled row exactly once.
+    val itemDim = Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("item_id"))
       .join(ip, Seq("item_id"), "left")
       .join(rec, Seq("item_id"), "left")
-      .select(col("user_id"), col("item_id"), col("label"), col("dmin"),
+      .select(col("item_id"),
         coalesce(col("item_pop"), lit(0L)).as("x1"),
         coalesce(col("rec_days"), lit(0L)).as("x2"))
+      .localCheckpoint()
+    // measured broadcast (the checkpoint hides stats from AQE): the
+    // dim is catalog-scaled, so the hint is row-count-gated
+    val partRows = graft.ParquetMeta.rowCount(spark, s"$dir/part.parquet")
+    val dimSide = if (partRows <= BroadcastItemRankMaxRows)
+      broadcast(itemDim) else itemDim
+    val out = labeled
+      .join(dimSide, Seq("item_id"), "left")
+      .select(col("user_id"), col("item_id"), col("label"), col("dmin"),
+        coalesce(col("x1"), lit(0L)).as("x1"),
+        coalesce(col("x2"), lit(0L)).as("x2"))
     // State-bound repartition (the pagerank_trade discipline): feats is
     // DRAWS-sized (≤ (DrawN+1)·fact rows) and the callers pin it with a
     // serialized localCheckpoint — at the session partition count the
@@ -126,9 +172,10 @@ object TpePointwise {
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val parts = math.max(sessionParts,
       math.min(4096L, (DrawN + 1) * factRows / 1000000L).toInt)
-    if (parts > sessionParts)
+    val feats = if (parts > sessionParts)
       out.repartition(parts, col("user_id"), col("item_id"))
     else out
+    (feats, itemDim)
   }
 
   /** Nine sufficient sums grouped by draw index — the one corpus-sized
@@ -225,7 +272,16 @@ object TpePointwise {
     * item-asc tiebreak in the dim window, same clause the old
     * fact-sized window used). Output: (config_id, threshold, user_id,
     * __ndcg nullable). */
-  private[graft] def perUserNdcg(feats: DataFrame, fits: DataFrame): DataFrame = {
+  /** Broadcast budget for the per-config item-rank table: rows ×
+    * (nCfg+1 longs + struct overhead) — 500k items × 17 configs stays
+    * inside a ~150 MB relation; past it the scoring join falls back to
+    * the shuffle path (exactly the [[graft.operators.Covisitation]]
+    * measured-broadcast discipline — AQE cannot make this call because
+    * the checkpoint pin hides size stats). */
+  private[graft] val BroadcastItemRankMaxRows = 500000L
+
+  private[graft] def perUserNdcg(feats: DataFrame, fits: DataFrame,
+      itemDim: Option[DataFrame] = None, itemDimRows: Long = -1L): DataFrame = {
     val spark = feats.sparkSession
     import spark.implicits._
     val disc = RankMetrics.discounts(K)
@@ -250,10 +306,15 @@ object TpePointwise {
         Option(r.getAs[java.lang.Long]("w2_micros")).map(_.longValue))
     }.toSeq.toDF("__cfg_idx", "__w0", "__w1", "__w2"))
 
-    // per-config global item rank over the item DIM (distinct profiles)
+    // per-config global item rank over the item DIM: the caller's
+    // catalog-sized dim when provided (a SUPERSET of the labeled items
+    // — superset ranking preserves every user's candidate order under
+    // the strict total order, so the fold is value-identical), else
+    // the distinct item profiles of the frame (the spec path)
     val wRank = Window.partitionBy(col("__cfg_idx"))
       .orderBy(col("__margin").desc, col("item_id").asc)
-    val itemGranks = feats.select("item_id", "x1", "x2").distinct()
+    val dim = itemDim.getOrElse(feats.select("item_id", "x1", "x2").distinct())
+    val itemGranks0 = dim
       .crossJoin(wDf)
       .withColumn("__margin",
         col("__w0") + col("x1") * col("__w1") + col("x2") * col("__w2"))
@@ -262,6 +323,13 @@ object TpePointwise {
       .agg(transform(
         array_sort(collect_list(struct(col("__cfg_idx"), col("__grank")))),
         s => s.getField("__grank")).as("__granks"))
+    // measured broadcast: under the budget the eval frame is NOT
+    // shuffled by item at all (the old plan moved the whole draws
+    // frame through an item-key exchange just to attach the ranks)
+    val itemGranks =
+      if (itemDimRows >= 0 && itemDimRows <= BroadcastItemRankMaxRows)
+        broadcast(itemGranks0)
+      else itemGranks0
 
     feats.join(itemGranks, Seq("item_id"))
       .groupBy("user_id")
@@ -279,8 +347,9 @@ object TpePointwise {
 
   /** Completed-trial table: [[perUserNdcg]] folded to the per-config
     * exact-mean. Output: (config_id, threshold, obs_acc). */
-  private[graft] def trialTable(feats: DataFrame, fits: DataFrame): DataFrame =
-    perUserNdcg(feats, fits)
+  private[graft] def trialTable(feats: DataFrame, fits: DataFrame,
+      itemDim: Option[DataFrame] = None, itemDimRows: Long = -1L): DataFrame =
+    perUserNdcg(feats, fits, itemDim, itemDimRows)
       .groupBy(col("config_id"), col("threshold"))
       .agg(expr("sum(__ndcg) div count(__ndcg)").as("obs_acc"))
 
@@ -314,15 +383,16 @@ object TpePointwise {
     * frame, TPE proposal over the 64-point fraction candidate grid. */
   def tpePointwiseOrders(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = drawFeatures(spark, dir)
-      .localCheckpoint(true, featsLevel(spark, dir))
+    val (featsRaw, itemDim) = drawFeatures(spark, dir)
+    val feats = featsRaw.localCheckpoint(true, featsLevel(spark, dir))
+    val partRows = graft.ParquetMeta.rowCount(spark, s"$dir/part.parquet")
     val confs = (1 to TrialN)
       .map(j => (j.toLong, j * (1000000L / TrialN), j.toLong))
       .toDF("config_id", "threshold", "__cfg")
     val fits = cramer(prefixSums(groupedSums(feats), confs))
     // ≤16 rows — pin them: proposeGrid's density windows reference the
     // trial table several times and would recompute the corpus fold
-    val tt = trialTable(feats, fits).localCheckpoint()
+    val tt = trialTable(feats, fits, Some(itemDim), partRows).localCheckpoint()
     TpeSweep.proposeGrid(tt, TpeSweep.Gamma, BandW, CandLo, CandStep, CandN)
   }
 
@@ -337,14 +407,16 @@ object TpePointwise {
     * scoreboard appends as trial 17, and the densities re-score. Gated
     * output: the round-2 scored candidate table. */
   def tpePointwiseRound2(spark: SparkSession, dir: String): DataFrame = {
-    val feats = drawFeatures(spark, dir)
-      // sums, round-1 scoring, round-2 train + scoring
-      .localCheckpoint(true, featsLevel(spark, dir))
+    val (featsRaw, itemDim) = drawFeatures(spark, dir)
+    // sums, round-1 scoring, round-2 train + scoring
+    val feats = featsRaw.localCheckpoint(true, featsLevel(spark, dir))
+    val partRows = graft.ParquetMeta.rowCount(spark, s"$dir/part.parquet")
     import feats.sparkSession.implicits._
     val confs = (1 to TrialN)
       .map(j => (j.toLong, j * (1000000L / TrialN), j.toLong))
       .toDF("config_id", "threshold", "__cfg")
-    val t1 = trialTable(feats, cramer(prefixSums(groupedSums(feats), confs)))
+    val t1 = trialTable(feats, cramer(prefixSums(groupedSums(feats), confs)),
+        Some(itemDim), partRows)
       .localCheckpoint() // rounds 1 and 2 + the union
     val prop1 = TpeSweep.proposeGrid(t1, TpeSweep.Gamma, BandW, CandLo,
         CandStep, CandN)
@@ -368,7 +440,7 @@ object TpePointwise {
     val sums2 = train2
       .groupBy(lit(17L).as("config_id"), col("threshold"))
       .agg(aggs2.head, aggs2.tail: _*)
-    val t2 = trialTable(feats, cramer(sums2))
+    val t2 = trialTable(feats, cramer(sums2), Some(itemDim), partRows)
       .localCheckpoint() // 1 row; round-2 density windows re-reference it
     TpeSweep.proposeGrid(t1.unionByName(t2), TpeSweep.Gamma, BandW,
       CandLo, CandStep, CandN)
