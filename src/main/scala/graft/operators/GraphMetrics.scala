@@ -35,16 +35,50 @@ import graft.Tables
   */
 object GraphMetrics {
 
-  /** Undirected bounded-degree co-supply graph: edge (u,v), u<v, iff v is
-    * among u's top-K co-supply partners or vice versa. Weight = number of
-    * distinct parts both supply. Returns columns (u, v). */
-  def topKCoSupplyEdges(lineitem: DataFrame, k: Int): DataFrame = {
+  /** Canonical (u < v) supplier pairs with co-supply counts — the ONE
+    * expensive subtree every co-supply edge builder shares.
+    *
+    * Plan shape (r19 optimization round, guide §2.4/§2.5): the (p, s)
+    * projection is hash-REPARTITIONED BY p with an explicit count
+    * before the dedup, so (a) the distinct needs no second exchange
+    * (partitioning on p satisfies clustering on (p, s)), (b) the
+    * per-part self-join reuses the same exchange on BOTH sides
+    * (ReusedExchange, zero join shuffles), and (c) the wedge-building
+    * stage — the family's hottest (measured 2.0 of triangle_count's
+    * 4.7 s) — runs at the requested width instead of the handful of
+    * partitions AQE rightly coalesces the small dedup down to (AQE
+    * cannot see that the NEXT stage fans out quadratically in per-part
+    * supplier count). An explicit count is respected by AQE; `parts`
+    * comes state-bound from the caller (fact footer rows), so at
+    * replica scale the shuffle keeps sizing up instead of pinning to
+    * the local core count. */
+  private def coSupplyPairs(lineitem: DataFrame, parts: Int): DataFrame = {
+    val n = if (parts > 0) parts
+      else lineitem.sparkSession.sparkContext.defaultParallelism
     val ps = lineitem.select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .repartition(n, col("p"))
       .distinct()
-    val pairs = ps.as("a").join(ps.as("b"),
+    ps.as("a").join(ps.as("b"),
         col("a.p") === col("b.p") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("u"), col("b.s").as("v"))
       .agg(count(lit(1)).as("w"))
+  }
+
+  /** State-bound width for [[coSupplyPairs]]' exchange: one partition
+    * per ~250k fact rows (the wedge fan-out is per-part quadratic, so
+    * the bound tracks the fact, not the dim), floored at the session
+    * parallelism, capped at 4096 (the pagerank_trade discipline). */
+  private def coSupplyParts(spark: SparkSession, dir: String): Int = {
+    val factRows = graft.ParquetMeta.rowCount(spark, s"$dir/lineitem.parquet")
+    math.max(spark.sparkContext.defaultParallelism,
+      math.min(4096L, factRows / 250000L).toInt)
+  }
+
+  /** Undirected bounded-degree co-supply graph: edge (u,v), u<v, iff v is
+    * among u's top-K co-supply partners or vice versa. Weight = number of
+    * distinct parts both supply. Returns columns (u, v). */
+  def topKCoSupplyEdges(lineitem: DataFrame, k: Int, parts: Int = 0): DataFrame = {
+    val pairs = coSupplyPairs(lineitem, parts)
     val directed = pairs.select(col("u").as("s"), col("v").as("t"), col("w"))
       .unionByName(pairs.select(col("v").as("s"), col("u").as("t"), col("w")))
     val wTop = Window.partitionBy("s").orderBy(col("w").desc, col("t").asc)
@@ -66,12 +100,14 @@ object GraphMetrics {
       .join(e.as("e3"),
         col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-    val corners = tri.select(col("a").as("node"))
-      .unionAll(tri.select(col("b").as("node")))
-      .unionAll(tri.select(col("c").as("node")))
+    // corner credit via ONE explode, not a unionAll of three
+    // projections of `tri` — the union form re-executed the triple
+    // wedge join once per corner (three copies of the join subtree in
+    // the plan, r19 measured); the exploded multiset is identical
+    val corners = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
-    val deg = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
     deg.join(corners, Seq("node"), "left")
       .select(col("node"), col("degree"),
@@ -147,14 +183,14 @@ object GraphMetrics {
 
   /** Gated instance: triangles of the top-8 co-supply graph. */
   def triangleCoSupply(spark: SparkSession, dir: String): DataFrame =
-    triangleCounts(topKCoSupplyEdges(Tables.lineitem(spark, dir), K))
+    triangleCounts(topKCoSupplyEdges(Tables.lineitem(spark, dir), K, coSupplyParts(spark, dir)))
       .select(col("node").as("s_suppkey"), col("degree"), col("triangles"))
 
   /** Gated instance: one label-prop round from nation labels on the same
     * graph — "which nation community does each supplier's co-supply
     * neighborhood vote it into". */
   def labelPropCoSupply(spark: SparkSession, dir: String): DataFrame = {
-    val edges = topKCoSupplyEdges(Tables.lineitem(spark, dir), K)
+    val edges = topKCoSupplyEdges(Tables.lineitem(spark, dir), K, coSupplyParts(spark, dir))
     val nodes = Tables.supplier(spark, dir)
       .select(col("s_suppkey").as("node"), col("s_nationkey").as("label0"))
     labelPropagationStep(nodes, edges)
@@ -165,7 +201,7 @@ object GraphMetrics {
     * score on the same top-8 graph. */
   def linkPredictCoSupply(spark: SparkSession, dir: String): DataFrame =
     resourceAllocationLinks(
-      topKCoSupplyEdges(Tables.lineitem(spark, dir), K), TopLinks)
+      topKCoSupplyEdges(Tables.lineitem(spark, dir), K, coSupplyParts(spark, dir)), TopLinks)
 
   private def edgesCte: String =
     s"""ps AS (
@@ -377,7 +413,7 @@ object GraphMetrics {
   /** Gated instance: local clustering coefficients of the top-8
     * co-supply graph. */
   def clusteringCoeffCoSupply(spark: SparkSession, dir: String): DataFrame =
-    clusteringCoeff(topKCoSupplyEdges(Tables.lineitem(spark, dir), K))
+    clusteringCoeff(topKCoSupplyEdges(Tables.lineitem(spark, dir), K, coSupplyParts(spark, dir)))
       .select(col("node").as("s_suppkey"), col("degree"), col("triangles"),
         col("cc_permicro"))
 
@@ -409,7 +445,7 @@ object GraphMetrics {
   /** Gated instance: degree assortativity of the top-8 co-supply
     * graph — one signed permicro scalar plus its four exact sums. */
   def assortativityCoSupply(spark: SparkSession, dir: String): DataFrame =
-    assortativity(topKCoSupplyEdges(Tables.lineitem(spark, dir), K))
+    assortativity(topKCoSupplyEdges(Tables.lineitem(spark, dir), K, coSupplyParts(spark, dir)))
 
   def assortativityOracleSql: String =
     s"""WITH $edgesCte, und AS (
@@ -436,7 +472,7 @@ object GraphMetrics {
   /** Gated instance: four rounds of 3-core peeling on the top-8
     * co-supply graph. */
   def kcorePeelCoSupply(spark: SparkSession, dir: String): DataFrame =
-    kcorePeelRounds(topKCoSupplyEdges(Tables.lineitem(spark, dir), K),
+    kcorePeelRounds(topKCoSupplyEdges(Tables.lineitem(spark, dir), K, coSupplyParts(spark, dir)),
       k = 3, rounds = 4)
 
   def kcorePeelOracleSql: String = {
@@ -541,7 +577,7 @@ object GraphMetrics {
   /** Gated instance: BFS layers from the smallest supplier in the
     * top-8 co-supply graph, 6 hops. */
   def bfsCoSupply(spark: SparkSession, dir: String): DataFrame =
-    bfsLayers(topKCoSupplyEdges(Tables.lineitem(spark, dir), K), 6)
+    bfsLayers(topKCoSupplyEdges(Tables.lineitem(spark, dir), K, coSupplyParts(spark, dir)), 6)
 
   def bfsOracleSql: String = {
     def step(i: Int): String =
@@ -565,7 +601,7 @@ object GraphMetrics {
     * co-supply graph — does co-supply cluster along nations? */
   def modularityCoSupply(spark: SparkSession, dir: String): DataFrame =
     modularity(
-      topKCoSupplyEdges(Tables.lineitem(spark, dir), K),
+      topKCoSupplyEdges(Tables.lineitem(spark, dir), K, coSupplyParts(spark, dir)),
       Tables.supplier(spark, dir)
         .select(col("s_suppkey").as("node"),
           col("s_nationkey").as("community")))
@@ -600,13 +636,9 @@ object GraphMetrics {
   /** Weighted variant of [[topKCoSupplyEdges]]: (u, v, w) with w = the
     * co-supply count. w is symmetric, so the undirected collapse can
     * carry it through the distinct. */
-  def topKCoSupplyWeightedEdges(lineitem: DataFrame, k: Int): DataFrame = {
-    val ps = lineitem.select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct()
-    val pairs = ps.as("a").join(ps.as("b"),
-        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
-      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
-      .agg(count(lit(1)).as("w"))
+  def topKCoSupplyWeightedEdges(lineitem: DataFrame, k: Int,
+      parts: Int = 0): DataFrame = {
+    val pairs = coSupplyPairs(lineitem, parts)
     val directed = pairs.select(col("u").as("s"), col("v").as("t"), col("w"))
       .unionByName(pairs.select(col("v").as("s"), col("u").as("t"), col("w")))
     val wTop = Window.partitionBy("s").orderBy(col("w").desc, col("t").asc)
@@ -649,7 +681,7 @@ object GraphMetrics {
     * co-supply graph from the smallest supplier. */
   def ssspCoSupply(spark: SparkSession, dir: String): DataFrame =
     ssspBounded(
-      topKCoSupplyWeightedEdges(Tables.lineitem(spark, dir), K), 4)
+      topKCoSupplyWeightedEdges(Tables.lineitem(spark, dir), K, coSupplyParts(spark, dir)), 4)
 
   def ssspOracleSql: String = {
     def step(i: Int): String =
@@ -825,7 +857,7 @@ object GraphMetrics {
   /** Gated instance: one Louvain move pass over the top-8 co-supply
     * graph from singleton communities. */
   def louvainCoSupply(spark: SparkSession, dir: String): DataFrame =
-    louvainMoveStep(topKCoSupplyEdges(Tables.lineitem(spark, dir), K))
+    louvainMoveStep(topKCoSupplyEdges(Tables.lineitem(spark, dir), K, coSupplyParts(spark, dir)))
       .withColumnRenamed("node", "s_suppkey")
 
   def louvainOracleSql: String =
@@ -859,7 +891,7 @@ object GraphMetrics {
   /** Gated instance: 3-hop harmonic/closeness centrality of every
     * supplier in the top-8 co-supply graph. */
   def centralityCoSupply(spark: SparkSession, dir: String): DataFrame =
-    harmonicCloseness(topKCoSupplyEdges(Tables.lineitem(spark, dir), K), 3)
+    harmonicCloseness(topKCoSupplyEdges(Tables.lineitem(spark, dir), K, coSupplyParts(spark, dir)), 3)
       .withColumnRenamed("node", "s_suppkey")
 
   def centralityOracleSql: String = {
@@ -955,7 +987,7 @@ object GraphMetrics {
   /** Gated instance: 4 terminals (smallest suppliers), depth 4, over
     * the top-8 co-supply graph. */
   def pathBetweennessCoSupply(spark: SparkSession, dir: String): DataFrame =
-    pathBetweenness(topKCoSupplyEdges(Tables.lineitem(spark, dir), K),
+    pathBetweenness(topKCoSupplyEdges(Tables.lineitem(spark, dir), K, coSupplyParts(spark, dir)),
       nTerminals = 4, maxDepth = 4)
 
   /** The BFS is unrolled per level with a settled anti-join (the
