@@ -33,11 +33,40 @@ import org.apache.spark.storage.StorageLevel
 object Checkpoints {
 
   def adaptiveLevel(estBytes: Long): StorageLevel =
-    if (estBytes <= Runtime.getRuntime.maxMemory / 4)
+    // r19 optimization round: a third, DESERIALIZED tier for genuinely
+    // tiny frames — the serialized levels pay a Java-serializer pass
+    // on the pin write AND on every scan, which for a sub-100MB frame
+    // is pure overhead (no memory risk even at ~4x deserialized
+    // inflation). Thresholds stay fractions of the executor heap, so
+    // the same estimate decides correctly on any cluster.
+    if (estBytes <= Runtime.getRuntime.maxMemory / 64)
+      StorageLevel.MEMORY_AND_DISK
+    else if (estBytes <= Runtime.getRuntime.maxMemory / 4)
       StorageLevel.MEMORY_AND_DISK_SER
     else StorageLevel.DISK_ONLY
 
   /** Eager localCheckpoint at [[adaptiveLevel]] of the estimate. */
   def pin(df: DataFrame, estBytes: Long): DataFrame =
     df.localCheckpoint(true, adaptiveLevel(estBytes))
+
+  /** [[pin]] + widen-to-parallelism re-pin (r19 optimization round,
+    * guide §2.5): AQE rightly coalesces a small frame's final shuffle,
+    * so the pin can materialize as a handful of blocks — and then
+    * EVERY consumer stage of the pin runs on that handful of cores,
+    * which is exactly wrong when a consumer fans out (a ×16 candidate
+    * explode, a basket pair explode, a per-row shingle explode). When
+    * the materialized block count is below the session parallelism,
+    * re-pin a round-robin widened copy at the same level and drop the
+    * narrow one; at replica scale (blocks ≥ parallelism) this is the
+    * identity. */
+  def pinWide(df: DataFrame, estBytes: Long): DataFrame = {
+    val pinned = pin(df, estBytes)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (pinned.rdd.getNumPartitions < par) {
+      val wide = pinned.repartition(par)
+        .localCheckpoint(true, adaptiveLevel(estBytes))
+      pinned.unpersist(false)
+      wide
+    } else pinned
+  }
 }

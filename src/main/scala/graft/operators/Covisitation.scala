@@ -57,8 +57,8 @@ object Covisitation {
     * item_a, so no single task ever holds more than one hash
     * partition of items. */
   def covisitTopM(interactions: DataFrame, userCol: String, itemCol: String,
-                  m: Int, maxBasket: Int = 1000): DataFrame = {
-    val pairs = symmetricPairs(interactions, userCol, itemCol, maxBasket)
+                  m: Int, maxBasket: Int = 1000, parts: Int = 0): DataFrame = {
+    val pairs = symmetricPairs(interactions, userCol, itemCol, maxBasket, parts)
     pairs
       .withColumn("rk", row_number().over(Window.partitionBy(col("item_a"))
         .orderBy(col("n_users").desc, col("item_b").asc)))
@@ -77,22 +77,50 @@ object Covisitation {
     * arrays (one groupBy(u), no self-join shuffle); only canonical
     * a<b pairs are exploded (halving volume), then mirrored. */
   def symmetricPairs(interactions: DataFrame, userCol: String,
-                     itemCol: String, maxBasket: Int = 1000): DataFrame =
+                     itemCol: String, maxBasket: Int = 1000,
+                     parts: Int = 0): DataFrame =
     symmetricPairsFromBaskets(
-      cappedBaskets(interactions, userCol, itemCol, maxBasket))
+      cappedBaskets(interactions, userCol, itemCol, maxBasket, parts))
 
   /** Per-user sorted distinct item arrays, power-users above
     * `maxBasket` dropped whole — the ONE fact pass every
     * co-visitation consumer (pairs, degrees) derives from. Callers
     * that feed it to more than one consumer should `localCheckpoint`
-    * the result. */
+    * the result.
+    *
+    * Plan shape (r19 optimization round, guide §2.4/§2.5): the input
+    * is hash-repartitioned BY u with an EXPLICIT width up front —
+    * partitioning on u satisfies both the (u, i) dedup and the
+    * per-user collect, so the whole basket build runs off ONE
+    * exchange (was two), and the stage that EXPLODES the baskets into
+    * pairs (the chain's hottest: 2.2 of covisit_topk's 5.3 s,
+    * measured on the 2 partitions AQE had coalesced the small
+    * aggregate down to — AQE cannot see the ~40× pair fan-out of the
+    * next operator) runs at the requested width. `parts` comes
+    * state-bound from the gated callers (fact footer rows); 0 = the
+    * session parallelism. */
   def cappedBaskets(interactions: DataFrame, userCol: String,
-                    itemCol: String, maxBasket: Int = 1000): DataFrame =
+                    itemCol: String, maxBasket: Int = 1000,
+                    parts: Int = 0): DataFrame = {
+    val n = if (parts > 0) parts
+      else interactions.sparkSession.sparkContext.defaultParallelism
     interactions
       .select(col(userCol).as("u"), col(itemCol).cast("long").as("i"))
+      .repartition(n, col("u"))
       .distinct()
       .groupBy("u").agg(sort_array(collect_list(col("i"))).as("items"))
       .filter(size(col("items")) <= maxBasket)
+  }
+
+  /** State-bound width for the basket build/explode: one partition
+    * per ~250k fact rows, floored at the session parallelism, capped
+    * at 4096 (the pagerank_trade discipline — the pair fan-out tracks
+    * the fact, so the bound must keep sizing up at replica scale). */
+  private[graft] def pairParts(spark: SparkSession, dir: String): Int = {
+    val factRows = graft.ParquetMeta.rowCount(spark, s"$dir/lineitem.parquet")
+    math.max(spark.sparkContext.defaultParallelism,
+      math.min(4096L, factRows / 250000L).toInt)
+  }
 
   /** [[symmetricPairs]] from an already-built basket frame. Both
     * directions of each canonical pair come out of ONE `inline`
@@ -191,14 +219,22 @@ object Covisitation {
     * min(k, |truth|) and mean-reduced — every division truncating,
     * both engines identical. */
   def evaluate(recs: DataFrame, truth: DataFrame,
-               userCol: String, itemCol: String, ks: Seq[Int]): DataFrame = {
-    // consumed per-k for hits AND for |truth(u)|; SERIALIZED level —
-    // the frame is holdout-fact-sized (~20M rows at the 100x replica,
-    // ~2GB deserialized: the third recsys_eval heap pin, r19 measured)
-    // and two longs per row serialize ~4x smaller, tracked, evictable
+               userCol: String, itemCol: String, ks: Seq[Int],
+               truthRowsEst: Long = -1L): DataFrame = {
+    // consumed per-k for hits AND for |truth(u)|; ADAPTIVE level (the
+    // frame is holdout-fact-sized — ~20M rows at the 100x replica,
+    // ~2GB deserialized, the third recsys_eval heap pin r19 measured —
+    // but at bench SFs it is a few MB, and the old hardcoded
+    // MEMORY_AND_DISK_SER paid a Java-serializer pass per pin write
+    // and per scan for nothing): callers pass a row-count upper bound
+    // (footer-derived) and Checkpoints picks deserialized / serialized
+    // / disk against the heap.
+    def level(bytesPerRow: Long) =
+      if (truthRowsEst >= 0)
+        graft.Checkpoints.adaptiveLevel(truthRowsEst * bytesPerRow)
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val t = truth.select(col(userCol).as("u"), col(itemCol).as("j")).distinct()
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(true, level(16L))
     val nRel = t.groupBy("u").agg(count(lit(1)).as("n_rel"))
     val marked = recs
       .select(col(userCol).as("u"), col(itemCol).as("j"), col("rk"))
@@ -224,10 +260,13 @@ object Covisitation {
     val perUser = marked.groupBy("u")
       .agg(aggCols.head, aggCols.tail: _*)
       .join(nRel, Seq("u"))
-      // user-domain frame, reused per cutoff readout; serialized for
-      // the same reason as `t` (users scale with the corpus)
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // user-domain frame, reused per cutoff readout; adaptive for
+      // the same reason as `t`. 24 B/row against the TRUTH-row bound:
+      // the frame has ~96 serialized bytes/row but one row per USER
+      // (≥4x fewer than truth rows on any holdout with repeat
+      // purchases), so the product stays an upper bound of the same
+      // order as the old fixed SER choice at the 100x replica
+      .localCheckpoint(true, level(24L))
     val perK = ks.map { k =>
       perUser
         .select(col("u"), col(s"hits_$k").as("hits"), col("n_rel"),
@@ -274,7 +313,7 @@ object Covisitation {
   def covisitParts(spark: SparkSession, dir: String): DataFrame =
     covisitTopM(
       purchases(spark, dir).filter(col("d") < lit(SplitDate).cast("date")),
-      "cust", "item", M)
+      "cust", "item", M, parts = pairParts(spark, dir))
 
   /** Gated instance: recall/precision/MAP at k ∈ {1,5,10,20} of the
     * co-visitation top-20 against post-split purchases. */
@@ -289,7 +328,10 @@ object Covisitation {
     // initial maps (r19 measured; ~56B/row = three 8B cols + row
     // overhead, serialized)
     val factRows = graft.ParquetMeta.rowCount(spark, s"$dir/lineitem.parquet")
-    val p = graft.Checkpoints.pin(purchases(spark, dir), factRows * 56L)
+    // pinWide: the fact pin otherwise materializes at the handful of
+    // AQE-coalesced blocks and serializes every consumer (train/test
+    // filters, truth distinct) onto that many cores (r19 profiled)
+    val p = graft.Checkpoints.pinWide(purchases(spark, dir), factRows * 56L)
     val train = p.filter(col("d") < lit(SplitDate).cast("date"))
     val test = p.filter(col("d") >= lit(SplitDate).cast("date"))
     // covisit build reused by all score partitions; item-domain times M
@@ -305,11 +347,13 @@ object Covisitation {
     val scoreParts = math.max(sessionParts,
       math.min(4096L, factRows * M / 1500000L).toInt)
     val recs = recommend(train,
-      graft.Checkpoints.pin(covisitTopM(train, "cust", "item", M),
+      graft.Checkpoints.pin(
+        covisitTopM(train, "cust", "item", M, parts = pairParts(spark, dir)),
         partRows * M * 48L),
       "cust", "item", K,
       parts = if (scoreParts > sessionParts) scoreParts else 0)
-    evaluate(recs, test, "cust", "item", Seq(1, 5, 10, 20))
+    evaluate(recs, test, "cust", "item", Seq(1, 5, 10, 20),
+      truthRowsEst = factRows)
   }
 
   private val purchasesSql =

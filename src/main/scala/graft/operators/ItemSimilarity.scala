@@ -47,12 +47,12 @@ object ItemSimilarity {
     * co-users: (item_a, item_b, n_users, deg_a, deg_b,
     * cosine_permicro, rk). */
   def cosineTopM(interactions: DataFrame, userCol: String, itemCol: String,
-                 m: Int, maxBasket: Int = 1000): DataFrame = {
+                 m: Int, maxBasket: Int = 1000, parts: Int = 0): DataFrame = {
     // ONE fact pass: pairs and degrees both derive from the same
     // checkpointed basket frame (a second distinct+window pass for
     // degrees measured ~2x the whole covisit build at sf0.1)
     val baskets = Covisitation.cappedBaskets(
-      interactions, userCol, itemCol, maxBasket).localCheckpoint()
+      interactions, userCol, itemCol, maxBasket, parts).localCheckpoint()
     val pairs = Covisitation.symmetricPairsFromBaskets(baskets)
       .filter(col("n_users") >= MinSupport)
     val degrees = baskets.select(explode(col("items")).as("i"))
@@ -100,7 +100,8 @@ object ItemSimilarity {
       .filter(col("o_orderdate") <
         lit(Covisitation.SplitDate).cast("date"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
-    cosineTopM(purchases, "cust", "item", Covisitation.M)
+    cosineTopM(purchases, "cust", "item", Covisitation.M,
+      parts = Covisitation.pairParts(spark, dir))
   }
 
   def oracleSql: String =
